@@ -1,13 +1,171 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Relational, Events}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 appears in `queries`; the SQL-expressible
+  * ones also appear in `oracleSql` (DuckDB dialect, same column names).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q05LocalSupplier(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> Relational.q01PricingSummary _,
+    "q02_filter_pushdown" -> Relational.q02FilterPushdown _,
+    "q03_revenue_topn"    -> Relational.q03RevenueTopN _,
+    "q04_semi_join"       -> Relational.q04SemiJoin _,
+    "q05_local_supplier"  -> Relational.q05LocalSupplier _,
+    "q06_forecast_filter" -> Relational.q06ForecastFilter _,
+    "q07_window_topn"     -> Relational.q07WindowTopN _,
+    "q08_running_sum"     -> Relational.q08RunningSum _,
+    "q09_distinct_agg"    -> Relational.q09DistinctAgg _,
+    "q10_anti_join"       -> Relational.q10AntiJoin _,
+    "q11_rollup"          -> Relational.q11Rollup _,
+    "q12_case_agg"        -> Relational.q12CaseAgg _,
+    "q13_outer_join_dist" -> Relational.q13OuterJoinDist _,
+    "q14_expr_pct"        -> Relational.q14ExprPct _,
+    "q15_top_supplier"    -> Relational.q15TopSupplier _,
+    "q16_events_bucket"   -> Events.q16EventsBucket _,
+    "q17_sessionize"      -> Events.q17Sessionize _,
+    "q18_events_pivot"    -> Events.q18EventsPivot _,
+  )
+
+  /** DuckDB-dialect oracle for each SQL-expressible query (same column
+    * names as the Spark result — the driver sorts columns by name before
+    * hashing).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | sum(l_extendedprice) AS sum_base_price,
+        | sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        | sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+        | avg(l_quantity) AS avg_qty,
+        | avg(l_extendedprice) AS avg_price,
+        | avg(l_discount) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount > 0.05 AND l_quantity < 10.0""".stripMargin,
+    "q03_revenue_topn" ->
+      """SELECT l_orderkey, o_orderdate,
+        | sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49.0)
+        |GROUP BY 1""".stripMargin,
+    "q05_local_supplier" ->
+      """SELECT n_name, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q06_forecast_filter" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q07_window_topn" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3""".stripMargin,
+    "q08_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders""".stripMargin,
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q12_case_agg" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+        | count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q13_outer_join_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1) t
+        |GROUP BY 1""".stripMargin,
+    "q14_expr_pct" ->
+      """SELECT 100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1.0 - l_discount)) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+    "q16_events_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        | count(*) AS n_events, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q17_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS boundary FROM x),
+        |z AS (
+        |  SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM z GROUP BY 1, 2""".stripMargin,
+    "q18_events_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+  )
 }

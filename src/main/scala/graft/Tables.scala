@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish star schema (see TESTDATA.md).
+  *
+  * Plain parquet reads: Catalyst handles column pruning + predicate
+  * pushdown, so every downstream query declares filters/projections
+  * declaratively and lets the scan do the work.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and convert to a µs timestamp
+    * (the generator emits whole-µs values, so `div 1000` is lossless).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / analytical query pack over the TPC-H-ish testdata.
+  *
+  * Design notes (100 TB posture):
+  *  - Dimension tables (region/nation/customer/supplier/part) get explicit
+  *    `broadcast()` hints — at production scale the fact tables (lineitem,
+  *    orders, events) are the only ones that should shuffle.
+  *  - All filters/projections are declarative Column expressions so Catalyst
+  *    pushes them into the parquet scan (verified via explain: PushedFilters).
+  *  - Window queries use ROWS frames (deterministic) and always carry a
+  *    unique tie-breaker key in the ordering.
+  */
+object Relational {
+
+  /** q01: TPC-H Q1-style pricing summary — multi-aggregate groupBy. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("2000-01-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        avg($"l_quantity").as("avg_qty"),
+        avg($"l_extendedprice").as("avg_price"),
+        avg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** q02: filter + narrow projection — exercises parquet pushdown/pruning. */
+  def q02FilterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1998-01-01").cast("timestamp") &&
+              $"l_discount" > 0.05 && $"l_quantity" < 10.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+  }
+
+  /** q03: shipping-priority style 3-way join + agg + top-N. */
+  def q03RevenueTopN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li   = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** q04: EXISTS semantics via left-semi join. */
+  def q04SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir).filter($"l_quantity" > 49.0)
+      .select($"l_orderkey")
+    Tables.orders(spark, dir)
+      .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** q05: 6-way star join + agg (local-supplier-volume style). */
+  def q05LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region   = broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA"))
+    val nation   = broadcast(Tables.nation(spark, dir))
+    val supplier = broadcast(Tables.supplier(spark, dir))
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(supplier, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(nation, $"s_nationkey" === $"n_nationkey")
+      .join(region, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  /** q06: scan-heavy filter + scalar aggregate (forecast-revenue style). */
+  def q06ForecastFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1998-01-01").cast("timestamp") &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+              $"l_quantity" < 24.0)
+      .agg(sum($"l_extendedprice" * $"l_discount").as("revenue"))
+  }
+
+  /** q07: window rank — top 3 orders by totalprice per priority class. */
+  def q07WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_totalprice")
+  }
+
+  /** q08: running per-customer spend — ROWS-framed cumulative window. */
+  def q08RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        sum($"o_totalprice").over(w).as("running_spend"))
+  }
+
+  /** q09: exact distinct aggregation per group. */
+  def q09DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q10: NOT EXISTS via left-anti join — customers with no orders. */
+  def q10AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** q11: hierarchical rollup aggregate. */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+  }
+
+  /** q12: conditional (CASE) aggregation over a fact-fact join. */
+  def q12CaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hi = $"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH"
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** q13: customer order-count distribution — outer join + two-level agg. */
+  def q13OuterJoinDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** q14: expression-heavy percentage aggregate (promo-revenue style). */
+  def q14ExprPct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-03-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-04-01").cast("timestamp"))
+    li.join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) *
+        sum(when($"p_type" === "ECONOMY", $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0)) /
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("promo_revenue"))
+  }
+
+  /** q15: top-supplier — agg subquery joined against its own max. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val revenue = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-07-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+    val maxRev = revenue.agg(max($"total_revenue").as("max_revenue"))
+    revenue
+      .join(broadcast(maxRev), $"total_revenue" === $"max_revenue")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+  }
+}
