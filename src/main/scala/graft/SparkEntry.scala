@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Relational, Events}
+import graft.text.Text
+import graft.dedup.Dedup
+import graft.sim.Sim
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +37,17 @@ object SparkEntry {
     "q16_events_bucket"   -> Events.q16EventsBucket _,
     "q17_sessionize"      -> Events.q17Sessionize _,
     "q18_events_pivot"    -> Events.q18EventsPivot _,
+    "d01_dedup_exact"     -> Dedup.d01DedupExact _,
+    "d02_token_count"     -> Text.d02TokenCount _,
+    "d03_text_quality"    -> Text.d03TextQuality _,
+    "d04_lang_id"         -> Text.d04LangId _,
+    "d05_fingerprint"     -> Text.d05Fingerprint _,
+    "d06_minhash_lsh"     -> Dedup.d06MinHashLsh _,
+    "d07_simhash"         -> Dedup.d07SimHash _,
+    "d08_ngram_jaccard"   -> Dedup.d08NgramJaccard _,
+    "e01_knn_cosine"      -> Sim.e01KnnCosine _,
+    "e02_ann_lsh"         -> Sim.e02AnnLsh _,
+    "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
   )
 
   /** DuckDB-dialect oracle for each SQL-expressible query (same column
@@ -167,5 +181,40 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d02_token_count" ->
+      """SELECT doc_id,
+        | length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | length(regexp_extract_all(text, '[A-Za-z0-9'']+')) AS n_re_tokens,
+        | CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents""".stripMargin,
+    "d03_text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS upper_ratio,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |      / CAST(length(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS stop_ratio
+        |  FROM documents)
+        |SELECT doc_id, alpha_ratio, upper_ratio, punct_ratio, stop_ratio,
+        |  alpha_ratio * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.1
+        |    + (1.0 - upper_ratio) * 0.1 AS quality_score
+        |FROM q""".stripMargin,
+    "e01_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        |  FROM e q JOIN e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s) t
+        |WHERE rn <= 10""".stripMargin,
   )
 }

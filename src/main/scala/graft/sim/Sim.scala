@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2c).
+  *
+  * Scale design (100 TB):
+  *  - the query set is always the small side and is `broadcast()`;
+  *  - dot products / norms are codegen'd `zip_with`+`aggregate` folds in
+  *    double precision (deterministic sequential sum — matches the
+  *    DuckDB oracle's `list_dot_product` element order);
+  *  - e01 is the exact brute-force baseline (linear scan per query —
+  *    correct at any scale but O(N·Q));
+  *  - e02/e03 use random-hyperplane LSH buckets so candidate generation
+  *    is a hash join on bucket ids instead of a cross join: this is the
+  *    scale path, with the hyperplanes derived from xxhash64 so every
+  *    executor regenerates them deterministically — nothing to ship.
+  */
+object Sim {
+
+  /** Number of sign bits in the hyperplane signature: 256 buckets keeps
+    * buckets non-degenerate at test scale; at 100 TB you would raise it
+    * (more, smaller buckets) and multi-probe.
+    */
+  val SigBits = 8
+
+  /** Embeddings with the float vector cast to double (`v`) plus its norm. */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x*y), 0D, (a, x) -> a + x))"))
+
+  private val dot: Column =
+    expr("aggregate(zip_with(qv, v, (x, y) -> x*y), 0D, (a, x) -> a + x)")
+
+  /** e01: exact brute-force cosine top-k for the first 20 vectors as
+    * queries. Query side broadcast; data side scanned once.
+    */
+  def e01KnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** Random-hyperplane signature: bit j = sign(v · h_j) where
+    * h_j[d] = ±1 from xxhash64(j, d). Regenerated in codegen on every
+    * executor — the "model" is free to distribute.
+    */
+  def bucketCol: Column = expr(
+    s"""aggregate(zip_with(
+       |   transform(sequence(0, ${SigBits - 1}), j ->
+       |     aggregate(zip_with(v, transform(sequence(0, size(v)-1), d ->
+       |         cast((xxhash64(j, d) & 1) * 2 - 1 as double)),
+       |       (x, w) -> x * w), 0D, (a, x) -> a + x)),
+       |   sequence(0, ${SigBits - 1}),
+       |   (s, j) -> if(s > 0D, shiftleft(1L, j), 0L)),
+       | 0L, (a, x) -> a | x)""".stripMargin)
+
+  /** e02: LSH-bucketed approximate NN — hash join on bucket id, cosine
+    * rank within bucket. Same queries/top-k contract as e01.
+    */
+  def e02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", bucketCol)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** e03: embedding near-duplicate pairs — corpus ∪ a deterministically
+    * perturbed copy (id+100000), LSH-bucketed candidate join, cosine
+    * threshold verify. Only same-bucket pairs pay the dot product.
+    */
+  def e03EmbedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir)
+    val perturbed = base
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(v, x -> x * 1.0005d + 0.0001d)").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x*y), 0D, (a, x) -> a + x))"))
+    val corpus = base.unionByName(perturbed).withColumn("bucket", bucketCol)
+    val a = corpus.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = corpus.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("v"), col("nrm").as("nrm"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot / (col("qn") * col("nrm"))).as("cosine"))
+      .distinct()
+      .where(col("cosine") >= 0.995)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2c).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions._` column
+  * algebra — whole-stage-codegen'd, no UDFs — so filters/projections
+  * still push down to the parquet scan and the operators cost one pass
+  * at any scale.
+  */
+object Text {
+
+  /** Whitespace tokens (matches DuckDB `regexp_split_to_array(trim(x),'\s+')`). */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** English stopword list shared by the quality score and language ID.
+    * Small on purpose: broadcast as a literal into codegen.
+    */
+  val StopEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  private def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*)))
+
+  /** d02: token counting — whitespace tokens, punct-aware regex tokens,
+    * and a BPE-ish estimate (chars/4, the usual subword rule of thumb).
+    */
+  def d02TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9']+"), lit(0))).cast("long").as("n_re_tokens"),
+      ceil(col("n_chars") / 4.0).cast("long").as("n_bpe_est"))
+
+  /** d03: per-document quality scoring from cheap surface statistics
+    * (alpha/upper/punct ratios + stopword density), combined into one
+    * linear score. One projection, no shuffle.
+    */
+  def d03TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nchars = length(t).cast("double")
+    val toks = wsTokens(lower(t))
+    val alphaRatio = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / nchars
+    val upperRatio = length(regexp_replace(t, "[^A-Z]", "")).cast("double") / nchars
+    val punctRatio = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / nchars
+    val stopRatio = countIn(toks, StopEn).cast("double") / size(toks).cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      alphaRatio.as("alpha_ratio"),
+      upperRatio.as("upper_ratio"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stop_ratio"),
+      (alphaRatio * 0.5 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.1
+        + (lit(1.0) - upperRatio) * 0.1).as("quality_score"))
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic (d04). Tiny lists → literal IN expressions in codegen.
+    */
+  val StopLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> StopEn,
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "eine", "ist", "zu", "den", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est", "que", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"))
+
+  /** d04: language ID — score = stopword hits per language, argmax wins,
+    * 'und' when nothing matches. A real system would use char n-gram
+    * profiles; the *distributed shape* is identical (single projection).
+    */
+  def d04LangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("lang_actual") +:
+        StopLists.map { case (l, ws) => countIn(toks, ws).as(s"score_$l") }: _*)
+    val best = greatest(StopLists.map { case (l, _) => col(s"score_$l") }: _*)
+    // First language (in StopLists order) achieving the max score wins.
+    val pred = StopLists.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("lang_actual"), pred.as("lang_pred"),
+      best.cast("long").as("best_score"))
+  }
+
+  /** d05: 64-bit rolling document fingerprint — xxhash64 chained over
+    * whitespace tokens (order-sensitive, whitespace-normalization-
+    * invariant). Codegen'd `aggregate` fold; no overflow under ANSI
+    * because xxhash64 never overflows.
+    */
+  def fingerprint(text: Column): Column = {
+    val toks = wsTokens(text)
+    aggregate(toks, xxhash64(lit("graft")), (h, t) => xxhash64(h, t))
+  }
+
+  def d05Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+}
