@@ -5,6 +5,8 @@ import graft.queries.{Relational, Events}
 import graft.text.Text
 import graft.dedup.Dedup
 import graft.sim.Sim
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +50,9 @@ object SparkEntry {
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
+    "m01_multimodal"      -> Multimodal.m01Multimodal _,
+    "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
+    "s02_stream_stateful" -> Streams.s02StreamStateful _,
   )
 
   /** DuckDB-dialect oracle for each SQL-expressible query (same column
@@ -216,5 +221,23 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s) t
         |WHERE rn <= 10""".stripMargin,
+    "s01_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        | count(*) AS n_events, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "s02_stream_stateful" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS boundary FROM x),
+        |z AS (
+        |  SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM z GROUP BY 1, 2""".stripMargin,
   )
 }

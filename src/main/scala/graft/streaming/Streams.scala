@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators over the `events` table (SURVEY.md §2c).
+  *
+  * Locally these run the file source to completion with
+  * `Trigger.AvailableNow` into a memory sink so the result is a
+  * deterministic DataFrame the driver can oracle-check; on a cluster the
+  * same plans run unbounded (swap source/sink, keep the transforms).
+  * The testdata is a single parquet file → exactly one micro-batch, so
+  * update-mode emissions are exact.
+  */
+object Streams {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Raw events as a stream: TIMESTAMP(NANOS) parquet must be read with
+    * nanosAsLong (same gotcha as the batch path in [[graft.Tables]]),
+    * then converted to a µs timestamp (generator emits whole µs).
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source requires a directory; the testdata ships a
+    // bare file. Stage a directory of symlinks (idempotent, /tmp).
+    val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
+    val stageDir = java.nio.file.Paths.get(
+      "/tmp", s"graft_stream_src_${Integer.toHexString(src.toString.hashCode)}")
+    java.nio.file.Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToCompletion(out: DataFrame, mode: OutputMode): (SparkSession, String) = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (out.sparkSession, name)
+  }
+
+  /** s01: tumbling 1-hour window aggregation with a watermark — the
+    * canonical streaming groupBy. Watermark bounds state at scale;
+    * complete output mode makes the local memory-sink result total, so
+    * it matches the batch `date_trunc('hour')` oracle exactly.
+    */
+  def s01StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val (s, name) = runToCompletion(agg, OutputMode.Complete())
+    s.table(name)
+  }
+
+  // public: encoder-generated code must be able to reach these
+  case class Ev(user_id: Long, event_id: Long, tsUs: Long)
+  case class SessionState(sessions: Long, startUs: Long, endUs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** s02: per-user sessionization with `flatMapGroupsWithState` — gap
+    * > 30 min closes a session. State carries the open session across
+    * micro-batches; every batch emits the sessions it completed plus the
+    * currently-open one (update mode), so after the final batch the sink
+    * holds exactly the gap-sessionization of the whole stream — the same
+    * result as the batch lag+cumsum query (q17), which is the oracle.
+    */
+  def s02StreamStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+
+    val events = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsUs")).as[Ev]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val evs = it.toArray.sortBy(e => (e.tsUs, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          def emit(s: SessionState): SessionOut =
+            SessionOut(uid, s.sessions, s.n, s.startUs, s.endUs)
+          for (e <- evs) {
+            if (st.n == 0L) {
+              st = SessionState(st.sessions + 1, e.tsUs, e.tsUs, 1L)
+            } else if (e.tsUs - st.endUs > gapUs) {
+              out += emit(st) // close previous session
+              st = SessionState(st.sessions + 1, e.tsUs, e.tsUs, 1L)
+            } else {
+              st = st.copy(endUs = e.tsUs, n = st.n + 1)
+            }
+          }
+          if (st.n > 0) out += emit(st) // open session: re-emitted (updated) next batch
+          state.update(st)
+          out.iterator
+      }
+    val (s, name) = runToCompletion(sessions.toDF(), OutputMode.Update())
+    s.table(name)
+      .groupBy("user_id", "session_id") // collapse re-emissions of open sessions across batches: keep final
+      .agg(max("n_events").as("n_events"), min("start_us").as("start_us"),
+        max("end_us").as("end_us"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"))
+  }
+}
