@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.sim.Sim
 import graft.multimodal.Multimodal
 import graft.streaming.Streams
+import graft.ml.ReliefQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +54,12 @@ object SparkEntry {
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
+    "relief_weights"      -> ReliefQueries.reliefWeights _,
+    "relief_select"       -> ReliefQueries.reliefSelect _,
+    "relief_transform"    -> ReliefQueries.reliefTransform _,
+    "relief_knn"          -> ReliefQueries.reliefKnn _,
+    "relief_persist"      -> ReliefQueries.reliefPersist _,
+    "vector_assemble"     -> ReliefQueries.vectorAssemble _,
   )
 
   /** DuckDB-dialect oracle for each SQL-expressible query (same column
@@ -239,5 +246,19 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts) AS session_start, max(ts) AS session_end
         |FROM z GROUP BY 1, 2""".stripMargin,
+    "relief_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_distance(q.v, e.v) AS dist
+        |  FROM e q JOIN e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, neighbor_id, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dist, neighbor_id) AS rn FROM s) t
+        |WHERE rn <= 10""".stripMargin,
+    "vector_assemble" ->
+      """SELECT o_orderkey, CAST(2 AS INTEGER) AS dim, o_totalprice AS f0
+        |FROM orders""".stripMargin,
   )
 }

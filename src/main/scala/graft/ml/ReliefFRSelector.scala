@@ -1,0 +1,501 @@
+package graft.ml
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.linalg.{DenseVector, SparseVector, Vector, Vectors}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Params shared by [[ReliefFRSelector]] and [[ReliefFRSelectorModel]].
+  *
+  * Same knob surface as the reference estimator
+  * (reference ReliefFRSelector.scala:68-166), re-stated here because
+  * Spark's shared param traits are private to org.apache.spark.ml.
+  */
+trait ReliefFRParams extends Params {
+  final val inputCol = new Param[String](this, "inputCol", "features vector column")
+  setDefault(inputCol -> "features")
+  final val outputCol = new Param[String](this, "outputCol", "selected-features vector column")
+  setDefault(outputCol -> "selectedFeatures")
+  final val labelCol = new Param[String](this, "labelCol", "label column (double)")
+  setDefault(labelCol -> "label")
+  final val seed = new LongParam(this, "seed", "random seed")
+  setDefault(seed -> 123456789L)
+
+  /** Number of features the selector keeps, by score descending. */
+  final val numTopFeatures = new IntParam(this, "numTopFeatures",
+    "number of features to select", ParamValidators.gtEq(1))
+  setDefault(numTopFeatures -> 10)
+
+  /** Neighbors per class in the RELIEF-F neighborhood (k = this × #classes). */
+  final val numNeighbors = new IntParam(this, "numNeighbors",
+    "neighbors per class", ParamValidators.gtEq(1))
+  setDefault(numNeighbors -> 10)
+
+  /** Fraction of the dataset sampled as the query set. */
+  final val estimationRatio = new DoubleParam(this, "estimationRatio",
+    "fraction of rows used as RELIEF queries", ParamValidators.inRange(0, 1, false, true))
+  setDefault(estimationRatio -> 0.25)
+
+  /** Fraction of the query sample per broadcast batch. */
+  final val batchSize = new DoubleParam(this, "batchSize",
+    "fraction of the sample per batch", ParamValidators.inRange(0, 1, false, true))
+  setDefault(batchSize -> 0.25)
+
+  /** Multiple of numTopFeatures involved in redundancy accounting. */
+  final val lowerFeatureThreshold = new DoubleParam(this, "lowerFeatureThreshold",
+    "redundancy candidate pool size, as a multiple of numTopFeatures", ParamValidators.gtEq(1))
+  setDefault(lowerFeatureThreshold -> 3.0)
+
+  /** Collision threshold scale for continuous data (Chebyshev 6σ rule;
+    * data assumed standardized to mean 0 / std 1).
+    */
+  final val lowerDistanceThreshold = new DoubleParam(this, "lowerDistanceThreshold",
+    "fraction of the 6-sigma range treated as a collision", ParamValidators.inRange(0, 1))
+  setDefault(lowerDistanceThreshold -> 0.8)
+
+  /** Rank by relevance−redundancy (true) or plain RELIEF-F relevance (false). */
+  final val redundancyRemoval = new BooleanParam(this, "redundancyRemoval",
+    "use collision-based redundancy in the final ranking")
+  setDefault(redundancyRemoval -> false)
+
+  /** Discrete features: collisions are exact matches, votes are counts. */
+  final val discreteData = new BooleanParam(this, "discreteData",
+    "treat features as discrete")
+  setDefault(discreteData -> false)
+
+  def getSelectionSize: Int = $(numTopFeatures)
+}
+
+/** Spark-native distributed RELIEF-F feature selection with
+  * collision-based redundancy removal — same capability as the
+  * reference BELIEF estimator (reference ReliefFRSelector.scala), but
+  * re-architected for Spark's execution model rather than ported:
+  *
+  *  - Rows get stable global ids (`zipWithUniqueId`) once; the kNN
+  *    merge is keyed on those ids, not on (partitionIndex, localIndex)
+  *    as in the reference (ReliefFRSelector.scala:339-369), so results
+  *    are invariant under re-partitioning and task retry.
+  *  - Each query batch is collected and broadcast; every partition
+  *    scans its rows once, maintaining a bounded [[TopK]] per query;
+  *    heaps merge with `reduceByKey` (map-side combine — shuffle is
+  *    O(#queries × k), never O(rows)).
+  *  - The weight pass inverts the neighbor map (rowId → queries it
+  *    serves) and `treeAggregate`s flat primitive arrays: per-feature
+  *    per-(class,hit/miss) relevance sums, collision marginals, and a
+  *    (topFeature × feature) joint-collision matrix. No Spark
+  *    accumulators (the reference's accumulator-based marginals,
+  *    ReliefFRSelector.scala:392-394, can double-count under task
+  *    retry; treeAggregate is exactly-once) and no driver-side
+  *    per-partition tables.
+  *  - The collision threshold randomness is a pure hash of
+  *    (seed, queryId, rowId) — deterministic and partition-independent.
+  *  - Greedy mRMR-style selection runs on the driver over nFeat-sized
+  *    arrays (reference ReliefFRSelector.scala:684-732 semantics:
+  *    score = relevance − redundancy/|selected|).
+  *
+  * Deviations from the reference, on purpose:
+  *  - a query instance is not its own neighbor;
+  *  - joint collision mass is accumulated between pairs of features
+  *    that *both* collide on a (query, neighbor) pair — the reference
+  *    mixes in stale per-feature votes from the previous neighbor
+  *    (ReliefFRSelector.scala:419-420, 449-456);
+  *  - relevance/marginal/joint accumulate in Double, not Float.
+  *
+  * Scale notes (100 TB): the data is scanned 2×#batches times and
+  * never shuffled (only fixed-size digests move); broadcast per batch
+  * is batchRows × vectorSize; the joint matrix is
+  * O(lowerFeat × nFeat) doubles per task — for very high-dimensional
+  * sparse data, raise batch count and lower lowerFeatureThreshold.
+  */
+final class ReliefFRSelector(override val uid: String)
+    extends Estimator[ReliefFRSelectorModel] with ReliefFRParams with MLWritable {
+
+  def this() = this(Identifiable.randomUID("reliefFR"))
+
+  def setInputCol(v: String): this.type = set(inputCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setNumTopFeatures(v: Int): this.type = set(numTopFeatures, v)
+  def setNumNeighbors(v: Int): this.type = set(numNeighbors, v)
+  def setEstimationRatio(v: Double): this.type = set(estimationRatio, v)
+  def setBatchSize(v: Double): this.type = set(batchSize, v)
+  def setLowerFeatureThreshold(v: Double): this.type = set(lowerFeatureThreshold, v)
+  def setLowerDistanceThreshold(v: Double): this.type = set(lowerDistanceThreshold, v)
+  def setRedundancyRemoval(v: Boolean): this.type = set(redundancyRemoval, v)
+  def setDiscreteData(v: Boolean): this.type = set(discreteData, v)
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema($(labelCol)).dataType == DoubleType,
+      s"label column ${$(labelCol)} must be double")
+    StructType(schema.fields :+ StructField($(outputCol), schema($(inputCol)).dataType))
+  }
+
+  override def fit(dataset: Dataset[_]): ReliefFRSelectorModel = {
+    val spark = dataset.sparkSession
+    val sc = spark.sparkContext
+
+    val data: RDD[(Long, Vector, Double)] = dataset.toDF()
+      .select(col($(inputCol)), col($(labelCol)).cast("double"))
+      .rdd.map { case Row(v: Vector, l: Double) => (v, l) }
+      .zipWithUniqueId().map { case ((v, l), id) => (id, v, l) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nElems = data.count()
+    require(nElems > 0, "empty dataset")
+    val nFeat = data.first()._2.size
+
+    // Class priors (one tiny job; the map is broadcast implicitly with closures)
+    val priors: Map[Double, Double] =
+      data.map(_._3).countByValue().map { case (l, c) => l -> c.toDouble / nElems }.toMap
+    val classes: Array[Double] = priors.keys.toArray.sorted
+    val labelIdx: Map[Double, Int] = classes.zipWithIndex.toMap
+    val nClasses = classes.length
+    val lowerFeat = math.max($(numTopFeatures),
+      math.round($(lowerFeatureThreshold) * $(numTopFeatures)).toInt)
+
+    val sample = data.sample(withReplacement = false, $(estimationRatio), $(seed))
+    val nBatches = math.max(1, math.round(1.0 / $(batchSize)).toInt)
+    val batches = sample.randomSplit(Array.fill(nBatches)(1.0), $(seed))
+
+    val totalRelevance = new Array[Double](nFeat)
+    val marginal = new Array[Double](nFeat)
+    // symmetric joint collision mass, keyed min*nFeat+max
+    val joint = new java.util.HashMap[Long, Double]()
+    var totalInteractions = 0.0
+    var topFeatures: Array[Int] = Array.empty
+
+    for (b <- 0 until nBatches) {
+      val queries: Array[(Long, Vector, Double)] = batches(b).collect()
+      if (queries.nonEmpty) {
+        val bQueries = sc.broadcast(queries)
+
+        // ---- pass 1: distributed kNN for this batch ----
+        // True RELIEF-F neighborhoods: numNeighbors nearest *per class*
+        // (one bounded heap per (query, class)). The reference keeps a
+        // single global top-(k·nClasses) queue per query
+        // (ReliefFRSelector.scala:334-369) despite documenting per-class
+        // intent — with well-separated classes that starves the miss
+        // groups entirely; per-class heaps implement the documented
+        // semantics.
+        val kPerClass = $(numNeighbors)
+        val neighborSets: Array[(Int, Array[TopK])] = data.mapPartitions { it =>
+          val qs = bQueries.value
+          val heaps = Array.fill(qs.length, nClasses)(new TopK(kPerClass))
+          it.foreach { case (id, v, l) =>
+            val c = labelIdx(l)
+            var j = 0
+            while (j < qs.length) {
+              if (qs(j)._1 != id) { // self is not a neighbor
+                heaps(j)(c).add(math.sqrt(Vectors.sqdist(qs(j)._2, v)), id)
+              }
+              j += 1
+            }
+          }
+          Iterator.tabulate(qs.length)(j => (j, heaps(j)))
+        }.reduceByKey { (a, b) =>
+          var c = 0
+          while (c < a.length) { a(c).merge(b(c)); c += 1 }
+          a
+        }.collect()
+
+        // invert: rowId -> query indices it serves
+        val nbrOf = new java.util.HashMap[Long, Array[Int]]()
+        neighborSets.foreach { case (qIdx, heapsByClass) =>
+          heapsByClass.foreach(_.sorted.foreach { case (_, id) =>
+            val prev = nbrOf.get(id)
+            nbrOf.put(id, if (prev == null) Array(qIdx) else prev :+ qIdx)
+          })
+        }
+        val bNbrOf = sc.broadcast(nbrOf)
+        val bTopF = sc.broadcast(topFeatures)
+
+        // ---- pass 2: relevance + collision aggregation ----
+        val acc = data.treeAggregate(
+          new ReliefAcc(nFeat, nClasses, lowerFeat))(
+          seqOp = (a, row) => {
+            a.init(bTopF.value)
+            val qIdxs = bNbrOf.value.get(row._1)
+            if (qIdxs != null) {
+              val qs = bQueries.value
+              qIdxs.foreach { qi =>
+                a.addPair(qs(qi)._1, qs(qi)._2, qs(qi)._3, row._1, row._2, row._3,
+                  labelIdx, $(seed), !$(discreteData), $(lowerDistanceThreshold))
+              }
+            }
+            a
+          },
+          combOp = (a1, a2) => a1.mergeWith(a2))
+
+        // fold batch results into the running totals
+        var f = 0
+        while (f < nFeat) {
+          totalRelevance(f) += acc.batchRelevance(f, priors, classes)
+          marginal(f) += acc.marginal(f)
+          f += 1
+        }
+        acc.foreachJoint { (i, j, v) =>
+          val key = math.min(i, j).toLong * nFeat + math.max(i, j)
+          joint.merge(key, v, (x, y) => x + y)
+        }
+        totalInteractions += acc.classCounterSum
+
+        // top features for the next batch's redundancy accounting
+        topFeatures = totalRelevance.zipWithIndex
+          .sortBy { case (w, i) => (-w, i) }.take(lowerFeat).map(_._2)
+
+        bQueries.destroy(); bNbrOf.destroy(); bTopF.destroy()
+      }
+    }
+    data.unpersist()
+
+    // ---- normalize relevance (min-max) ----
+    val maxR = totalRelevance.max; val minR = totalRelevance.min
+    val span = if (maxR > minR) maxR - minR else 1.0
+    val normRelevance = totalRelevance.map(w => (w - minR) / span)
+
+    // ---- collisions -> mutual-information-like redundancy ----
+    // (reference ReliefFRSelector.scala:631-679)
+    val normMarginal = marginal.map(_ / math.max(totalInteractions, 1.0))
+    val jointTotal = math.max(totalInteractions, 1.0) *
+      (1.0 - $(estimationRatio) * (1.0 / nBatches))
+    val log2 = (x: Double) => math.log(x) / math.log(2)
+    val redRaw = new java.util.HashMap[Long, Double]()
+    joint.forEach { (key, v) =>
+      val i = (key / nFeat).toInt; val j = (key % nFeat).toInt
+      val jprob = v / jointTotal
+      val r = jprob * log2(jprob / (normMarginal(i) * normMarginal(j)))
+      redRaw.put(key, if (r.isNaN || r.isInfinite) 0.0 else r)
+    }
+    var maxRed = Double.NegativeInfinity; var minRed = Double.PositiveInfinity
+    redRaw.forEach { (_, v) => { if (v > maxRed) maxRed = v; if (v < minRed) minRed = v } }
+    val redSpan = if (maxRed > minRed) maxRed - minRed else 1.0
+    val redundancy = new java.util.HashMap[Long, Double]()
+    redRaw.forEach { (key, v) => redundancy.put(key, (v - minRed) / redSpan) }
+
+    // ---- selection ----
+    val stdSelection = normRelevance.zipWithIndex
+      .sortBy { case (w, i) => (-w, i) }.take($(numTopFeatures)).map(_._2)
+    val redSelection = greedySelect(normRelevance, redundancy, nFeat)
+
+    val model = new ReliefFRSelectorModel(uid, stdSelection, redSelection, normRelevance)
+    copyValues(model.setParent(this))
+  }
+
+  /** Greedy relevance-vs-redundancy selection:
+    * score(f) = relevance(f) − accumulatedRedundancy(f) / |selected|.
+    */
+  private def greedySelect(
+      relevance: Array[Double],
+      redundancy: java.util.HashMap[Long, Double],
+      nFeat: Int): Array[Int] = {
+    val nSel = math.min($(numTopFeatures), nFeat)
+    val redAcc = new Array[Double](nFeat)
+    val taken = new Array[Boolean](nFeat)
+    val selected = new scala.collection.mutable.ArrayBuffer[Int](nSel)
+
+    var best = 0
+    for (f <- 1 until nFeat) if (relevance(f) > relevance(best)) best = f
+    selected += best; taken(best) = true
+
+    while (selected.size < nSel) {
+      val last = selected.last
+      var f = 0
+      while (f < nFeat) {
+        if (!taken(f)) {
+          val key = math.min(last, f).toLong * nFeat + math.max(last, f)
+          redAcc(f) += redundancy.getOrDefault(key, 0.0)
+        }
+        f += 1
+      }
+      var bestF = -1; var bestScore = Double.NegativeInfinity
+      f = 0
+      while (f < nFeat) {
+        if (!taken(f)) {
+          val s = relevance(f) - redAcc(f) / selected.size
+          if (s > bestScore || (s == bestScore && (bestF == -1 || f < bestF))) {
+            bestScore = s; bestF = f
+          }
+        }
+        f += 1
+      }
+      if (bestF == -1) return selected.toArray
+      selected += bestF; taken(bestF) = true
+    }
+    selected.toArray
+  }
+
+  override def copy(extra: ParamMap): ReliefFRSelector = defaultCopy(extra)
+
+  override def write: MLWriter = new GraftParamsWriter(this)
+}
+
+object ReliefFRSelector extends MLReadable[ReliefFRSelector] {
+  override def read: MLReader[ReliefFRSelector] =
+    new GraftParamsReader[ReliefFRSelector](uid => new ReliefFRSelector(uid))
+}
+
+/** Flat-array accumulator for the RELIEF weight pass (one per task via
+  * treeAggregate). Layouts:
+  *  - relevance: [feature × (2·nClasses)] — |diff| sums split by
+  *    neighbor class and hit(0)/miss(1) half;
+  *  - classCounter: neighbor counts in the same 2·nClasses groups;
+  *  - marginal: per-feature collision vote mass;
+  *  - joint: [topFeatureSlot × feature] collision co-occurrence mass.
+  */
+final class ReliefAcc(nFeat: Int, nClasses: Int, maxSlots: Int) extends Serializable {
+  private val nGroups = 2 * nClasses
+  private val relevance = new Array[Double](nFeat * nGroups)
+  private val classCounter = new Array[Double](nGroups)
+  private val marg = new Array[Double](nFeat)
+  private var jointArr: Array[Double] = _
+  private var slotOf: Array[Int] = _ // feature -> slot or -1
+  private var slotFeat: Array[Int] = _ // slot -> feature
+  private var inited = false
+
+  // scratch (task-local, excluded from merge)
+  @transient private var collided: Array[Int] = _
+  @transient private var votes: Array[Double] = _
+
+  def init(topFeatures: Array[Int]): Unit = if (!inited) {
+    inited = true
+    slotOf = Array.fill(nFeat)(-1)
+    slotFeat = topFeatures
+    var s = 0
+    while (s < topFeatures.length) { slotOf(topFeatures(s)) = s; s += 1 }
+    jointArr = new Array[Double](topFeatures.length * nFeat)
+  }
+
+  private def ensureScratch(): Unit = {
+    if (collided == null) { collided = new Array[Int](nFeat); votes = new Array[Double](nFeat) }
+  }
+
+  /** Deterministic uniform [0,1) from (seed, queryId, rowId) — splitmix64. */
+  private def pairRand(seed: Long, qid: Long, id: Long): Double = {
+    var z = seed ^ (qid * 0x9e3779b97f4a7c15L) ^ (id * 0xbf58476d1ce4e5b9L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  def addPair(qid: Long, qv: Vector, qlabel: Double, id: Long, v: Vector, label: Double,
+      labelIdx: Map[Double, Int], seed: Long, continuous: Boolean,
+      lowerDistanceTh: Double): Unit = {
+    ensureScratch()
+    val mod = if (label == qlabel) 0 else nClasses
+    val g = labelIdx(label) + mod
+    classCounter(g) += 1
+
+    val thr =
+      if (continuous) 6.0 * (1.0 - (lowerDistanceTh + pairRand(seed, qid, id) * lowerDistanceTh))
+      else 0.0
+    var nCollided = 0
+
+    @inline def visit(f: Int, diff: Double): Unit = {
+      relevance(f * nGroups + g) += diff
+      if (diff <= thr) {
+        val vote = if (continuous) 1.0 - math.min(6.0, diff) / 6.0 else 1.0
+        marg(f) += vote
+        collided(nCollided) = f; votes(f) = vote; nCollided += 1
+      }
+    }
+
+    (qv, v) match {
+      case (q: DenseVector, d: DenseVector) =>
+        val qa = q.values; val da = d.values
+        var f = 0
+        while (f < nFeat) { visit(f, math.abs(qa(f) - da(f))); f += 1 }
+      case _ =>
+        // sparse path: iterate the union of active indices (both-zero
+        // features contribute no diff and no collision — mirrors the
+        // reference's sparse semantics, ReliefFRSelector.scala:539-580)
+        val (qi, qa) = activeOf(qv); val (di, da) = activeOf(v)
+        var a = 0; var b2 = 0
+        while (a < qi.length || b2 < di.length) {
+          if (b2 >= di.length || (a < qi.length && qi(a) < di(b2))) {
+            visit(qi(a), math.abs(qa(a))); a += 1
+          } else if (a >= qi.length || di(b2) < qi(a)) {
+            visit(di(b2), math.abs(da(b2))); b2 += 1
+          } else {
+            visit(qi(a), math.abs(qa(a) - da(b2))); a += 1; b2 += 1
+          }
+        }
+    }
+
+    // joint collision mass between colliding pairs with a top-feature side
+    var x = 0
+    while (x < nCollided) {
+      val fi = collided(x)
+      val slot = slotOf(fi)
+      if (slot >= 0) {
+        var y = 0
+        while (y < nCollided) {
+          val fj = collided(y)
+          if (fj != fi) jointArr(slot * nFeat + fj) += (votes(fi) + votes(fj)) / 2.0
+          y += 1
+        }
+      }
+      x += 1
+    }
+  }
+
+  private def activeOf(v: Vector): (Array[Int], Array[Double]) = v match {
+    case s: SparseVector => (s.indices, s.values)
+    case d: DenseVector => (Array.range(0, d.size), d.values)
+  }
+
+  def mergeWith(o: ReliefAcc): ReliefAcc = {
+    var i = 0
+    while (i < relevance.length) { relevance(i) += o.relevance(i); i += 1 }
+    i = 0; while (i < nGroups) { classCounter(i) += o.classCounter(i); i += 1 }
+    i = 0; while (i < nFeat) { marg(i) += o.marg(i); i += 1 }
+    if (o.jointArr != null) {
+      if (jointArr == null) { jointArr = o.jointArr; slotOf = o.slotOf; slotFeat = o.slotFeat }
+      else { i = 0; while (i < jointArr.length) { jointArr(i) += o.jointArr(i); i += 1 } }
+    }
+    this
+  }
+
+  /** Batch relevance for one feature: signed, prior-weighted, per-group
+    * normalized by neighbor counts (reference ReliefFRSelector.scala:604-629).
+    */
+  def batchRelevance(f: Int, priors: Map[Double, Double], classes: Array[Double]): Double = {
+    var sum = 0.0
+    var gi = 0
+    while (gi < nGroups) {
+      if (classCounter(gi) > 0) {
+        val sign = if (gi < nClasses) -1.0 else 1.0 // first half: same-class (hit)
+        sum += sign * priors(classes(gi % nClasses)) * relevance(f * nGroups + gi) / classCounter(gi)
+      }
+      gi += 1
+    }
+    sum
+  }
+
+  def marginal(f: Int): Double = marg(f)
+  def classCounterSum: Double = { var s = 0.0; var i = 0; while (i < nGroups) { s += classCounter(i); i += 1 }; s }
+
+  def foreachJoint(fn: (Int, Int, Double) => Unit): Unit = {
+    if (jointArr != null) {
+      var s = 0
+      while (s < slotFeat.length) {
+        var f = 0
+        while (f < nFeat) {
+          val v = jointArr(s * nFeat + f)
+          if (v != 0.0) fn(slotFeat(s), f, v)
+          f += 1
+        }
+        s += 1
+      }
+    }
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Sim
+import graft.text.Text
+import graft.multimodal.Multimodal
+
+/** Specs for the text / dedup / similarity / multimodal packs on the
+  * sf0.001 testdata.
+  */
+class TextDedupSimSpec extends SparkSpec {
+
+  test("d05 fingerprint: equal text ⇒ equal hash, whitespace-normalized") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick  brown   fox"), // extra whitespace — same tokens
+      (3L, "the quick brown dog")
+    ).toDF("doc_id", "text")
+    val fps = df.select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("d04 lang id predicts 'en' for English stopword text") {
+    import spark.implicits._
+    val toks = Text.wsTokens(lower(col("text")))
+    val df = Seq((1L, "the cat is in the hat and it is a cat")).toDF("doc_id", "text")
+    val hits = df.select(size(filter(toks, t => t.isin(Text.StopEn: _*)))).head().getInt(0)
+    assert(hits >= 5)
+    val pred = Text.d04LangId(spark, sfDir)
+    assert(pred.count() > 0)
+    assert(pred.select("lang_pred").distinct().collect().map(_.getString(0)).forall(
+      l => Set("en", "es", "de", "fr", "zh", "und").contains(l)))
+  }
+
+  test("d01 exact dedup finds a manufactured duplicate") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val dup = docs.limit(10).withColumn("doc_id", col("doc_id") + 5000L)
+    val corpus = docs.unionByName(dup)
+    val groups = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep"))
+    assert(groups.where(col("n") >= 2).count() == 10)
+    // kept id is always the original (smaller) one
+    assert(groups.where(col("n") >= 2).where(col("keep") >= 5000L).count() == 0)
+  }
+
+  test("d06 MinHash LSH finds the truncated near-duplicates") {
+    val pairs = Dedup.d06MinHashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // the corpus pairs each doc with its 3-token-truncated twin at id+1e6:
+    // most candidates must be exactly those (some short docs drop out)
+    val planted = pairs.count { case (a, b) => b == a + 1000000L }
+    assert(planted >= pairs.length / 2, s"planted=$planted of ${pairs.length}")
+  }
+
+  test("d07 SimHash: identical docs have hamming 0, truncated twins small hamming") {
+    val pairs = Dedup.d07SimHash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 6))
+    assert(pairs.exists { case (a, b, _) => b == a + 1000000L })
+  }
+
+  test("d08 n-gram Jaccard verification keeps only high-overlap pairs") {
+    val rows = Dedup.d08NgramJaccard(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) >= 0.6))
+  }
+
+  test("e01 cosine top-k: 10 neighbors per query, cosine in [-1,1]") {
+    val rows = Sim.e01KnnCosine(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 20)
+    assert(byQuery.values.forall(_.length == 10))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+  }
+
+  test("e02 ANN recalls mostly-correct neighbors from its own buckets") {
+    val ann = Sim.e02AnnLsh(spark, sfDir).collect()
+    assert(ann.nonEmpty)
+    // every ANN hit's cosine must match e01's exact cosine for that pair
+    val exactTop = Sim.e01KnnCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val agree = ann.count(r => exactTop.get((r.getLong(0), r.getLong(1)))
+      .exists(c => math.abs(c - r.getDouble(2)) < 1e-9))
+    assert(agree > 0)
+  }
+
+  test("e03 embedding dedup finds every perturbed twin pair") {
+    val pairs = Sim.e03EmbedDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val planted = pairs.count { case (a, b) => b == a + 100000L }
+    // perturbation preserves hyperplane signs for most vectors; expect
+    // the vast majority of the n planted twins to be found
+    assert(planted >= (n * 0.9).toInt, s"planted=$planted of $n")
+  }
+
+  test("m01 multimodal decode is deterministic and row-preserving") {
+    val out = Multimodal.m01Multimodal(spark, sfDir)
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(out.count() == n)
+    val a = out.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    val b = Multimodal.m01Multimodal(spark, sfDir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(a.toSeq == b.toSeq)
+    // stub decode matches a local re-computation
+    val (checksum, feat) = Multimodal.stubDecode("abc".getBytes("UTF-8"))
+    val (checksum2, _) = Multimodal.stubDecode("abc".getBytes("UTF-8"))
+    assert(checksum == checksum2 && feat.length == 8)
+  }
+
+  test("s02 stateful sessionization agrees with the batch q17 oracle") {
+    val stream = graft.streaming.Streams.s02StreamStateful(spark, sfDir)
+      .select("user_id", "session_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    val batch = graft.queries.Events.q17Sessionize(spark, sfDir)
+      .select("user_id", "session_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    assert(stream == batch)
+  }
+}

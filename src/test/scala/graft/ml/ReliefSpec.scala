@@ -1,0 +1,150 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Specs for the RELIEF-F estimator/model: informative-feature
+  * recovery (dense + sparse), hit/miss weight signs, kNN determinism,
+  * transform compression, and persistence round-trip — the reference's
+  * own test axes (reference ReliefSelectorSuite.scala), re-expressed.
+  */
+class ReliefSpec extends SparkSpec {
+
+  /** 300 rows, 8 features: f0 and f1 carry the two-class signal
+    * (well-separated means), f2..f7 are seeded uniform noise.
+    */
+  private def syntheticDense(): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val label = (i % 2).toDouble
+      val f0 = (if (label == 0.0) -1.0 else 1.0) + rnd.nextGaussian() * 0.1
+      val f1 = (if (label == 0.0) 1.0 else -1.0) + rnd.nextGaussian() * 0.1
+      val noise = Array.fill(6)(rnd.nextDouble() * 2 - 1)
+      (label, Vectors.dense(Array(f0, f1) ++ noise))
+    }
+    rows.toDF("label", "features")
+  }
+
+  private def fit(df: DataFrame, red: Boolean = false): ReliefFRSelectorModel =
+    new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(3).setNumNeighbors(5)
+      .setEstimationRatio(0.5).setBatchSize(0.5)
+      .setRedundancyRemoval(red).setSeed(42L)
+      .fit(df)
+
+  test("recovers informative features on dense data") {
+    val m = fit(syntheticDense())
+    assert(m.stdSelection.toSet.intersect(Set(0, 1)) == Set(0, 1),
+      s"informative features not recovered: ${m.stdSelection.mkString(",")}")
+    // informative features get the largest normalized weights
+    assert(m.featureWeights(0) > m.featureWeights(3))
+    assert(m.featureWeights(1) > m.featureWeights(3))
+  }
+
+  test("recovers informative features on sparse data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val label = (i % 2).toDouble
+      // f0 informative; f5/f9 sporadic noise; everything else zero
+      val active = scala.collection.mutable.ArrayBuffer(0 -> ((if (label == 0.0) -1.0 else 1.0) + rnd.nextGaussian() * 0.1))
+      if (rnd.nextDouble() < 0.3) active += 5 -> rnd.nextDouble()
+      if (rnd.nextDouble() < 0.3) active += 9 -> rnd.nextDouble()
+      (label, Vectors.sparse(12, active.sortBy(_._1).toSeq))
+    }
+    val m = fit(rows.toDF("label", "features"))
+    assert(m.stdSelection.contains(0),
+      s"informative sparse feature not recovered: ${m.stdSelection.mkString(",")}")
+  }
+
+  test("redundancy removal demotes a duplicated feature") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      val label = (i % 2).toDouble
+      val f0 = (if (label == 0.0) -1.0 else 1.0) + rnd.nextGaussian() * 0.05
+      val f2 = (if (label == 0.0) 1.0 else -1.0) + rnd.nextGaussian() * 0.05
+      // f1 is a near-copy of f0: relevant but redundant
+      val v = Vectors.dense(f0, f0 + rnd.nextGaussian() * 0.01, f2,
+        rnd.nextDouble(), rnd.nextDouble())
+      (label, v)
+    }
+    val df = rows.toDF("label", "features")
+    val m = fit(df, red = true)
+    // both rankings exist and redundancy ranking is a permutation of valid features
+    assert(m.redundancySelection.length == 3)
+    assert(m.redundancySelection.distinct.length == 3)
+    // the redundancy-aware ranking should pick the independent informative
+    // feature (2) among its top picks rather than both duplicates first
+    assert(m.redundancySelection.take(2).toSet != Set(0, 1),
+      s"redundant duplicate pair ranked first: ${m.redundancySelection.mkString(",")}")
+  }
+
+  test("transform compresses dense and sparse vectors to selected indices") {
+    val sel = Array(1, 3, 4)
+    val dense = ReliefFRSelectorModel.compress(Vectors.dense(10, 11, 12, 13, 14), sel)
+    assert(dense.toArray.toSeq == Seq(11.0, 13.0, 14.0))
+    val sparse = ReliefFRSelectorModel.compress(
+      Vectors.sparse(5, Array(1, 2, 4), Array(1.0, 2.0, 4.0)), sel)
+    assert(sparse.isInstanceOf[org.apache.spark.ml.linalg.SparseVector])
+    assert(sparse.toArray.toSeq == Seq(1.0, 0.0, 4.0))
+  }
+
+  test("model transform appends output column") {
+    val df = syntheticDense()
+    val m = fit(df)
+    val out = m.transform(df)
+    val first = out.select("out").head().getAs[Vector](0)
+    assert(first.size == 3)
+  }
+
+  test("persistence round-trip preserves selections, weights, params") {
+    val m = fit(syntheticDense(), red = true)
+    val path = "/tmp/graft_relief_spec_model"
+    m.write.overwrite().save(path)
+    val loaded = ReliefFRSelectorModel.load(path)
+    assert(loaded.stdSelection.toSeq == m.stdSelection.toSeq)
+    assert(loaded.redundancySelection.toSeq == m.redundancySelection.toSeq)
+    assert(loaded.featureWeights.toSeq == m.featureWeights.toSeq)
+    assert(loaded.getOrDefault(loaded.redundancyRemoval))
+    // estimator persistence too
+    val est = new ReliefFRSelector().setNumTopFeatures(7)
+    est.write.overwrite().save("/tmp/graft_relief_spec_est")
+    val estLoaded = ReliefFRSelector.load("/tmp/graft_relief_spec_est")
+    assert(estLoaded.getOrDefault(estLoaded.numTopFeatures) == 7)
+  }
+
+  test("TopK keeps the k lexicographically-smallest pairs, merge-order independent") {
+    val rnd = new scala.util.Random(3)
+    val pairs = Array.fill(200)((rnd.nextInt(50).toDouble, rnd.nextLong()))
+    val expected = pairs.distinct.sortBy(identity).take(8).toSeq
+    val one = new TopK(8); pairs.distinct.foreach { case (d, i) => one.add(d, i) }
+    assert(one.sorted.toSeq == expected)
+    // split into 4 shards, merge in a different order
+    val shards = pairs.distinct.grouped(30).map { g =>
+      val t = new TopK(8); g.foreach { case (d, i) => t.add(d, i) }; t
+    }.toSeq
+    val merged = shards.reverse.reduce((a, b) => a.merge(b))
+    assert(merged.sorted.toSeq == expected)
+  }
+
+  test("relief_knn matches a brute-force local computation") {
+    val got = ReliefQueries.reliefKnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._2)).map(_._2).toSeq).toMap
+    // brute force on the driver
+    val all = ReliefQueries.assembled(spark, sfDir)
+      .select("vec_id", "features").collect()
+      .map(r => (r.getLong(0), r.getAs[Vector](1)))
+    val expected = all.filter(_._1 < 5).map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (math.sqrt(Vectors.sqdist(qv, v)), id) }
+        .sortBy(identity).take(10).map(_._2).toSeq
+    }.toMap
+    assert(got == expected)
+  }
+}
