@@ -65,38 +65,54 @@ object Dedup {
           "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))
 
   /** MinHash signature: NumHashes seeded xxhash64 minima over shingles.
-    * One projection, fully codegen'd.
+    * Each shingle string is hashed to a long ONCE; the per-seed minima
+    * mix fixed-width longs (xxhash64(seed, long)) — 64× less string
+    * hashing than the naive formulation. One projection, codegen'd.
     */
   def withSignature(sh: DataFrame): DataFrame =
-    sh.withColumn("sig", expr(
-      s"transform(sequence(0, ${NumHashes - 1}), " +
-        "s -> array_min(transform(shingles, sh -> xxhash64(s, sh))))"))
+    sh.withColumn("shash", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${NumHashes - 1}), " +
+          "s -> array_min(transform(shash, h -> xxhash64(s, h))))"))
+      .drop("shash")
 
-  /** LSH banding: one row per (doc, band) with the band's signature hash. */
-  private def banded(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), col("sig"),
-      explode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> " +
-          s"struct(b AS band_id, xxhash64(slice(sig, b*$RowsPerBand + 1, $RowsPerBand)) AS band_sig))")).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band_id"), col("b.band_sig"))
+  /** (doc_id, shingles, sig), persisted: the signature computation is
+    * the expensive projection (NumHashes minima per doc) and is read
+    * from several downstream branches (band census, both self-join
+    * sides, signature join-back) — without persisting, Catalyst inlines
+    * it into each branch and the band explode re-evaluates it per band.
+    * Size ≈ (64×8B sig + shingle hashes) per doc — well under 1% of raw
+    * text at any scale, spills to disk if needed.
+    */
+  def signatureTable(docs: DataFrame): DataFrame =
+    withSignature(shingled(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Candidate pairs from LSH buckets (doc_a < doc_b, deduped across
     * bands), with both signatures attached. Bucket-size cap applied.
+    * The band rows carry only (doc_id, band_id, band_sig) — 24 bytes —
+    * so the bucket-join shuffle never moves signatures or shingles;
+    * signatures are joined back only for the surviving pairs.
     */
-  def lshCandidates(docs: DataFrame): DataFrame = {
-    val bd = banded(withSignature(shingled(docs)))
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bd = sigs.select(col("doc_id"),
+      explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> " +
+          s"struct(b AS band_id, xxhash64(slice(sig, b*$RowsPerBand + 1, $RowsPerBand)) AS band_sig))")).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_sig"))
     val useful = bd.groupBy("band_id", "band_sig").count()
       .where(col("count").between(2, MaxBucket))
       .select("band_id", "band_sig")
     val in = bd.join(useful, Seq("band_id", "band_sig"))
-    val a = in.select(col("band_id"), col("band_sig"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = in.select(col("band_id"), col("band_sig"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_sig"))
+    val a = in.select(col("band_id"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = in.select(col("band_id"), col("band_sig"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band_id", "band_sig"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .select("doc_a", "doc_b")
       .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
   }
 
   /** d06: MinHash+LSH near-dup pairs with the signature-agreement
@@ -104,7 +120,7 @@ object Dedup {
     */
   def d06MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
-    lshCandidates(corpus)
+    lshCandidates(signatureTable(corpus))
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)"))
       .where(col("est_jaccard") >= 0.5)
@@ -115,11 +131,13 @@ object Dedup {
     * into one long. Codegen'd fold — no UDF, no explode.
     */
   def simhash(toksCol: String): Column = {
+    // hash each token once; per-bit votes then only shift/mask longs
     val bitVotes =
-      s"""aggregate($toksCol, transform(sequence(0, 63), b -> 0L),
-         |  (acc, t) -> zip_with(acc,
-         |     transform(sequence(0, 63), b -> if(((xxhash64(t) >> b) & 1) = 1, 1L, -1L)),
-         |     (x, y) -> x + y))""".stripMargin
+      s"""aggregate(transform($toksCol, t -> xxhash64(t)),
+         |  transform(sequence(0, 63), b -> 0L),
+         |  (acc, h) -> zip_with(acc,
+         |     transform(sequence(0, 63), b -> shiftright(h, b) & 1),
+         |     (x, y) -> x + 2*y - 1))""".stripMargin
     expr(
       s"""aggregate(zip_with($bitVotes, sequence(0, 63),
          |  (c, b) -> if(c > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a | x)""".stripMargin)
@@ -139,6 +157,7 @@ object Dedup {
         explode(expr("transform(sequence(0, 3), c -> " +
           "struct(c AS chunk_id, shiftright(simhash, c*16) & 65535 AS chunk_val))")).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read 3× below
     val useful = sh.groupBy("chunk_id", "chunk_val").count()
       .where(col("count").between(2, MaxBucket)).select("chunk_id", "chunk_val")
     val in = sh.join(useful, Seq("chunk_id", "chunk_val"))
@@ -160,8 +179,9 @@ object Dedup {
     */
   def d08NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
-    val sh = shingled(corpus).select(col("doc_id"), col("shingles"))
-    lshCandidates(corpus).select("doc_a", "doc_b")
+    val sigs = signatureTable(corpus)
+    val sh = sigs.select(col("doc_id"), col("shingles"))
+    lshCandidates(sigs).select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
