@@ -8,9 +8,12 @@ import graft.Tables
 /** Relational / analytical query pack over the TPC-H-ish testdata.
   *
   * Design notes (100 TB posture):
-  *  - Dimension tables (region/nation/customer/supplier/part) get explicit
-  *    `broadcast()` hints — at production scale the fact tables (lineitem,
-  *    orders, events) are the only ones that should shuffle.
+  *  - Explicit `broadcast()` hints ONLY on tables that are guaranteed
+  *    small at any scale factor (region: 5 rows, nation: 25 rows,
+  *    single-row aggregates). customer/supplier/part grow with SF —
+  *    hinting them would OOM a 100 TB run, so their join strategy is
+  *    left to the cost model + AQE (auto-broadcast when small, shuffle
+  *    join when not).
   *  - All filters/projections are declarative Column expressions so Catalyst
   *    pushes them into the parquet scan (verified via explain: PushedFilters).
   *  - Window queries use ROWS frames (deterministic) and always carry a
@@ -54,7 +57,7 @@ object Relational {
     val li   = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
@@ -77,7 +80,7 @@ object Relational {
     import spark.implicits._
     val region   = broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA"))
     val nation   = broadcast(Tables.nation(spark, dir))
-    val supplier = broadcast(Tables.supplier(spark, dir))
+    val supplier = Tables.supplier(spark, dir)
     val customer = Tables.customer(spark, dir)
     val orders   = Tables.orders(spark, dir)
       .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
@@ -85,7 +88,7 @@ object Relational {
     val lineitem = Tables.lineitem(spark, dir)
     lineitem
       .join(orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
       .join(supplier, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(nation, $"s_nationkey" === $"n_nationkey")
       .join(region, $"n_regionkey" === $"r_regionkey")
@@ -186,7 +189,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1997-03-01").cast("timestamp") &&
               $"l_shipdate" <  lit("1997-04-01").cast("timestamp"))
-    li.join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+    li.join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
       .agg((lit(100.0) *
         sum(when($"p_type" === "ECONOMY", $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0)) /
         sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("promo_revenue"))
@@ -202,8 +205,8 @@ object Relational {
       .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
     val maxRev = revenue.agg(max($"total_revenue").as("max_revenue"))
     revenue
-      .join(broadcast(maxRev), $"total_revenue" === $"max_revenue")
-      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(maxRev), $"total_revenue" === $"max_revenue") // 1 row
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"total_revenue")
   }
 }
