@@ -10,9 +10,11 @@ import graft.Tables
   *
   * Scale design (100 TB):
   *  - the query set is always the small side and is `broadcast()`;
-  *  - dot products / norms are codegen'd `zip_with`+`aggregate` folds in
-  *    double precision (deterministic sequential sum — matches the
-  *    DuckDB oracle's `list_dot_product` element order);
+  *  - dot products / norms run through the native codegen'd
+  *    [[graft.functions.DotProduct]] expression when installed (plain
+  *    fused loop, no per-pair allocation), falling back to the
+  *    composable zip_with+aggregate fold; both keep the deterministic
+  *    left-to-right sum the DuckDB oracle (`list_dot_product`) uses;
   *  - e01 is the exact brute-force baseline (linear scan per query —
   *    correct at any scale but O(N·Q));
   *  - e02/e03 use random-hyperplane LSH buckets so candidate generation
@@ -28,14 +30,20 @@ object Sim {
     */
   val SigBits = 8
 
+  /** Dot product: the native codegen'd [[graft.functions.DotProduct]]
+    * when the graft extensions are installed in this session, otherwise
+    * the composable zip_with/aggregate fold (bit-identical results —
+    * same left-to-right summation).
+    */
+  private def dotOf(spark: SparkSession, a: String, b: String): Column =
+    if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
+    else expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
+
   /** Embeddings with the float vector cast to double (`v`) plus its norm. */
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x*y), 0D, (a, x) -> a + x))"))
-
-  private val dot: Column =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x*y), 0D, (a, x) -> a + x)")
+      .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
 
   /** e01: exact brute-force cosine top-k for the first 20 vectors as
     * queries. Query side broadcast; data side scanned once.
@@ -47,7 +55,7 @@ object Sim {
     val scored = e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot / (col("qn") * col("nrm"))).as("cosine"))
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
       .select("query_id", "neighbor_id", "cosine")
@@ -78,7 +86,7 @@ object Sim {
     val scored = e.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot / (col("qn") * col("nrm"))).as("cosine"))
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
       .select("query_id", "neighbor_id", "cosine")
@@ -93,7 +101,7 @@ object Sim {
     val perturbed = base
       .select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(v, x -> x * 1.0005d + 0.0001d)").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x*y), 0D, (a, x) -> a + x))"))
+      .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
     val corpus = base.unionByName(perturbed).withColumn("bucket", bucketCol)
     val a = corpus.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("qv"), col("nrm").as("qn"))
@@ -102,7 +110,7 @@ object Sim {
     a.join(b, Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (dot / (col("qn") * col("nrm"))).as("cosine"))
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
       .distinct()
       .where(col("cosine") >= 0.995)
   }
