@@ -11,6 +11,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup at the smallest SF: pays JIT + codegen compilation
+    // once so the timed pass measures the queries, not JVM warmup.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every row/column (count() would let
