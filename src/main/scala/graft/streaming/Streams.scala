@@ -75,11 +75,20 @@ object Streams {
     * holds exactly the gap-sessionization of the whole stream — the same
     * result as the batch lag+cumsum query (q17), which is the oracle.
     */
-  def s02StreamStateful(spark: SparkSession, dir: String): DataFrame = {
+  def s02StreamStateful(spark: SparkSession, dir: String): DataFrame =
+    runSessionize(eventsStream(spark, dir))
+
+  /** Wire a (streaming) events frame through the stateful sessionizer,
+    * run to completion, and collapse re-emitted open sessions to their
+    * final state. Exposed so specs can drive it with a multi-file /
+    * multi-batch source.
+    */
+  private[graft] def runSessionize(eventsDf: DataFrame): DataFrame = {
+    val spark = eventsDf.sparkSession
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000
 
-    val events = eventsStream(spark, dir)
+    val events = eventsDf
       .select(col("user_id"), col("event_id"),
         expr("unix_micros(ts)").as("tsUs")).as[Ev]
 

@@ -132,6 +132,26 @@ class ReliefSpec extends SparkSpec {
     assert(merged.sorted.toSeq == expected)
   }
 
+  test("discrete data path: exact-match collisions, informative feature recovered") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map { i =>
+      val label = (i % 3).toDouble
+      // f0 = label (fully informative, discrete); f1/f2 uniform discrete noise
+      val v = Vectors.dense(label, rnd.nextInt(3).toDouble, rnd.nextInt(3).toDouble)
+      (label, v)
+    }
+    val m = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(1).setNumNeighbors(5)
+      .setEstimationRatio(0.5).setBatchSize(0.5)
+      .setDiscreteData(true).setRedundancyRemoval(true).setSeed(99L)
+      .fit(rows.toDF("label", "features"))
+    assert(m.stdSelection.head == 0,
+      s"discrete informative feature not top-ranked: ${m.stdSelection.mkString(",")}")
+    assert(m.redundancySelection.nonEmpty)
+  }
+
   test("relief_knn matches a brute-force local computation") {
     val got = ReliefQueries.reliefKnn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
