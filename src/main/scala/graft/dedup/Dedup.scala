@@ -69,12 +69,19 @@ object Dedup {
     * mix fixed-width longs (xxhash64(seed, long)) — 64× less string
     * hashing than the naive formulation. One projection, codegen'd.
     */
-  def withSignature(sh: DataFrame): DataFrame =
-    sh.withColumn("shash", expr("transform(shingles, s -> xxhash64(s))"))
-      .withColumn("sig", expr(
+  def withSignature(sh: DataFrame): DataFrame = {
+    val sigExpr =
+      if (sh.sparkSession.catalog.functionExists("graft_minhash"))
+        // native fused loop (graft.functions.MinHashSignature) —
+        // bit-identical to the fallback below
+        s"graft_minhash(shash, $NumHashes)"
+      else
         s"transform(sequence(0, ${NumHashes - 1}), " +
-          "s -> array_min(transform(shash, h -> xxhash64(s, h))))"))
+          "s -> array_min(transform(shash, h -> xxhash64(s, h))))"
+    sh.withColumn("shash", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("sig", expr(sigExpr))
       .drop("shash")
+  }
 
   /** (doc_id, shingles, sig), persisted: the signature computation is
     * the expensive projection (NumHashes minima per doc) and is read

@@ -72,5 +72,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash numHashes must be an int literal, got $other")
+        }
+        MinHashSignature(children(0), k)
+      }))
   }
 }

@@ -39,10 +39,14 @@ object Sim {
     if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
     else expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
 
-  /** Embeddings with the float vector cast to double (`v`) plus its norm. */
+  /** Embeddings with the float vector cast to double (`v`) plus its
+    * norm. `cast` (not `transform(.., x -> cast(..))`): element-wise
+    * array casts codegen, higher-order functions are CodegenFallback
+    * and would drop the whole projection out of codegen.
+    */
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
 
   /** e01: exact brute-force cosine top-k for the first 20 vectors as
@@ -100,7 +104,7 @@ object Sim {
     val base = emb(spark, dir)
     val perturbed = base
       .select((col("vec_id") + 100000L).as("vec_id"),
-        expr("transform(v, x -> x * 1.0005d + 0.0001d)").as("v"))
+        expr("transform(v, x -> x * 1.0005d + 0.0001d)").as("v")) // corpus construction only — not a hot path
       .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
     val corpus = base.unionByName(perturbed).withColumn("bucket", bucketCol)
     val a = corpus.select(col("bucket"), col("vec_id").as("vec_a"),

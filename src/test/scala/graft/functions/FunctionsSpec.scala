@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native expressions must be drop-in replacements: bit-identical
+  * to the composable formulations they shortcut.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  test("graft_dot is bit-identical to the zip_with/aggregate fold") {
+    val df = graft.Tables.embeddings(spark, sfDir)
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .limit(100)
+      .select(
+        expr("graft_dot(v, v)").as("native"),
+        expr("aggregate(zip_with(v, v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)").as("fold"))
+    assert(df.where(col("native") =!= col("fold")).count() == 0)
+  }
+
+  test("graft_minhash is bit-identical to the transform/array_min form") {
+    val k = graft.dedup.Dedup.NumHashes
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(expr("transform(toks, t -> xxhash64(t))").as("shash"))
+      .select(
+        expr(s"graft_minhash(shash, $k)").as("native"),
+        expr(s"transform(sequence(0, ${k - 1}), s -> array_min(transform(shash, h -> xxhash64(s, h))))").as("fold"))
+    assert(df.count() > 0)
+    assert(df.where(not(col("native") <=> col("fold"))).count() == 0)
+  }
+
+  test("native expressions run inside whole-stage codegen") {
+    // cast (codegen-able), NOT transform (CodegenFallback — would push
+    // the whole projection to interpreted mode)
+    val plan = graft.Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(expr("graft_dot(v, v)"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside WholeStageCodegen stage n
+    assert(plan.contains("*(1) Project [graft_dot"), s"not codegen'd:\n$plan")
+  }
+}
