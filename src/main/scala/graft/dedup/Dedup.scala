@@ -137,17 +137,23 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 vote sums packed
     * into one long. Codegen'd fold — no UDF, no explode.
     */
-  def simhash(toksCol: String): Column = {
+  def simhash(df: DataFrame, toksCol: String): Column = {
     // hash each token once; per-bit votes then only shift/mask longs
-    val bitVotes =
-      s"""aggregate(transform($toksCol, t -> xxhash64(t)),
-         |  transform(sequence(0, 63), b -> 0L),
-         |  (acc, h) -> zip_with(acc,
-         |     transform(sequence(0, 63), b -> shiftright(h, b) & 1),
-         |     (x, y) -> x + 2*y - 1))""".stripMargin
-    expr(
-      s"""aggregate(zip_with($bitVotes, sequence(0, 63),
-         |  (c, b) -> if(c > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a | x)""".stripMargin)
+    val thash = s"transform($toksCol, t -> xxhash64(t))"
+    if (df.sparkSession.catalog.functionExists("graft_simhash"))
+      // native fused loop (graft.functions.SimHash64) — bit-identical
+      expr(s"graft_simhash($thash)")
+    else {
+      val bitVotes =
+        s"""aggregate($thash,
+           |  transform(sequence(0, 63), b -> 0L),
+           |  (acc, h) -> zip_with(acc,
+           |     transform(sequence(0, 63), b -> shiftright(h, b) & 1),
+           |     (x, y) -> x + 2*y - 1))""".stripMargin
+      expr(
+        s"""aggregate(zip_with($bitVotes, sequence(0, 63),
+           |  (c, b) -> if(c > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a | x)""".stripMargin)
+    }
   }
 
   /** d07: SimHash near-dup — bucket by 16-bit chunks (any pair within
@@ -156,10 +162,10 @@ object Dedup {
     */
   def d07SimHash(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
-    val sh = corpus
+    val base = corpus
       .select(col("doc_id"), Text.wsTokens(lower(col("text"))).as("toks"))
       .where(size(col("toks")) >= 1)
-      .withColumn("simhash", simhash("toks"))
+    val sh = base.withColumn("simhash", simhash(base, "toks"))
       .select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), c -> " +
           "struct(c AS chunk_id, shiftright(simhash, c*16) & 65535 AS chunk_val))")).as("c"))

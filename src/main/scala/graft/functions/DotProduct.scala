@@ -83,5 +83,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(children(0), k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
   }
 }

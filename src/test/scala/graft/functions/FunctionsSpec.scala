@@ -32,6 +32,25 @@ class FunctionsSpec extends SparkSpec {
     assert(df.where(not(col("native") <=> col("fold"))).count() == 0)
   }
 
+  test("graft_simhash is bit-identical to the aggregate/zip_with form") {
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(expr("transform(toks, t -> xxhash64(t))").as("thash"))
+      .select(
+        expr("graft_simhash(thash)").as("native"),
+        expr(
+          """aggregate(zip_with(
+            |  aggregate(thash, transform(sequence(0, 63), b -> 0L),
+            |    (acc, h) -> zip_with(acc,
+            |       transform(sequence(0, 63), b -> shiftright(h, b) & 1),
+            |       (x, y) -> x + 2*y - 1)),
+            |  sequence(0, 63),
+            |  (c, b) -> if(c > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a | x)""".stripMargin).as("fold"))
+    assert(df.count() > 0)
+    assert(df.where(col("native") =!= col("fold")).count() == 0)
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // cast (codegen-able), NOT transform (CodegenFallback — would push
     // the whole projection to interpreted mode)
