@@ -51,6 +51,7 @@ object SparkEntry {
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
+    "e04_ann_ivf"         -> Sim.e04AnnIvf _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
@@ -133,7 +134,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q10_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01')
         |GROUP BY 1""".stripMargin,
     "q11_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -143,8 +143,13 @@ object Relational {
   /** q10: NOT EXISTS via left-anti join — customers with no orders. */
   def q10AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // customers with no recent (1998+) orders — the date filter on the
+    // right side keeps the anti-join non-degenerate on this testdata
+    // (every customer has *some* order)
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir).select($"o_custkey"),
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp"))
+          .select($"o_custkey"),
         $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))

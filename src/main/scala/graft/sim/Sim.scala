@@ -96,6 +96,52 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e04: IVF approximate NN — the scale path for very large corpora.
+    *  - coarse quantizer: KMeans centroids trained on (a sample of) the
+    *    corpus; the model is tiny (k × dim doubles) and ships as a
+    *    broadcast dimension table, never as a closure;
+    *  - inverted lists: every vector is assigned to its nearest
+    *    centroid (one `model.transform` pass — a broadcast argmin);
+    *  - search: each query probes its `nprobe` nearest centroids and
+    *    ranks only those lists — a hash join on centroid_id, so work
+    *    per query is corpus/k × nprobe instead of the full scan e01
+    *    pays. Recall improves with nprobe; plan shape is unchanged.
+    */
+  def e04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nprobe = 4
+    val e = emb(spark, dir).withColumn("fv", array_to_vector(col("v")))
+    // train the coarse quantizer (at 100 TB: fit on .sample(), not all)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("centroid_id")
+    val fitted = model.fit(e)
+    val assigned = fitted.transform(e)
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+    val cents = spark.createDataFrame(
+        fitted.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray) })
+      .toDF("centroid_id", "cv")
+    // each query probes its nprobe nearest centroids
+    val q = assigned.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        dotOf(spark, "qv", "qv") - lit(2.0) * dotOf(spark, "qv", "cv") + dotOf(spark, "cv", "cv"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("centroid_id"))))
+      .where(col("pr") <= nprobe)
+      .select("query_id", "qv", "qn", "centroid_id")
+    val scored = assigned.join(probes, Seq("centroid_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** e03: embedding near-duplicate pairs — corpus ∪ a deterministically
     * perturbed copy (id+100000), LSH-bucketed candidate join, cosine
     * threshold verify. Only same-bucket pairs pay the dot product.

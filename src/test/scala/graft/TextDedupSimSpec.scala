@@ -91,6 +91,22 @@ class TextDedupSimSpec extends SparkSpec {
     assert(agree > 0)
   }
 
+  test("e04 IVF ANN: probed-list hits carry exact cosines, decent recall@10") {
+    val ivf = Sim.e04AnnIvf(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    val byQuery = ivf.groupBy(_.getLong(0))
+    assert(byQuery.values.forall(_.length <= 10))
+    val exact = Sim.e01KnnCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every IVF hit that is also in the exact top-10 must agree on cosine
+    val overlap = ivf.filter(r => exact.contains((r.getLong(0), r.getLong(1))))
+    assert(overlap.nonEmpty)
+    assert(overlap.forall(r => math.abs(exact((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9))
+    // recall@10 over the 20 queries should be well above random
+    val recall = overlap.length.toDouble / exact.size
+    assert(recall >= 0.2, s"recall@10 = $recall")
+  }
+
   test("e03 embedding dedup finds every perturbed twin pair") {
     val pairs = Sim.e03EmbedDedup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
