@@ -55,6 +55,7 @@ object SparkEntry {
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
+    "s03_stream_dedup"    -> Streams.s03StreamDedup _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_select"       -> ReliefQueries.reliefSelect _,
     "relief_transform"    -> ReliefQueries.reliefTransform _,
@@ -249,6 +250,8 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts) AS session_start, max(ts) AS session_end
         |FROM z GROUP BY 1, 2""".stripMargin,
+    "s03_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events FROM events GROUP BY 1""",
     "relief_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (

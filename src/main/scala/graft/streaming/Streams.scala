@@ -62,6 +62,23 @@ object Streams {
     s.table(name)
   }
 
+  /** s03: streaming exact dedup — the stream unioned with itself (every
+    * event arrives twice) is deduplicated on event_id with watermarked
+    * state, then aggregated. The final counts must equal the batch
+    * aggregation of the original (un-duplicated) events — the oracle.
+    * At scale the watermark bounds dedup state to the lateness horizon.
+    */
+  def s03StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventsStream(spark, dir)
+    val deduped = s.union(eventsStream(spark, dir))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val (sess, name) = runToCompletion(deduped, OutputMode.Complete())
+    sess.table(name)
+  }
+
   // public: encoder-generated code must be able to reach these
   case class Ev(user_id: Long, event_id: Long, tsUs: Long)
   case class SessionState(sessions: Long, startUs: Long, endUs: Long, n: Long)
