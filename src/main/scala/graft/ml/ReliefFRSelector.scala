@@ -71,6 +71,14 @@ trait ReliefFRParams extends Params {
     "treat features as discrete")
   setDefault(discreteData -> false)
 
+  /** Force feature-keyed (sparse) weight accumulation. Auto-enabled
+    * above [[ReliefFRSelector.DenseFeatureLimit]] features; set
+    * explicitly for ultra-sparse data below that.
+    */
+  final val highDimMode = new BooleanParam(this, "highDimMode",
+    "feature-keyed sparse accumulation for very high-dimensional data")
+  setDefault(highDimMode -> false)
+
   def getSelectionSize: Int = $(numTopFeatures)
 }
 
@@ -132,6 +140,7 @@ final class ReliefFRSelector(override val uid: String)
   def setLowerDistanceThreshold(v: Double): this.type = set(lowerDistanceThreshold, v)
   def setRedundancyRemoval(v: Boolean): this.type = set(redundancyRemoval, v)
   def setDiscreteData(v: Boolean): this.type = set(discreteData, v)
+  def setHighDimMode(v: Boolean): this.type = set(highDimMode, v)
 
   override def transformSchema(schema: StructType): StructType = {
     require(schema($(labelCol)).dataType == DoubleType,
@@ -166,8 +175,11 @@ final class ReliefFRSelector(override val uid: String)
     val nBatches = math.max(1, math.round(1.0 / $(batchSize)).toInt)
     val batches = sample.randomSplit(Array.fill(nBatches)(1.0), $(seed))
 
-    val totalRelevance = new Array[Double](nFeat)
-    val marginal = new Array[Double](nFeat)
+    // dense accumulators below the high-dim threshold; feature-keyed
+    // maps above it (memory scales with touched features, not nFeat)
+    val dense = !$(highDimMode) && nFeat <= ReliefFRSelector.DenseFeatureLimit
+    val totalRelevance = scala.collection.mutable.LongMap.empty[Double]
+    val marginal = scala.collection.mutable.LongMap.empty[Double]
     // symmetric joint collision mass, keyed min*nFeat+max
     val joint = new java.util.HashMap[Long, Double]()
     var totalInteractions = 0.0
@@ -220,7 +232,7 @@ final class ReliefFRSelector(override val uid: String)
 
         // ---- pass 2: relevance + collision aggregation ----
         val acc = data.treeAggregate(
-          new ReliefAcc(nFeat, nClasses, lowerFeat))(
+          new ReliefAcc(nFeat, nClasses, dense))(
           seqOp = (a, row) => {
             a.init(bTopF.value)
             val qIdxs = bNbrOf.value.get(row._1)
@@ -236,11 +248,11 @@ final class ReliefFRSelector(override val uid: String)
           combOp = (a1, a2) => a1.mergeWith(a2))
 
         // fold batch results into the running totals
-        var f = 0
-        while (f < nFeat) {
-          totalRelevance(f) += acc.batchRelevance(f, priors, classes)
-          marginal(f) += acc.marginal(f)
-          f += 1
+        acc.foreachBatchRelevance(priors, classes) { (f, w) =>
+          totalRelevance.update(f, totalRelevance.getOrElse(f, 0.0) + w)
+        }
+        acc.foreachMarginal { (f, v) =>
+          marginal.update(f, marginal.getOrElse(f, 0.0) + v)
         }
         acc.foreachJoint { (i, j, v) =>
           val key = math.min(i, j).toLong * nFeat + math.max(i, j)
@@ -249,30 +261,41 @@ final class ReliefFRSelector(override val uid: String)
         totalInteractions += acc.classCounterSum
 
         // top features for the next batch's redundancy accounting
-        topFeatures = totalRelevance.zipWithIndex
-          .sortBy { case (w, i) => (-w, i) }.take(lowerFeat).map(_._2)
+        topFeatures = totalRelevance.toArray
+          .sortBy { case (f, w) => (-w, f) }.take(lowerFeat).map(_._1.toInt)
 
         bQueries.destroy(); bNbrOf.destroy(); bTopF.destroy()
       }
     }
     data.unpersist()
 
-    // ---- normalize relevance (min-max) ----
-    val maxR = totalRelevance.max; val minR = totalRelevance.min
+    // ---- candidate features: everything with accumulated mass ----
+    // (the reference likewise only ranks features present in the weight
+    // RDD — never-active features of an ultra-sparse input are not
+    // selection candidates)
+    val candFeats: Array[Int] = totalRelevance.keys.map(_.toInt).toArray.sorted
+    val candRel: Array[Double] = candFeats.map(f => totalRelevance(f.toLong))
+
+    // ---- normalize relevance (min-max; implicit zeros widen the range
+    // when some features were never touched) ----
+    val hasAbsent = candFeats.length < nFeat
+    val maxR = math.max(candRel.max, if (hasAbsent) 0.0 else Double.NegativeInfinity)
+    val minR = math.min(candRel.min, if (hasAbsent) 0.0 else Double.PositiveInfinity)
     val span = if (maxR > minR) maxR - minR else 1.0
-    val normRelevance = totalRelevance.map(w => (w - minR) / span)
+    val candNorm = candRel.map(w => (w - minR) / span)
 
     // ---- collisions -> mutual-information-like redundancy ----
     // (reference ReliefFRSelector.scala:631-679)
-    val normMarginal = marginal.map(_ / math.max(totalInteractions, 1.0))
-    val jointTotal = math.max(totalInteractions, 1.0) *
-      (1.0 - $(estimationRatio) * (1.0 / nBatches))
+    val totalI = math.max(totalInteractions, 1.0)
+    val jointTotal = totalI * (1.0 - $(estimationRatio) * (1.0 / nBatches))
     val log2 = (x: Double) => math.log(x) / math.log(2)
     val redRaw = new java.util.HashMap[Long, Double]()
     joint.forEach { (key, v) =>
-      val i = (key / nFeat).toInt; val j = (key % nFeat).toInt
+      val i = key / nFeat; val j = key % nFeat
       val jprob = v / jointTotal
-      val r = jprob * log2(jprob / (normMarginal(i) * normMarginal(j)))
+      val mi = marginal.getOrElse(i, 0.0) / totalI
+      val mj = marginal.getOrElse(j, 0.0) / totalI
+      val r = jprob * log2(jprob / (mi * mj))
       redRaw.put(key, if (r.isNaN || r.isInfinite) 0.0 else r)
     }
     var maxRed = Double.NegativeInfinity; var minRed = Double.PositiveInfinity
@@ -282,55 +305,66 @@ final class ReliefFRSelector(override val uid: String)
     redRaw.forEach { (key, v) => redundancy.put(key, (v - minRed) / redSpan) }
 
     // ---- selection ----
-    val stdSelection = normRelevance.zipWithIndex
-      .sortBy { case (w, i) => (-w, i) }.take($(numTopFeatures)).map(_._2)
-    val redSelection = greedySelect(normRelevance, redundancy, nFeat)
+    val order = candFeats.indices.toArray
+      .sortBy(i => (-candNorm(i), candFeats(i)))
+    val stdSelection = order.take($(numTopFeatures)).map(candFeats(_))
+    val redSelection = greedySelect(candFeats, candNorm, order, redundancy, nFeat)
+
+    // Dense normalized-weight vector for the model. O(nFeat) driver
+    // memory — at kddb-like dims prefer reading selections only.
+    val normRelevance = Array.fill(nFeat)((0.0 - minR) / span)
+    var ci = 0
+    while (ci < candFeats.length) { normRelevance(candFeats(ci)) = candNorm(ci); ci += 1 }
 
     val model = new ReliefFRSelectorModel(uid, stdSelection, redSelection, normRelevance)
     copyValues(model.setParent(this))
   }
 
-  /** Greedy relevance-vs-redundancy selection:
+  /** Greedy relevance-vs-redundancy selection over the candidate list:
     * score(f) = relevance(f) − accumulatedRedundancy(f) / |selected|.
+    * O(numTopFeatures × candidates) time, O(candidates) memory.
     */
   private def greedySelect(
-      relevance: Array[Double],
+      candFeats: Array[Int],
+      candNorm: Array[Double],
+      order: Array[Int],
       redundancy: java.util.HashMap[Long, Double],
       nFeat: Int): Array[Int] = {
-    val nSel = math.min($(numTopFeatures), nFeat)
-    val redAcc = new Array[Double](nFeat)
-    val taken = new Array[Boolean](nFeat)
+    val n = candFeats.length
+    val nSel = math.min($(numTopFeatures), n)
+    val redAcc = new Array[Double](n)
+    val taken = new Array[Boolean](n)
     val selected = new scala.collection.mutable.ArrayBuffer[Int](nSel)
 
-    var best = 0
-    for (f <- 1 until nFeat) if (relevance(f) > relevance(best)) best = f
-    selected += best; taken(best) = true
+    val first = order.head // highest relevance, smallest feature on ties
+    selected += first; taken(first) = true
 
     while (selected.size < nSel) {
-      val last = selected.last
-      var f = 0
-      while (f < nFeat) {
-        if (!taken(f)) {
+      val last = candFeats(selected.last)
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val f = candFeats(i)
           val key = math.min(last, f).toLong * nFeat + math.max(last, f)
-          redAcc(f) += redundancy.getOrDefault(key, 0.0)
+          redAcc(i) += redundancy.getOrDefault(key, 0.0)
         }
-        f += 1
+        i += 1
       }
-      var bestF = -1; var bestScore = Double.NegativeInfinity
-      f = 0
-      while (f < nFeat) {
-        if (!taken(f)) {
-          val s = relevance(f) - redAcc(f) / selected.size
-          if (s > bestScore || (s == bestScore && (bestF == -1 || f < bestF))) {
-            bestScore = s; bestF = f
+      var bestI = -1; var bestScore = Double.NegativeInfinity
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = candNorm(i) - redAcc(i) / selected.size
+          if (s > bestScore || (s == bestScore && (bestI == -1 || candFeats(i) < candFeats(bestI)))) {
+            bestScore = s; bestI = i
           }
         }
-        f += 1
+        i += 1
       }
-      if (bestF == -1) return selected.toArray
-      selected += bestF; taken(bestF) = true
+      if (bestI == -1) return selected.map(candFeats(_)).toArray
+      selected += bestI; taken(bestI) = true
     }
-    selected.toArray
+    selected.map(candFeats(_)).toArray
   }
 
   override def copy(extra: ParamMap): ReliefFRSelector = defaultCopy(extra)
@@ -339,44 +373,99 @@ final class ReliefFRSelector(override val uid: String)
 }
 
 object ReliefFRSelector extends MLReadable[ReliefFRSelector] {
+  /** Above this many features the weight pass switches to feature-keyed
+    * sparse accumulation automatically (dense arrays would cost
+    * nFeat × 2·nClasses doubles per task).
+    */
+  val DenseFeatureLimit: Int = 1 << 20
+
   override def read: MLReader[ReliefFRSelector] =
     new GraftParamsReader[ReliefFRSelector](uid => new ReliefFRSelector(uid))
 }
 
-/** Flat-array accumulator for the RELIEF weight pass (one per task via
-  * treeAggregate). Layouts:
-  *  - relevance: [feature × (2·nClasses)] — |diff| sums split by
-  *    neighbor class and hit(0)/miss(1) half;
-  *  - classCounter: neighbor counts in the same 2·nClasses groups;
-  *  - marginal: per-feature collision vote mass;
-  *  - joint: [topFeatureSlot × feature] collision co-occurrence mass.
+/** Accumulator for the RELIEF weight pass (one per task via
+  * treeAggregate). Two storage modes behind one interface:
+  *
+  *  - dense (default): flat primitive arrays —
+  *    relevance [feature × (2·nClasses)], marginal [feature],
+  *    joint [topFeatureSlot × feature]. Fastest, O(nFeat) memory.
+  *  - sparse (high-dim mode): open-addressing LongMaps keyed by
+  *    feature — memory scales with the features actually touched, not
+  *    nFeat, which is what makes kddb-scale (tens of millions of
+  *    features, reference README) inputs feasible. Never-active
+  *    features have exactly-zero relevance in both modes.
+  *
+  * classCounter (2·nClasses) is always dense. Scratch buffers grow with
+  * the per-pair collision count, never with nFeat.
   */
-final class ReliefAcc(nFeat: Int, nClasses: Int, maxSlots: Int) extends Serializable {
+final class ReliefAcc(nFeat: Int, nClasses: Int, dense: Boolean) extends Serializable {
   private val nGroups = 2 * nClasses
-  private val relevance = new Array[Double](nFeat * nGroups)
   private val classCounter = new Array[Double](nGroups)
-  private val marg = new Array[Double](nFeat)
-  private var jointArr: Array[Double] = _
-  private var slotOf: Array[Int] = _ // feature -> slot or -1
+
+  // dense stores
+  private var relArr: Array[Double] = if (dense) new Array[Double](nFeat * nGroups) else null
+  private var margArr: Array[Double] = if (dense) new Array[Double](nFeat) else null
+  // candidate semantics must match sparse mode: only features actually
+  // visited by some (query, neighbor) pair are ranked
+  private var touched: Array[Boolean] = if (dense) new Array[Boolean](nFeat) else null
+  private var jointArr: Array[Double] = _ // [slot × nFeat], dense mode
+  private var slotOfArr: Array[Int] = _ // feature -> slot or -1, dense mode
+
+  // sparse stores (feature-keyed)
+  private var relMap: scala.collection.mutable.LongMap[Array[Double]] =
+    if (dense) null else scala.collection.mutable.LongMap.empty
+  private var margMap: scala.collection.mutable.LongMap[Double] =
+    if (dense) null else scala.collection.mutable.LongMap.empty
+  private var jointMap: scala.collection.mutable.LongMap[Double] =
+    if (dense) null else scala.collection.mutable.LongMap.empty
+  private var topFeatSet: scala.collection.immutable.Set[Int] = _
+
   private var slotFeat: Array[Int] = _ // slot -> feature
   private var inited = false
 
-  // scratch (task-local, excluded from merge)
-  @transient private var collided: Array[Int] = _
-  @transient private var votes: Array[Double] = _
-
   def init(topFeatures: Array[Int]): Unit = if (!inited) {
     inited = true
-    slotOf = Array.fill(nFeat)(-1)
     slotFeat = topFeatures
-    var s = 0
-    while (s < topFeatures.length) { slotOf(topFeatures(s)) = s; s += 1 }
-    jointArr = new Array[Double](topFeatures.length * nFeat)
+    if (dense) {
+      slotOfArr = Array.fill(nFeat)(-1)
+      var s = 0
+      while (s < topFeatures.length) { slotOfArr(topFeatures(s)) = s; s += 1 }
+      jointArr = new Array[Double](topFeatures.length * nFeat)
+    } else {
+      topFeatSet = topFeatures.toSet
+    }
   }
 
+  // scratch: collided (feature, vote) pairs for the current neighbor
+  // pair — grows with collisions seen, not with nFeat
+  @transient private var cF: Array[Int] = _
+  @transient private var cV: Array[Double] = _
+
   private def ensureScratch(): Unit = {
-    if (collided == null) { collided = new Array[Int](nFeat); votes = new Array[Double](nFeat) }
+    if (cF == null) { cF = new Array[Int](256); cV = new Array[Double](256) }
   }
+
+  @inline private def addRel(f: Int, g: Int, v: Double): Unit =
+    if (dense) { relArr(f * nGroups + g) += v; touched(f) = true }
+    else {
+      val gs = relMap.getOrNull(f)
+      if (gs != null) gs(g) += v
+      else { val a = new Array[Double](nGroups); a(g) = v; relMap.update(f, a) }
+    }
+
+  @inline private def addMarg(f: Int, v: Double): Unit =
+    if (dense) margArr(f) += v
+    else margMap.update(f, margMap.getOrElse(f, 0.0) + v)
+
+  @inline private def isTop(f: Int): Boolean =
+    if (dense) slotOfArr(f) >= 0 else topFeatSet.contains(f)
+
+  @inline private def addJoint(fi: Int, fj: Int, v: Double): Unit =
+    if (dense) jointArr(slotOfArr(fi) * nFeat + fj) += v
+    else {
+      val key = fi.toLong * nFeat + fj
+      jointMap.update(key, jointMap.getOrElse(key, 0.0) + v)
+    }
 
   /** Deterministic uniform [0,1) from (seed, queryId, rowId) — splitmix64. */
   private def pairRand(seed: Long, qid: Long, id: Long): Double = {
@@ -401,11 +490,15 @@ final class ReliefAcc(nFeat: Int, nClasses: Int, maxSlots: Int) extends Serializ
     var nCollided = 0
 
     @inline def visit(f: Int, diff: Double): Unit = {
-      relevance(f * nGroups + g) += diff
+      addRel(f, g, diff)
       if (diff <= thr) {
         val vote = if (continuous) 1.0 - math.min(6.0, diff) / 6.0 else 1.0
-        marg(f) += vote
-        collided(nCollided) = f; votes(f) = vote; nCollided += 1
+        addMarg(f, vote)
+        if (nCollided == cF.length) {
+          cF = java.util.Arrays.copyOf(cF, cF.length * 2)
+          cV = java.util.Arrays.copyOf(cV, cV.length * 2)
+        }
+        cF(nCollided) = f; cV(nCollided) = vote; nCollided += 1
       }
     }
 
@@ -434,13 +527,12 @@ final class ReliefAcc(nFeat: Int, nClasses: Int, maxSlots: Int) extends Serializ
     // joint collision mass between colliding pairs with a top-feature side
     var x = 0
     while (x < nCollided) {
-      val fi = collided(x)
-      val slot = slotOf(fi)
-      if (slot >= 0) {
+      val fi = cF(x)
+      if (isTop(fi)) {
         var y = 0
         while (y < nCollided) {
-          val fj = collided(y)
-          if (fj != fi) jointArr(slot * nFeat + fj) += (votes(fi) + votes(fj)) / 2.0
+          val fj = cF(y)
+          if (fj != fi) addJoint(fi, fj, (cV(x) + cV(y)) / 2.0)
           y += 1
         }
       }
@@ -455,47 +547,79 @@ final class ReliefAcc(nFeat: Int, nClasses: Int, maxSlots: Int) extends Serializ
 
   def mergeWith(o: ReliefAcc): ReliefAcc = {
     var i = 0
-    while (i < relevance.length) { relevance(i) += o.relevance(i); i += 1 }
-    i = 0; while (i < nGroups) { classCounter(i) += o.classCounter(i); i += 1 }
-    i = 0; while (i < nFeat) { marg(i) += o.marg(i); i += 1 }
-    if (o.jointArr != null) {
-      if (jointArr == null) { jointArr = o.jointArr; slotOf = o.slotOf; slotFeat = o.slotFeat }
-      else { i = 0; while (i < jointArr.length) { jointArr(i) += o.jointArr(i); i += 1 } }
+    while (i < nGroups) { classCounter(i) += o.classCounter(i); i += 1 }
+    if (dense) {
+      i = 0; while (i < relArr.length) { relArr(i) += o.relArr(i); i += 1 }
+      i = 0; while (i < nFeat) { margArr(i) += o.margArr(i); touched(i) |= o.touched(i); i += 1 }
+      if (o.jointArr != null) {
+        if (jointArr == null) { jointArr = o.jointArr; slotOfArr = o.slotOfArr; slotFeat = o.slotFeat }
+        else { i = 0; while (i < jointArr.length) { jointArr(i) += o.jointArr(i); i += 1 } }
+      }
+    } else {
+      o.relMap.foreachEntry { (f, gs) =>
+        val mine = relMap.getOrNull(f)
+        if (mine == null) relMap.update(f, gs)
+        else { var g = 0; while (g < nGroups) { mine(g) += gs(g); g += 1 } }
+      }
+      o.margMap.foreachEntry((f, v) => margMap.update(f, margMap.getOrElse(f, 0.0) + v))
+      o.jointMap.foreachEntry((k, v) => jointMap.update(k, jointMap.getOrElse(k, 0.0) + v))
     }
     this
   }
 
-  /** Batch relevance for one feature: signed, prior-weighted, per-group
-    * normalized by neighbor counts (reference ReliefFRSelector.scala:604-629).
+  /** Batch relevance per feature (signed, prior-weighted, per-group
+    * normalized by neighbor counts — reference
+    * ReliefFRSelector.scala:604-629), streamed to `fn(feature, weight)`
+    * for every feature with any accumulated mass.
     */
-  def batchRelevance(f: Int, priors: Map[Double, Double], classes: Array[Double]): Double = {
-    var sum = 0.0
-    var gi = 0
-    while (gi < nGroups) {
-      if (classCounter(gi) > 0) {
-        val sign = if (gi < nClasses) -1.0 else 1.0 // first half: same-class (hit)
-        sum += sign * priors(classes(gi % nClasses)) * relevance(f * nGroups + gi) / classCounter(gi)
+  def foreachBatchRelevance(priors: Map[Double, Double], classes: Array[Double])(
+      fn: (Int, Double) => Unit): Unit = {
+    @inline def weightOf(groups: Int => Double): Double = {
+      var sum = 0.0
+      var gi = 0
+      while (gi < nGroups) {
+        if (classCounter(gi) > 0) {
+          val sign = if (gi < nClasses) -1.0 else 1.0 // first half: same-class (hit)
+          sum += sign * priors(classes(gi % nClasses)) * groups(gi) / classCounter(gi)
+        }
+        gi += 1
       }
-      gi += 1
+      sum
     }
-    sum
+    if (dense) {
+      var f = 0
+      while (f < nFeat) {
+        if (touched(f)) fn(f, weightOf(gi => relArr(f * nGroups + gi)))
+        f += 1
+      }
+    } else {
+      relMap.foreachEntry((f, gs) => fn(f.toInt, weightOf(gi => gs(gi))))
+    }
   }
 
-  def marginal(f: Int): Double = marg(f)
+  def foreachMarginal(fn: (Int, Double) => Unit): Unit =
+    if (dense) {
+      var f = 0
+      while (f < nFeat) { if (margArr(f) != 0.0) fn(f, margArr(f)); f += 1 }
+    } else margMap.foreachEntry((f, v) => fn(f.toInt, v))
+
   def classCounterSum: Double = { var s = 0.0; var i = 0; while (i < nGroups) { s += classCounter(i); i += 1 }; s }
 
-  def foreachJoint(fn: (Int, Int, Double) => Unit): Unit = {
-    if (jointArr != null) {
-      var s = 0
-      while (s < slotFeat.length) {
-        var f = 0
-        while (f < nFeat) {
-          val v = jointArr(s * nFeat + f)
-          if (v != 0.0) fn(slotFeat(s), f, v)
-          f += 1
+  def foreachJoint(fn: (Int, Int, Double) => Unit): Unit =
+    if (dense) {
+      if (jointArr != null) {
+        var s = 0
+        while (s < slotFeat.length) {
+          var f = 0
+          while (f < nFeat) {
+            val v = jointArr(s * nFeat + f)
+            if (v != 0.0) fn(slotFeat(s), f, v)
+            f += 1
+          }
+          s += 1
         }
-        s += 1
       }
+    } else if (jointMap != null) {
+      jointMap.foreachEntry((k, v) => fn((k / nFeat).toInt, (k % nFeat).toInt, v))
     }
-  }
 }

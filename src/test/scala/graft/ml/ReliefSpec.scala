@@ -152,6 +152,35 @@ class ReliefSpec extends SparkSpec {
     assert(m.redundancySelection.nonEmpty)
   }
 
+  test("highDimMode (sparse accumulation) selects identically to dense mode") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { i =>
+      val label = (i % 2).toDouble
+      val active = scala.collection.mutable.ArrayBuffer(
+        2 -> ((if (label == 0.0) -1.0 else 1.0) + rnd.nextGaussian() * 0.1))
+      if (rnd.nextDouble() < 0.4) active += 7 -> rnd.nextDouble()
+      if (rnd.nextDouble() < 0.4) active += 11 -> rnd.nextDouble()
+      (label, Vectors.sparse(16, active.sortBy(_._1).toSeq))
+    }
+    val df = rows.toDF("label", "features")
+    def fitWith(hd: Boolean) = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(3).setNumNeighbors(5)
+      .setEstimationRatio(0.5).setBatchSize(0.5)
+      .setRedundancyRemoval(true).setHighDimMode(hd).setSeed(5L)
+      .fit(df)
+    val dense = fitWith(false)
+    val sparse = fitWith(true)
+    assert(dense.stdSelection.toSeq == sparse.stdSelection.toSeq)
+    assert(dense.redundancySelection.toSeq == sparse.redundancySelection.toSeq)
+    assert(dense.stdSelection.head == 2)
+    // weights agree on every touched feature
+    val diffs = dense.featureWeights.zip(sparse.featureWeights)
+      .filter { case (a, b) => math.abs(a - b) > 1e-12 }
+    assert(diffs.isEmpty, s"weights diverge: $diffs")
+  }
+
   test("relief_knn matches a brute-force local computation") {
     val got = ReliefQueries.reliefKnn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
