@@ -31,6 +31,28 @@ object ReliefStress {
       .fit(df)
     println(s"fit took ${(System.nanoTime() - t0) / 1e9}s; top=${m.stdSelection.take(5).mkString(",")}")
     assert(m.stdSelection.head == 0, "informative feature not recovered at 20k x 100")
+
+    // ---- high-dim sparse: 5k rows × 2M features (~50 active each) ----
+    // above DenseFeatureLimit → feature-keyed sparse accumulation
+    val bigFeat = 2000000
+    val hd = spark.range(5000).map { i =>
+      val rnd = new scala.util.Random(i)
+      val label = (i % 2).toDouble
+      val active = scala.collection.mutable.TreeMap[Int, Double](
+        7 -> ((if (label == 0.0) -1.0 else 1.0) + rnd.nextGaussian() * 0.2))
+      (0 until 50).foreach { _ => active(rnd.nextInt(bigFeat)) = rnd.nextGaussian() }
+      (label, Vectors.sparse(bigFeat, active.toSeq))
+    }.toDF("label", "features").repartition(32).cache()
+    hd.count()
+    val t1 = System.nanoTime()
+    val mh = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(10).setNumNeighbors(5)
+      .setEstimationRatio(0.05).setBatchSize(0.5)
+      .setRedundancyRemoval(true).setSeed(2L)
+      .fit(hd)
+    println(s"high-dim fit took ${(System.nanoTime() - t1) / 1e9}s; top=${mh.stdSelection.take(5).mkString(",")}")
+    assert(mh.stdSelection.head == 7, "informative feature not recovered at 5k x 2M sparse")
     spark.stop()
   }
 }
