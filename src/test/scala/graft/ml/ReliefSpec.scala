@@ -181,6 +181,34 @@ class ReliefSpec extends SparkSpec {
     assert(diffs.isEmpty, s"weights diverge: $diffs")
   }
 
+  test("hit/miss weight math matches a hand computation exactly") {
+    // 4 points, 2 classes, 3 features: f0 informative, f1 = f0/2, f2 ≡ 0.
+    // With estimationRatio=1, one batch, one neighbor per class:
+    //   hits:  per class, |diff| sums 0.4 over 2 neighbors each
+    //   misses: |diff| sums 1.8 over 2 neighbors each
+    //   w(f0) = 2·(−0.5·0.4/2) + 2·(0.5·1.8/2) = −0.2 + 0.9 = 0.7
+    //   w(f1) = w(f0)/2 = 0.35, w(f2) = 0
+    // min-max normalized → (1.0, 0.5, 0.0)
+    import spark.implicits._
+    val df = Seq(
+      (0.0, Vectors.dense(0.0, 0.0, 0.0)),
+      (0.0, Vectors.dense(0.2, 0.1, 0.0)),
+      (1.0, Vectors.dense(1.0, 0.5, 0.0)),
+      (1.0, Vectors.dense(1.2, 0.6, 0.0))
+    ).toDF("label", "features").coalesce(1)
+    val m = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(2).setNumNeighbors(1)
+      .setEstimationRatio(1.0).setBatchSize(1.0)
+      .setSeed(1L)
+      .fit(df)
+    val w = m.featureWeights
+    assert(math.abs(w(0) - 1.0) < 1e-12, s"w=${w.toSeq}")
+    assert(math.abs(w(1) - 0.5) < 1e-12, s"w=${w.toSeq}")
+    assert(math.abs(w(2) - 0.0) < 1e-12, s"w=${w.toSeq}")
+    assert(m.stdSelection.toSeq == Seq(0, 1))
+  }
+
   test("relief_knn matches a brute-force local computation") {
     val got = ReliefQueries.reliefKnn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
