@@ -200,6 +200,28 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "d04_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS lang_actual,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang_actual,
+        |    len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','de','que','y','en','un','una','es'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ein','eine','ist','zu','den','mit'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','et','des','un','une','est','que','dans'))) AS s_fr,
+        |    len(list_filter(toks, t -> t IN ('de','shi','le','zai','he','you','wo','ta','men','zhe'))) AS s_zh
+        |  FROM s)
+        |SELECT doc_id, lang_actual,
+        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred,
+        |  CAST(greatest(s_en, s_es, s_de, s_fr, s_zh) AS BIGINT) AS best_score
+        |FROM sc""".stripMargin,
     "d02_token_count" ->
       """SELECT doc_id,
         | length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
