@@ -37,6 +37,8 @@ object SparkEntry {
     "q13_outer_join_dist" -> Relational.q13OuterJoinDist _,
     "q14_expr_pct"        -> Relational.q14ExprPct _,
     "q15_top_supplier"    -> Relational.q15TopSupplier _,
+    "q19_cube"            -> Relational.q19Cube _,
+    "q20_grouping_sets"   -> Relational.q20GroupingSets _,
     "q16_events_bucket"   -> Events.q16EventsBucket _,
     "q17_sessionize"      -> Events.q17Sessionize _,
     "q18_events_pivot"    -> Events.q18EventsPivot _,
@@ -171,6 +173,15 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_revenue
         |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+    "q19_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q20_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_extendedprice) AS sum_price, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))""".stripMargin,
     "q16_events_bucket" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         | count(*) AS n_events, sum(value) AS sum_value

@@ -35,6 +35,9 @@ final class ReliefFRSelectorModel private[ml] (
     this
   }
 
+  def getReducedSubsetParam(): Int =
+    if (selectionSize > 0) selectionSize else getSelectedFeatures().length
+
   def getSelectedFeatures(): Array[Int] = {
     val sel = if ($(redundancyRemoval)) redundancySelection else stdSelection
     if (selectionSize > 0) sel.take(selectionSize) else sel

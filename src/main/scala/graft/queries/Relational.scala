@@ -163,6 +163,26 @@ object Relational {
       .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
   }
 
+  /** q19: cube aggregate — all grouping combinations incl. grand total. */
+  def q19Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+  }
+
+  /** q20: explicit grouping sets — (returnflag, linestatus) and
+    * (returnflag) only, no grand total.
+    */
+  def q20GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag")),
+        $"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_extendedprice").as("sum_price"), count(lit(1)).as("n_rows"))
+  }
+
   /** q12: conditional (CASE) aggregation over a fact-fact join. */
   def q12CaseAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
