@@ -6,7 +6,7 @@ import org.apache.spark.ml.param.{ParamMap, Params}
 import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{col, udf}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Model fitted by [[ReliefFRSelector]]: the two rankings (plain
   * RELIEF-F and relevance−redundancy) plus the normalized per-feature
@@ -47,10 +47,27 @@ final class ReliefFRSelectorModel private[ml] (
     val selection = getSelectedFeatures().sorted // compress requires ascending
     val compressUdf = udf((v: Vector) => ReliefFRSelectorModel.compress(v, selection))
     dataset.withColumn($(outputCol), compressUdf(col($(inputCol))))
+      .withMetadata($(outputCol), prepOutputField(dataset.schema, selection).metadata)
+  }
+
+  /** Output-column ML attribute metadata: the input's per-feature
+    * attributes filtered down to the selection (reference
+    * ReliefFRSelector.scala:828-840), so downstream stages keep names
+    * and slot counts.
+    */
+  private def prepOutputField(schema: StructType, selection: Array[Int]): StructField = {
+    import org.apache.spark.ml.attribute.{Attribute, AttributeGroup, NumericAttribute}
+    val orig = AttributeGroup.fromStructField(schema($(inputCol)))
+    val attrs: Array[Attribute] = orig.attributes match {
+      case Some(as) => selection.filter(_ < as.length).map(as(_))
+      case None => Array.fill[Attribute](selection.length)(NumericAttribute.defaultAttr)
+    }
+    new AttributeGroup($(outputCol), attrs).toStructField()
   }
 
   override def transformSchema(schema: StructType): StructType =
-    StructType(schema.fields :+ schema($(inputCol)).copy(name = $(outputCol)))
+    StructType(schema.fields :+
+      prepOutputField(schema, getSelectedFeatures().sorted).copy(name = $(outputCol)))
 
   override def copy(extra: ParamMap): ReliefFRSelectorModel = {
     val copied = new ReliefFRSelectorModel(uid, stdSelection, redundancySelection, featureWeights)
