@@ -80,17 +80,25 @@ object Sim {
        | 0L, (a, x) -> a | x)""".stripMargin)
 
   /** e02: LSH-bucketed approximate NN — hash join on bucket id, cosine
-    * rank within bucket. Same queries/top-k contract as e01.
+    * rank within the probed buckets. Multi-probe: each query also
+    * probes every bucket at hamming distance 1 from its own signature
+    * (1 + SigBits probes) — the standard recall lever that costs probe
+    * fan-out on the tiny query side only, never a wider scan of the
+    * corpus. Same queries/top-k contract as e01.
     */
   def e02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("bucket", bucketCol)
     val q = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
+        col("nrm").as("qn"),
+        explode(expr(
+          s"array_union(array(bucket), transform(sequence(0, ${SigBits - 1}), " +
+            "j -> bucket ^ shiftleft(1L, j)))")).as("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
       .select("query_id", "neighbor_id", "cosine")

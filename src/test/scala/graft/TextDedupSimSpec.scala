@@ -89,6 +89,9 @@ class TextDedupSimSpec extends SparkSpec {
     val agree = ann.count(r => exactTop.get((r.getLong(0), r.getLong(1)))
       .exists(c => math.abs(c - r.getDouble(2)) < 1e-9))
     assert(agree > 0)
+    // multi-probe recall@10 over the query set: well above single-bucket
+    val recall = agree.toDouble / exactTop.size
+    assert(recall >= 0.15, s"recall@10 = $recall")
   }
 
   test("e04 IVF ANN: probed-list hits carry exact cosines, decent recall@10") {
