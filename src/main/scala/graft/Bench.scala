@@ -18,13 +18,19 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // min of 2 timed runs per query: local run-to-run variance (GC,
+    // scheduler) is ±30% at these data sizes
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes every row/column (count() would let
-      // Catalyst prune the computation away) with zero write cost
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache() // no warm-cache runs: each timing does full work
+        val t0 = System.nanoTime()
+        // noop sink: materializes every row/column (count() would let
+        // Catalyst prune the computation away) with zero write cost
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
