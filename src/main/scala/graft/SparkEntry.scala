@@ -39,6 +39,8 @@ object SparkEntry {
     "q15_top_supplier"    -> Relational.q15TopSupplier _,
     "q19_cube"            -> Relational.q19Cube _,
     "q20_grouping_sets"   -> Relational.q20GroupingSets _,
+    "q21_intersect"       -> Relational.q21Intersect _,
+    "q22_except"          -> Relational.q22Except _,
     "q16_events_bucket"   -> Events.q16EventsBucket _,
     "q17_sessionize"      -> Events.q17Sessionize _,
     "q18_events_pivot"    -> Events.q18EventsPivot _,
@@ -182,6 +184,18 @@ object SparkEntry {
         | sum(l_extendedprice) AS sum_price, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))""".stripMargin,
+    "q21_intersect" ->
+      """SELECT l_suppkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT l_suppkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'""".stripMargin,
+    "q22_except" ->
+      """SELECT l_partkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-02-01' AND l_shipdate < TIMESTAMP '1996-03-01'""".stripMargin,
     "q16_events_bucket" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         | count(*) AS n_events, sum(value) AS sum_value

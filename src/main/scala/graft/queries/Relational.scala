@@ -183,6 +183,28 @@ object Relational {
       .agg(sum($"l_extendedprice").as("sum_price"), count(lit(1)).as("n_rows"))
   }
 
+  /** q21: INTERSECT — suppliers shipping in both years. */
+  def q21Intersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def supsIn(y: Int) = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(f"$y-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit(f"${y + 1}-01-01").cast("timestamp"))
+      .select($"l_suppkey")
+    supsIn(1996).intersect(supsIn(1998))
+  }
+
+  /** q22: EXCEPT — parts shipped in Jan 1996 but not Feb 1996
+    * (month granularity keeps the difference non-empty).
+    */
+  def q22Except(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def partsIn(from: String, to: String) = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(from).cast("timestamp") &&
+              $"l_shipdate" < lit(to).cast("timestamp"))
+      .select($"l_partkey")
+    partsIn("1996-01-01", "1996-02-01").except(partsIn("1996-02-01", "1996-03-01"))
+  }
+
   /** q12: conditional (CASE) aggregation over a fact-fact join. */
   def q12CaseAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
