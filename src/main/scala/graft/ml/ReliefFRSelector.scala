@@ -275,6 +275,14 @@ final class ReliefFRSelector(override val uid: String)
     // selection candidates)
     val candFeats: Array[Int] = totalRelevance.keys.map(_.toInt).toArray.sorted
     val candRel: Array[Double] = candFeats.map(f => totalRelevance(f.toLong))
+    if (candFeats.isEmpty) {
+      // degenerate sample (estimationRatio × nElems rounded to zero
+      // queries): fall back to the identity ranking with zero weights
+      logWarning("RELIEF sample produced no query points; returning identity selection")
+      val sel = Array.range(0, math.min($(numTopFeatures), nFeat))
+      return copyValues(new ReliefFRSelectorModel(uid, sel, sel,
+        new Array[Double](nFeat)).setParent(this))
+    }
 
     // ---- normalize relevance (min-max; implicit zeros widen the range
     // when some features were never touched) ----

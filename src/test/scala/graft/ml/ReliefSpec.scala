@@ -209,6 +209,21 @@ class ReliefSpec extends SparkSpec {
     assert(m.stdSelection.toSeq == Seq(0, 1))
   }
 
+  test("degenerate sample (no query points) falls back instead of crashing") {
+    import spark.implicits._
+    val df = Seq(
+      (0.0, Vectors.dense(1.0, 2.0)), (1.0, Vectors.dense(3.0, 4.0)),
+      (0.0, Vectors.dense(5.0, 6.0)), (1.0, Vectors.dense(7.0, 8.0))
+    ).toDF("label", "features")
+    val m = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(2).setNumNeighbors(1)
+      .setEstimationRatio(1e-9).setBatchSize(1.0).setSeed(3L)
+      .fit(df)
+    assert(m.stdSelection.length == 2)
+    assert(m.transform(df).count() == 4)
+  }
+
   test("relief_knn matches a brute-force local computation") {
     val got = ReliefQueries.reliefKnn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
