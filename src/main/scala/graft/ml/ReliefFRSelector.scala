@@ -231,6 +231,10 @@ final class ReliefFRSelector(override val uid: String)
         val bTopF = sc.broadcast(topFeatures)
 
         // ---- pass 2: relevance + collision aggregation ----
+        // locals only in the closure: referencing $(param) directly
+        // would serialize the whole estimator into every task
+        val lSeed = $(seed); val lCont = !$(discreteData)
+        val lDistTh = $(lowerDistanceThreshold)
         val acc = data.treeAggregate(
           new ReliefAcc(nFeat, nClasses, dense))(
           seqOp = (a, row) => {
@@ -240,7 +244,7 @@ final class ReliefFRSelector(override val uid: String)
               val qs = bQueries.value
               qIdxs.foreach { qi =>
                 a.addPair(qs(qi)._1, qs(qi)._2, qs(qi)._3, row._1, row._2, row._3,
-                  labelIdx, $(seed), !$(discreteData), $(lowerDistanceThreshold))
+                  labelIdx, lSeed, lCont, lDistTh)
               }
             }
             a
