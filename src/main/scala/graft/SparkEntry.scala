@@ -60,6 +60,7 @@ object SparkEntry {
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
+    "s04_stream_join"     -> Streams.s04StreamJoin _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_select"       -> ReliefQueries.reliefSelect _,
     "relief_transform"    -> ReliefQueries.reliefTransform _,
@@ -299,6 +300,16 @@ object SparkEntry {
         |FROM z GROUP BY 1, 2""".stripMargin,
     "s03_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events FROM events GROUP BY 1""",
+    "s04_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, event_id AS error_id, ts AS e_ts
+        |      FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT e.error_id) AS n_errors
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |  AND c.c_ts >= e.e_ts - INTERVAL 5 MINUTE AND c.c_ts < e.e_ts
+        |GROUP BY 1""".stripMargin,
     "relief_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (

@@ -79,6 +79,36 @@ object Streams {
     sess.table(name)
   }
 
+  /** s04: stream-stream interval join — each error event joined to the
+    * same user's click events in the preceding 5 minutes. Watermarks on
+    * both sides + the time-range predicate bound the join state (the
+    * canonical Structured Streaming two-stream pattern). The joined
+    * pairs land append-mode in the memory sink; the per-user rollup on
+    * the sink table is batch, so the streaming query stays a single
+    * stateful operator. Oracle: the identical batch interval join.
+    */
+  def s04StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val errors = eventsStream(spark, dir)
+      .where(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("c_ts") < col("e_ts"))
+      .select(col("e_user").as("user_id"), col("error_id"), col("click_id"))
+    val (sess, name) = runToCompletion(joined, OutputMode.Append())
+    sess.table(name)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("error_id")).as("n_errors"))
+  }
+
   // public: encoder-generated code must be able to reach these
   case class Ev(user_id: Long, event_id: Long, tsUs: Long)
   case class SessionState(sessions: Long, startUs: Long, endUs: Long, n: Long)
