@@ -52,6 +52,8 @@ object SparkEntry {
     "d06_minhash_lsh"     -> Dedup.d06MinHashLsh _,
     "d07_simhash"         -> Dedup.d07SimHash _,
     "d08_ngram_jaccard"   -> Dedup.d08NgramJaccard _,
+    "d09_chunk"           -> Text.d09Chunk _,
+    "d10_term_freq"       -> Text.d10TermFreq _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
@@ -268,6 +270,20 @@ object SparkEntry {
         |  alpha_ratio * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.1
         |    + (1.0 - upper_ratio) * 0.1 AS quality_score
         |FROM q""".stripMargin,
+    "d09_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    length(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_id,
+        |  array_to_string(toks[i*10 + 1 : i*10 + 50], ' ') AS chunk_text,
+        |  CAST(least(50, n - i*10) AS BIGINT) AS n_tokens
+        |FROM t, LATERAL (SELECT unnest(range(0, CAST(floor(greatest(n - 50, 0)/10) AS BIGINT) + 1)) AS i)""".stripMargin,
+    "d10_term_freq" ->
+      """SELECT term, count(*) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY freq DESC, term LIMIT 100""".stripMargin,
     "e01_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (

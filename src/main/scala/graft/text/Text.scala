@@ -98,4 +98,37 @@ object Text {
   def d05Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+
+  /** d09: document chunking — sliding token windows (window 50,
+    * stride 10), the standard shape for embedding/RAG prep. One
+    * projection + explode; chunk count and boundaries are pure
+    * arithmetic so the DuckDB oracle reproduces them exactly.
+    */
+  def d09Chunk(spark: SparkSession, dir: String): DataFrame = {
+    val window = 50
+    val stride = 10
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, cast(floor(greatest(n - $window, 0) / $stride) as int)),
+             | i -> struct(cast(i as bigint) AS chunk_id,
+             |             concat_ws(' ', slice(toks, i*$stride + 1, $window)) AS chunk_text,
+             |             least($window, n - i*$stride) AS n_tokens))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"),
+        col("c.n_tokens").cast("long").as("n_tokens"))
+  }
+
+  /** d10: corpus vocabulary — global term frequencies, top 100 terms.
+    * Explode + hash groupBy (map-side combined); the classic vocab
+    * build. Deterministic tie-break by term.
+    */
+  def d10TermFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(wsTokens(lower(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(100)
 }
