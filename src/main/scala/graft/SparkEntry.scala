@@ -53,6 +53,7 @@ object SparkEntry {
     "d07_simhash"         -> Dedup.d07SimHash _,
     "d08_ngram_jaccard"   -> Dedup.d08NgramJaccard _,
     "d09_chunk"           -> Text.d09Chunk _,
+    "d11_dup_clusters"    -> Dedup.d11DupClusters _,
     "d10_term_freq"       -> Text.d10TermFreq _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,

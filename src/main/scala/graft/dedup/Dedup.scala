@@ -186,6 +186,58 @@ object Dedup {
       .where(col("hamming") <= 6)
   }
 
+  /** d11: near-duplicate clusters — connected components over the
+    * verified near-dup pairs, via iterative min-label propagation (the
+    * standard scalable CC: each round every node takes the minimum
+    * label in its neighborhood; rounds ≈ graph diameter, which for
+    * near-dup graphs is tiny). Output one row per multi-member cluster:
+    * (cluster_id = min doc_id, n_members) — "keep cluster_id, drop the
+    * rest" is the canonical dedup policy.
+    *
+    * All joins are on node ids (longs); each iteration's frame is
+    * persisted and the loop stops when no label changes. No driver-side
+    * graph — scales to billions of edges.
+    */
+  def d11DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(Tables.documents(spark, dir))
+    val sigs = signatureTable(corpus)
+    val sh = sigs.select(col("doc_id"), col("shingles"))
+    val edges = lshCandidates(sigs).select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bidir = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = bidir.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = bidir
+        .join(labels.select(col("node").as("doc_b"), col("label").as("nbr_label")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("node"))
+        .agg(min("nbr_label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (col("nbr_min") < col("label")).as("chg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.where(col("chg")).count()
+      labels.unpersist()
+      labels = next.drop("chg")
+      rounds += 1
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+  }
+
   /** d08: exact n-gram Jaccard verification of the LSH candidates —
     * only candidate pairs (not the cross product) pay the set-intersect
     * cost.

@@ -72,6 +72,20 @@ class TextDedupSimSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.6))
   }
 
+  test("d11 dup clusters: planted twins land in one cluster keyed by min doc_id") {
+    val clusters = Dedup.d11DupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty)
+    // cluster ids are original doc ids (< 1e6): every cluster of a
+    // (doc, truncated-twin) pair is keyed by the original
+    assert(clusters.count(_._1 < 1000000L) == clusters.length)
+    assert(clusters.forall(_._2 >= 2))
+    // determinism across runs
+    val again = Dedup.d11DupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("e01 cosine top-k: 10 neighbors per query, cosine in [-1,1]") {
     val rows = Sim.e01KnnCosine(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
