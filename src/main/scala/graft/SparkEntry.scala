@@ -54,6 +54,7 @@ object SparkEntry {
     "d08_ngram_jaccard"   -> Dedup.d08NgramJaccard _,
     "d09_chunk"           -> Text.d09Chunk _,
     "d11_dup_clusters"    -> Dedup.d11DupClusters _,
+    "d12_tfidf"           -> Text.d12TfIdf _,
     "d10_term_freq"       -> Text.d10TermFreq _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
@@ -280,6 +281,21 @@ object SparkEntry {
         |  array_to_string(toks[i*10 + 1 : i*10 + 50], ' ') AS chunk_text,
         |  CAST(least(50, n - i*10) AS BIGINT) AS n_tokens
         |FROM t, LATERAL (SELECT unnest(range(0, CAST(floor(greatest(n - 50, 0)/10) AS BIGINT) + 1)) AS i)""".stripMargin,
+    "d12_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rn FROM s) t
+        |WHERE rn <= 3""".stripMargin,
     "d10_term_freq" ->
       """SELECT term, count(*) AS freq FROM (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

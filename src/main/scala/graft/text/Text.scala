@@ -120,6 +120,29 @@ object Text {
         col("c.n_tokens").cast("long").as("n_tokens"))
   }
 
+  /** d12: TF-IDF — top-3 terms per document by tf·idf with
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed). Two hash aggregations
+    * (term counts per doc, document frequency per term) + one join on
+    * term; ranking ties break on the term itself so the result is
+    * deterministic and matches the DuckDB oracle bit-for-bit.
+    */
+  def d12TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"),
+      explode(wsTokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val scored = tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))) + 1.0))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** d10: corpus vocabulary — global term frequencies, top 100 terms.
     * Explode + hash groupBy (map-side combined); the classic vocab
     * build. Deterministic tie-break by term.
