@@ -55,6 +55,7 @@ object SparkEntry {
     "d09_chunk"           -> Text.d09Chunk _,
     "d11_dup_clusters"    -> Dedup.d11DupClusters _,
     "d12_tfidf"           -> Text.d12TfIdf _,
+    "d13_stratified"      -> Text.d13StratifiedSample _,
     "d10_term_freq"       -> Text.d10TermFreq _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,

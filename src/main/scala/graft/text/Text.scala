@@ -143,6 +143,20 @@ object Text {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** d13: stratified sampling — per-language fractions via Bernoulli
+    * `sampleBy` (the standard corpus-mixing primitive: upweight rare
+    * languages, downsample the dominant one). One scan, no shuffle
+    * before the roll-up; exact-fraction variants would sort per
+    * stratum. Rows-only driver check + proportion spec (sampling is
+    * partitioning-dependent, so no cross-engine oracle).
+    */
+  def d13StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.3, "fr" -> 0.3, "zh" -> 0.1)
+    Tables.documents(spark, dir)
+      .stat.sampleBy("lang", fractions, 20260812L)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+  }
+
   /** d10: corpus vocabulary — global term frequencies, top 100 terms.
     * Explode + hash groupBy (map-side combined); the classic vocab
     * build. Deterministic tie-break by term.

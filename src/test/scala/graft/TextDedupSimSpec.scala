@@ -72,6 +72,23 @@ class TextDedupSimSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.6))
   }
 
+  test("d13 stratified sample hits the per-language fractions approximately") {
+    val totals = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = graft.text.Text.d13StratifiedSample(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.3, "fr" -> 0.3, "zh" -> 0.1)
+    fractions.foreach { case (lang, f) =>
+      val expect = totals(lang) * f
+      val got = sampled.getOrElse(lang, 0L).toDouble
+      // Bernoulli: allow ±4 sigma
+      val sigma = math.sqrt(totals(lang) * f * (1 - f))
+      assert(math.abs(got - expect) <= 4 * sigma + 1,
+        s"$lang: got $got expect ~$expect (±${4 * sigma})")
+    }
+  }
+
   test("d11 dup clusters: planted twins land in one cluster keyed by min doc_id") {
     val clusters = Dedup.d11DupClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
