@@ -87,10 +87,12 @@ trait ReliefFRParams extends Params {
   * reference BELIEF estimator (reference ReliefFRSelector.scala), but
   * re-architected for Spark's execution model rather than ported:
   *
-  *  - Rows get stable global ids (`zipWithUniqueId`) once; the kNN
-  *    merge is keyed on those ids, not on (partitionIndex, localIndex)
-  *    as in the reference (ReliefFRSelector.scala:339-369), so results
-  *    are invariant under re-partitioning and task retry.
+  *  - Row identity is a content hash (label + vector values), and
+  *    sampling/batching/tie-breaks/thresholds all key off it — the fit
+  *    is bit-reproducible under ANY re-partitioning or cluster layout.
+  *    The reference keys kNN on (partitionIndex, localIndex) and uses
+  *    per-partition RNG for sampling (ReliefFRSelector.scala:339-369,
+  *    223-242), so its results shift with the layout.
   *  - Each query batch is collected and broadcast; every partition
   *    scans its rows once, maintaining a bounded [[TopK]] per query;
   *    heaps merge with `reduceByKey` (map-side combine — shuffle is
@@ -152,10 +154,18 @@ final class ReliefFRSelector(override val uid: String)
     val spark = dataset.sparkSession
     val sc = spark.sparkContext
 
+    // Row identity is a CONTENT hash, not zipWithUniqueId/partition
+    // position: sampling, batching, neighbor tie-breaks and collision
+    // thresholds all key off it, which makes the whole fit invariant
+    // under re-partitioning and cluster layout (the reference is not:
+    // its sample/randomSplit/localIndex all shift with partitioning).
+    // Exact-duplicate rows share an identity and are treated as one
+    // instance with multiplicity — the natural semantics for kNN.
     val data: RDD[(Long, Vector, Double)] = dataset.toDF()
       .select(col($(inputCol)), col($(labelCol)).cast("double"))
-      .rdd.map { case Row(v: Vector, l: Double) => (v, l) }
-      .zipWithUniqueId().map { case ((v, l), id) => (id, v, l) }
+      .rdd.map { case Row(v: Vector, l: Double) =>
+        (ReliefFRSelector.contentHash(v, l), v, l)
+      }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nElems = data.count()
@@ -171,9 +181,17 @@ final class ReliefFRSelector(override val uid: String)
     val lowerFeat = math.max($(numTopFeatures),
       math.round($(lowerFeatureThreshold) * $(numTopFeatures)).toInt)
 
-    val sample = data.sample(withReplacement = false, $(estimationRatio), $(seed))
+    // deterministic content-keyed Bernoulli sample + batch assignment
+    // (partition-layout-independent, unlike sample()/randomSplit())
     val nBatches = math.max(1, math.round(1.0 / $(batchSize)).toInt)
-    val batches = sample.randomSplit(Array.fill(nBatches)(1.0), $(seed))
+    val lSeed0 = $(seed); val lRatio = $(estimationRatio); val lNB = nBatches
+    val batches: Array[RDD[(Long, Vector, Double)]] = Array.tabulate(nBatches) { b =>
+      data.filter { case (id, _, _) =>
+        val u = ReliefFRSelector.mix64(lSeed0 ^ id)
+        ((u >>> 11).toDouble / (1L << 53).toDouble) < lRatio &&
+          java.lang.Long.remainderUnsigned(ReliefFRSelector.mix64(lSeed0 + 0x51ed2701L ^ id), lNB) == b
+      }
+    }
 
     // dense accumulators below the high-dim threshold; feature-keyed
     // maps above it (memory scales with touched features, not nFeat)
@@ -390,6 +408,37 @@ object ReliefFRSelector extends MLReadable[ReliefFRSelector] {
     * nFeat × 2·nClasses doubles per task).
     */
   val DenseFeatureLimit: Int = 1 << 20
+
+  /** splitmix64 finalizer — stateless 64-bit mixer. */
+  private[ml] def mix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Content identity of a row: a mixed hash over the label and the
+    * vector's (indices,) values. Partition- and layout-independent.
+    */
+  private[ml] def contentHash(v: Vector, label: Double): Long = {
+    var h = mix64(java.lang.Double.doubleToLongBits(label))
+    v match {
+      case d: DenseVector =>
+        val a = d.values
+        var i = 0
+        while (i < a.length) {
+          h = mix64(h ^ java.lang.Double.doubleToLongBits(a(i))); i += 1
+        }
+      case s: SparseVector =>
+        var i = 0
+        while (i < s.indices.length) {
+          h = mix64(h ^ s.indices(i))
+          h = mix64(h ^ java.lang.Double.doubleToLongBits(s.values(i)))
+          i += 1
+        }
+    }
+    h
+  }
 
   override def read: MLReader[ReliefFRSelector] =
     new GraftParamsReader[ReliefFRSelector](uid => new ReliefFRSelector(uid))
