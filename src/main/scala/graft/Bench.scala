@@ -20,6 +20,9 @@ object Bench {
     }
     // min of 2 timed runs per query: local run-to-run variance (GC,
     // scheduler) is ±30% at these data sizes
+    // A failing query must be VISIBLE in the output, not recorded as a
+    // flattering ~0 s timing: collect per-query errors and emit them.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache() // no warm-cache runs: each timing does full work
@@ -27,15 +30,23 @@ object Bench {
         // noop sink: materializes every row/column (count() would let
         // Catalyst prune the computation away) with zero write cost
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\r\n\t]", " ").take(200)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s + "\""
+    val qs = results.map { case (k, v) =>
+      if (errors.contains(k)) jstr(k) + ":" + jstr("err") else jstr(k) + ":" + v
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

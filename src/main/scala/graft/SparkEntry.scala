@@ -358,5 +358,147 @@ object SparkEntry {
     "vector_assemble" ->
       """SELECT o_orderkey, CAST(2 AS INTEGER) AS dim, o_totalprice AS f0
         |FROM orders""".stripMargin,
+    // Frozen-expected-value oracles for the RELIEF surface: the fit is
+    // bit-reproducible by design (content-hash row identity — see
+    // ReliefFRSelector), so the sf0.01 outputs are pinned as literal
+    // VALUES. Valid for the driver's sf0.01 verify data only.
+    "relief_weights" ->
+      """SELECT feature, weight FROM (VALUES
+        |  (0, 0.30520744093549024),
+        |  (1, 0.49816740214793465),
+        |  (2, 0.611278417782673),
+        |  (3, 0.027880789677086546),
+        |  (4, 0.40448449888109217),
+        |  (5, 0.5699178009413877),
+        |  (6, 0.6507917089689258),
+        |  (7, 0.6095701812457861),
+        |  (8, 0.3717556399274765),
+        |  (9, 0.5315029981438165),
+        |  (10, 0.40529348196493026),
+        |  (11, 0.5061277762962023),
+        |  (12, 0.1856645383409829),
+        |  (13, 0.39575267653079327),
+        |  (14, 0.2884111296176673),
+        |  (15, 0.4783438487689774),
+        |  (16, 0.8482911209536587),
+        |  (17, 0.4524804210624562),
+        |  (18, 0.2814867012785157),
+        |  (19, 0.4529637698952907),
+        |  (20, 0.26190868114359916),
+        |  (21, 0.7011556363883064),
+        |  (22, 0.46059518786534903),
+        |  (23, 0.6349619440510754),
+        |  (24, 1.0),
+        |  (25, 0.430073269197923),
+        |  (26, 0.8828947635437691),
+        |  (27, 0.5441868883334245),
+        |  (28, 0.30342164977223873),
+        |  (29, 0.4715625511266269),
+        |  (30, 0.18377405797172194),
+        |  (31, 0.25198063858818825),
+        |  (32, 0.591784135483083),
+        |  (33, 0.3764710812609038),
+        |  (34, 0.3142384973848274),
+        |  (35, 0.8291455469031067),
+        |  (36, 0.1210224435783151),
+        |  (37, 0.2169707586949473),
+        |  (38, 0.17933925544644194),
+        |  (39, 0.6180879979539879),
+        |  (40, 0.8709908841857941),
+        |  (41, 0.18400993433376428),
+        |  (42, 0.725613298802509),
+        |  (43, 0.6337600854883082),
+        |  (44, 0.42253036546052003),
+        |  (45, 0.0),
+        |  (46, 0.4810329088830758),
+        |  (47, 0.7081548213811567),
+        |  (48, 0.6855908708445357),
+        |  (49, 0.798938433090261),
+        |  (50, 0.1858385943761225),
+        |  (51, 0.6767747828300915),
+        |  (52, 0.5077465546144654),
+        |  (53, 0.5380427709242483),
+        |  (54, 0.44971605641686674),
+        |  (55, 0.15596704762459881),
+        |  (56, 0.23410127566181882),
+        |  (57, 0.353284452704555),
+        |  (58, 0.35734206884775155),
+        |  (59, 0.21826255323162555),
+        |  (60, 0.5261635555266969),
+        |  (61, 0.4358327025853918),
+        |  (62, 0.31728436239088864),
+        |  (63, 0.3325622794793312)) AS t(feature, weight)""".stripMargin,
+    "relief_select" ->
+      """SELECT rank, std_feature, redundancy_feature FROM (VALUES
+        |  (1, 24, 24),
+        |  (2, 26, 5),
+        |  (3, 40, 53),
+        |  (4, 16, 26),
+        |  (5, 35, 9),
+        |  (6, 49, 11),
+        |  (7, 42, 40),
+        |  (8, 47, 46),
+        |  (9, 21, 16),
+        |  (10, 48, 15)) AS t(rank, std_feature, redundancy_feature)""".stripMargin,
+    "relief_persist" ->
+      """SELECT rank, std_feature, redundancy_feature FROM (VALUES
+        |  (1, 24, 24),
+        |  (2, 26, 5),
+        |  (3, 40, 53),
+        |  (4, 16, 26),
+        |  (5, 35, 9),
+        |  (6, 49, 11),
+        |  (7, 42, 40),
+        |  (8, 47, 46),
+        |  (9, 21, 16),
+        |  (10, 48, 15)) AS t(rank, std_feature, redundancy_feature)""".stripMargin,
+    // transform: selection {16,21,24,26,35,40,42,47,48,49} frozen from the
+    // same fit; ascending-index sum matches compress() + the left-to-right
+    // aggregate fold exactly (float->double casts are exact).
+    "relief_transform" ->
+      "SELECT vec_id, CAST(10 AS INTEGER) AS n_selected, round(CAST(embedding[17] AS DOUBLE) + CAST(embedding[22] AS DOUBLE) + CAST(embedding[25] AS DOUBLE) + CAST(embedding[27] AS DOUBLE) + CAST(embedding[36] AS DOUBLE) + CAST(embedding[41] AS DOUBLE) + CAST(embedding[43] AS DOUBLE) + CAST(embedding[48] AS DOUBLE) + CAST(embedding[49] AS DOUBLE) + CAST(embedding[50] AS DOUBLE), 6) AS sum_selected FROM embeddings",
+    // Reproduces Text.fingerprint exactly: the same two mod-1e9+7
+    // polynomial token/char folds, packed h1*P+h2 (every intermediate
+    // < 2^63, so checked BIGINT arithmetic agrees with JVM longs).
+    "d05_fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(17 AS BIGINT), list_transform(toks, t ->
+        |      list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |        list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+        |        (b, c) -> (b * 31 + c) % 1000000007))),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+        |    list_reduce(list_prepend(CAST(19 AS BIGINT), list_transform(toks, t ->
+        |      list_reduce(list_prepend(CAST(19 AS BIGINT),
+        |        list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+        |        (b, c) -> (b * 37 + c) % 1000000007))),
+        |      (a, x) -> (a * 137 + x) % 1000000007) AS h2
+        |  FROM t)
+        |SELECT doc_id, h1 * 1000000007 + h2 AS fingerprint FROM h""".stripMargin,
+    // Reproduces Multimodal.stubDecode byte-for-byte: documents.text is
+    // ASCII (octet_length == length on all SFs), so ascii(text[i]) IS the
+    // payload byte; the mod-1e9+7 checksum and exact integer byte-sums
+    // were chosen so checked BIGINT arithmetic matches JVM longs.
+    "m01_multimodal" ->
+      """WITH b AS (
+        |  SELECT doc_id, 'application/x-graft-' || lang AS mime,
+        |    CAST(length(text) AS BIGINT) AS n_bytes, text,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ascii(text[i]) AS BIGINT)) AS bytes
+        |  FROM documents)
+        |SELECT doc_id, mime, n_bytes,
+        |  list_reduce(list_prepend(CAST(17 AS BIGINT), bytes),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum,
+        |  COALESCE(list_sum(list_transform(range(1, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_0,
+        |  COALESCE(list_sum(list_transform(range(2, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_1,
+        |  COALESCE(list_sum(list_transform(range(3, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_2,
+        |  COALESCE(list_sum(list_transform(range(4, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_3,
+        |  COALESCE(list_sum(list_transform(range(5, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_4,
+        |  COALESCE(list_sum(list_transform(range(6, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_5,
+        |  COALESCE(list_sum(list_transform(range(7, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_6,
+        |  COALESCE(list_sum(list_transform(range(8, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_7
+        |FROM b""".stripMargin,
   )
 }

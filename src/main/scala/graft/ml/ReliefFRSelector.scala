@@ -49,6 +49,17 @@ trait ReliefFRParams extends Params {
     "fraction of the sample per batch", ParamValidators.inRange(0, 1, false, true))
   setDefault(batchSize -> 0.25)
 
+  /** Absolute cap on query rows per broadcast batch. `batchSize` is a
+    * FRACTION, so at fixed estimationRatio the collected batch grows
+    * linearly with the data and would eventually kill the driver; this
+    * cap raises the batch count instead, bounding driver/broadcast
+    * memory at any input size. The effective batch count is
+    * max(round(1/batchSize), ceil(expectedQueryRows / this)).
+    */
+  final val maxQueryRowsPerBatch = new IntParam(this, "maxQueryRowsPerBatch",
+    "absolute row cap per broadcast query batch", ParamValidators.gtEq(1))
+  setDefault(maxQueryRowsPerBatch -> 100000)
+
   /** Multiple of numTopFeatures involved in redundancy accounting. */
   final val lowerFeatureThreshold = new DoubleParam(this, "lowerFeatureThreshold",
     "redundancy candidate pool size, as a multiple of numTopFeatures", ParamValidators.gtEq(1))
@@ -138,6 +149,7 @@ final class ReliefFRSelector(override val uid: String)
   def setNumNeighbors(v: Int): this.type = set(numNeighbors, v)
   def setEstimationRatio(v: Double): this.type = set(estimationRatio, v)
   def setBatchSize(v: Double): this.type = set(batchSize, v)
+  def setMaxQueryRowsPerBatch(v: Int): this.type = set(maxQueryRowsPerBatch, v)
   def setLowerFeatureThreshold(v: Double): this.type = set(lowerFeatureThreshold, v)
   def setLowerDistanceThreshold(v: Double): this.type = set(lowerDistanceThreshold, v)
   def setRedundancyRemoval(v: Boolean): this.type = set(redundancyRemoval, v)
@@ -182,8 +194,14 @@ final class ReliefFRSelector(override val uid: String)
       math.round($(lowerFeatureThreshold) * $(numTopFeatures)).toInt)
 
     // deterministic content-keyed Bernoulli sample + batch assignment
-    // (partition-layout-independent, unlike sample()/randomSplit())
-    val nBatches = math.max(1, math.round(1.0 / $(batchSize)).toInt)
+    // (partition-layout-independent, unlike sample()/randomSplit()).
+    // Batch count: the batchSize fraction, overridden upward whenever
+    // the expected sample would exceed the absolute per-batch row cap —
+    // nElems is a deterministic count, so this stays layout-invariant.
+    val expectedQueryRows = math.max(1L, math.round(nElems * $(estimationRatio)))
+    val nBatches = math.max(
+      math.max(1, math.round(1.0 / $(batchSize)).toInt),
+      math.ceil(expectedQueryRows.toDouble / $(maxQueryRowsPerBatch)).toInt)
     val lSeed0 = $(seed); val lRatio = $(estimationRatio); val lNB = nBatches
     val batches: Array[RDD[(Long, Vector, Double)]] = Array.tabulate(nBatches) { b =>
       data.filter { case (id, _, _) =>
@@ -237,14 +255,21 @@ final class ReliefFRSelector(override val uid: String)
           a
         }.collect()
 
-        // invert: rowId -> query indices it serves
-        val nbrOf = new java.util.HashMap[Long, Array[Int]]()
+        // invert: rowId -> query indices it serves (buffer-backed build:
+        // `prev :+ qIdx` would be O(k²) per hot row)
+        val nbrBuf = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
         neighborSets.foreach { case (qIdx, heapsByClass) =>
           heapsByClass.foreach(_.sorted.foreach { case (_, id) =>
-            val prev = nbrOf.get(id)
-            nbrOf.put(id, if (prev == null) Array(qIdx) else prev :+ qIdx)
+            var buf = nbrBuf.get(id)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[Int](4)
+              nbrBuf.put(id, buf)
+            }
+            buf += qIdx
           })
         }
+        val nbrOf = new java.util.HashMap[Long, Array[Int]](nbrBuf.size())
+        nbrBuf.forEach((id, buf) => nbrOf.put(id, buf.toArray))
         val bNbrOf = sc.broadcast(nbrOf)
         val bTopF = sc.broadcast(topFeatures)
 

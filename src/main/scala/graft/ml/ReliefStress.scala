@@ -32,6 +32,20 @@ object ReliefStress {
     println(s"fit took ${(System.nanoTime() - t0) / 1e9}s; top=${m.stdSelection.take(5).mkString(",")}")
     assert(m.stdSelection.head == 0, "informative feature not recovered at 20k x 100")
 
+    // ---- row-bounded batching: absolute cap forces more, smaller
+    // batches (here: ~1000 query rows / 200 cap → ≥5 batches instead of
+    // 4) — the driver-collected batch stays bounded at ANY data size
+    val t0b = System.nanoTime()
+    val mb = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(10).setNumNeighbors(5)
+      .setEstimationRatio(0.05).setBatchSize(0.25)
+      .setMaxQueryRowsPerBatch(200)
+      .setRedundancyRemoval(true).setSeed(1L)
+      .fit(df)
+    println(s"row-capped fit took ${(System.nanoTime() - t0b) / 1e9}s; top=${mb.stdSelection.take(5).mkString(",")}")
+    assert(mb.stdSelection.head == 0, "informative feature not recovered with row-capped batches")
+
     // ---- high-dim sparse: 5k rows × 2M features (~50 active each) ----
     // above DenseFeatureLimit → feature-keyed sparse accumulation
     val bigFeat = 2000000

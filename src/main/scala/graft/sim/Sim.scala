@@ -24,11 +24,25 @@ import graft.Tables
   */
 object Sim {
 
-  /** Number of sign bits in the hyperplane signature: 256 buckets keeps
-    * buckets non-degenerate at test scale; at 100 TB you would raise it
-    * (more, smaller buckets) and multi-probe.
+  /** Number of sign bits in the hyperplane signature for e02 ANN: 256
+    * buckets keeps buckets non-degenerate at test scale; at 100 TB you
+    * would raise it (more, smaller buckets) and multi-probe.
     */
   val SigBits = 8
+
+  /** e03 embed-dedup uses a wider 16-bit signature (65 536 buckets) so
+    * buckets stay small enough for a within-bucket self-join, with
+    * hamming-1 multi-probe recovering pairs that straddle one sign flip.
+    */
+  val DedupSigBits = 16
+
+  /** Stop-bucket cap for the e03 self-join, same idea as
+    * [[graft.dedup.Dedup.MaxBucket]]: a degenerate bucket (all-zero /
+    * boilerplate embeddings at web scale) would make the within-bucket
+    * join quadratic; buckets above the cap are dropped from candidate
+    * generation.
+    */
+  val MaxBucketE = 64
 
   /** Dot product: the native codegen'd [[graft.functions.DotProduct]]
     * when the graft extensions are installed in this session, otherwise
@@ -69,13 +83,15 @@ object Sim {
     * h_j[d] = ±1 from xxhash64(j, d). Regenerated in codegen on every
     * executor — the "model" is free to distribute.
     */
-  def bucketCol: Column = expr(
+  def bucketCol: Column = bucketColOf(SigBits)
+
+  def bucketColOf(bits: Int): Column = expr(
     s"""aggregate(zip_with(
-       |   transform(sequence(0, ${SigBits - 1}), j ->
+       |   transform(sequence(0, ${bits - 1}), j ->
        |     aggregate(zip_with(v, transform(sequence(0, size(v)-1), d ->
        |         cast((xxhash64(j, d) & 1) * 2 - 1 as double)),
        |       (x, w) -> x * w), 0D, (a, x) -> a + x)),
-       |   sequence(0, ${SigBits - 1}),
+       |   sequence(0, ${bits - 1}),
        |   (s, j) -> if(s > 0D, shiftleft(1L, j), 0L)),
        | 0L, (a, x) -> a | x)""".stripMargin)
 
@@ -152,7 +168,19 @@ object Sim {
 
   /** e03: embedding near-duplicate pairs — corpus ∪ a deterministically
     * perturbed copy (id+100000), LSH-bucketed candidate join, cosine
-    * threshold verify. Only same-bucket pairs pay the dot product.
+    * threshold verify.
+    *
+    * Scale shape (the r1 version was an uncapped 256-bucket self-join —
+    * O((N/256)²) per bucket, quadratic at 100 TB):
+    *  - 16-bit signatures (65 536 buckets) keep buckets small;
+    *  - census + `MaxBucketE` cap drops degenerate stop-buckets, so the
+    *    within-bucket join is bounded at MaxBucketE² per bucket;
+    *  - hamming-1 multi-probe (17 probes/vector, ids only — 16 bytes a
+    *    row, never vectors) recovers pairs that straddle one sign flip,
+    *    paying the recall cost on probe fan-out instead of bucket size;
+    *  - candidate pairs are deduped as bare (vec_a, vec_b) ids; vectors
+    *    are joined back only for surviving candidates, so no shuffle
+    *    ever moves an embedding for a pair that gets dropped.
     */
   def e03EmbedDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir)
@@ -160,16 +188,26 @@ object Sim {
       .select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(v, x -> x * 1.0005d + 0.0001d)").as("v")) // corpus construction only — not a hot path
       .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
-    val corpus = base.unionByName(perturbed).withColumn("bucket", bucketCol)
-    val a = corpus.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("v").as("qv"), col("nrm").as("qn"))
-    val b = corpus.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("v").as("v"), col("nrm").as("nrm"))
-    a.join(b, Seq("bucket"))
+    val corpus = base.unionByName(perturbed)
+      .withColumn("bucket", bucketColOf(DedupSigBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read 4×: census, probe side, join side, vector join-back
+    val useful = corpus.groupBy("bucket").count()
+      .where(col("count") <= MaxBucketE).select("bucket")
+    val in = corpus.join(useful, Seq("bucket"))
+    val probes = in.select(col("vec_id").as("vec_a"),
+      explode(expr(
+        s"array_union(array(bucket), transform(sequence(0, ${DedupSigBits - 1}), " +
+          "j -> bucket ^ shiftleft(1L, j)))")).as("bucket"))
+    val cand = probes
+      .join(in.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+      .select("vec_a", "vec_b")
       .distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dotOf(spark, "va", "vb") / (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= 0.995)
   }
 }

@@ -85,14 +85,25 @@ object Text {
       best.cast("long").as("best_score"))
   }
 
-  /** d05: 64-bit rolling document fingerprint — xxhash64 chained over
-    * whitespace tokens (order-sensitive, whitespace-normalization-
-    * invariant). Codegen'd `aggregate` fold; no overflow under ANSI
-    * because xxhash64 never overflows.
+  /** d05: rolling document fingerprint — two independent polynomial
+    * rolling hashes over the whitespace tokens (each token itself a
+    * polynomial hash of its characters), mod 1e9+7, packed into one
+    * ~60-bit value as `h1 * P + h2`. Order-sensitive and whitespace-
+    * normalization-invariant like the usual xxhash chain, but chosen so
+    * every intermediate stays below 2^63: a checked-arithmetic SQL
+    * engine (the DuckDB oracle) computes the identical value — no
+    * wrap-around semantics to replicate. `aggregate` fold, no UDFs.
     */
+  val FpMod = 1000000007L
+
   def fingerprint(text: Column): Column = {
-    val toks = wsTokens(text)
-    aggregate(toks, xxhash64(lit("graft")), (h, t) => xxhash64(h, t))
+    val P = lit(FpMod)
+    def tokHash(seed: Long, m: Long)(t: Column): Column =
+      aggregate(split(t, ""), lit(seed), (b, c) => (b * lit(m) + ascii(c)) % P)
+    def docHash(seed: Long, mDoc: Long, mTok: Long): Column =
+      aggregate(wsTokens(text), lit(seed),
+        (a, t) => (a * lit(mDoc) + tokHash(seed, mTok)(t)) % P)
+    docHash(17L, 131L, 31L) * P + docHash(19L, 137L, 37L)
   }
 
   def d05Fingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -159,10 +159,13 @@ class TextDedupSimSpec extends SparkSpec {
     val b = Multimodal.m01Multimodal(spark, sfDir)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(a.toSeq == b.toSeq)
-    // stub decode matches a local re-computation
+    // stub decode matches the hand-computed fold:
+    // "abc" = [97,98,99]; ((17*31+97)*31+98)*31+99 = 602801 (< mod)
     val (checksum, feat) = Multimodal.stubDecode("abc".getBytes("UTF-8"))
-    val (checksum2, _) = Multimodal.stubDecode("abc".getBytes("UTF-8"))
-    assert(checksum == checksum2 && feat.length == 8)
+    assert(checksum == 602801L)
+    assert(feat.length == 8)
+    assert(feat(0) == 97.0 / 255.0 && feat(1) == 98.0 / 255.0 && feat(2) == 99.0 / 255.0)
+    assert(feat(3) == 0.0)
   }
 
   test("s02 stateful sessionization agrees with the batch q17 oracle") {

@@ -7,23 +7,24 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Parity run on the reference's own test dataset (lung, 73×325
-  * discrete, reference ReliefSelectorSuite.scala:25-39): same params
+/** Parity runs on the reference's own test datasets (reference
+  * ReliefSelectorSuite.scala:25-39 lung, :42-53 colon): same params
   * (numTopFeatures=10, discreteData=true, estimationRatio=1.0,
   * seed=123456789, +2 pad).
   *
-  * The reference's published selection for this data is
-  * {29,223,10,19,172,55,183,23,35,56}; ours deliberately deviates in
-  * three documented ways (per-class neighborhoods, clean joint votes,
-  * partition-invariant randomness), so the assertion pins the shared
-  * core plus full determinism — including under re-partitioning, which
-  * the reference's own selection is NOT stable under.
+  * Our selections deliberately deviate from the reference's published
+  * lists in three documented ways (per-class neighborhoods, clean
+  * joint votes, partition-invariant randomness), so each assertion
+  * pins the shared feature core plus full determinism — including
+  * under re-partitioning, which the reference's own selection is NOT
+  * stable under.
   */
 class ReferenceDataSpec extends SparkSpec {
 
-  private def lung(): DataFrame = {
+  /** Reference TestHelper path: CSV → cast double → assemble → +2 pad. */
+  private def loadReferenceCsv(name: String): DataFrame = {
     val df = spark.read.option("header", "true").option("inferSchema", "true")
-      .csv("/root/reference/src/test/resources/data/test_lung_s3.csv")
+      .csv(s"/root/reference/src/test/resources/data/$name")
     val featCols = df.columns.drop(1)
     val assembled = new VectorAssembler().setInputCols(featCols).setOutputCol("raw")
       .transform(df.select(col("class").cast("double").as("label") +:
@@ -43,14 +44,32 @@ class ReferenceDataSpec extends SparkSpec {
       .fit(df)
 
   test("lung: reference-params run selects the shared feature core, invariant to partitioning") {
-    val df = lung()
+    val df = loadReferenceCsv("test_lung_s3.csv")
     val m = fit(df)
     assert(m.stdSelection.length == 10)
+    // reference's published lung selection: {29,223,10,19,172,55,183,23,35,56};
     // features both engines agree on for this data (observed stable core)
     val sharedCore = Set(29, 10, 19, 23, 35)
     assert(sharedCore.subsetOf(m.stdSelection.toSet),
       s"shared core missing from ${m.stdSelection.mkString(",")}")
     // partition invariance: identical result on a different layout
+    val m2 = fit(df.repartition(3))
+    assert(m2.stdSelection.toSeq == m.stdSelection.toSeq)
+    val m3 = fit(df.coalesce(1))
+    assert(m3.stdSelection.toSeq == m.stdSelection.toSeq)
+  }
+
+  test("colon: reference-params run selects the shared feature core, invariant to partitioning") {
+    val df = loadReferenceCsv("test_colon_s3.csv")
+    val m = fit(df)
+    assert(m.stdSelection.length == 10)
+    // reference's published colon selection (reference
+    // ReliefSelectorSuite.scala:51): {1422,248,74,244,266,764,1413,1771,1152,779};
+    // 7 of 10 are stable across both engines on this data (62×2000,
+    // sparse-ish discrete — exercises class priors the lung data doesn't)
+    val sharedCore = Set(1422, 248, 244, 266, 764, 1413, 779)
+    assert(sharedCore.subsetOf(m.stdSelection.toSet),
+      s"shared core missing from ${m.stdSelection.mkString(",")}")
     val m2 = fit(df.repartition(3))
     assert(m2.stdSelection.toSeq == m.stdSelection.toSeq)
     val m3 = fit(df.coalesce(1))

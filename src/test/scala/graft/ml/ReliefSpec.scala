@@ -45,6 +45,28 @@ class ReliefSpec extends SparkSpec {
     assert(m.featureWeights(1) > m.featureWeights(3))
   }
 
+  test("row-capped batching recovers the same informative features, layout-invariant") {
+    val df = syntheticDense()
+    // cap forces ≥ ceil(150/40) = 4 batches instead of 2
+    def fitCapped(d: DataFrame) = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(3).setNumNeighbors(5)
+      .setEstimationRatio(0.5).setBatchSize(0.5)
+      .setMaxQueryRowsPerBatch(40)
+      .setSeed(42L).fit(d)
+    val m = fitCapped(df)
+    assert(m.stdSelection.toSet.intersect(Set(0, 1)) == Set(0, 1),
+      s"informative features not recovered with row cap: ${m.stdSelection.mkString(",")}")
+    // batch count derives from a deterministic COUNT, so the capped fit
+    // stays invariant under re-partitioning (selection exactly; weights
+    // to treeAggregate combine-order ulp drift)
+    val m2 = fitCapped(df.repartition(7))
+    assert(m2.stdSelection.toSeq == m.stdSelection.toSeq)
+    assert(m2.featureWeights.zip(m.featureWeights).forall {
+      case (a, b) => math.abs(a - b) < 1e-12
+    })
+  }
+
   test("recovers informative features on sparse data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
