@@ -57,6 +57,9 @@ object SparkEntry {
     "d12_tfidf"           -> Text.d12TfIdf _,
     "d13_stratified"      -> Text.d13StratifiedSample _,
     "d10_term_freq"       -> Text.d10TermFreq _,
+    "d14_decontam"        -> graft.text.Corpus.d14Decontaminate _,
+    "d15_repetition"      -> graft.text.Corpus.d15Repetition _,
+    "d16_pii_scrub"       -> graft.text.Corpus.d16PiiScrub _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
@@ -457,6 +460,58 @@ object SparkEntry {
     // aggregate fold exactly (float->double casts are exact).
     "relief_transform" ->
       "SELECT vec_id, CAST(10 AS INTEGER) AS n_selected, round(CAST(embedding[17] AS DOUBLE) + CAST(embedding[22] AS DOUBLE) + CAST(embedding[25] AS DOUBLE) + CAST(embedding[27] AS DOUBLE) + CAST(embedding[36] AS DOUBLE) + CAST(embedding[41] AS DOUBLE) + CAST(embedding[43] AS DOUBLE) + CAST(embedding[48] AS DOUBLE) + CAST(embedding[49] AS DOUBLE) + CAST(embedding[50] AS DOUBLE), 6) AS sum_selected FROM embeddings",
+    "d14_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
+        |      < 20000000 AS is_bench
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_bench,
+        |    unnest(list_distinct(list_transform(range(1, len(toks)-3),
+        |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM d WHERE len(toks) >= 5),
+        |b AS (SELECT DISTINCT gram FROM g WHERE is_bench)
+        |SELECT g.doc_id, count(*) AS n_contaminated_ngrams
+        |FROM g JOIN b USING (gram) WHERE NOT g.is_bench
+        |GROUP BY 1""".stripMargin,
+    "d15_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |      / len(toks) AS mean_word_len,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+        |  FROM d WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, unnest(bigrams) AS bigram FROM s),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+        |       FROM bc GROUP BY 1)
+        |SELECT s.doc_id, n_words, mean_word_len, top_bigram_frac,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND top_bigram_frac <= 0.2 AS passes_quality
+        |FROM s JOIN tb USING (doc_id)""".stripMargin,
+    "d16_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b', '[PHONE]', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    // Reproduces the deterministic stratified-sample threshold exactly
+    // (thresholds are floor(frac * P) literals on both sides).
+    "d13_stratified" ->
+      """SELECT lang, count(*) AS n_sampled FROM documents
+        |WHERE ((doc_id % 1000000007) * 900000011 % 1000000007 + 20260812) % 1000000007 <
+        |  CASE lang WHEN 'en' THEN 500000003 WHEN 'es' THEN 300000002
+        |            WHEN 'de' THEN 300000002 WHEN 'fr' THEN 300000002
+        |            WHEN 'zh' THEN 100000000 ELSE -1 END
+        |GROUP BY 1""".stripMargin,
     // Reproduces Text.fingerprint exactly: the same two mod-1e9+7
     // polynomial token/char folds, packed h1*P+h2 (every intermediate
     // < 2^63, so checked BIGINT arithmetic agrees with JVM longs).

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-hygiene operators for a training-data pipeline
+  * (SURVEY.md §2c additions, round 2): benchmark decontamination,
+  * repetition / Gopher-style quality signals, and PII scrubbing.
+  * All pure column algebra + one broadcast join — no UDFs.
+  */
+object Corpus {
+
+  /** d14: benchmark decontamination — flag training documents that
+    * share any 5-gram with a held-out "benchmark" slice (here: a
+    * deterministic ~2% hash split of the corpus, standing in for an
+    * eval set like a real pipeline's benchmark suite).
+    *
+    * Scale shape: the benchmark n-gram set is the SMALL side and is
+    * `broadcast()` — training n-grams never shuffle; each training doc
+    * pays one projection + a broadcast-hash-join probe. This is the
+    * standard contamination check (e.g. GPT-3 App. C / PaLM style:
+    * n-gram overlap against eval sets) expressed Spark-first.
+    */
+  def d14Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val u = ((col("doc_id") % P) * 777000037L % P + 4242L) % P
+    val isBench = u < math.floor(0.02 * P).toLong
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), Text.wsTokens(lower(col("text"))).as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(toks)-5), " +
+          "i -> concat_ws(' ', slice(toks, i+1, 5))))")).as("gram"))
+    val benchGrams = grams(docs.where(isBench)).select("gram").distinct()
+    grams(docs.where(!isBench))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
+  /** d15: repetition / quality signals (Gopher-style document filters:
+    * word-count bounds, mean word length, most-repeated-bigram mass).
+    * One projection for the per-doc stats; the bigram mode is a
+    * (doc_id, bigram) count → per-doc max — two map-side-combined
+    * aggregations keyed by doc, no row ever leaves its doc group.
+    */
+  def d15Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.wsTokens(lower(col("text"))).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val stats = docs.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_words"),
+      (expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double") /
+        size(col("toks")).cast("double")).as("mean_word_len"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(toks)-2), " +
+        "i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+    val topBigram = bigrams
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total_c"))
+      .select(col("doc_id"),
+        (col("top_c").cast("double") / col("total_c").cast("double")).as("top_bigram_frac"))
+    stats.join(topBigram, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("top_bigram_frac"),
+        (col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          (col("top_bigram_frac") <= 0.2)).as("passes_quality"))
+  }
+
+  /** PII patterns shared by the operator and its oracle — restricted to
+    * syntax both Java regex and RE2 (DuckDB) support identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\\b"
+
+  /** d16: PII scrub — redact emails / IPv4s / phone-shaped numbers and
+    * count what was removed. Pure codegen'd regexp projection: one
+    * scan, no shuffle, trivially linear at any scale.
+    */
+  def d16PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          Ipv4Re, "[IP]"),
+        PhoneRe, "[PHONE]").as("scrubbed"))
+}

@@ -154,17 +154,30 @@ object Text {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
-  /** d13: stratified sampling — per-language fractions via Bernoulli
-    * `sampleBy` (the standard corpus-mixing primitive: upweight rare
-    * languages, downsample the dominant one). One scan, no shuffle
-    * before the roll-up; exact-fraction variants would sort per
-    * stratum. Rows-only driver check + proportion spec (sampling is
-    * partitioning-dependent, so no cross-engine oracle).
+  /** d13: stratified sampling — per-language fractions (the standard
+    * corpus-mixing primitive: upweight rare languages, downsample the
+    * dominant one) via a DETERMINISTIC per-row hash threshold:
+    * u(id) = (id mod P)·A + B mod P, keep iff u < frac(lang)·P.
+    *
+    * Unlike `sampleBy` (per-partition RNG), this is a pure function of
+    * the row — the sample is identical under any partitioning, cluster
+    * layout, or retry, which is what a reproducible training-data
+    * pipeline needs; and the arithmetic stays below 2^63 so the DuckDB
+    * oracle reproduces the exact row set. One scan, one projection,
+    * map-side-combined roll-up.
     */
+  val SampleMod = 1000000007L
+  val SampleMulA = 900000011L
+  val SampleAddB = 20260812L
+
   def d13StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.3, "fr" -> 0.3, "zh" -> 0.1)
+    val fractions = Seq("en" -> 0.5, "es" -> 0.3, "de" -> 0.3, "fr" -> 0.3, "zh" -> 0.1)
+    val u = (col("doc_id") % SampleMod) * SampleMulA % SampleMod + SampleAddB
+    val thr = fractions.foldLeft(lit(-1L)) { case (acc, (l, f)) =>
+      when(col("lang") === l, lit(math.floor(f * SampleMod).toLong)).otherwise(acc)
+    }
     Tables.documents(spark, dir)
-      .stat.sampleBy("lang", fractions, 20260812L)
+      .where(u % SampleMod < thr)
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
   }
 

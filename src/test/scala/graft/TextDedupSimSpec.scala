@@ -89,6 +89,47 @@ class TextDedupSimSpec extends SparkSpec {
     }
   }
 
+  test("d14 decontamination flags only non-benchmark docs, every hit has overlap") {
+    val out = graft.text.Corpus.d14Decontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every flagged doc carries at least one overlapping 5-gram
+    assert(out.forall(_._2 >= 1))
+    // no benchmark doc may appear in the output (same hash split as the operator)
+    val P = 1000000007L
+    def isBench(id: Long) = ((id % P) * 777000037L % P + 4242L) % P < 20000000L
+    assert(out.forall { case (id, _) => !isBench(id) })
+  }
+
+  test("d15 repetition stats match a local recomputation for one document") {
+    val out = graft.text.Corpus.d15Repetition(spark, sfDir)
+      .where(col("doc_id") === 0L).collect()
+    assert(out.length == 1)
+    val row = out.head
+    val text = graft.Tables.documents(spark, sfDir)
+      .where(col("doc_id") === 0L).select("text").head().getString(0)
+    val toks = text.trim.toLowerCase.split("\\s+")
+    assert(row.getLong(1) == toks.length)
+    assert(math.abs(row.getDouble(2) - toks.map(_.length).sum.toDouble / toks.length) < 1e-12)
+    val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val topFrac = bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size
+    assert(math.abs(row.getDouble(3) - topFrac) < 1e-12)
+  }
+
+  test("d16 PII scrub redacts emails, IPs, and phone-shaped numbers") {
+    import spark.implicits._
+    import graft.text.Corpus._
+    val df = Seq((1L, "mail me at jo.doe+x@test-site.org or 10.0.0.1 or 555-123-4567 ok"))
+      .toDF("doc_id", "text")
+    val scrubbed = df.select(
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]"))
+      .head().getString(0)
+    assert(scrubbed == "mail me at [EMAIL] or [IP] or [PHONE] ok", scrubbed)
+    // corpus run: row-preserving, counts non-negative
+    val out = graft.text.Corpus.d16PiiScrub(spark, sfDir)
+    assert(out.count() == graft.Tables.documents(spark, sfDir).count())
+  }
+
   test("d11 dup clusters: planted twins land in one cluster keyed by min doc_id") {
     val clusters = Dedup.d11DupClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
