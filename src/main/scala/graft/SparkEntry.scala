@@ -460,6 +460,194 @@ object SparkEntry {
     // aggregate fold exactly (float->double casts are exact).
     "relief_transform" ->
       "SELECT vec_id, CAST(10 AS INTEGER) AS n_selected, round(CAST(embedding[17] AS DOUBLE) + CAST(embedding[22] AS DOUBLE) + CAST(embedding[25] AS DOUBLE) + CAST(embedding[27] AS DOUBLE) + CAST(embedding[36] AS DOUBLE) + CAST(embedding[41] AS DOUBLE) + CAST(embedding[43] AS DOUBLE) + CAST(embedding[48] AS DOUBLE) + CAST(embedding[49] AS DOUBLE) + CAST(embedding[50] AS DOUBLE), 6) AS sum_selected FROM embeddings",
+    // Full MinHash+LSH reproduction: poly-hashed shingles, universal-hash
+    // permutation minima, banded buckets with the 2..64 census cap —
+    // identical mod-1e9+7 arithmetic to Dedup.withSignature/lshCandidates.
+    "d06_minhash_lsh" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id, shingles, list_transform(shingles, s ->
+        |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
+        |    list_min(list_transform(hv, h ->
+        |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_id,
+        |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
+        |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+        |  FROM sg, (SELECT unnest(range(0, 16)) AS b) b),
+        |useful AS (
+        |  SELECT band_id, band_sig FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) a
+        |  JOIN (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) b
+        |    USING (band_id, band_sig)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |  len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est_jaccard
+        |FROM pairs p
+        |JOIN sg sa ON sa.doc_id = p.doc_a
+        |JOIN sg sb ON sb.doc_id = p.doc_b
+        |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 >= 0.5""".stripMargin,
+    // SimHash reproduction: packed dual poly token hashes, per-bit vote
+    // packing (bits 60-63 are provably 0), 16-bit chunk buckets + cap.
+    "d07_simhash" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM corpus WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 1),
+        |th AS (
+        |  SELECT doc_id, list_transform(toks, t ->
+        |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007) * 1000000007 +
+        |    list_reduce(list_prepend(CAST(19 AS BIGINT),
+        |      list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+        |      (b, c) -> (b * 37 + c) % 1000000007)) AS hv
+        |  FROM d),
+        |sim AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 60), b -> CASE
+        |      WHEN list_sum(list_transform(hv, h -> ((h >> b) & 1) * 2 - 1)) > 0
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS simhash
+        |  FROM th),
+        |ch AS (
+        |  SELECT doc_id, CAST(simhash AS BIGINT) AS simhash, c.c AS chunk_id,
+        |    (CAST(simhash AS BIGINT) >> (c.c * 16)) & 65535 AS chunk_val
+        |  FROM sim, (SELECT unnest(range(0, 4)) AS c) c),
+        |useful AS (
+        |  SELECT chunk_id, chunk_val FROM ch GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+        |cin AS (SELECT ch.* FROM ch JOIN useful USING (chunk_id, chunk_val))
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM cin a JOIN cin b USING (chunk_id, chunk_val)
+        |  WHERE a.doc_id < b.doc_id) t
+        |WHERE hamming <= 6""".stripMargin,
+    // Exact shingle-set Jaccard over the SAME LSH candidate pairs as d06.
+    "d08_ngram_jaccard" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id, shingles, list_transform(shingles, s ->
+        |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
+        |    list_min(list_transform(hv, h ->
+        |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_id,
+        |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
+        |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+        |  FROM sg, (SELECT unnest(range(0, 16)) AS b) b),
+        |useful AS (
+        |  SELECT band_id, band_sig FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) a
+        |  JOIN (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) b
+        |    USING (band_id, band_sig)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        |  FROM pairs p
+        |  JOIN sg sa ON sa.doc_id = p.doc_a
+        |  JOIN sg sb ON sb.doc_id = p.doc_b) t
+        |WHERE jaccard >= 0.6""".stripMargin,
+    // Connected components over the d08 edges via recursive transitive
+    // closure (min reachable id = cluster id) — matches large-star/small-star.
+    "d11_dup_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id, shingles, list_transform(shingles, s ->
+        |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
+        |    list_min(list_transform(hv, h ->
+        |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_id,
+        |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
+        |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+        |  FROM sg, (SELECT unnest(range(0, 16)) AS b) b),
+        |useful AS (
+        |  SELECT band_id, band_sig FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) a
+        |  JOIN (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) b
+        |    USING (band_id, band_sig)
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM (
+        |    SELECT p.doc_a, p.doc_b,
+        |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        |    FROM pairs p
+        |    JOIN sg sa ON sa.doc_id = p.doc_a
+        |    JOIN sg sb ON sb.doc_id = p.doc_b) t
+        |  WHERE jaccard >= 0.6),
+        |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |reach AS (
+        |  SELECT u AS a, v AS b FROM bidir
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN bidir e ON r.b = e.u WHERE e.v <> r.a),
+        |lab AS (SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+        |SELECT cluster AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        |FROM lab GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "d14_decontam" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,

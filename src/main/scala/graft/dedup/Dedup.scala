@@ -64,21 +64,36 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(toks)-3), " +
           "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))
 
-  /** MinHash signature: NumHashes seeded xxhash64 minima over shingles.
-    * Each shingle string is hashed to a long ONCE; the per-seed minima
-    * mix fixed-width longs (xxhash64(seed, long)) — 64× less string
-    * hashing than the naive formulation. One projection, codegen'd.
+  /** Modulus shared by every dedup hash (shingle hash, permutations,
+    * band signatures): mod-prime arithmetic keeps every intermediate
+    * below 2^63, so the DuckDB oracle reproduces signatures exactly —
+    * no unsigned wrap-around semantics to replicate.
+    */
+  val P = graft.text.Text.FpMod // 1e9+7
+
+  /** MinHash signature: NumHashes universal-hash minima over shingles.
+    * Each shingle string is poly-hashed to [0, P) ONCE; the per-seed
+    * "permutations" are (a_s·h + b_s) mod P — 64× less string hashing
+    * than the naive formulation. One projection, codegen'd natively
+    * when the graft extensions are installed.
     */
   def withSignature(sh: DataFrame): DataFrame = {
+    val fns = sh.sparkSession.catalog
+    val hashExpr =
+      if (fns.functionExists("graft_polyhash"))
+        "transform(shingles, s -> graft_polyhash(s, 17, 31))"
+      else
+        s"transform(shingles, s -> aggregate(split(s, ''), 17L, (b, c) -> (b * 31 + ascii(c)) % $P))"
     val sigExpr =
-      if (sh.sparkSession.catalog.functionExists("graft_minhash"))
+      if (fns.functionExists("graft_minhash"))
         // native fused loop (graft.functions.MinHashSignature) —
         // bit-identical to the fallback below
         s"graft_minhash(shash, $NumHashes)"
       else
         s"transform(sequence(0, ${NumHashes - 1}), " +
-          "s -> array_min(transform(shash, h -> xxhash64(s, h))))"
-    sh.withColumn("shash", expr("transform(shingles, s -> xxhash64(s))"))
+          s"s -> array_min(transform(shash, h -> " +
+          s"(((s+1) * 906150257L) % $P * pmod(h, $P) + (s * 741103597L + 13L) % $P) % $P)))"
+    sh.withColumn("shash", expr(hashExpr))
       .withColumn("sig", expr(sigExpr))
       .drop("shash")
   }
@@ -105,7 +120,8 @@ object Dedup {
     val bd = sigs.select(col("doc_id"),
       explode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
-          s"struct(b AS band_id, xxhash64(slice(sig, b*$RowsPerBand + 1, $RowsPerBand)) AS band_sig))")).as("b"))
+          s"struct(b AS band_id, aggregate(slice(sig, b*$RowsPerBand + 1, $RowsPerBand), " +
+          s"1009L, (acc, x) -> (acc * 1000003L + x) % $P) AS band_sig))")).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_sig"))
     val useful = bd.groupBy("band_id", "band_sig").count()
       .where(col("count").between(2, MaxBucket))
@@ -136,10 +152,20 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 vote sums packed
     * into one long. Codegen'd fold — no UDF, no explode.
+    *
+    * Token hash: two independent poly hashes packed as h1·P + h2 —
+    * ~60 bits of SQL-reproducible entropy (bits 60-63 are always 0;
+    * the 16-bit chunk buckets over the low 48 bits are unaffected).
     */
   def simhash(df: DataFrame, toksCol: String): Column = {
     // hash each token once; per-bit votes then only shift/mask longs
-    val thash = s"transform($toksCol, t -> xxhash64(t))"
+    val thash =
+      if (df.sparkSession.catalog.functionExists("graft_polyhash"))
+        s"transform($toksCol, t -> graft_polyhash(t, 17, 31) * ${P}L + graft_polyhash(t, 19, 37))"
+      else
+        s"transform($toksCol, t -> " +
+          s"aggregate(split(t, ''), 17L, (b, c) -> (b * 31 + ascii(c)) % $P) * ${P}L + " +
+          s"aggregate(split(t, ''), 19L, (b, c) -> (b * 37 + ascii(c)) % $P))"
     if (df.sparkSession.catalog.functionExists("graft_simhash"))
       // native fused loop (graft.functions.SimHash64) — bit-identical
       expr(s"graft_simhash($thash)")

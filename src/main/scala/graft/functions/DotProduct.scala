@@ -87,5 +87,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      (children: Seq[Expression]) => {
+        def longLit(e: Expression, what: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_polyhash $what must be an integer literal, got $other")
+        }
+        PolyHash(children(0), longLit(children(1), "seed"), longLit(children(2), "mult"))
+      }))
   }
 }

@@ -96,10 +96,11 @@ object Text {
     */
   val FpMod = 1000000007L
 
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column, native: Boolean = false): Column = {
     val P = lit(FpMod)
     def tokHash(seed: Long, m: Long)(t: Column): Column =
-      aggregate(split(t, ""), lit(seed), (b, c) => (b * lit(m) + ascii(c)) % P)
+      if (native) call_function("graft_polyhash", t, lit(seed), lit(m))
+      else aggregate(split(t, ""), lit(seed), (b, c) => (b * lit(m) + ascii(c)) % P)
     def docHash(seed: Long, mDoc: Long, mTok: Long): Column =
       aggregate(wsTokens(text), lit(seed),
         (a, t) => (a * lit(mDoc) + tokHash(seed, mTok)(t)) % P)
@@ -108,7 +109,9 @@ object Text {
 
   def d05Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
-      col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      col("doc_id"),
+      fingerprint(col("text"),
+        native = spark.catalog.functionExists("graft_polyhash")).as("fingerprint"))
 
   /** d09: document chunking — sliding token windows (window 50,
     * stride 10), the standard shape for embedding/RAG prep. One

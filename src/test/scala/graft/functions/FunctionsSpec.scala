@@ -21,15 +21,27 @@ class FunctionsSpec extends SparkSpec {
 
   test("graft_minhash is bit-identical to the transform/array_min form") {
     val k = graft.dedup.Dedup.NumHashes
+    val P = graft.dedup.Dedup.P
     val df = graft.Tables.documents(spark, sfDir)
       .select(split(trim(lower(col("text"))), "\\s+").as("toks"))
       .where(size(col("toks")) >= 3)
-      .select(expr("transform(toks, t -> xxhash64(t))").as("shash"))
+      .select(expr("transform(toks, t -> graft_polyhash(t, 17, 31))").as("shash"))
       .select(
         expr(s"graft_minhash(shash, $k)").as("native"),
-        expr(s"transform(sequence(0, ${k - 1}), s -> array_min(transform(shash, h -> xxhash64(s, h))))").as("fold"))
+        expr(s"transform(sequence(0, ${k - 1}), s -> array_min(transform(shash, h -> " +
+          s"(((s+1) * 906150257L) % $P * pmod(h, $P) + (s * 741103597L + 13L) % $P) % $P)))").as("fold"))
     assert(df.count() > 0)
     assert(df.where(not(col("native") <=> col("fold"))).count() == 0)
+  }
+
+  test("graft_polyhash is bit-identical to the split/ascii aggregate fold") {
+    val P = graft.dedup.Dedup.P
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(
+        expr("graft_polyhash(text, 17, 31)").as("native"),
+        expr(s"aggregate(split(text, ''), 17L, (b, c) -> (b * 31 + ascii(c)) % $P)").as("fold"))
+    assert(df.count() > 0)
+    assert(df.where(col("native") =!= col("fold")).count() == 0)
   }
 
   test("graft_simhash is bit-identical to the aggregate/zip_with form") {
