@@ -317,6 +317,55 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s) t
         |WHERE rn <= 10""".stripMargin,
+    // Full LSH-ANN reproduction: mod-prime hyperplane parities (identical
+    // arithmetic to Sim.bucketColOf), hamming<=2 probe set, exact cosine
+    // rank. list_dot_product matches the graft_dot fold bit-for-bit.
+    "e02_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM bk WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT query_id, qv, qn, unnest(list_distinct(list_concat(list_concat(
+        |      [bucket],
+        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
+        |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
+        |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))) AS bucket
+        |  FROM q),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(p.qv, b.v) / (p.qn * b.nrm) AS cosine
+        |  FROM probes p JOIN bk b USING (bucket)
+        |  WHERE b.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM cand) t
+        |WHERE rn <= 10""".stripMargin,
+    // Embed-dedup reproduction: perturbed-twin corpus, 16-bit buckets with
+    // the 64-cap census, hamming-1 probes, cosine threshold.
+    "e03_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pert AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.0005 + 0.0001) AS v FROM e),
+        |corpus0 AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+        |cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM corpus0),
+        |census AS (SELECT bucket FROM cn GROUP BY bucket HAVING count(*) <= 64),
+        |inn AS (SELECT cn.* FROM cn JOIN census USING (bucket)),
+        |probes AS (
+        |  SELECT vec_id AS vec_a, unnest(list_distinct(list_concat([bucket],
+        |    list_transform(range(0, 16), j -> xor(bucket, CAST(1 AS BIGINT) << j))))) AS bucket
+        |  FROM inn),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_a, i.vec_id AS vec_b
+        |  FROM probes p JOIN inn i USING (bucket) WHERE p.vec_a < i.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT c.vec_a, c.vec_b, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM cand c JOIN cn a ON a.vec_id = c.vec_a JOIN cn b ON b.vec_id = c.vec_b) t
+        |WHERE cosine >= 0.995""".stripMargin,
     "s01_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         | count(*) AS n_events, sum(value) AS sum_value

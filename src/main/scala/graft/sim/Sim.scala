@@ -80,36 +80,49 @@ object Sim {
   }
 
   /** Random-hyperplane signature: bit j = sign(v · h_j) where
-    * h_j[d] = ±1 from xxhash64(j, d). Regenerated in codegen on every
-    * executor — the "model" is free to distribute.
+    * h_j[d] = ±1 from the parity of ((a_j·(d+1) + b_j) mod P)² mod P
+    * (a_j, b_j from the same universal-hash family as the MinHash
+    * permutations; the squaring wraps mod P so the parity mixes).
+    * Mod-prime arithmetic keeps every intermediate below 2^63, so the
+    * DuckDB oracle regenerates identical hyperplanes — and so does
+    * every executor, in codegen: the "model" is free to distribute.
     */
   def bucketCol: Column = bucketColOf(SigBits)
 
-  def bucketColOf(bits: Int): Column = expr(
-    s"""aggregate(zip_with(
-       |   transform(sequence(0, ${bits - 1}), j ->
-       |     aggregate(zip_with(v, transform(sequence(0, size(v)-1), d ->
-       |         cast((xxhash64(j, d) & 1) * 2 - 1 as double)),
-       |       (x, w) -> x * w), 0D, (a, x) -> a + x)),
-       |   sequence(0, ${bits - 1}),
-       |   (s, j) -> if(s > 0D, shiftleft(1L, j), 0L)),
-       | 0L, (a, x) -> a | x)""".stripMargin)
+  def bucketColOf(bits: Int): Column = {
+    val P = 1000000007L
+    val h1 = s"((((j+1) * 906150257L) % $P * (d + 1) + (j * 741103597L + 13L) % $P) % $P)"
+    expr(
+      s"""aggregate(zip_with(
+         |   transform(sequence(0, ${bits - 1}), j ->
+         |     aggregate(zip_with(v, transform(sequence(0, size(v)-1), d ->
+         |         cast(($h1 * $h1 % $P % 2) * 2 - 1 as double)),
+         |       (x, w) -> x * w), 0D, (a, x) -> a + x)),
+         |   sequence(0, ${bits - 1}),
+         |   (s, j) -> if(s > 0D, shiftleft(1L, j), 0L)),
+         | 0L, (a, x) -> a | x)""".stripMargin)
+  }
 
   /** e02: LSH-bucketed approximate NN — hash join on bucket id, cosine
     * rank within the probed buckets. Multi-probe: each query also
-    * probes every bucket at hamming distance 1 from its own signature
-    * (1 + SigBits probes) — the standard recall lever that costs probe
+    * probes every bucket within hamming distance 2 of its own signature
+    * (1 + 8 + 28 probes) — the standard recall lever that costs probe
     * fan-out on the tiny query side only, never a wider scan of the
     * corpus. Same queries/top-k contract as e01.
     */
   def e02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("bucket", bucketCol)
+    val b = SigBits
+    val probeExpr =
+      s"array_union(array_union(array(bucket), " +
+        s"transform(sequence(0, ${b - 1}), j -> bucket ^ shiftleft(1L, j))), " +
+        s"flatten(transform(sequence(0, ${b - 2}), j -> " +
+        s"transform(sequence(j + 1, ${b - 1}), k -> " +
+        s"bucket ^ shiftleft(1L, j) ^ shiftleft(1L, k)))))"
     val q = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(expr(
-          s"array_union(array(bucket), transform(sequence(0, ${SigBits - 1}), " +
-            "j -> bucket ^ shiftleft(1L, j)))")).as("bucket"))
+        explode(expr(probeExpr)).as("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
