@@ -44,6 +44,8 @@ object SparkEntry {
     "q16_events_bucket"   -> Events.q16EventsBucket _,
     "q17_sessionize"      -> Events.q17Sessionize _,
     "q18_events_pivot"    -> Events.q18EventsPivot _,
+    "q23_asof_join"       -> Events.q23AsofJoin _,
+    "q24_range_join"      -> Events.q24RangeJoin _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -231,6 +233,26 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1""".stripMargin,
+    // DuckDB's native ASOF JOIN against the union+window composition;
+    // clicks deduped per (user, ts) so the as-of match is deterministic.
+    "q23_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |e AS (SELECT user_id, ts, event_id AS error_id
+        |      FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.error_id, c.click_id,
+        |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+        |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "q24_range_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |           FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_us
+        |      FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT e.error_id) AS n_errors
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |  AND c.c_us >= e.e_us - 300000000 AND c.c_us < e.e_us
+        |GROUP BY 1""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

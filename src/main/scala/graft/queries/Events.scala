@@ -44,6 +44,68 @@ object Events {
         max($"ts").as("session_end"))
   }
 
+  /** q23: AS-OF join — each error event matched to the same user's most
+    * recent click at or before it (ties on click ts broken by larger
+    * event_id, made deterministic by deduping clicks per (user, ts)
+    * first).
+    *
+    * Spark has no native as-of join; the naive formulation
+    * (`JOIN ON user AND c_ts <= e_ts` + argmax) degenerates to a
+    * per-user cartesian product. This is the scale-correct composition:
+    * union both sides tagged, ONE shuffle by user_id, and a running
+    * `last(click, ignoreNulls)` over the event-time order — identical
+    * cost shape to sessionization, valid at any fan-in. Oracle: DuckDB's
+    * native ASOF JOIN.
+    */
+  def q23AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts", $"click_id",
+        lit(0).as("kind"), lit(null).cast("long").as("error_id"))
+    val errors = ev.where($"event_type" === "error")
+      .select($"user_id", $"ts", lit(null).cast("long").as("click_id"),
+        lit(1).as("kind"), $"event_id".as("error_id"))
+    // kind orders a click before an error at the same instant: "at or
+    // before" includes same-ts clicks
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("asof_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts",
+        last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
+      .where($"kind" === 1 && $"asof_click_id".isNotNull)
+      .select($"user_id", $"error_id", $"asof_click_id".as("click_id"),
+        (unix_micros($"ts") - unix_micros($"asof_click_ts")).as("gap_us"))
+  }
+
+  /** q24: range (interval) join, batch form — (error, click) pairs of
+    * the same user with the click in the 5 minutes before the error.
+    *
+    * The naive inequality join is a per-user cartesian product; the
+    * scale shape is time binning: both sides bucket into 5-minute bins,
+    * errors probe their own and the previous bin (the interval spans at
+    * most two), the join runs on (user_id, bin) as an equi-join — so it
+    * hash-partitions, AQE can split skew, and each row meets only its
+    * two bins' counterparts — then the exact range predicate filters.
+    */
+  def q24RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binUs = 5L * 60 * 1000 * 1000
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("c_us"))
+      .withColumn("bin", expr(s"c_us div $binUs"))
+    val errors = ev.where($"event_type" === "error")
+      .select($"user_id", $"event_id".as("error_id"), unix_micros($"ts").as("e_us"))
+      .withColumn("bin", explode(expr(s"array(e_us div $binUs - 1, e_us div $binUs)")))
+    errors.join(clicks, Seq("user_id", "bin"))
+      .where($"c_us" >= $"e_us" - binUs && $"c_us" < $"e_us")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct($"error_id").as("n_errors"))
+  }
+
   /** q18: pivot event counts per user into one column per event type. */
   def q18EventsPivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

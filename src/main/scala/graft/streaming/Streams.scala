@@ -38,12 +38,27 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Stateful operators allocate one state store per shuffle partition,
+    * and the micro-batch pays per-store setup/commit/maintenance every
+    * trigger — with 32 partitions that fixed cost dominates small
+    * batches. Streaming state is keyed, so results are partition-count
+    * invariant: plan the stream narrow (8) and restore the session conf
+    * after start. On a real cluster size this to the state volume, not
+    * to the CPU count.
+    */
+  private val StreamShufflePartitions = "8"
+
   private def runToCompletion(out: DataFrame, mode: OutputMode): (SparkSession, String) = {
+    val spark = out.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    (out.sparkSession, name)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    (spark, name)
   }
 
   /** s01: tumbling 1-hour window aggregation with a watermark — the

@@ -144,6 +144,23 @@ class TextDedupSimSpec extends SparkSpec {
     assert(clusters.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("LSH stop-bucket cap bounds boilerplate skew (no quadratic bucket)") {
+    import spark.implicits._
+    // 300 byte-identical boilerplate docs (web-scale reality) + 20 unique
+    val boiler = (0 until 300).map(i =>
+      (i.toLong, "terms of service all rights reserved contact us about privacy policy"))
+    val unique = (0 until 20).map(i =>
+      (1000L + i, s"unique document body number $i with distinct content tokens alpha$i beta$i gamma$i"))
+    val corpus = (boiler ++ unique).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidates(Dedup.signatureTable(corpus))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical docs share every band -> one bucket of 300 > MaxBucket,
+    // dropped from candidate generation: the 300² self-join never happens
+    // (exact duplicates are d01's job — one hash groupBy, no pairs)
+    assert(!pairs.exists { case (a, b) => a < 300 && b < 300 },
+      s"boilerplate bucket leaked ${pairs.count { case (a, b) => a < 300 && b < 300 }} pairs")
+  }
+
   test("e01 cosine top-k: 10 neighbors per query, cosine in [-1,1]") {
     val rows = Sim.e01KnnCosine(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
