@@ -34,4 +34,25 @@ class PlanSpec extends SparkSpec {
     val exchange = plan.indexOf("Exchange")
     assert(firstAgg >= 0 && exchange >= 0)
   }
+
+  test("q23: as-of join plans as windows, not a join") {
+    // the whole point of the union+window composition: no join operator,
+    // no per-user cartesian — just ordered windows after a hash exchange
+    val plan = explain(Events.q23AsofJoin(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q24: range join is equi-keyed — never a nested-loop/cartesian") {
+    val plan = explain(Events.q24RangeJoin(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the bin key appears in the join, the range predicate as residual
+    assert(plan.contains("bin"), plan)
+  }
+
+  test("d14: benchmark n-gram set is broadcast — training grams never shuffle to a join") {
+    val plan = explain(graft.text.Corpus.d14Decontaminate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
