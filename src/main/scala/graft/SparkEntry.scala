@@ -365,6 +365,42 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM cand) t
         |WHERE rn <= 10""".stripMargin,
+    // Full IVF reproduction: sampled-medoid centroids (smallest mod-prime
+    // vec_id hash), argmin assignment on -2*dot+|c|^2 (the |v|^2 term drops
+    // out), nprobe=4 probing, exact cosine rank.
+    "e04_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id) - 1 AS cid,
+        |    v AS cv
+        |  FROM e
+        |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
+        |  LIMIT 16),
+        |cc AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents),
+        |asg AS (
+        |  SELECT vec_id, v, nrm, cid AS centroid_id FROM (
+        |    SELECT en.vec_id, en.v, en.nrm, cc.cid,
+        |      row_number() OVER (PARTITION BY en.vec_id
+        |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+        |    FROM en CROSS JOIN cc) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, qn, cid AS centroid_id FROM (
+        |    SELECT en.vec_id AS query_id, en.v AS qv, en.nrm AS qn, cc.cid,
+        |      row_number() OVER (PARTITION BY en.vec_id
+        |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+        |    FROM en CROSS JOIN cc WHERE en.vec_id < 20) t
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS cosine
+        |  FROM probes p JOIN asg a USING (centroid_id)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM cand) t
+        |WHERE rn <= 10""".stripMargin,
     // Embed-dedup reproduction: perturbed-twin corpus, 16-bit buckets with
     // the 64-cap census, hamming-1 probes, cosine threshold.
     "e03_embed_dedup" ->

