@@ -59,6 +59,32 @@ class ReferenceDataSpec extends SparkSpec {
     assert(m3.stdSelection.toSeq == m.stdSelection.toSeq)
   }
 
+  test("libsvm input path: the reference's sparse-data entry point works end-to-end") {
+    // the reference README's other input format (spark.read.format("libsvm"));
+    // verifies the estimator consumes MLlib's libsvm-sourced frame as-is
+    val f = java.nio.file.Files.createTempFile("graft_libsvm", ".txt")
+    val rnd = new scala.util.Random(3)
+    val lines = (0 until 120).map { i =>
+      val label = i % 2
+      val f1 = (if (label == 0) 1.0 else 3.0) + rnd.nextGaussian() * 0.2
+      // f3 sporadic noise; f5 always present noise
+      val noise = if (rnd.nextDouble() < 0.4) f" 3:${rnd.nextDouble()}%.4f" else ""
+      f"$label 1:$f1%.4f$noise 5:${rnd.nextDouble()}%.4f"
+    }
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    val df = spark.read.format("libsvm").option("numFeatures", "6").load(f.toString)
+    val m = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(2).setNumNeighbors(5)
+      .setEstimationRatio(0.5).setBatchSize(0.5).setSeed(7L)
+      .fit(df)
+    assert(m.stdSelection.contains(0),
+      s"libsvm informative feature not recovered: ${m.stdSelection.mkString(",")}")
+    val out = m.transform(df)
+    assert(out.count() == 120)
+    java.nio.file.Files.delete(f)
+  }
+
   test("colon: reference-params run selects the shared feature core, invariant to partitioning") {
     val df = loadReferenceCsv("test_colon_s3.csv")
     val m = fit(df)

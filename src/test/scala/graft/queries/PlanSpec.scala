@@ -55,4 +55,16 @@ class PlanSpec extends SparkSpec {
     val plan = explain(graft.text.Corpus.d14Decontaminate(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("LSH family: no cartesian/nested-loop join anywhere") {
+    // every candidate join must be bucket-keyed — a cartesian in any of
+    // these is the 100 TB failure mode the census caps exist to prevent
+    for (q <- Seq(
+        graft.dedup.Dedup.d06MinHashLsh(spark, sfDir),
+        graft.sim.Sim.e03EmbedDedup(spark, sfDir))) {
+      val plan = explain(q)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
 }
