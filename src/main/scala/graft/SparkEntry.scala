@@ -71,6 +71,9 @@ object SparkEntry {
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
     "s04_stream_join"     -> Streams.s04StreamJoin _,
+    "s05_stream_neardup"  -> Streams.s05StreamNearDup _,
+    "w01_sink_partitioned" -> graft.sources.Sinks.w01SinkPartitioned _,
+    "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_select"       -> ReliefQueries.reliefSelect _,
     "relief_transform"    -> ReliefQueries.reliefTransform _,
@@ -256,6 +259,16 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // round-trip integrity: the partitioned write+read-back must
+    // preserve exactly the source rows and bytes per language
+    "w01_sink_partitioned" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // self-join on the unique bucket key is the identity: the bucketed
+    // write+read-back must preserve exactly the source rows
+    "w02_sink_bucketed" ->
+      """SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1""",
     "d04_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang AS lang_actual,
@@ -339,6 +352,51 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s) t
         |WHERE rn <= 10""".stripMargin,
+    // single AvailableNow batch == the full batch census, so the
+    // streaming near-dup oracle is d06's, verbatim
+    "s05_stream_neardup" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id, shingles, list_transform(shingles, s ->
+        |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
+        |    list_min(list_transform(hv, h ->
+        |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_id,
+        |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
+        |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+        |  FROM sg, (SELECT unnest(range(0, 16)) AS b) b),
+        |useful AS (
+        |  SELECT band_id, band_sig FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) a
+        |  JOIN (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) b
+        |    USING (band_id, band_sig)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |  len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est_jaccard
+        |FROM pairs p
+        |JOIN sg sa ON sa.doc_id = p.doc_a
+        |JOIN sg sb ON sb.doc_id = p.doc_b
+        |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 >= 0.5""".stripMargin,
     // Full LSH-ANN reproduction: mod-prime hyperplane parities (identical
     // arithmetic to Sim.bucketColOf), hamming<=2 probe set, exact cosine
     // rank. list_dot_product matches the graft_dot fold bit-for-bit.

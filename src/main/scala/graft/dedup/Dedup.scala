@@ -116,13 +116,20 @@ object Dedup {
     * so the bucket-join shuffle never moves signatures or shingles;
     * signatures are joined back only for the surviving pairs.
     */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bd = sigs.select(col("doc_id"),
+  /** One row per (doc, band): (doc_id, band_id, band_sig) plus any
+    * extra columns requested — the shared band projection for batch LSH
+    * and the streaming near-dup operator.
+    */
+  def bandRows(sigs: DataFrame, extra: String*): DataFrame =
+    sigs.select((col("doc_id") +: extra.map(col)) :+
       explode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"struct(b AS band_id, aggregate(slice(sig, b*$RowsPerBand + 1, $RowsPerBand), " +
-          s"1009L, (acc, x) -> (acc * 1000003L + x) % $P) AS band_sig))")).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_sig"))
+          s"1009L, (acc, x) -> (acc * 1000003L + x) % $P) AS band_sig))")).as("b"): _*)
+      .select((col("doc_id") +: extra.map(col)) :+ col("b.band_id") :+ col("b.band_sig"): _*)
+
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bd = bandRows(sigs)
     val useful = bd.groupBy("band_id", "band_sig").count()
       .where(col("count").between(2, MaxBucket))
       .select("band_id", "band_sig")

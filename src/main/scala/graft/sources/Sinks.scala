@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Writer-side operators (SURVEY.md §2c additions, round 2): the
+  * layout-authoring half of a pipeline. Each operator WRITES a real
+  * layout, reads it back, and returns a round-trip summary the DuckDB
+  * oracle checks against the source table — so the oracle pins
+  * write→read integrity, not just the final aggregation.
+  */
+object Sinks {
+
+  private def stage(dir: String, name: String): String =
+    s"/tmp/graft_sink_${name}_${Integer.toHexString(dir.hashCode)}"
+
+  /** w01: partitioned parquet sink — documents written partitioned by
+    * language (the standard corpus layout: per-language directories,
+    * partition pruning for free on read), read back, rolled up. At
+    * 100 TB this is exactly how a corpus lands: one directory per
+    * partition value, scans of one language never touch the rest.
+    */
+  def w01SinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = stage(dir, "part")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
+  /** Read-back frame for the partition-pruning plan pin: a single-
+    * language scan of the w01 layout must show partition filters, not
+    * a full-table read.
+    */
+  def w01ReadOneLang(spark: SparkSession, dir: String): DataFrame = {
+    val out = stage(dir, "part")
+    spark.read.parquet(out).where(col("lang") === "en")
+  }
+
+  /** w02: bucketed table sink — documents written bucketed+sorted by
+    * doc_id, then self-joined on the bucket key. Bucketing is the
+    * co-located-join primitive: both sides hash-land in the same
+    * bucket files, so the join plans with NO shuffle exchange (pinned
+    * in PlanSpec) — at 100 TB this is the difference between a join
+    * that moves nothing and one that moves both tables. The `merge`
+    * hint forces the sort-merge path so the pin is about bucketing,
+    * not broadcast luck.
+    */
+  def w02SinkBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val t = bucketedTable(spark, dir)
+    t.as("a").hint("merge")
+      .join(t.as("b").hint("merge"), Seq("doc_id"))
+      .groupBy(col("a.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_docs_bucketed"
+    val out = stage(dir, "bucket")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", out)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+}

@@ -19,22 +19,28 @@ object Streams {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Stream a single-file parquet table: the file stream source
+    * requires a directory, but the testdata ships bare files — stage a
+    * directory of symlinks (idempotent, /tmp).
+    */
+  private def fileStream(spark: SparkSession, dir: String, fileName: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, fileName).toAbsolutePath
+    val stageDir = java.nio.file.Paths.get(
+      "/tmp", s"graft_stream_src_${Integer.toHexString(src.toString.hashCode)}")
+    java.nio.file.Files.createDirectories(stageDir)
+    val link = stageDir.resolve(fileName)
+    if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(stageDir.toString)
+  }
+
   /** Raw events as a stream: TIMESTAMP(NANOS) parquet must be read with
     * nanosAsLong (same gotcha as the batch path in [[graft.Tables]]),
     * then converted to a µs timestamp (generator emits whole µs).
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source requires a directory; the testdata ships a
-    // bare file. Stage a directory of symlinks (idempotent, /tmp).
-    val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
-    val stageDir = java.nio.file.Paths.get(
-      "/tmp", s"graft_stream_src_${Integer.toHexString(src.toString.hashCode)}")
-    java.nio.file.Files.createDirectories(stageDir)
-    val link = stageDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
-    val schema = spark.read.parquet(src.toString).schema
-    spark.readStream.schema(schema).parquet(stageDir.toString)
+    fileStream(spark, dir, "events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -125,6 +131,91 @@ object Streams {
   }
 
   // public: encoder-generated code must be able to reach these
+  case class BandDoc(doc_id: Long, sig: Array[Long], band_id: Int, band_sig: Long)
+  case class BucketState(docIds: Array[Long], sigs: Array[Array[Long]], overflowed: Boolean)
+  case class PairOut(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** s05: STREAMING near-duplicate detection — online MinHash LSH at
+    * ingestion time. The signature/band projection is the exact batch
+    * pipeline (Dedup.withSignature / bandRows — stateless, codegen'd);
+    * the stateful half keys by (band_id, band_sig) bucket and keeps the
+    * docs seen in that bucket as state, emitting candidate pairs the
+    * moment a new document collides with a stored one.
+    *
+    * State is bounded by the same `MaxBucket` stop-bucket cap as batch:
+    * a bucket that overflows is poisoned (emits nothing, stores only a
+    * flag), so boilerplate floods cannot grow state or output — the cap
+    * IS the watermark here, since near-dup buckets have no event time.
+    * The per-group iterator is drained without materializing past the
+    * cap, so memory per bucket is MaxBucket × signature, always.
+    *
+    * On the single AvailableNow batch the emitted pair set equals the
+    * batch census exactly, so the oracle is d06's; under continuous
+    * ingestion the cap applies at arrival order — the only semantic a
+    * streaming dedup can offer.
+    */
+  def s05StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val corpus = Dedup.nearDupCorpus(fileStream(spark, dir, "documents.parquet"))
+    val sigs = Dedup.withSignature(Dedup.shingled(corpus)).select("doc_id", "sig")
+    val bands = Dedup.bandRows(sigs, "sig").as[BandDoc]
+
+    def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+      var eq = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq / 64.0
+    }
+
+    val pairs = bands
+      .groupByKey(r => (r.band_id, r.band_sig))
+      .flatMapGroupsWithState[BucketState, PairOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(Array.empty, Array.empty, overflowed = false))
+          // collect at most cap+1 rows; never materialize a flood
+          val buf = scala.collection.mutable.ArrayBuffer.empty[BandDoc]
+          var over = st.overflowed
+          while (it.hasNext) {
+            val r = it.next()
+            if (!over) {
+              buf += r
+              if (st.docIds.length + buf.length > Dedup.MaxBucket) over = true
+            }
+          }
+          if (over) {
+            state.update(BucketState(Array.empty, Array.empty, overflowed = true))
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+            var i = 0
+            while (i < buf.length) {
+              val d = buf(i)
+              var j = 0
+              while (j < st.docIds.length) {
+                out += PairOut(math.min(st.docIds(j), d.doc_id),
+                  math.max(st.docIds(j), d.doc_id), estJaccard(st.sigs(j), d.sig))
+                j += 1
+              }
+              j = 0
+              while (j < i) {
+                out += PairOut(math.min(buf(j).doc_id, d.doc_id),
+                  math.max(buf(j).doc_id, d.doc_id), estJaccard(buf(j).sig, d.sig))
+                j += 1
+              }
+              i += 1
+            }
+            state.update(BucketState(st.docIds ++ buf.map(_.doc_id),
+              st.sigs ++ buf.map(_.sig), overflowed = false))
+            out.iterator
+          }
+      }
+    val (sess, name) = runToCompletion(pairs.toDF(), OutputMode.Update())
+    sess.table(name)
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("est_jaccard") >= 0.5)
+  }
+
   case class Ev(user_id: Long, event_id: Long, tsUs: Long)
   case class SessionState(sessions: Long, startUs: Long, endUs: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

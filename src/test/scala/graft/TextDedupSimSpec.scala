@@ -226,6 +226,15 @@ class TextDedupSimSpec extends SparkSpec {
     assert(feat(3) == 0.0)
   }
 
+  test("s05 streaming near-dup emits exactly the batch d06 pair set") {
+    val stream = graft.streaming.Streams.s05StreamNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(identity).toSeq
+    val batch = Dedup.d06MinHashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(identity).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("s02 stateful sessionization agrees with the batch q17 oracle") {
     val stream = graft.streaming.Streams.s02StreamStateful(spark, sfDir)
       .select("user_id", "session_id", "n_events").collect()

@@ -56,6 +56,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("w01: single-language read of the partitioned layout prunes partitions") {
+    graft.sources.Sinks.w01SinkPartitioned(spark, sfDir).count() // materialize the layout
+    val plan = explain(graft.sources.Sinks.w01ReadOneLang(spark, sfDir))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert("""PartitionFilters: \[[^\]]*lang""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("w02: bucketed self-join plans without a shuffle exchange") {
+    // tree-only plan string: everything below the SortMergeJoin must be
+    // exchange-free — both sides read bucket-aligned. The only exchange
+    // allowed in the whole plan is the final groupBy's (above the join).
+    val plan = graft.sources.Sinks.w02SinkBucketed(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange"), plan)
+  }
+
   test("LSH family: no cartesian/nested-loop join anywhere") {
     // every candidate join must be bucket-keyed — a cartesian in any of
     // these is the 100 TB failure mode the census caps exist to prevent
