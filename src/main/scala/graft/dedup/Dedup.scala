@@ -267,17 +267,35 @@ object Dedup {
     * round against the checkpointed frame; near-dup graphs converge in
     * 2-3 rounds. All shuffles carry 16-byte edge rows.
     */
+  /** Lineage barrier for the CC loop. Default: `localCheckpoint` (fast,
+    * executor-local blocks — right for local mode and healthy clusters).
+    * Set `spark.graft.cc.checkpointDir` to a reliable path (HDFS/object
+    * store) and rounds checkpoint durably instead: a late-round executor
+    * loss then re-reads the checkpoint rather than recomputing the LSH
+    * pipeline.
+    */
+  private def barrier(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.cc.checkpointDir") match {
+      case Some(d) =>
+        // setCheckpointDir appends a UUID subdir — only (re)set on change
+        if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(d)))
+          spark.sparkContext.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   def d11DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
     val sigs = signatureTable(corpus)
     val sh = sigs.select(col("doc_id"), col("shingles"))
-    var edges = lshCandidates(sigs).select("doc_a", "doc_b")
+    var edges = barrier(lshCandidates(sigs).select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.6)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .localCheckpoint()
+      .select(col("doc_a").as("u"), col("doc_b").as("v")))
     sigs.unpersist()
 
     def signature(e: DataFrame): (Long, Long) = {
@@ -288,7 +306,7 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 8) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = barrier(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

@@ -155,20 +155,33 @@ object Sim {
   val IvfNprobe = 4
   val IvfHashMul = 616318177L
 
-  /** Deterministic sampled centroids: (centroid_id, vector), ordered by
-    * the vec_id hash then vec_id. Driver-side k×dim doubles — same
-    * footprint as a KMeans model.
+  /** Coarse quantizer. Default: deterministic sampled centroids — the
+    * k corpus vectors with the smallest mod-prime vec_id hash, ordered
+    * (KMeans‖-style seeding without Lloyd iterations; cross-engine
+    * reproducible, which is what keeps e04 oracle-checkable). Set
+    * `spark.graft.ivf.quantizer=kmeans` to train a real KMeans instead
+    * when recall matters more than verification — the inverted-list /
+    * nprobe structure downstream is identical either way. Both fits
+    * are driver-side k×dim doubles.
     */
-  private def fitCentroids(e: DataFrame): Array[(Int, Array[Double])] = {
-    val P = 1000000007L
-    e.select(col("vec_id"), col("v"))
-      .withColumn("ch", col("vec_id") % P * IvfHashMul % P)
-      .orderBy(col("ch"), col("vec_id"))
-      .limit(IvfK)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-  }
+  private def fitCentroids(e: DataFrame): Array[(Int, Array[Double])] =
+    if (e.sparkSession.conf.getOption("spark.graft.ivf.quantizer").contains("kmeans")) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val fitted = new KMeans().setK(IvfK).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cid")
+        .fit(e.withColumn("fv", array_to_vector(col("v"))))
+      fitted.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    } else {
+      val P = 1000000007L
+      e.select(col("vec_id"), col("v"))
+        .withColumn("ch", col("vec_id") % P * IvfHashMul % P)
+        .orderBy(col("ch"), col("vec_id"))
+        .limit(IvfK)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    }
 
   def e04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)

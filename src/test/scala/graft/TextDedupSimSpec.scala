@@ -199,6 +199,33 @@ class TextDedupSimSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@10 = $recall")
   }
 
+  test("e04 with the KMeans quantizer (conf toggle) keeps exact cosines and recall") {
+    spark.conf.set("spark.graft.ivf.quantizer", "kmeans")
+    try {
+      val ivf = Sim.e04AnnIvf(spark, sfDir).collect()
+      assert(ivf.nonEmpty)
+      val exact = Sim.e01KnnCosine(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val overlap = ivf.filter(r => exact.contains((r.getLong(0), r.getLong(1))))
+      assert(overlap.nonEmpty)
+      assert(overlap.forall(r =>
+        math.abs(exact((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9))
+      assert(overlap.length.toDouble / exact.size >= 0.2)
+    } finally spark.conf.unset("spark.graft.ivf.quantizer")
+  }
+
+  test("d11 with a reliable checkpoint dir (conf toggle) yields identical clusters") {
+    val base = Dedup.d11DupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    try {
+      val ck = Dedup.d11DupClusters(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(ck == base)
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
+
   test("e03 embedding dedup finds every perturbed twin pair") {
     val pairs = Sim.e03EmbedDedup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
