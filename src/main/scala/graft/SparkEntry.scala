@@ -46,6 +46,8 @@ object SparkEntry {
     "q18_events_pivot"    -> Events.q18EventsPivot _,
     "q23_asof_join"       -> Events.q23AsofJoin _,
     "q24_range_join"      -> Events.q24RangeJoin _,
+    "q25_percentiles"     -> Relational.q25Percentiles _,
+    "q26_session_window"  -> Events.q26SessionWindow _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -236,6 +238,31 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1""".stripMargin,
+    // Spark's exact `percentile` and DuckDB's quantile_cont share the
+    // type-7 linear-interpolation definition.
+    "q25_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.9) AS p90,
+        | quantile_cont(l_extendedprice, 0.99) AS p99,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // session_window semantics: a gap of EXACTLY 30 min starts a new
+    // session (window end exclusive) — hence >= in the boundary rule,
+    // unlike q17's strictly-greater lag formulation.
+    "q26_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+        |    THEN 1 ELSE 0 END AS boundary FROM x),
+        |z AS (
+        |  SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM z GROUP BY user_id, sid""".stripMargin,
     // DuckDB's native ASOF JOIN against the union+window composition;
     // clicks deduped per (user, ts) so the as-of match is deterministic.
     "q23_asof_join" ->

@@ -106,6 +106,22 @@ object Events {
       .agg(count(lit(1)).as("n_pairs"), countDistinct($"error_id").as("n_errors"))
   }
 
+  /** q26: sessionization via Spark's NATIVE session_window operator —
+    * the built-in merging-session-window aggregate (works batch and
+    * streaming). Note the boundary semantics: session_window starts a
+    * NEW session when the gap is >= 30 min (window end is exclusive),
+    * whereas q17's lag-based boundary uses strictly >; the oracle
+    * encodes the >= rule. Same single-shuffle cost shape as q17.
+    */
+  def q26SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n_events")
+  }
+
   /** q18: pivot event counts per user into one column per event type. */
   def q18EventsPivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -205,6 +205,23 @@ object Relational {
     partsIn("1996-01-01", "1996-02-01").except(partsIn("1996-02-01", "1996-03-01"))
   }
 
+  /** q25: exact distribution statistics — percentile (type-7 linear
+    * interpolation, the same definition DuckDB's quantile_cont uses)
+    * per group. One hash aggregation; the exact percentile sorts
+    * per-group value buffers inside the agg — for 100 TB use
+    * approx_percentile (t-digest) at a declared error instead.
+    */
+  def q25Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9D)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99D)").as("p99"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** q12: conditional (CASE) aggregation over a fact-fact join. */
   def q12CaseAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

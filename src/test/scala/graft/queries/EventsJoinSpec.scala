@@ -36,6 +36,22 @@ class EventsJoinSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("q26 native session_window agrees with q17's lag-based sessions") {
+    import spark.implicits._
+    // no exact-30-min gap exists in the testdata, so the two boundary
+    // rules (>= vs >) coincide and the session sets must match exactly
+    val native = Events.q26SessionWindow(spark, sfDir)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .sortBy(identity).toSeq
+    val lagged = Events.q17Sessionize(spark, sfDir)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(native.nonEmpty)
+    assert(native == lagged)
+  }
+
   test("q24 binned range join matches the naive inequality join") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sfDir)
