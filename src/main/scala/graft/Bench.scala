@@ -24,20 +24,25 @@ object Bench {
     // flattering ~0 s timing: collect per-query errors and emit them.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      // a query is "err" only if EVERY run failed: a transient failure
+      // followed by a success must not poison the entry
+      val okTimes = (1 to 2).flatMap { _ =>
         spark.catalog.clearCache() // no warm-cache runs: each timing does full work
         val t0 = System.nanoTime()
         // noop sink: materializes every row/column (count() would let
         // Catalyst prune the computation away) with zero write cost
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\r\n\t]", " ").take(200)
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (okTimes.nonEmpty) errors.remove(name)
+      name -> (if (okTimes.nonEmpty) okTimes.min else 0.0)
     }
     def jstr(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) =>

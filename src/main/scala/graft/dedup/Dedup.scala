@@ -305,7 +305,14 @@ object Dedup {
     var sig = signature(edges)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 8) {
+    // Near-dup graphs converge in 2-3 alternating rounds and converged
+    // runs exit early, so a generous cap costs nothing; long boilerplate
+    // chains at corpus scale can legitimately need many rounds. The cap
+    // exists only to bound a pathological input, and hitting it means
+    // the edge set is NOT a star forest — aggregating it would emit
+    // silently wrong cluster ids, so fail instead.
+    val maxRounds = spark.conf.getOption("spark.graft.cc.maxRounds").map(_.toInt).getOrElse(20)
+    while (!converged && rounds < maxRounds) {
       val next = barrier(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       converged = nextSig == sig
@@ -313,6 +320,11 @@ object Dedup {
       edges = next
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"d11 connected components did not converge in $maxRounds alternating " +
+          "large-star/small-star rounds; the edge set is not a star forest and the " +
+          "cluster aggregation would be wrong. Raise spark.graft.cc.maxRounds.")
     // at convergence the edge set is a star forest: u = member,
     // v = component minimum
     edges.groupBy(col("v").as("cluster_id"))

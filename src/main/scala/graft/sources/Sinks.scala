@@ -13,8 +13,10 @@ import graft.Tables
   */
 object Sinks {
 
+  private def hex(dir: String): String = Integer.toHexString(dir.hashCode)
+
   private def stage(dir: String, name: String): String =
-    s"/tmp/graft_sink_${name}_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_sink_${name}_${hex(dir)}"
 
   /** w01: partitioned parquet sink — documents written partitioned by
     * language (the standard corpus layout: per-language directories,
@@ -58,7 +60,10 @@ object Sinks {
   }
 
   private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {
-    val table = "graft_docs_bucketed"
+    // table name keyed by the data dir (same suffix as the stage path)
+    // so concurrent sessions over different dirs never race on one
+    // global metastore entry
+    val table = s"graft_docs_bucketed_${hex(dir)}"
     val out = stage(dir, "bucket")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     Tables.documents(spark, dir)

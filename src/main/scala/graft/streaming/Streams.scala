@@ -48,22 +48,29 @@ object Streams {
     * and the micro-batch pays per-store setup/commit/maintenance every
     * trigger — with 32 partitions that fixed cost dominates small
     * batches. Streaming state is keyed, so results are partition-count
-    * invariant: plan the stream narrow (8) and restore the session conf
-    * after start. On a real cluster size this to the state volume, not
-    * to the CPU count.
+    * invariant: plan the stream narrow (8). On a real cluster size this
+    * to the state volume, not to the CPU count.
     */
   private val StreamShufflePartitions = "8"
+
+  /** Each streaming operator plans inside its own cloned session
+    * (shared SparkContext, private SQLConf), so the narrow
+    * shuffle-partition setting never leaks into concurrent batch
+    * queries on the caller's session and overlapping stream runs
+    * cannot clobber each other's conf.
+    */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    s
+  }
 
   private def runToCompletion(out: DataFrame, mode: OutputMode): (SparkSession, String) = {
     val spark = out.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
-    try {
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     (spark, name)
   }
 
@@ -73,7 +80,7 @@ object Streams {
     * it matches the batch `date_trunc('hour')` oracle exactly.
     */
   def s01StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    val agg = eventsStream(streamSession(spark), dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
@@ -90,8 +97,9 @@ object Streams {
     * At scale the watermark bounds dedup state to the lateness horizon.
     */
   def s03StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val s = eventsStream(spark, dir)
-    val deduped = s.union(eventsStream(spark, dir))
+    val ss = streamSession(spark)
+    val s = eventsStream(ss, dir)
+    val deduped = s.union(eventsStream(ss, dir))
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
@@ -109,12 +117,13 @@ object Streams {
     * stateful operator. Oracle: the identical batch interval join.
     */
   def s04StreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
+    val ss = streamSession(spark)
+    val clicks = eventsStream(ss, dir)
       .where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    val errors = eventsStream(spark, dir)
+    val errors = eventsStream(ss, dir)
       .where(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
         col("ts").as("e_ts"))
@@ -131,23 +140,32 @@ object Streams {
   }
 
   // public: encoder-generated code must be able to reach these
-  case class BandDoc(doc_id: Long, sig: Array[Long], band_id: Int, band_sig: Long)
-  case class BucketState(docIds: Array[Long], sigs: Array[Array[Long]], overflowed: Boolean)
-  case class PairOut(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  case class BandRow(doc_id: Long, band_id: Int, band_sig: Long)
+  case class BucketState(docIds: Array[Long], overflowed: Boolean)
+  case class CandPair(doc_a: Long, doc_b: Long)
 
   /** s05: STREAMING near-duplicate detection — online MinHash LSH at
     * ingestion time. The signature/band projection is the exact batch
     * pipeline (Dedup.withSignature / bandRows — stateless, codegen'd);
     * the stateful half keys by (band_id, band_sig) bucket and keeps the
-    * docs seen in that bucket as state, emitting candidate pairs the
+    * doc ids seen in that bucket as state, emitting candidate pairs the
     * moment a new document collides with a stored one.
+    *
+    * The stateful shuffle moves ONLY (doc_id, band_id, band_sig) — the
+    * same 24-byte band rows as batch `lshCandidates` — and bucket state
+    * holds bare doc ids (8 bytes/doc), never signatures: a document's
+    * 64-long signature is NOT duplicated across its 16 band buckets.
+    * The est-Jaccard verification joins signatures back for the
+    * (few) emitted candidate pairs from the doc_id-keyed signature
+    * table, exactly like the batch path — at scale that table is the
+    * signature store the ingestion pipeline already persists.
     *
     * State is bounded by the same `MaxBucket` stop-bucket cap as batch:
     * a bucket that overflows is poisoned (emits nothing, stores only a
     * flag), so boilerplate floods cannot grow state or output — the cap
     * IS the watermark here, since near-dup buckets have no event time.
     * The per-group iterator is drained without materializing past the
-    * cap, so memory per bucket is MaxBucket × signature, always.
+    * cap, so memory per bucket is MaxBucket × 8 bytes, always.
     *
     * On the single AvailableNow batch the emitted pair set equals the
     * batch census exactly, so the oracle is d06's; under continuous
@@ -155,65 +173,68 @@ object Streams {
     * streaming dedup can offer.
     */
   def s05StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val ss = streamSession(spark)
+    import ss.implicits._
     import graft.dedup.Dedup
-    val corpus = Dedup.nearDupCorpus(fileStream(spark, dir, "documents.parquet"))
+    val corpus = Dedup.nearDupCorpus(fileStream(ss, dir, "documents.parquet"))
     val sigs = Dedup.withSignature(Dedup.shingled(corpus)).select("doc_id", "sig")
-    val bands = Dedup.bandRows(sigs, "sig").as[BandDoc]
-
-    def estJaccard(a: Array[Long], b: Array[Long]): Double = {
-      var eq = 0; var i = 0
-      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
-      eq / 64.0
-    }
+    val bands = Dedup.bandRows(sigs).as[BandRow]
 
     val pairs = bands
       .groupByKey(r => (r.band_id, r.band_sig))
-      .flatMapGroupsWithState[BucketState, PairOut](
+      .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (_, it, state: GroupState[BucketState]) =>
-          var st = state.getOption.getOrElse(BucketState(Array.empty, Array.empty, overflowed = false))
-          // collect at most cap+1 rows; never materialize a flood
-          val buf = scala.collection.mutable.ArrayBuffer.empty[BandDoc]
+          val st = state.getOption.getOrElse(BucketState(Array.empty, overflowed = false))
+          // collect at most cap+1 ids; never materialize a flood
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
           var over = st.overflowed
           while (it.hasNext) {
             val r = it.next()
             if (!over) {
-              buf += r
+              buf += r.doc_id
               if (st.docIds.length + buf.length > Dedup.MaxBucket) over = true
             }
           }
           if (over) {
-            state.update(BucketState(Array.empty, Array.empty, overflowed = true))
+            state.update(BucketState(Array.empty, overflowed = true))
             Iterator.empty
           } else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
             var i = 0
             while (i < buf.length) {
               val d = buf(i)
               var j = 0
               while (j < st.docIds.length) {
-                out += PairOut(math.min(st.docIds(j), d.doc_id),
-                  math.max(st.docIds(j), d.doc_id), estJaccard(st.sigs(j), d.sig))
+                out += CandPair(math.min(st.docIds(j), d), math.max(st.docIds(j), d))
                 j += 1
               }
               j = 0
               while (j < i) {
-                out += PairOut(math.min(buf(j).doc_id, d.doc_id),
-                  math.max(buf(j).doc_id, d.doc_id), estJaccard(buf(j).sig, d.sig))
+                out += CandPair(math.min(buf(j), d), math.max(buf(j), d))
                 j += 1
               }
               i += 1
             }
-            state.update(BucketState(st.docIds ++ buf.map(_.doc_id),
-              st.sigs ++ buf.map(_.sig), overflowed = false))
+            state.update(BucketState(st.docIds ++ buf, overflowed = false))
             out.iterator
           }
       }
     val (sess, name) = runToCompletion(pairs.toDF(), OutputMode.Update())
+    // Signature join-back OUTSIDE the stateful operator (batch over the
+    // sink locally; against the signature store in production). The
+    // signature projection is deterministic, so the batch recompute is
+    // bit-identical to what the stream hashed.
+    val sigTable = Dedup.signatureTable(
+      Dedup.nearDupCorpus(graft.Tables.documents(sess, dir))).select("doc_id", "sig")
     sess.table(name)
       .dropDuplicates("doc_a", "doc_b")
+      .join(sigTable.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigTable.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard", expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast(${Dedup.NumHashes} as double)"))
       .where(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
   }
 
   case class Ev(user_id: Long, event_id: Long, tsUs: Long)
@@ -229,7 +250,7 @@ object Streams {
     * result as the batch lag+cumsum query (q17), which is the oracle.
     */
   def s02StreamStateful(spark: SparkSession, dir: String): DataFrame =
-    runSessionize(eventsStream(spark, dir))
+    runSessionize(eventsStream(streamSession(spark), dir))
 
   /** Wire a (streaming) events frame through the stateful sessionizer,
     * run to completion, and collapse re-emitted open sessions to their
