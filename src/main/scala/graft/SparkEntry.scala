@@ -48,6 +48,10 @@ object SparkEntry {
     "q24_range_join"      -> Events.q24RangeJoin _,
     "q25_percentiles"     -> Relational.q25Percentiles _,
     "q26_session_window"  -> Events.q26SessionWindow _,
+    "q27_salted_join"     -> Events.q27SaltedJoin _,
+    "q28_correlated_subquery" -> Relational.q28CorrelatedSubquery _,
+    "q29_json_props"      -> Events.q29JsonProps _,
+    "q30_lead_lag"        -> Events.q30LeadLag _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -64,6 +68,7 @@ object SparkEntry {
     "d14_decontam"        -> graft.text.Corpus.d14Decontaminate _,
     "d15_repetition"      -> graft.text.Corpus.d15Repetition _,
     "d16_pii_scrub"       -> graft.text.Corpus.d16PiiScrub _,
+    "d17_chunk_dedup"     -> graft.text.Corpus.d17ChunkDedup _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
@@ -74,8 +79,11 @@ object SparkEntry {
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
     "s04_stream_join"     -> Streams.s04StreamJoin _,
     "s05_stream_neardup"  -> Streams.s05StreamNearDup _,
+    "s06_stream_session_window" -> Streams.s06StreamSessionWindow _,
     "w01_sink_partitioned" -> graft.sources.Sinks.w01SinkPartitioned _,
     "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
+    "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
+    "w04_source_formats"  -> graft.sources.Sinks.w04SourceFormats _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_select"       -> ReliefQueries.reliefSelect _,
     "relief_transform"    -> ReliefQueries.reliefTransform _,
@@ -263,6 +271,39 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         |FROM z GROUP BY user_id, sid""".stripMargin,
+    // plain (unsalted) join — the salted plan must be result-identical
+    "q27_salted_join" ->
+      """WITH f AS (SELECT event_id, value,
+        |  CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS k FROM events),
+        |d AS (SELECT DISTINCT k FROM f),
+        |dl AS (SELECT k, 'grp_' || CAST(k % 10 AS VARCHAR) AS k_label FROM d)
+        |SELECT k_label, count(*) AS n_events, sum(value) AS sum_value
+        |FROM f JOIN dl USING (k) GROUP BY 1""".stripMargin,
+    "q28_correlated_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_above_avg,
+        |  sum(o_totalprice) AS sum_price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q29_json_props" ->
+      """SELECT event_type,
+        |  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // integer-µs gaps: every partial sum stays below 2^53, so avg is
+    // exact (not merely close) in both engines
+    "q30_lead_lag" ->
+      """WITH x AS (
+        |  SELECT event_type, epoch_us(ts) - lag(epoch_us(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(avg(gap_us) AS DOUBLE) AS avg_gap_us,
+        |  max(gap_us) AS max_gap_us, min(gap_us) AS min_gap_us
+        |FROM x WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
     // DuckDB's native ASOF JOIN against the union+window composition;
     // clicks deduped per (user, ts) so the as-of match is deterministic.
     "q23_asof_join" ->
@@ -296,6 +337,19 @@ object SparkEntry {
     // write+read-back must preserve exactly the source rows
     "w02_sink_bucketed" ->
       """SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1""",
+    // the shard+compact round-trip must preserve exactly the source
+    "w03_sink_compacted" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    // JSON→CSV round-trip must preserve text byte-for-byte
+    "w04_source_formats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        | count(DISTINCT text) AS n_distinct_texts
+        |FROM documents GROUP BY 1""".stripMargin,
     "d04_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang AS lang_actual,
@@ -883,6 +937,41 @@ object SparkEntry {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
         |    '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b', '[PHONE]', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+    // chunk-level dedup over the near-dup corpus: d06's corpus prelude +
+    // d09's chunk arithmetic, then occurrence counts per chunk text
+    "d17_chunk_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    length(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM corpus),
+        |ch AS (
+        |  SELECT doc_id, array_to_string(toks[i*10 + 1 : i*10 + 50], ' ') AS chunk_text
+        |  FROM t, LATERAL (SELECT unnest(range(0, CAST(floor(greatest(n - 50, 0)/10) AS BIGINT) + 1)) AS i)),
+        |occ AS (SELECT chunk_text, count(*) AS n_occ FROM ch GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE n_occ > 1) AS BIGINT) AS n_dup_chunks
+        |FROM ch JOIN occ USING (chunk_text) GROUP BY 1""".stripMargin,
+    // single AvailableNow batch == fully-merged sessions, so the
+    // streaming session_window oracle is q26's
+    "s06_stream_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+        |    THEN 1 ELSE 0 END AS boundary FROM x),
+        |z AS (
+        |  SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM z GROUP BY user_id, sid""".stripMargin,
     // Reproduces the deterministic stratified-sample threshold exactly
     // (thresholds are floor(frac * P) literals on both sides).
     "d13_stratified" ->

@@ -122,6 +122,87 @@ object Events {
         $"n_events")
   }
 
+  /** Deliberately skewed foreign key over events: ~80% of rows collapse
+    * onto hot key 0, the rest keep their user id. Shared by the salted
+    * join and its naive-equality spec.
+    */
+  private[graft] def skewedFact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"value",
+        when($"user_id" % 10 < 8, 0L).otherwise($"user_id").as("k"))
+  }
+
+  private[graft] def skewedDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    skewedFact(spark, dir).select($"k").distinct()
+      .withColumn("k_label", concat(lit("grp_"), ($"k" % 10).cast("string")))
+  }
+
+  /** q27: explicit salting for a skewed shuffle join (SURVEY §7.11).
+    *
+    * With ~80% of fact rows on one key, a plain hash join lands the hot
+    * key on a single reducer — the straggler that defines the stage at
+    * 100 TB. Salting splits it S ways: the fact side fans its rows over
+    * S deterministic sub-keys (`pmod(xxhash64(event_id), S)`), the dim
+    * side replicates ×S, and the join runs on (k, salt) so the hot key
+    * occupies S reducers. The result is provably identical to the
+    * unsalted join (pinned by spec); the oracle is the plain SQL join.
+    *
+    * `shuffle_hash` hints keep this a shuffle join even though the demo
+    * dim is small — at corpus scale the dim (one row per entity) is NOT
+    * broadcastable, which is exactly when salting matters. AQE's
+    * skew-join handles sort-merge skew automatically; explicit salting
+    * is the tool when AQE can't (e.g. a skewed build side of a hash
+    * join, or pre-AQE engines).
+    */
+  def q27SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = 16
+    val factS = skewedFact(spark, dir)
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(S)))
+    val dimS = skewedDim(spark, dir)
+      .withColumn("salt", explode(expr(s"sequence(0, ${S - 1})")))
+    factS.hint("shuffle_hash")
+      .join(dimS.hint("shuffle_hash"), Seq("k", "salt"))
+      .groupBy($"k_label")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+  }
+
+  /** q29: semi-structured (JSON) extraction — `props` parsed once per
+    * row with a declared schema (`from_json` is codegen'd Jackson, no
+    * UDF), then aggregated. At scale the parse cost dominates, so the
+    * single-pass schema-directed parse (vs repeated get_json_object
+    * calls) is the right shape.
+    */
+  def q29JsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        from_json($"props", lit("k INT")).getField("k").as("k"))
+      .groupBy($"event_type", expr("k div 10").cast("long").as("k_decile"))
+      .agg(count(lit(1)).as("n_events"), sum($"k").cast("long").as("sum_k"))
+  }
+
+  /** q30: lead/lag deltas — per-user inter-event gaps (lag over the
+    * user_id partition), rolled up per event type. One shuffle by
+    * user_id; integer µs arithmetic keeps gap values engine-exact
+    * (all sums stay below 2^53, so the avg is exact in both engines).
+    */
+  def q30LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type", $"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(byUser))
+      .where($"gap_us".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        avg($"gap_us").as("avg_gap_us"),
+        max($"gap_us").as("max_gap_us"),
+        min($"gap_us").as("min_gap_us"))
+  }
+
   /** q18: pivot event counts per user into one column per event type. */
   def q18EventsPivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -259,6 +259,26 @@ object Relational {
         sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("promo_revenue"))
   }
 
+  /** q28: correlated scalar subquery — orders priced above their own
+    * customer's average. Written as SQL so Catalyst's subquery
+    * decorrelation does the work: the correlated `avg` rewrites to one
+    * aggregate over orders plus one join on o_custkey (NOT a per-row
+    * subquery execution), i.e. the same two-shuffle plan a hand-written
+    * window/self-join formulation would produce — that's the capability
+    * being pinned here.
+    */
+  def q28CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q28_orders")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_above_avg,
+        |  sum(o_totalprice) AS sum_price
+        |FROM graft_q28_orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                      FROM graft_q28_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** q15: top-supplier — agg subquery joined against its own max. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

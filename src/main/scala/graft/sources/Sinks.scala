@@ -59,6 +59,62 @@ object Sinks {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** w03: small-file compaction — the table is first written as 64
+    * shards (simulating the small-files problem a streaming ingest
+    * leaves behind), then compacted: range-repartitioned on doc_id to
+    * the target file count and sorted within files, so each output
+    * file covers a tight doc_id range and parquet min/max stats prune
+    * point/range reads. At 100 TB this is the nightly compaction job
+    * verbatim — target file count would derive from bytes, not a
+    * constant. The returned rollup pins round-trip integrity (the
+    * oracle checks it against the source table); the file-count and
+    * ordering claims are pinned by spec.
+    */
+  def w03SinkCompacted(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(compactedDir(spark, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+
+  private[graft] def smallFilesDir(spark: SparkSession, dir: String): String = {
+    val small = stage(dir, "small")
+    Tables.documents(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(small)
+    small
+  }
+
+  private[graft] def compactedDir(spark: SparkSession, dir: String): String = {
+    val out = stage(dir, "compact")
+    spark.read.parquet(smallFilesDir(spark, dir))
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** w04: text source formats — the same documents round-tripped
+    * through line-delimited JSON and then headered CSV, both read back
+    * with an explicit schema (schema inference is a full extra pass at
+    * scale — never rely on it in a pipeline). The rollup includes
+    * `sum(length(text))` and a distinct-text count so quoting/escaping
+    * damage in either format would show up as a mismatch against the
+    * parquet-sourced oracle.
+    */
+  def w04SourceFormats(spark: SparkSession, dir: String): DataFrame = {
+    val jsonDir = stage(dir, "json")
+    val csvDir = stage(dir, "csv")
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").json(jsonDir)
+    val fromJson = spark.read.schema(docs.schema).json(jsonDir)
+    fromJson.write.mode("overwrite").option("header", "true").csv(csvDir)
+    spark.read.schema(docs.schema).option("header", "true").csv(csvDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+  }
+
   private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {
     // table name keyed by the data dir (same suffix as the stage path)
     // so concurrent sessions over different dirs never race on one

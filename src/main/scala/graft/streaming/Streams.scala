@@ -139,6 +139,27 @@ object Streams {
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("error_id")).as("n_errors"))
   }
 
+  /** s06: STREAMING sessionization via the NATIVE session_window
+    * operator — the built-in merging-session-window aggregate running
+    * in a stream (vs s02's hand-rolled flatMapGroupsWithState and q26's
+    * batch form, all three gap-session semantics). The watermark bounds
+    * session state: sessions whose close precedes the watermark are
+    * finalized and evicted. Session-window streams support append and
+    * complete output only (no update); complete keeps the local
+    * memory-sink result total — append would hold back every session
+    * the final watermark hasn't passed — so the oracle is q26's.
+    */
+  def s06StreamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(streamSession(spark), dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val (sess, name) = runToCompletion(agg, OutputMode.Complete())
+    sess.table(name)
+  }
+
   // public: encoder-generated code must be able to reach these
   case class BandRow(doc_id: Long, band_id: Int, band_sig: Long)
   case class BucketState(docIds: Array[Long], overflowed: Boolean)

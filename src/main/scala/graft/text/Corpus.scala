@@ -23,6 +23,29 @@ object Corpus {
     * standard contamination check (e.g. GPT-3 App. C / PaLM style:
     * n-gram overlap against eval sets) expressed Spark-first.
     */
+  /** d17: sub-document (chunk-level) dedup — near-identical documents
+    * that differ only in wrappers/suffixes still share most sliding
+    * chunks, so dedup at chunk granularity catches what doc-level exact
+    * dedup misses. Runs over the near-dup corpus (each long document
+    * plus a truncated twin) so the operator has real positives; per
+    * document it reports how many of its chunks also occur elsewhere.
+    *
+    * Scale shape: chunks are reduced to 16-byte digests before any
+    * shuffle (the chunk text never leaves the map side); one groupBy on
+    * the digest + one digest-keyed join back. Same cost envelope as
+    * exact dedup (d01), ~n_chunks/doc times the rows.
+    */
+  def d17ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.dedup.Dedup.nearDupCorpus(Tables.documents(spark, dir))
+    val ch = Text.chunks(corpus)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+    val occ = ch.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    ch.join(occ, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
   def d14Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val P = 1000000007L
     val u = ((col("doc_id") % P) * 777000037L % P + 4242L) % P

@@ -118,10 +118,16 @@ object Text {
     * projection + explode; chunk count and boundaries are pure
     * arithmetic so the DuckDB oracle reproduces them exactly.
     */
-  def d09Chunk(spark: SparkSession, dir: String): DataFrame = {
+  def d09Chunk(spark: SparkSession, dir: String): DataFrame =
+    chunks(Tables.documents(spark, dir))
+
+  /** Sliding-window chunking of any (doc_id, text) frame — shared by
+    * d09 and the chunk-level dedup (d17).
+    */
+  def chunks(docs: DataFrame): DataFrame = {
     val window = 50
     val stride = 10
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .select(col("doc_id"),
