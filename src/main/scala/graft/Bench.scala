@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,31 +19,35 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // min of 2 timed runs per query: local run-to-run variance (GC,
-    // scheduler) is ±30% at these data sizes
+    // min of N timed runs per query, taken across INTERLEAVED full
+    // passes (pass 1 over every query, then pass 2, ...): local
+    // run-to-run variance (GC, scheduler) is ±30% at these data sizes,
+    // and interleaving means a transient environmental blip hits
+    // different queries each pass instead of every run of one query.
     // A failing query must be VISIBLE in the output, not recorded as a
     // flattering ~0 s timing: collect per-query errors and emit them.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // a query is "err" only if EVERY run failed: a transient failure
-      // followed by a success must not poison the entry
-      val okTimes = (1 to 2).flatMap { _ =>
-        spark.catalog.clearCache() // no warm-cache runs: each timing does full work
-        val t0 = System.nanoTime()
-        // noop sink: materializes every row/column (count() would let
-        // Catalyst prune the computation away) with zero write cost
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\r\n\t]", " ").take(200)
-            None
-        }
+    val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    for (_ <- 1 to nRuns; (name, fn) <- SparkEntry.queries) {
+      spark.catalog.clearCache() // no warm-cache runs: each timing does full work
+      val t0 = System.nanoTime()
+      // noop sink: materializes every row/column (count() would let
+      // Catalyst prune the computation away) with zero write cost
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\r\n\t]", " ").take(200)
       }
-      if (okTimes.nonEmpty) errors.remove(name)
-      name -> (if (okTimes.nonEmpty) okTimes.min else 0.0)
+    }
+    // a query is "err" only if EVERY run failed: a transient failure
+    // followed by a success must not poison the entry
+    val results = SparkEntry.queries.map { case (name, _) =>
+      val ok = times.getOrElse(name, Nil)
+      if (ok.nonEmpty) errors.remove(name)
+      name -> (if (ok.nonEmpty) ok.min else 0.0)
     }
     def jstr(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) =>
@@ -51,7 +56,12 @@ object Bench {
     val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // headline fields FIRST so even a truncated tail capture of this
+    // line keeps total/n/n_errors; the full per-query map follows
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"sf":"$sfDir","queries":$qs,"errors":$errJson}""")
+    // and a second, short, final summary line that survives ANY tail
+    // capture regardless of how long the per-query line was
+    println(s"""{"metric":"bench_summary","total":$total,"n":${results.size},"n_errors":${errors.size},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

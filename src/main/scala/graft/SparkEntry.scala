@@ -47,6 +47,8 @@ object SparkEntry {
     "q23_asof_join"       -> Events.q23AsofJoin _,
     "q24_range_join"      -> Events.q24RangeJoin _,
     "q25_percentiles"     -> Relational.q25Percentiles _,
+    "q25b_approx_percentiles" -> Relational.q25bApproxPercentiles _,
+    "q31_ntile_deciles"   -> Relational.q31NtileDeciles _,
     "q26_session_window"  -> Events.q26SessionWindow _,
     "q27_salted_join"     -> Events.q27SaltedJoin _,
     "q28_correlated_subquery" -> Relational.q28CorrelatedSubquery _,
@@ -69,6 +71,7 @@ object SparkEntry {
     "d15_repetition"      -> graft.text.Corpus.d15Repetition _,
     "d16_pii_scrub"       -> graft.text.Corpus.d16PiiScrub _,
     "d17_chunk_dedup"     -> graft.text.Corpus.d17ChunkDedup _,
+    "d18_curation_funnel" -> graft.text.Corpus.d18CurationFunnel _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
@@ -80,6 +83,7 @@ object SparkEntry {
     "s04_stream_join"     -> Streams.s04StreamJoin _,
     "s05_stream_neardup"  -> Streams.s05StreamNearDup _,
     "s06_stream_session_window" -> Streams.s06StreamSessionWindow _,
+    "s07_stream_quality_gate" -> Streams.s07StreamQualityGate _,
     "w01_sink_partitioned" -> graft.sources.Sinks.w01SinkPartitioned _,
     "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
@@ -255,6 +259,17 @@ object SparkEntry {
         | quantile_cont(l_extendedprice, 0.99) AS p99,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // At accuracy 1e6 ≫ n the GK sketch retains every value, so
+    // approx_percentile returns the exact DISCRETE percentile =
+    // DuckDB's quantile_disc (both pick the element at rank
+    // floor(p·(n−1)) zero-based).
+    "q25b_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_disc(l_extendedprice, 0.5) AS p50,
+        | quantile_disc(l_extendedprice, 0.9) AS p90,
+        | quantile_disc(l_extendedprice, 0.99) AS p99,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // session_window semantics: a gap of EXACTLY 30 min starts a new
     // session (window end exclusive) — hence >= in the boundary rule,
     // unlike q17's strictly-greater lag formulation.
@@ -279,13 +294,18 @@ object SparkEntry {
         |dl AS (SELECT k, 'grp_' || CAST(k % 10 AS VARCHAR) AS k_label FROM d)
         |SELECT k_label, count(*) AS n_events, sum(value) AS sum_value
         |FROM f JOIN dl USING (k) GROUP BY 1""".stripMargin,
+    // multiply-through exact arithmetic (price*cnt > sum over DECIMAL):
+    // neither engine divides or sums doubles, so the threshold is
+    // bit-identical cross-engine; the final CAST to DOUBLE of the exact
+    // decimal sum is deterministic
     "q28_correlated_subquery" ->
       """SELECT o_orderpriority, count(*) AS n_above_avg,
-        |  sum(o_totalprice) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders o
-        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
-        |                      FROM orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_orderpriority""".stripMargin,
     "q29_json_props" ->
       """SELECT event_type,
@@ -937,6 +957,69 @@ object SparkEntry {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
         |    '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b', '[PHONE]', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+    // the funnel's gate inputs are exactly d03/d15/d16's metrics (each
+    // pinned bit-exact by its own oracle), so the gate booleans and the
+    // per-source counts are integer-exact cross-engine
+    "d18_curation_funnel" ->
+      """WITH sg AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |      / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS stop_ratio,
+        |    length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS upper_ratio,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |      + len(regexp_extract_all(text, '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b')) AS n_pii
+        |  FROM documents),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+        |      FROM d WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, unnest(bigrams) AS bigram FROM s),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac FROM bc GROUP BY 1),
+        |g AS (
+        |  SELECT sg.source,
+        |    (n_words BETWEEN 50 AND 100000) AS g_len,
+        |    (stop_ratio >= 0.05) AS g_stop,
+        |    (upper_ratio <= 0.3) AS g_upper,
+        |    (COALESCE(top_bigram_frac, 0.0) <= 0.2) AS g_rep,
+        |    (n_pii = 0) AS g_pii
+        |  FROM sg LEFT JOIN tb USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE g_len) AS n_pass_len,
+        |  count(*) FILTER (WHERE g_stop) AS n_pass_stop,
+        |  count(*) FILTER (WHERE g_upper) AS n_pass_upper,
+        |  count(*) FILTER (WHERE g_rep) AS n_pass_rep,
+        |  count(*) FILTER (WHERE g_pii) AS n_pass_pii,
+        |  count(*) FILTER (WHERE g_len AND g_stop AND g_upper AND g_rep AND g_pii) AS n_clean
+        |FROM g GROUP BY 1""".stripMargin,
+    // the streaming gate is d18's scalar-gate subset (no repetition
+    // gate), so the batch formulation is the exact oracle
+    "s07_stream_quality_gate" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    (CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) BETWEEN 50 AND 100000
+        |     AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |           t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |         / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) >= 0.05
+        |     AND length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) <= 0.3
+        |     AND len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |       + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |       + len(regexp_extract_all(text, '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b')) = 0) AS admitted
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE admitted) AS n_admitted
+        |FROM g GROUP BY 1""".stripMargin,
+    // exact DECIMAL revenue + (rev DESC, custkey) total order make every
+    // decile boundary deterministic and engine-independent
+    "q31_ntile_deciles" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile FROM rev)
+        |SELECT decile, count(*) AS n_customers, CAST(sum(rev) AS DOUBLE) AS sum_revenue
+        |FROM d GROUP BY 1""".stripMargin,
     // chunk-level dedup over the near-dup corpus: d06's corpus prelude +
     // d09's chunk arithmetic, then occurrence counts per chunk text
     "d17_chunk_dedup" ->

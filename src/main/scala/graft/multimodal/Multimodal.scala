@@ -15,9 +15,14 @@ import graft.Tables
   * library init, per-batch amortized calls, executor-local CPU work —
   * no shuffle, no driver involvement, arbitrary horizontal scale).
   *
-  * The actual byte decode is a STUB (no image/audio libs in this
-  * container): `stubDecode` derives deterministic pseudo-features from
-  * the payload bytes. The Spark-side contract — schema, binary payload
+  * Decode is a two-path dispatch: payloads that parse as a complete
+  * binary P6 PPM image get REAL features from a pure-JVM decoder
+  * (`decodePpm` — header parse, per-channel means, luminance moments,
+  * dark/bright histogram fractions); everything else falls back to
+  * `stubDecode`, which derives deterministic pseudo-features from the
+  * raw bytes so the DuckDB oracle (whose synthetic payloads are text)
+  * stays byte-exact. A production JPEG/audio codec would slot into the
+  * same dispatch. The Spark-side contract — schema, binary payload
   * batching, partition-local decode, output shape — is real and tested.
   */
 object Multimodal {
@@ -54,6 +59,98 @@ object Multimodal {
     (checksum, sums.map(_ / 255.0))
   }
 
+  /** Real decoder for binary P6 PPM images (pure JVM, zero external
+    * deps): parses the header (magic, optional `#` comments, width,
+    * height, maxval ≤ 255) and the packed RGB payload, and extracts 8
+    * deterministic image features:
+    *
+    *   feat_0..2  mean R / G / B               (normalized to [0,1])
+    *   feat_3     mean luminance               (integer 299/587/114 weights)
+    *   feat_4     luminance variance
+    *   feat_5     dark-pixel fraction          (luma < 64/255)
+    *   feat_6     bright-pixel fraction        (luma ≥ 192/255)
+    *   feat_7     aspect ratio w/h
+    *
+    * All accumulation is exact integer arithmetic (sums and sums of
+    * squares of 299R+587G+114B stay far below 2^63 for any image this
+    * pipeline would batch); division happens once at the end, so the
+    * emitted doubles are bit-reproducible. Returns None unless the
+    * payload is a COMPLETE well-formed P6 (magic + parseable header +
+    * exactly 3·w·h sample bytes) — anything else falls back to the
+    * checksum stub path, which keeps the DuckDB oracle (which sees only
+    * text payloads) byte-exact.
+    */
+  def decodePpm(payload: Array[Byte]): Option[Array[Double]] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    // whitespace + '#'-to-end-of-line comments between header tokens
+    def skipWs(): Boolean = {
+      var progressed = false
+      var moving = true
+      while (moving && i < payload.length) {
+        if (isWs(payload(i))) { i += 1; progressed = true }
+        else if (payload(i) == '#') {
+          while (i < payload.length && payload(i) != '\n') i += 1
+          progressed = true
+        } else moving = false
+      }
+      progressed
+    }
+    def readInt(): Int = {
+      if (!skipWs()) return -1 // tokens must be whitespace-separated
+      var v = 0L
+      var any = false
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0'); i += 1; any = true
+        if (v > Int.MaxValue) return -1
+      }
+      if (any) v.toInt else -1
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    // 8-bit samples only (maxval 255, the universal case): the fixed-
+    // point luminance weights and dark/bright thresholds assume it
+    if (w <= 0 || h <= 0 || maxval != 255) return None
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (i >= payload.length || !isWs(payload(i))) return None
+    i += 1
+    val n = w.toLong * h
+    if (payload.length - i != 3 * n) return None
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var sumLuma = 0L; var sumLumaSq = 0L
+    var nDark = 0L; var nBright = 0L
+    var p = i
+    while (p < payload.length) {
+      val r = payload(p) & 0xff; val g = payload(p + 1) & 0xff; val b = payload(p + 2) & 0xff
+      sumR += r; sumG += g; sumB += b
+      val luma = 299L * r + 587L * g + 114L * b // ×1000 fixed-point
+      sumLuma += luma; sumLumaSq += luma * luma
+      if (luma < 64000L) nDark += 1
+      if (luma >= 192000L) nBright += 1
+      p += 3
+    }
+    val meanLuma = sumLuma.toDouble / n
+    val varLuma = (sumLumaSq.toDouble / n - meanLuma * meanLuma) / (1000.0 * 255.0 * 1000.0 * 255.0)
+    Some(Array(
+      sumR.toDouble / (255.0 * n), sumG.toDouble / (255.0 * n), sumB.toDouble / (255.0 * n),
+      meanLuma / (1000.0 * 255.0), varLuma,
+      nDark.toDouble / n, nBright.toDouble / n,
+      w.toDouble / h))
+  }
+
+  /** Decode dispatch: a payload whose magic + structure parses as P6
+    * PPM gets REAL features; everything else (incl. every text payload
+    * the oracle checks) takes the deterministic stub. The checksum is
+    * always the rolling payload hash — identity, either path.
+    */
+  def decode(payload: Array[Byte]): (Long, Array[Double]) = {
+    val (checksum, stubFeat) = stubDecode(payload)
+    decodePpm(payload) match {
+      case Some(feat) => (checksum, feat)
+      case None       => (checksum, stubFeat)
+    }
+  }
+
   /** The `documents` table re-shaped as a media table: text bytes stand
     * in for an encoded image; metadata struct alongside.
     */
@@ -70,13 +167,18 @@ object Multimodal {
     * hashable/orderable by any downstream comparer (an array column is
     * not), and DuckDB-oracle-checkable.
     */
-  def m01Multimodal(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaTable(spark, dir).as[MediaRow]
-    val decoded = media.mapPartitions { rows =>
+  def m01Multimodal(spark: SparkSession, dir: String): DataFrame =
+    decodeFrame(mediaTable(spark, dir))
+
+  /** The decode stage on any media-shaped frame (doc_id, payload, mime,
+    * n_bytes): partition-local batched decode, scalar features out.
+    */
+  def decodeFrame(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val decoded = media.as[MediaRow].mapPartitions { rows =>
       // per-partition init would go here (codec handles, model weights)
       rows.map { r =>
-        val (checksum, feat) = stubDecode(r.payload)
+        val (checksum, feat) = decode(r.payload)
         MediaFeatures(r.doc_id, r.mime, r.n_bytes, checksum, feat)
       }
     }.toDF()

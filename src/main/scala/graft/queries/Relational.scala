@@ -222,6 +222,32 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** q25b: the 100 TB percentile path — `approx_percentile`
+    * (Greenwald-Khanna sketch: mergeable, bounded memory ∝ accuracy,
+    * one pass, map-side partial agg) next to exact q25's per-group sort
+    * buffers. Rank error is < n/accuracy; here accuracy is 1e6 so at
+    * verification scale (n ≪ 1e6 per group) the sketch retains every
+    * value and returns the EXACT discrete percentile — which is what
+    * makes this cross-engine oracle-checkable (DuckDB quantile_disc).
+    * At 100 TB you'd dial accuracy down to the default 1e4 and accept
+    * the declared εn rank error (the spec pins that tolerance vs exact
+    * q25).
+    */
+  def q25bApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    q25bWithAccuracy(spark, dir, 1000000)
+
+  def q25bWithAccuracy(spark: SparkSession, dir: String, accuracy: Int): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), $accuracy)").as("ps"),
+        count(lit(1)).as("n_rows"))
+      .select($"l_returnflag",
+        $"ps".getItem(0).as("p50"), $"ps".getItem(1).as("p90"),
+        $"ps".getItem(2).as("p99"), $"n_rows")
+  }
+
   /** q12: conditional (CASE) aggregation over a fact-fact join. */
   def q12CaseAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -261,22 +287,58 @@ object Relational {
 
   /** q28: correlated scalar subquery — orders priced above their own
     * customer's average. Written as SQL so Catalyst's subquery
-    * decorrelation does the work: the correlated `avg` rewrites to one
-    * aggregate over orders plus one join on o_custkey (NOT a per-row
-    * subquery execution), i.e. the same two-shuffle plan a hand-written
-    * window/self-join formulation would produce — that's the capability
-    * being pinned here.
+    * decorrelation does the work: each correlated aggregate rewrites to
+    * an aggregate over orders plus a join on o_custkey (NOT a per-row
+    * subquery execution) — that's the capability being pinned here.
+    *
+    * All arithmetic is exact: `price > avg` is stated multiply-through as
+    * `price * cnt > sum` over DECIMAL(18,2), so no engine ever divides or
+    * sums doubles — the threshold can't flip on a last-ulp disagreement
+    * between Spark and the DuckDB oracle (which is exactly what made the
+    * r3 double-avg formulation hash-red). The emitted sum is the exact
+    * decimal sum cast to double at the very end (deterministic from
+    * identical decimals). The temp view is dir-keyed so two threads
+    * running q28 over different dirs on one session can't race.
     */
   def q28CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_q28_orders")
+    val view = s"graft_q28_orders_${Integer.toHexString(dir.hashCode)}"
+    Tables.orders(spark, dir).createOrReplaceTempView(view)
     spark.sql(
-      """SELECT o_orderpriority, count(*) AS n_above_avg,
-        |  sum(o_totalprice) AS sum_price
-        |FROM graft_q28_orders o
-        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
-        |                      FROM graft_q28_orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)
-        |GROUP BY o_orderpriority""".stripMargin)
+      s"""SELECT o_orderpriority, count(*) AS n_above_avg,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $view o
+         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      (SELECT count(*) FROM $view o2 WHERE o2.o_custkey = o.o_custkey)
+         |    > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+         |       FROM $view o2 WHERE o2.o_custkey = o.o_custkey)
+         |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** q31: customer revenue deciles via `ntile` — the classic
+    * segmentation query (top-decile revenue share, customer-count per
+    * band). Revenue is summed as DECIMAL(18,2) (exact) and the window
+    * orders by (revenue DESC, custkey), so the total order — and hence
+    * every decile boundary — is fully deterministic and engine-
+    * independent; the emitted sums cast the exact decimals to double
+    * once at the end.
+    *
+    * Scale note: ntile needs a total order (single-partition window).
+    * That's fine on the CUSTOMER aggregate (orders-of-magnitude smaller
+    * than the fact table it summarizes); for a decile cut over a
+    * 100 TB fact table you'd switch to approx_percentile cut-points
+    * (q25b's sketch) and a broadcast range join against them.
+    */
+  def q31NtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"rev".desc, $"o_custkey")
+    rev.withColumn("decile", ntile(10).over(w).cast("long")) // long: DuckDB ntile is BIGINT
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"rev").cast("double").as("sum_revenue"))
   }
 
   /** q15: top-supplier — agg subquery joined against its own max. */

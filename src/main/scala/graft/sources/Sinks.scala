@@ -15,6 +15,12 @@ object Sinks {
 
   private def hex(dir: String): String = Integer.toHexString(dir.hashCode)
 
+  private[graft] def bucketedTableName(appId: String, dir: String): String =
+    s"graft_docs_bucketed_${hex(dir)}_${Integer.toHexString(appId.hashCode)}"
+
+  private[graft] def bucketedStagePath(appId: String, dir: String): String =
+    s"${stage(dir, "bucket")}_${Integer.toHexString(appId.hashCode)}"
+
   private def stage(dir: String, name: String): String =
     s"/tmp/graft_sink_${name}_${hex(dir)}"
 
@@ -107,8 +113,17 @@ object Sinks {
     val docs = Tables.documents(spark, dir)
     docs.write.mode("overwrite").json(jsonDir)
     val fromJson = spark.read.schema(docs.schema).json(jsonDir)
-    fromJson.write.mode("overwrite").option("header", "true").csv(csvDir)
-    spark.read.schema(docs.schema).option("header", "true").csv(csvDir)
+    // quote-escape by doubling ("" inside a quoted field) and read with
+    // multiLine so text containing quotes or embedded newlines survives
+    // the round-trip — without these the defaults silently misparse any
+    // document whose text contains a newline
+    fromJson.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(csvDir)
+    spark.read.schema(docs.schema)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(csvDir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
         sum(length(col("text"))).as("sum_text_len"),
@@ -116,11 +131,12 @@ object Sinks {
   }
 
   private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {
-    // table name keyed by the data dir (same suffix as the stage path)
-    // so concurrent sessions over different dirs never race on one
-    // global metastore entry
-    val table = s"graft_docs_bucketed_${hex(dir)}"
-    val out = stage(dir, "bucket")
+    // table name AND stage path keyed by (data dir, application id):
+    // the dir hash stops two threads of one session racing across
+    // dirs, the appId stops two concurrent SESSIONS over the SAME dir
+    // racing on one metastore entry / staging directory
+    val table = bucketedTableName(spark.sparkContext.applicationId, dir)
+    val out = bucketedStagePath(spark.sparkContext.applicationId, dir)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     Tables.documents(spark, dir)
       .write.mode("overwrite")

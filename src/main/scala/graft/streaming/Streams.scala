@@ -90,6 +90,36 @@ object Streams {
     s.table(name)
   }
 
+  /** s07: streaming curation gate — d18's scalar quality gates (token
+    * bounds, stopword density, uppercase ratio, PII) applied AT
+    * INGESTION: the document stream is projected through the gates
+    * (stateless, map-only — no streaming state at all) and rolled up
+    * into per-source admit/reject counts. This is the "filter at the
+    * door" deployment of the curation funnel: the expensive repetition
+    * gate stays in the nightly batch pass (d18), the cheap codegen'd
+    * gates run on the firehose. Oracle: the identical batch projection.
+    */
+  def s07StreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Corpus, Text}
+    val t = col("text")
+    val toks = Text.wsTokens(lower(t))
+    val gated = fileStream(streamSession(spark), dir, "documents.parquet")
+      .select(col("source"),
+        (size(toks).cast("long").between(50L, 100000L) &&
+          (size(filter(toks, tok => tok.isin(Text.StopEn: _*))).cast("double") /
+            size(toks).cast("double") >= 0.05) &&
+          (length(regexp_replace(t, "[^A-Z]", "")).cast("double") /
+            length(t).cast("double") <= 0.3) &&
+          (size(regexp_extract_all(t, lit(Corpus.EmailRe), lit(0))) +
+            size(regexp_extract_all(t, lit(Corpus.Ipv4Re), lit(0))) +
+            size(regexp_extract_all(t, lit(Corpus.PhoneRe), lit(0))) === 0)).as("admitted"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"))
+    val (s, name) = runToCompletion(gated, OutputMode.Complete())
+    s.table(name)
+  }
+
   /** s03: streaming exact dedup — the stream unioned with itself (every
     * event arrives twice) is deduplicated on event_id with watermarked
     * state, then aggregated. The final counts must equal the batch
@@ -246,9 +276,10 @@ object Streams {
     // sink locally; against the signature store in production). The
     // signature projection is deterministic, so the batch recompute is
     // bit-identical to what the stream hashed.
-    val sigTable = Dedup.signatureTable(
-      Dedup.nearDupCorpus(graft.Tables.documents(sess, dir))).select("doc_id", "sig")
-    sess.table(name)
+    val sigFull = Dedup.signatureTable(
+      Dedup.nearDupCorpus(graft.Tables.documents(sess, dir)))
+    val sigTable = sigFull.select("doc_id", "sig")
+    val joined = sess.table(name)
       .dropDuplicates("doc_a", "doc_b")
       .join(sigTable.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigTable.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -256,6 +287,15 @@ object Streams {
         s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast(${Dedup.NumHashes} as double)"))
       .where(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b", "est_jaccard")
+    // the persisted signature table is read twice above (persist stops
+    // Catalyst re-inlining the signature expression into both join
+    // branches); materialize the small survivor set eagerly so the
+    // cache can be released NOW instead of leaking for the session's
+    // lifetime (localCheckpoint blocks are context-cleaned on GC,
+    // cacheManager entries are not)
+    val out = joined.localCheckpoint(true)
+    sigFull.unpersist()
+    out
   }
 
   case class Ev(user_id: Long, event_id: Long, tsUs: Long)

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -93,6 +93,65 @@ object Corpus {
         (col("n_words").between(50, 100000) &&
           col("mean_word_len").between(3.0, 10.0) &&
           (col("top_bigram_frac") <= 0.2)).as("passes_quality"))
+  }
+
+  /** d18: the curation funnel — every per-document quality gate a
+    * corpus pipeline actually applies (token-count bounds, stopword
+    * density, uppercase shouting, repetition, PII), composed into ONE
+    * pass, reported as per-source survivor counts. This is the nightly
+    * corpus-health dashboard: which sources are losing documents, and
+    * at which gate.
+    *
+    * Scale shape: the scalar gates (length / stopword / upper / PII)
+    * are a single codegen'd projection — no shuffle. The repetition
+    * gate reuses d15's shape: a (doc_id, bigram) count → per-doc max,
+    * both map-side combined and keyed by doc. The final rollup is a
+    * ~|sources|-row aggregate. Nothing here grows super-linearly.
+    *
+    * Gate thresholds mirror d03/d15/d16's published metrics, so every
+    * input to every comparison is a value those oracles already pin
+    * bit-exactly — the funnel's booleans can't flip cross-engine.
+    */
+  def d18CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = Text.wsTokens(lower(t))
+    val nchars = length(t).cast("double")
+    val scalarGates = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_words"),
+      (size(filter(toks, tok => tok.isin(Text.StopEn: _*))).cast("double") /
+        size(toks).cast("double")).as("stop_ratio"),
+      (length(regexp_replace(t, "[^A-Z]", "")).cast("double") / nchars).as("upper_ratio"),
+      (size(regexp_extract_all(t, lit(EmailRe), lit(0))) +
+        size(regexp_extract_all(t, lit(Ipv4Re), lit(0))) +
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0)))).cast("long").as("n_pii"))
+    val docs2 = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.wsTokens(lower(col("text"))).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val topBigram = docs2.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(toks)-2), " +
+        "i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_bigram_frac"))
+    val gated = scalarGates
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(col("source"),
+        col("n_words").between(50L, 100000L).as("g_len"),
+        (col("stop_ratio") >= 0.05).as("g_stop"),
+        (col("upper_ratio") <= 0.3).as("g_upper"),
+        (coalesce(col("top_bigram_frac"), lit(0.0)) <= 0.2).as("g_rep"),
+        (col("n_pii") === 0L).as("g_pii"))
+    def n(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    gated.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      n(col("g_len")).as("n_pass_len"),
+      n(col("g_stop")).as("n_pass_stop"),
+      n(col("g_upper")).as("n_pass_upper"),
+      n(col("g_rep")).as("n_pass_rep"),
+      n(col("g_pii")).as("n_pass_pii"),
+      n(col("g_len") && col("g_stop") && col("g_upper") && col("g_rep") && col("g_pii"))
+        .as("n_clean"))
   }
 
   /** PII patterns shared by the operator and its oracle — restricted to

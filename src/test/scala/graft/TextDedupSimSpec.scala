@@ -253,6 +253,42 @@ class TextDedupSimSpec extends SparkSpec {
     assert(feat(3) == 0.0)
   }
 
+  test("m01 PPM decode extracts real image features; non-image payloads take the stub path") {
+    // 2×2 P6 image, maxval 255, with a header comment: pixels
+    // (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array[Int](
+      255, 0, 0, 0, 255, 0,
+      0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ppm = header ++ raster
+    val feat = Multimodal.decodePpm(ppm).get
+    // channel means: R = (255+0+0+255)/4, G = (0+255+0+255)/4, B = (0+0+255+255)/4
+    assert(feat(0) == 510.0 / (255.0 * 4) && feat(1) == 510.0 / (255.0 * 4) &&
+      feat(2) == 510.0 / (255.0 * 4))
+    // luminance (×1000 fixed-point): 299·255, 587·255, 114·255, 1000·255
+    val lumas = Seq(299L * 255, 587L * 255, 114L * 255, 1000L * 255)
+    assert(feat(3) == lumas.sum.toDouble / 4 / (1000.0 * 255.0))
+    assert(feat(5) == 0.25) // only the blue pixel is below 64/255
+    assert(feat(6) == 0.25) // only the white pixel is at/above 192/255
+    assert(feat(7) == 1.0)  // square
+    // decode() dispatches: the PPM gets the real features...
+    assert(Multimodal.decode(ppm)._2.toSeq == feat.toSeq)
+    // ...while a truncated PPM (bad raster length) and plain text fall
+    // back to the stub, and the checksum is the same either way
+    assert(Multimodal.decodePpm(ppm.dropRight(1)).isEmpty)
+    val txt = "P6 but not an image".getBytes("US-ASCII")
+    val (ck, stubFeat) = Multimodal.stubDecode(txt)
+    val (dck, dfeat) = Multimodal.decode(txt)
+    assert(dck == ck && dfeat.toSeq == stubFeat.toSeq)
+    // end-to-end through the Spark pipeline shape: a one-row media
+    // frame with the PPM payload produces the real features
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, ppm, "image/x-portable-pixmap", ppm.length.toLong))
+      .toDS().toDF()
+    val row = Multimodal.decodeFrame(media).head()
+    assert(row.getAs[Double]("feat_5") == 0.25 && row.getAs[Double]("feat_7") == 1.0)
+  }
+
   test("s05 streaming near-dup emits exactly the batch d06 pair set") {
     val stream = graft.streaming.Streams.s05StreamNearDup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(identity).toSeq

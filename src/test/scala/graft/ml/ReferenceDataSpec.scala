@@ -85,6 +85,24 @@ class ReferenceDataSpec extends SparkSpec {
     java.nio.file.Files.delete(f)
   }
 
+  test("nci9: highest-dim reference dataset fits deterministically, invariant to partitioning") {
+    // test_nci9_s3.csv ships with the reference suite (60×9712, 9-class
+    // discrete — its highest-dimensional dataset; no published
+    // selection to compare against). Pins: the full frozen selection
+    // (the fit is a pure function of (seed, content)) and invariance
+    // under re-partitioning — the properties the content-hash row
+    // identity exists to provide, at 5× colon's dimensionality.
+    val df = loadReferenceCsv("test_nci9_s3.csv")
+    val m = fit(df)
+    assert(m.stdSelection.toSeq ==
+      Seq(6290, 443, 1915, 9575, 9587, 8362, 4937, 6933, 9576, 7811),
+      s"selection drifted: ${m.stdSelection.mkString(",")}")
+    val m2 = fit(df.repartition(3))
+    assert(m2.stdSelection.toSeq == m.stdSelection.toSeq)
+    val m3 = fit(df.coalesce(1))
+    assert(m3.stdSelection.toSeq == m.stdSelection.toSeq)
+  }
+
   test("colon: reference-params run selects the shared feature core, invariant to partitioning") {
     val df = loadReferenceCsv("test_colon_s3.csv")
     val m = fit(df)

@@ -74,6 +74,20 @@ class PlanSpec extends SparkSpec {
     assert(!belowJoin.contains("Exchange"), plan)
   }
 
+  test("w02: bucketed table name and stage path are keyed by BOTH dir and appId") {
+    import graft.sources.Sinks
+    // two sessions over the same dir (different appIds) must not race
+    // on one metastore entry or staging path; two dirs in one session
+    // must not either
+    assert(Sinks.bucketedTableName("app-1", sfDir) != Sinks.bucketedTableName("app-2", sfDir))
+    assert(Sinks.bucketedStagePath("app-1", sfDir) != Sinks.bucketedStagePath("app-2", sfDir))
+    assert(Sinks.bucketedTableName("app-1", sfDir) != Sinks.bucketedTableName("app-1", sfDir + "/x"))
+    // and the live session resolves to its own appId's name
+    val live = Sinks.bucketedTableName(spark.sparkContext.applicationId, sfDir)
+    graft.sources.Sinks.w02SinkBucketed(spark, sfDir).count()
+    assert(spark.catalog.tableExists(live))
+  }
+
   test("LSH family: no cartesian/nested-loop join anywhere") {
     // every candidate join must be bucket-keyed — a cartesian in any of
     // these is the 100 TB failure mode the census caps exist to prevent

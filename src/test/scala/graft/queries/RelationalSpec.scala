@@ -32,4 +32,37 @@ class RelationalSpec extends SparkSpec {
     assert(a == b)
     assert(a.size <= 10)
   }
+
+  test("q25b approx percentiles track exact q25 within the declared rank-error envelope") {
+    import spark.implicits._
+    val exact = Relational.q25Percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // full-retention accuracy: the sketch IS the exact discrete
+    // percentile — within one inter-element gap of the interpolated
+    // exact value, and here simply very close in relative terms
+    Relational.q25bApproxPercentiles(spark, sfDir).collect().foreach { r =>
+      val (p50e, p90e) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50e) / p50e < 0.01, s"p50 ${r.getDouble(1)} vs $p50e")
+      assert(math.abs(r.getDouble(2) - p90e) / p90e < 0.01, s"p90 ${r.getDouble(2)} vs $p90e")
+    }
+    // coarse accuracy=100 exercises REAL approximation: GK guarantees
+    // rank error ≤ n/100, so each approx percentile must land inside
+    // the exact [p−2%, p+2%] quantile envelope
+    val envelope = graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.48D)").as("p50_lo"),
+        expr("percentile(l_extendedprice, 0.52D)").as("p50_hi"),
+        expr("percentile(l_extendedprice, 0.88D)").as("p90_lo"),
+        expr("percentile(l_extendedprice, 0.92D)").as("p90_hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    Relational.q25bWithAccuracy(spark, sfDir, 100).collect().foreach { r =>
+      val (lo50, hi50, lo90, hi90) = envelope(r.getString(0))
+      val (a50, a90) = (r.getDouble(1), r.getDouble(2))
+      assert(a50 >= lo50 && a50 <= hi50, s"p50 $a50 outside [$lo50,$hi50]")
+      assert(a90 >= lo90 && a90 <= hi90, s"p90 $a90 outside [$lo90,$hi90]")
+    }
+  }
 }

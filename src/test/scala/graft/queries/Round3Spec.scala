@@ -37,10 +37,14 @@ class Round3Spec extends SparkSpec {
 
   test("q28 correlated subquery decorrelates to agg+join and matches a window formulation") {
     import spark.implicits._
+    // same multiply-through exact arithmetic as q28 itself (price*cnt >
+    // sum over DECIMAL), expressed as windows instead of subqueries
     val byCust = Window.partitionBy($"o_custkey")
     val windowed = graft.Tables.orders(spark, sfDir)
-      .withColumn("cust_avg", avg($"o_totalprice").over(byCust))
-      .where($"o_totalprice" > $"cust_avg")
+      .withColumn("p_dec", $"o_totalprice".cast("decimal(18,2)"))
+      .withColumn("cust_cnt", count(lit(1)).over(byCust))
+      .withColumn("cust_sum", sum($"p_dec").over(byCust))
+      .where($"p_dec" * $"cust_cnt" > $"cust_sum")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_above_avg"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-4 operators: the curation funnel (d18), its streaming
+  * ingestion gate (s07), and ntile decile segmentation (q31).
+  */
+class Round4Spec extends SparkSpec {
+
+  test("d18 funnel counts are internally consistent and agree with the source operators") {
+    import spark.implicits._
+    val f = graft.text.Corpus.d18CurationFunnel(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val clean = r.getAs[Long]("n_clean")
+      for (g <- Seq("n_pass_len", "n_pass_stop", "n_pass_upper", "n_pass_rep", "n_pass_pii")) {
+        val v = r.getAs[Long](g)
+        assert(v <= n && v >= clean, s"$g=$v outside [clean=$clean, n=$n]")
+      }
+    }
+    // the PII gate must agree with d16's counts exactly
+    val piiClean = graft.text.Corpus.d16PiiScrub(spark, sfDir)
+      .where($"n_emails" + $"n_ips" + $"n_phones" === 0L).count()
+    assert(f.map(_.getAs[Long]("n_pass_pii")).sum == piiClean)
+    // and the funnel covers every document exactly once
+    assert(f.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, sfDir).count())
+  }
+
+  test("s07 streaming gate equals the batch scalar-gate formulation") {
+    val stream = graft.streaming.Streams.s07StreamQualityGate(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(stream.nonEmpty)
+    // batch formulation of the same gates over the same table
+    import graft.text.{Corpus, Text}
+    import spark.implicits._
+    val t = col("text")
+    val toks = Text.wsTokens(lower(t))
+    val batch = graft.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        (size(toks).cast("long").between(50L, 100000L) &&
+          (size(filter(toks, tok => tok.isin(Text.StopEn: _*))).cast("double") /
+            size(toks).cast("double") >= 0.05) &&
+          (length(regexp_replace(t, "[^A-Z]", "")).cast("double") /
+            length(t).cast("double") <= 0.3) &&
+          (size(regexp_extract_all(t, lit(Corpus.EmailRe), lit(0))) +
+            size(regexp_extract_all(t, lit(Corpus.Ipv4Re), lit(0))) +
+            size(regexp_extract_all(t, lit(Corpus.PhoneRe), lit(0))) === 0)).as("admitted"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"admitted", 1L).otherwise(0L)).as("n_admitted"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(stream == batch)
+  }
+
+  test("q31 deciles: balanced bands, full coverage, monotone revenue") {
+    import spark.implicits._
+    val d = Relational.q31NtileDeciles(spark, sfDir)
+      .orderBy($"decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(d.map(_._1).toSeq == (1L to 10L))
+    // ntile balance: band sizes differ by at most 1
+    val sizes = d.map(_._2)
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
+    assert(sizes.sum == graft.Tables.orders(spark, sfDir)
+      .select($"o_custkey").distinct().count())
+    // revenue-ordered bands: average revenue per customer strictly
+    // decreases from decile 1 to 10
+    val avg = d.map(t => t._3 / t._2)
+    assert(avg.sliding(2).forall { case Array(a, b) => a > b }, avg.mkString(","))
+  }
+}
