@@ -72,6 +72,8 @@ object SparkEntry {
     "d16_pii_scrub"       -> graft.text.Corpus.d16PiiScrub _,
     "d17_chunk_dedup"     -> graft.text.Corpus.d17ChunkDedup _,
     "d18_curation_funnel" -> graft.text.Corpus.d18CurationFunnel _,
+    "d19_incremental_dedup" -> graft.text.Corpus.d19IncrementalDedup _,
+    "d20_corpus_mix"      -> graft.text.Corpus.d20CorpusMix _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
@@ -84,6 +86,7 @@ object SparkEntry {
     "s05_stream_neardup"  -> Streams.s05StreamNearDup _,
     "s06_stream_session_window" -> Streams.s06StreamSessionWindow _,
     "s07_stream_quality_gate" -> Streams.s07StreamQualityGate _,
+    "s08_stream_incr_dedup" -> Streams.s08StreamIncrementalDedup _,
     "w01_sink_partitioned" -> graft.sources.Sinks.w01SinkPartitioned _,
     "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
@@ -994,6 +997,43 @@ object SparkEntry {
         |  count(*) FILTER (WHERE g_pii) AS n_pass_pii,
         |  count(*) FILTER (WHERE g_len AND g_stop AND g_upper AND g_rep AND g_pii) AS n_clean
         |FROM g GROUP BY 1""".stripMargin,
+    // both engines digest with md5 (identical lowercase hex), split on
+    // doc_id%5, anti-join on the digest; the min-doc_id tie-break makes
+    // the admitted set deterministic
+    "d19_incremental_dedup" ->
+      """WITH inc AS (SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+        |ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |fresh AS (SELECT * FROM inc WHERE h NOT IN (SELECT h FROM ex)),
+        |adm AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY h),
+        |adms AS (SELECT source, count(*) AS n_admitted FROM adm JOIN inc USING (doc_id) GROUP BY 1),
+        |pi AS (SELECT source, count(*) AS n_incoming FROM inc GROUP BY 1),
+        |pf AS (SELECT source, count(*) AS n_fresh FROM fresh GROUP BY 1)
+        |SELECT pi.source, n_incoming,
+        |  n_incoming - COALESCE(n_fresh, 0) AS n_dup_vs_existing,
+        |  COALESCE(n_admitted, 0) AS n_admitted
+        |FROM pi LEFT JOIN pf USING (source) LEFT JOIN adms USING (source)""".stripMargin,
+    // the same mod-prime threshold arithmetic as d13, with the rate
+    // keyed per source by a char-fold of the source name
+    "d20_corpus_mix" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(1, length(source)+1), i -> CAST(ascii(source[i]) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) AS sh
+        |  FROM documents)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  count(*) FILTER (WHERE
+        |    ((doc_id % 1000000007) * 888000131 % 1000000007 + 99) % 1000000007 <
+        |      CAST(floor((sh % 3 + 1) * 0.25 * 1000000007) AS BIGINT)) AS n_sampled,
+        |  (sh % 3 + 1) * 0.25 AS target_frac
+        |FROM s GROUP BY source, sh""".stripMargin,
+    "s08_stream_incr_dedup" ->
+      """WITH inc AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+        |ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT (SELECT count(*) FROM inc) AS n_incoming,
+        |  count(DISTINCT h) AS n_distinct_new
+        |FROM inc WHERE h NOT IN (SELECT h FROM ex)""".stripMargin,
     // the streaming gate is d18's scalar-gate subset (no repetition
     // gate), so the batch formulation is the exact oracle
     "s07_stream_quality_gate" ->

@@ -145,14 +145,25 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
   }
 
+  /** Signature-agreement Jaccard estimate over (sig_a, sig_b): native
+    * compare-and-count loop when the extension is registered (the
+    * zip_with/filter chain is CodegenFallback and would knock the LSH
+    * verify projection out of whole-stage codegen), identical int
+    * count either way.
+    */
+  def estJaccardExpr(spark: SparkSession): String =
+    if (spark.catalog.functionExists("graft_sigmatch"))
+      s"graft_sigmatch(sig_a, sig_b) / cast($NumHashes as double)"
+    else
+      s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)"
+
   /** d06: MinHash+LSH near-dup pairs with the signature-agreement
     * Jaccard estimate.
     */
   def d06MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
     lshCandidates(signatureTable(corpus))
-      .withColumn("est_jaccard",
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)"))
+      .withColumn("est_jaccard", expr(estJaccardExpr(spark)))
       .where(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b", "est_jaccard")
   }

@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children(0), k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_sigmatch"),
+      new ExpressionInfo(classOf[SigMatch].getName, "graft_sigmatch"),
+      (children: Seq[Expression]) => SigMatch(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children(0))))

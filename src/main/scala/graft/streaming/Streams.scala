@@ -120,6 +120,36 @@ object Streams {
     s.table(name)
   }
 
+  /** s08: streaming incremental dedup — the ingestion-time half of
+    * d19: the incoming document stream is digested, STREAM-STATIC
+    * left-anti joined against the existing corpus's digest table (the
+    * static side is a plain DataFrame — at scale a bucketed digest
+    * table — probed per micro-batch with no streaming state), then
+    * watermark-free dropDuplicates on the digest handles within-stream
+    * repeats. Admitted rows land append-mode; the tiny rollup on the
+    * sink is batch. Output is arrival-order invariant: counts of
+    * distinct new digests and already-known rows, not which twin won.
+    */
+  def s08StreamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val existingDigests = graft.Tables.documents(ss, dir)
+      .where(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("h")).distinct()
+    val incoming = fileStream(ss, dir, "documents.parquet")
+      .where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val admitted = incoming
+      .join(existingDigests, Seq("h"), "left_anti")
+      .dropDuplicates("h")
+      .select(col("h"))
+    val (sess, name) = runToCompletion(admitted, OutputMode.Append())
+    val nIncoming = graft.Tables.documents(sess, dir)
+      .where(col("doc_id") % 5 === 0).count()
+    sess.table(name)
+      .agg(count(lit(1)).as("n_distinct_new"))
+      .select(lit(nIncoming).as("n_incoming"), col("n_distinct_new"))
+  }
+
   /** s03: streaming exact dedup — the stream unioned with itself (every
     * event arrives twice) is deduplicated on event_id with watermarked
     * state, then aggregated. The final counts must equal the batch
@@ -283,8 +313,7 @@ object Streams {
       .dropDuplicates("doc_a", "doc_b")
       .join(sigTable.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigTable.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .withColumn("est_jaccard", expr(
-        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast(${Dedup.NumHashes} as double)"))
+      .withColumn("est_jaccard", expr(Dedup.estJaccardExpr(sess)))
       .where(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b", "est_jaccard")
     // the persisted signature table is read twice above (persist stops

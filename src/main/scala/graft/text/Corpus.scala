@@ -154,6 +154,64 @@ object Corpus {
         .as("n_clean"))
   }
 
+  /** d19: incremental dedup — the daily-increment pattern: a new batch
+    * (here the deterministic doc_id%5==0 slice stands in for today's
+    * crawl) deduplicated against the EXISTING corpus and within itself.
+    * Per source it reports how many incoming docs were dropped as
+    * already-known vs admitted (one per distinct new digest, min doc_id
+    * wins — a deterministic tie-break).
+    *
+    * Scale shape: both sides reduce to 16-byte md5 digests before any
+    * shuffle; "vs existing" is a digest left-anti join (at 100 TB the
+    * existing side is a bucketed digest table, making the probe
+    * co-located), within-batch is one digest groupBy. Document text
+    * never shuffles.
+    */
+  def d19IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val existingDigests = docs.where(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("h")).distinct()
+    val fresh = incoming.join(existingDigests, Seq("h"), "left_anti")
+    val admitted = fresh.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .join(incoming.select("doc_id", "source"), Seq("doc_id"))
+    val perSourceIncoming = incoming.groupBy("source")
+      .agg(count(lit(1)).as("n_incoming"))
+    val perSourceFresh = fresh.groupBy("source")
+      .agg(count(lit(1)).as("n_fresh"))
+    val perSourceAdmitted = admitted.groupBy("source")
+      .agg(count(lit(1)).as("n_admitted"))
+    perSourceIncoming
+      .join(perSourceFresh, Seq("source"), "left")
+      .join(perSourceAdmitted, Seq("source"), "left")
+      .select(col("source"), col("n_incoming"),
+        (col("n_incoming") - coalesce(col("n_fresh"), lit(0L))).as("n_dup_vs_existing"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+  }
+
+  /** d20: weighted corpus mixing — every source gets a target mixture
+    * fraction (here a deterministic function of the source name, 25/50/
+    * 75%, standing in for curated Pile-style weights) and documents are
+    * admitted by the same layout-invariant mod-prime threshold d13
+    * uses, so the realized sample is an exact deterministic function of
+    * (doc_id, source) — reproducible on any cluster layout, no RNG
+    * state. One codegen'd projection + a |sources|-row rollup.
+    */
+  def d20CorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    // per-source target fraction: hash the source name to 1..3 quarters
+    def srcHash = aggregate(split(col("source"), ""), lit(7L),
+      (a, c) => (a * 31 + ascii(c)) % P)
+    val u = ((col("doc_id") % P) * 888000131L % P + 99L) % P
+    val admit = u < floor((srcHash % 3 + 1).cast("double") * 0.25 * P).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), when(admit, 1L).otherwise(0L).as("adm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("adm")).as("n_sampled"))
+      .withColumn("target_frac", (srcHash % 3 + 1).cast("double") * 0.25)
+  }
+
   /** PII patterns shared by the operator and its oracle — restricted to
     * syntax both Java regex and RE2 (DuckDB) support identically.
     */

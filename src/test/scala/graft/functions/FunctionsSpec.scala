@@ -63,6 +63,33 @@ class FunctionsSpec extends SparkSpec {
     assert(df.where(col("native") =!= col("fold")).count() == 0)
   }
 
+  test("graft_sigmatch is bit-identical to the zip_with/filter form") {
+    val k = graft.dedup.Dedup.NumHashes
+    val docs = graft.dedup.Dedup.withSignature(graft.dedup.Dedup.shingled(
+      graft.Tables.documents(spark, sfDir))).select("doc_id", "sig")
+    // self-join a small sample so pairs have both agreements and not
+    val a = docs.limit(30).select(col("doc_id").as("ida"), col("sig").as("sig_a"))
+    val b = docs.limit(30).select(col("doc_id").as("idb"), col("sig").as("sig_b"))
+    val df = a.crossJoin(b).select(
+      expr("graft_sigmatch(sig_a, sig_b)").as("native"),
+      expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").as("fold"))
+    assert(df.count() > 0)
+    assert(df.where(col("native") =!= col("fold")).count() == 0)
+    // identity pairs must count every position
+    assert(df.where(col("native") === k).count() >= 30)
+  }
+
+  test("graft_sigmatch runs inside whole-stage codegen") {
+    val docs = graft.dedup.Dedup.withSignature(graft.dedup.Dedup.shingled(
+      graft.Tables.documents(spark, sfDir))).select(col("sig"))
+    val plan = docs
+      .select(col("sig").as("sig_a"), col("sig").as("sig_b"))
+      .select(expr("graft_sigmatch(sig_a, sig_b)"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_sigmatch""".r.findFirstIn(plan).isDefined,
+      s"not codegen'd:\n$plan")
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // cast (codegen-able), NOT transform (CodegenFallback — would push
     // the whole projection to interpreted mode)

@@ -58,6 +58,39 @@ class Round4Spec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("d19 incremental dedup is consistent and s08's streaming counts agree") {
+    import spark.implicits._
+    val d = graft.text.Corpus.d19IncrementalDedup(spark, sfDir).collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      val (n, dup, adm) =
+        (r.getAs[Long]("n_incoming"), r.getAs[Long]("n_dup_vs_existing"), r.getAs[Long]("n_admitted"))
+      assert(dup >= 0 && adm >= 0 && adm + dup <= n, r.toString)
+    }
+    val nIncoming = d.map(_.getAs[Long]("n_incoming")).sum
+    assert(nIncoming == graft.Tables.documents(spark, sfDir)
+      .where($"doc_id" % 5 === 0).count())
+    // the streaming half sees the same batch: identical incoming count
+    // and the same number of distinct new digests
+    val s = graft.streaming.Streams.s08StreamIncrementalDedup(spark, sfDir).head()
+    assert(s.getAs[Long]("n_incoming") == nIncoming)
+    assert(s.getAs[Long]("n_distinct_new") == d.map(_.getAs[Long]("n_admitted")).sum)
+  }
+
+  test("d20 corpus mix: realized rates track the per-source targets") {
+    val m = graft.text.Corpus.d20CorpusMix(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (n, samp, f) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled"), r.getAs[Double]("target_frac"))
+      assert(Set(0.25, 0.5, 0.75).contains(f), r.toString)
+      // binomial tolerance at small n: |realized - target| within 4 sigma
+      val sigma = math.sqrt(f * (1 - f) / n)
+      assert(math.abs(samp.toDouble / n - f) <= 4 * sigma + 1.0 / n,
+        s"source=${r.getString(0)} realized=${samp.toDouble / n} target=$f n=$n")
+    }
+  }
+
   test("q31 deciles: balanced bands, full coverage, monotone revenue") {
     import spark.implicits._
     val d = Relational.q31NtileDeciles(spark, sfDir)
