@@ -91,6 +91,7 @@ object SparkEntry {
     "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
     "w04_source_formats"  -> graft.sources.Sinks.w04SourceFormats _,
+    "w05_sink_upsert"     -> graft.sources.Sinks.w05SinkUpsert _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_select"       -> ReliefQueries.reliefSelect _,
     "relief_transform"    -> ReliefQueries.reliefTransform _,
@@ -366,6 +367,22 @@ object SparkEntry {
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // expected post-upsert state: en docs with doc_id%7==0 corrected
+    // (+1000 chars), new en docs cloned from the %7==1 slice at
+    // doc_id+2000000, every other language untouched
+    "w05_sink_upsert" ->
+      """WITH upd AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' AND doc_id % 7 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |fresh AS (
+        |  SELECT doc_id + 2000000 AS doc_id, lang, n_chars
+        |  FROM documents WHERE lang = 'en' AND doc_id % 7 = 1),
+        |fin AS (SELECT * FROM upd UNION ALL SELECT * FROM fresh)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM fin GROUP BY 1""".stripMargin,
     // JSON→CSV round-trip must preserve text byte-for-byte
     "w04_source_formats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -130,6 +130,56 @@ object Sinks {
         countDistinct(col("text")).as("n_distinct_texts"))
   }
 
+  /** w05: partition-level upsert — the parquet-lake MERGE pattern
+    * without a table format: the corpus lands partitioned by lang, then
+    * an incremental batch (updates to some `en` documents + brand-new
+    * `en` documents) is merged and written back with DYNAMIC partition
+    * overwrite, which rewrites ONLY the partitions present in the batch
+    * and leaves every other language's files untouched (pinned by
+    * spec). At 100 TB this is the nightly upsert job: the rewrite cost
+    * is proportional to the touched partitions, not the table.
+    * Returned rollup = full read-back per-lang stats, oracle-checked
+    * against the expected merged state computed from the source table.
+    */
+  def w05SinkUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val out = upsertDir(spark, dir)
+    spark.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
+  private[graft] def upsertDir(spark: SparkSession, dir: String): String = {
+    val out = upsertInitialLoad(spark, dir)
+    upsertApplyIncrement(spark, dir)
+    out
+  }
+
+  private[graft] def upsertInitialLoad(spark: SparkSession, dir: String): String = {
+    val out = stage(dir, "upsert")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    out
+  }
+
+  /** The incremental batch: every 7th en doc gets a metadata
+    * correction, plus new en docs derived from the doc_id%7==1 slice.
+    * Written with DYNAMIC partition overwrite — only lang=en rewrites.
+    */
+  private[graft] def upsertApplyIncrement(spark: SparkSession, dir: String): Unit = {
+    val out = stage(dir, "upsert")
+    val docs = Tables.documents(spark, dir)
+    val updated = docs.where(col("lang") === "en")
+      .withColumn("n_chars",
+        when(col("doc_id") % 7 === 0, col("n_chars") + 1000L).otherwise(col("n_chars")))
+    val fresh = docs.where(col("lang") === "en" && col("doc_id") % 7 === 1)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    updated.unionByName(fresh)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang")
+      .parquet(out)
+  }
+
   private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {
     // table name AND stage path keyed by (data dir, application id):
     // the dir hash stops two threads of one session racing across

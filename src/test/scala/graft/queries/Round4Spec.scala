@@ -91,6 +91,34 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("w05 dynamic partition overwrite rewrites ONLY the batch's partitions") {
+    import graft.sources.Sinks
+    def snapshot(d: String): Map[String, Long] = {
+      val f = new java.io.File(d)
+      if (!f.exists()) Map.empty
+      else f.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(x => x.getName -> x.lastModified()).toMap
+    }
+    val out = Sinks.upsertInitialLoad(spark, sfDir)
+    val esBefore = snapshot(s"$out/lang=es")
+    val enBefore = snapshot(s"$out/lang=en")
+    assert(esBefore.nonEmpty && enBefore.nonEmpty)
+    Sinks.upsertApplyIncrement(spark, sfDir)
+    // untouched partition: identical files, byte-for-byte same mtimes
+    assert(snapshot(s"$out/lang=es") == esBefore)
+    // rewritten partition: the old files are gone
+    assert(snapshot(s"$out/lang=en").keySet.intersect(enBefore.keySet).isEmpty)
+    // and the merged state contains the corrections + the new docs
+    import spark.implicits._
+    val en = spark.read.parquet(out).where($"lang" === "en")
+    assert(en.where($"doc_id" >= 2000000L).count() > 0)
+    val base = graft.Tables.documents(spark, sfDir)
+      .where($"lang" === "en" && $"doc_id" % 7 === 0)
+      .select($"doc_id", ($"n_chars" + 1000L).as("expected"))
+    val joined = en.join(base, Seq("doc_id"))
+    assert(joined.where($"n_chars" =!= $"expected").count() == 0)
+  }
+
   test("q31 deciles: balanced bands, full coverage, monotone revenue") {
     import spark.implicits._
     val d = Relational.q31NtileDeciles(spark, sfDir)
