@@ -88,6 +88,15 @@ class PlanSpec extends SparkSpec {
     assert(spark.catalog.tableExists(live))
   }
 
+  test("q25b: the percentile sketch aggregates map-side (partial) before the shuffle") {
+    // the GK sketch must combine per partition and shuffle only the
+    // fixed-size summaries — shuffling raw values would make the
+    // "approx" path cost the same as exact q25 at 100 TB
+    val plan = Relational.q25bApproxPercentiles(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_percentile"), plan)
+  }
+
   test("LSH family: no cartesian/nested-loop join anywhere") {
     // every candidate join must be bucket-keyed — a cartesian in any of
     // these is the 100 TB failure mode the census caps exist to prevent
