@@ -78,6 +78,7 @@ object SparkEntry {
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
     "e04_ann_ivf"         -> Sim.e04AnnIvf _,
+    "e05_knn_join"        -> Sim.e05KnnJoin _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
@@ -544,6 +545,35 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM cand) t
         |WHERE rn <= 10""".stripMargin,
+    // the all-pairs kNN join: same 8-bit buckets as e02, but EVERY
+    // vector is a query (census cap + hamming-1 probes), top-3 per
+    // query by (cosine DESC, neighbor_id)
+    "e05_knn_join" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+        |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64),
+        |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket)),
+        |probes AS (
+        |  SELECT vec_id AS query_id, unnest(list_distinct(list_concat(
+        |      [bucket],
+        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))))) AS bucket
+        |  FROM inn),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+        |  FROM probes p JOIN inn i USING (bucket)
+        |  WHERE i.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM cand c JOIN bk a ON a.vec_id = c.query_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
+        |WHERE rn <= 3""".stripMargin,
     // Full IVF reproduction: sampled-medoid centroids (smallest mod-prime
     // vec_id hash), argmin assignment on -2*dot+|c|^2 (the |v|^2 term drops
     // out), nprobe=4 probing, exact cosine rank.

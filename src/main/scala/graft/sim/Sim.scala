@@ -224,6 +224,45 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e05: k-NN JOIN — top-3 neighbors for EVERY vector, not for a
+    * broadcastable query batch. This is the retrieval-for-every-
+    * training-example shape (kNN-LM / RETRO-style pipelines, embedding-
+    * space alignment): both sides are the full corpus, so nothing can
+    * broadcast — candidate generation must be a SHUFFLE hash join on
+    * LSH bucket ids, and that is exactly the plan (bucket census cap
+    * bounds any degenerate bucket, hamming-1 probes pay recall as
+    * probe fan-out on 16-byte id rows, vectors join back only for
+    * surviving candidates, per-query top-k is a keyed window — never a
+    * global sort). 8-bit buckets: at n vectors a bucket holds ~n/256,
+    * so the per-bucket join cost is (n/256)² · 256 = n²/256 — the
+    * brute-force cross join divided by the bucket count, with the cap
+    * as the skew backstop.
+    */
+  def e05KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir).withColumn("bucket", bucketCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read 4×: census, probe side, join side, vector join-back
+    val useful = corpus.groupBy("bucket").count()
+      .where(col("count") <= MaxBucketE).select("bucket")
+    val in = corpus.join(useful, Seq("bucket"))
+    val probes = in.select(col("vec_id").as("query_id"),
+      explode(expr(
+        s"array_union(array(bucket), transform(sequence(0, ${SigBits - 1}), " +
+          "j -> bucket ^ shiftleft(1L, j)))")).as("bucket"))
+    val cand = probes
+      .join(in.select(col("bucket"), col("vec_id").as("neighbor_id")), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** e03: embedding near-duplicate pairs — corpus ∪ a deterministically
     * perturbed copy (id+100000), LSH-bucketed candidate join, cosine
     * threshold verify.

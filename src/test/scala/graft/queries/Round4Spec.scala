@@ -119,6 +119,25 @@ class Round4Spec extends SparkSpec {
     assert(joined.where($"n_chars" =!= $"expected").count() == 0)
   }
 
+  test("e05 kNN join: every vector gets at most k ranked neighbors, deterministically") {
+    import spark.implicits._
+    val res = graft.sim.Sim.e05KnnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    // per-query: ≤3 rows, unique neighbors, never self
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 3, s"query $q has ${rows.length} rows")
+      assert(rows.map(_._2).distinct.length == rows.length)
+      assert(!rows.exists(_._2 == q))
+    }
+    assert(res.forall(r => r._3 >= -1.0000001 && r._3 <= 1.0000001))
+    // deterministic under re-evaluation (bucket hashing, ranking and
+    // tie-breaks are all pure functions)
+    val again = graft.sim.Sim.e05KnnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("q31 deciles: balanced bands, full coverage, monotone revenue") {
     import spark.implicits._
     val d = Relational.q31NtileDeciles(spark, sfDir)
