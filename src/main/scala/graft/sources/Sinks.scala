@@ -32,9 +32,12 @@ object Sinks {
     */
   def w01SinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
     val out = stage(dir, "part")
-    Tables.documents(spark, dir)
-      .write.mode("overwrite").partitionBy("lang").parquet(out)
-    spark.read.parquet(out)
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    // explicit schema: a partitionBy write of ZERO rows creates no
+    // files, and a schema-less read of that layout throws instead of
+    // returning the empty frame an empty ingest day should produce
+    spark.read.schema(docs.schema).parquet(out)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }
@@ -45,7 +48,8 @@ object Sinks {
     */
   def w01ReadOneLang(spark: SparkSession, dir: String): DataFrame = {
     val out = stage(dir, "part")
-    spark.read.parquet(out).where(col("lang") === "en")
+    spark.read.schema(Tables.documents(spark, dir).schema).parquet(out)
+      .where(col("lang") === "en")
   }
 
   /** w02: bucketed table sink — documents written bucketed+sorted by
@@ -143,7 +147,8 @@ object Sinks {
     */
   def w05SinkUpsert(spark: SparkSession, dir: String): DataFrame = {
     val out = upsertDir(spark, dir)
-    spark.read.parquet(out)
+    // explicit schema for the same empty-day reason as w01
+    spark.read.schema(Tables.documents(spark, dir).schema).parquet(out)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }

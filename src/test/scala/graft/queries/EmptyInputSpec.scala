@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Empty-input robustness: a 100 TB pipeline constantly meets empty
+  * partitions (a new day with no data yet, a language with no docs, a
+  * filtered-out shard). Every operator must return an empty (or
+  * all-zero-group) result — never throw — when its tables are empty.
+  * Stages a zero-row copy of the full star schema and runs a
+  * representative operator from each family over it.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val out = "/tmp/graft_empty_sf"
+    val marker = new java.io.File(s"$out/_STAGED")
+    if (!marker.exists()) {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "documents", "embeddings")) {
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      // events is TIMESTAMP(NANOS): read ts as long (the Tables.events
+      // convention) so the staged empty file round-trips the same way
+      val s = spark.newSession()
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$sfDir/events.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      marker.createNewFile()
+    }
+    out
+  }
+
+  test("relational, dedup, similarity, text and sink operators survive empty inputs") {
+    val ops: Seq[(String, () => Long)] = Seq(
+      "q01" -> (() => Relational.q01PricingSummary(spark, emptyDir).count()),
+      "q05" -> (() => Relational.q05LocalSupplier(spark, emptyDir).count()),
+      "q25b" -> (() => Relational.q25bApproxPercentiles(spark, emptyDir).count()),
+      "q28" -> (() => Relational.q28CorrelatedSubquery(spark, emptyDir).count()),
+      "q31" -> (() => Relational.q31NtileDeciles(spark, emptyDir).count()),
+      "q17" -> (() => Events.q17Sessionize(spark, emptyDir).count()),
+      "q23" -> (() => Events.q23AsofJoin(spark, emptyDir).count()),
+      "d01" -> (() => graft.dedup.Dedup.d01DedupExact(spark, emptyDir).count()),
+      "d06" -> (() => graft.dedup.Dedup.d06MinHashLsh(spark, emptyDir).count()),
+      "d11" -> (() => graft.dedup.Dedup.d11DupClusters(spark, emptyDir).count()),
+      "d18" -> (() => graft.text.Corpus.d18CurationFunnel(spark, emptyDir).count()),
+      "d19" -> (() => graft.text.Corpus.d19IncrementalDedup(spark, emptyDir).count()),
+      "e01" -> (() => graft.sim.Sim.e01KnnCosine(spark, emptyDir).count()),
+      "e05" -> (() => graft.sim.Sim.e05KnnJoin(spark, emptyDir).count()),
+      "m01" -> (() => graft.multimodal.Multimodal.m01Multimodal(spark, emptyDir).count()),
+      "w01" -> (() => graft.sources.Sinks.w01SinkPartitioned(spark, emptyDir).count()),
+      "w05" -> (() => graft.sources.Sinks.w05SinkUpsert(spark, emptyDir).count()))
+    val failures = ops.flatMap { case (name, run) =>
+      try { assert(run() == 0L, s"$name returned rows on empty input"); None }
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case e: Throwable => Some(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -102,7 +102,8 @@ class PlanSpec extends SparkSpec {
     // these is the 100 TB failure mode the census caps exist to prevent
     for (q <- Seq(
         graft.dedup.Dedup.d06MinHashLsh(spark, sfDir),
-        graft.sim.Sim.e03EmbedDedup(spark, sfDir))) {
+        graft.sim.Sim.e03EmbedDedup(spark, sfDir),
+        graft.sim.Sim.e05KnnJoin(spark, sfDir))) {
       val plan = explain(q)
       assert(!plan.contains("CartesianProduct"), plan)
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
