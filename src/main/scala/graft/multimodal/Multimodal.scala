@@ -157,9 +157,12 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      concat(lit("application/x-graft-"), col("lang")).as("mime"),
-      length(col("text")).cast("long").as("n_bytes"))
+      // null payloads become empty bytes: the typed decode row has a
+      // non-nullable n_bytes, and a codec should see "no media", not
+      // crash the encoder (RobustnessSpec)
+      coalesce(col("text"), lit("")).cast("binary").as("payload"),
+      concat(lit("application/x-graft-"), coalesce(col("lang"), lit("und"))).as("mime"),
+      coalesce(length(col("text")).cast("long"), lit(0L)).as("n_bytes"))
 
   /** m01: end-to-end multimodal pipeline — binary column in, partition-
     * local batched decode, feature columns out. The feature vector is

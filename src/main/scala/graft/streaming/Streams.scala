@@ -103,13 +103,15 @@ object Streams {
     import graft.text.{Corpus, Text}
     val t = col("text")
     val toks = Text.wsTokens(lower(t))
+    // null-safe divisors (same as d18): empty/null text fails the gate
+    // as null instead of crashing the stream under ANSI mode
     val gated = fileStream(streamSession(spark), dir, "documents.parquet")
       .select(col("source"),
         (size(toks).cast("long").between(50L, 100000L) &&
           (size(filter(toks, tok => tok.isin(Text.StopEn: _*))).cast("double") /
-            size(toks).cast("double") >= 0.05) &&
+            when(size(toks) === 0, lit(null)).otherwise(size(toks)).cast("double") >= 0.05) &&
           (length(regexp_replace(t, "[^A-Z]", "")).cast("double") /
-            length(t).cast("double") <= 0.3) &&
+            when(length(t) === 0, lit(null)).otherwise(length(t)).cast("double") <= 0.3) &&
           (size(regexp_extract_all(t, lit(Corpus.EmailRe), lit(0))) +
             size(regexp_extract_all(t, lit(Corpus.Ipv4Re), lit(0))) +
             size(regexp_extract_all(t, lit(Corpus.PhoneRe), lit(0))) === 0)).as("admitted"))

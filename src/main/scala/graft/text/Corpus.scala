@@ -115,12 +115,14 @@ object Corpus {
   def d18CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     val toks = Text.wsTokens(lower(t))
-    val nchars = length(t).cast("double")
+    // null-safe divisors: empty/null text fails the gates as null →
+    // not admitted, instead of crashing the whole pass under ANSI mode
+    val nchars = when(length(t) === 0, lit(null)).otherwise(length(t)).cast("double")
     val scalarGates = Tables.documents(spark, dir).select(
       col("doc_id"), col("source"),
       size(toks).cast("long").as("n_words"),
       (size(filter(toks, tok => tok.isin(Text.StopEn: _*))).cast("double") /
-        size(toks).cast("double")).as("stop_ratio"),
+        when(size(toks) === 0, lit(null)).otherwise(size(toks)).cast("double")).as("stop_ratio"),
       (length(regexp_replace(t, "[^A-Z]", "")).cast("double") / nchars).as("upper_ratio"),
       (size(regexp_extract_all(t, lit(EmailRe), lit(0))) +
         size(regexp_extract_all(t, lit(Ipv4Re), lit(0))) +

@@ -41,12 +41,15 @@ object Text {
     */
   def d03TextQuality(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val nchars = length(t).cast("double")
+    // null-safe divisor: empty text must yield null ratios, not a
+    // DIVIDE_BY_ZERO crash under ANSI mode (RobustnessSpec)
+    val nchars = when(length(t) === 0, lit(null)).otherwise(length(t)).cast("double")
     val toks = wsTokens(lower(t))
     val alphaRatio = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / nchars
     val upperRatio = length(regexp_replace(t, "[^A-Z]", "")).cast("double") / nchars
     val punctRatio = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / nchars
-    val stopRatio = countIn(toks, StopEn).cast("double") / size(toks).cast("double")
+    val stopRatio = countIn(toks, StopEn).cast("double") /
+      when(size(toks) === 0, lit(null)).otherwise(size(toks)).cast("double")
     Tables.documents(spark, dir).select(
       col("doc_id"),
       alphaRatio.as("alpha_ratio"),

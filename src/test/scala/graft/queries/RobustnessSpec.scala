@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Production-shaped inputs the synthetic corpus never exercises:
+  * null / empty / whitespace-only text, and two operators sharing one
+  * session across different data dirs concurrently (the dir-keyed
+  * view/table naming this exists to protect).
+  */
+class RobustnessSpec extends SparkSpec {
+
+  /** documents table with a null-text row, an empty-text row, a
+    * whitespace-only row and one normal row.
+    */
+  private lazy val nullDir: String = {
+    val out = "/tmp/graft_null_docs"
+    val marker = new java.io.File(s"$out/_STAGED")
+    if (!marker.exists()) {
+      import spark.implicits._
+      Seq(
+        (1L, None: Option[String], "en", "src0", 0L),
+        (2L, Some(""), "en", "src0", 0L),
+        (3L, Some("   "), "en", "src1", 3L),
+        (4L, Some("the quick brown fox jumps over the lazy dog"), "en", "src1", 44L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      marker.createNewFile()
+    }
+    out
+  }
+
+  test("text/dedup operators tolerate null, empty and whitespace-only text") {
+    val failures = Seq[(String, () => Array[org.apache.spark.sql.Row])](
+      "d02" -> (() => graft.text.Text.d02TokenCount(spark, nullDir).collect()),
+      "d03" -> (() => graft.text.Text.d03TextQuality(spark, nullDir).collect()),
+      "d05" -> (() => graft.text.Text.d05Fingerprint(spark, nullDir).collect()),
+      "d16" -> (() => graft.text.Corpus.d16PiiScrub(spark, nullDir).collect()),
+      "d18" -> (() => graft.text.Corpus.d18CurationFunnel(spark, nullDir).collect()),
+      "d01" -> (() => graft.dedup.Dedup.d01DedupExact(spark, nullDir).collect()),
+      "m01" -> (() => graft.multimodal.Multimodal.m01Multimodal(spark, nullDir).collect())
+    ).flatMap { case (name, run) =>
+      try {
+        val rows = run()
+        // every doc must be represented or deliberately filtered —
+        // never dropped by an exception mid-pipeline
+        assert(rows.nonEmpty, s"$name returned nothing")
+        None
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case e: Throwable => Some(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    // the normal row's token count must be unaffected by its neighbors
+    // (the null-text row's counts are null — skip it)
+    val d02 = graft.text.Text.d02TokenCount(spark, nullDir).collect()
+      .filter(r => !r.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d02(4L) == 9L, d02.toString)
+  }
+
+  test("one session runs the same dir-keyed operators over two dirs concurrently") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    // q28 registers a temp view keyed by dir (its per-priority counts
+    // DIFFER across dirs — 1.5k vs 15k orders — so a view collision
+    // would surface as a wrong result); w02 a metastore table keyed by
+    // (dir, appId). Concurrent runs over DIFFERENT dirs on ONE session
+    // must not clobber each other.
+    val expectedQ28 = dirs.map(d =>
+      Relational.q28CorrelatedSubquery(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq)
+    assert(expectedQ28(0) != expectedQ28(1)) // distinguishable: a swap would be caught
+    val expectedW02 = dirs.map(d =>
+      graft.sources.Sinks.w02SinkBucketed(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq)
+    val fut = Future.sequence(dirs.map(d => Future {
+      (Relational.q28CorrelatedSubquery(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq,
+        graft.sources.Sinks.w02SinkBucketed(spark, d).collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq)
+    }))
+    val results = Await.result(fut, 5.minutes)
+    results.zip(expectedQ28.zip(expectedW02)).foreach { case ((q28, w02), (eq, ew)) =>
+      assert(q28 == eq)
+      assert(w02 == ew)
+    }
+  }
+}
