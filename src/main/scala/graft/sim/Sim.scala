@@ -62,6 +62,10 @@ object Sim {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
+      // a zero/corrupt vector has no cosine direction — and its zero
+      // norm would crash every cosine division under ANSI mode. Drop
+      // it here so all five similarity operators are covered at once.
+      .where(col("nrm") > 0.0)
 
   /** e01: exact brute-force cosine top-k for the first 20 vectors as
     * queries. Query side broadcast; data side scanned once.

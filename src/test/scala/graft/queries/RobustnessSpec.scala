@@ -60,6 +60,31 @@ class RobustnessSpec extends SparkSpec {
     assert(d02(4L) == 9L, d02.toString)
   }
 
+  test("similarity operators tolerate zero (corrupt) embedding vectors") {
+    // a zero vector has norm 0 — under ANSI mode its cosine division
+    // would kill the whole job; the operators must drop it instead
+    val out = "/tmp/graft_zero_vec"
+    val marker = new java.io.File(s"$out/_STAGED")
+    if (!marker.exists()) {
+      import spark.implicits._
+      val real = graft.Tables.embeddings(spark, sfDir).limit(40)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      (real :+ (999999L, Seq.fill(real.head._2.length)(0.0f))).toSeq
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      marker.createNewFile()
+    }
+    for ((name, res) <- Seq(
+        "e01" -> graft.sim.Sim.e01KnnCosine(spark, out),
+        "e05" -> graft.sim.Sim.e05KnnJoin(spark, out))) {
+      val rows = res.collect()
+      assert(rows.nonEmpty, s"$name empty")
+      assert(!rows.exists(r => r.getLong(0) == 999999L || r.getLong(1) == 999999L),
+        s"$name emitted the zero vector")
+      assert(rows.forall(r => !r.isNullAt(2)), s"$name emitted a null cosine")
+    }
+  }
+
   test("one session runs the same dir-keyed operators over two dirs concurrently") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
