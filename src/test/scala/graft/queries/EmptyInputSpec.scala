@@ -61,4 +61,15 @@ class EmptyInputSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("streaming operators survive an empty micro-batch source") {
+    // one zero-row parquet file in the stream source: AvailableNow must
+    // process the empty batch and terminate with an empty (or all-zero)
+    // result — an empty ingest hour is routine, not an error
+    assert(graft.streaming.Streams.s01StreamTumbling(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s07StreamQualityGate(spark, emptyDir).count() == 0L)
+    // s08's global rollup always emits exactly one summary row
+    val s08 = graft.streaming.Streams.s08StreamIncrementalDedup(spark, emptyDir).head()
+    assert(s08.getLong(0) == 0L && s08.getLong(1) == 0L)
+  }
 }
