@@ -104,16 +104,18 @@ object Sinks {
   }
 
   /** w04: text source formats — the same documents round-tripped
-    * through line-delimited JSON and then headered CSV, both read back
-    * with an explicit schema (schema inference is a full extra pass at
+    * through line-delimited JSON, then headered CSV, then ORC (the
+    * other columnar format Spark ships), each read back with an
+    * explicit schema (schema inference is a full extra pass at
     * scale — never rely on it in a pipeline). The rollup includes
     * `sum(length(text))` and a distinct-text count so quoting/escaping
-    * damage in either format would show up as a mismatch against the
+    * damage in any format would show up as a mismatch against the
     * parquet-sourced oracle.
     */
   def w04SourceFormats(spark: SparkSession, dir: String): DataFrame = {
     val jsonDir = stage(dir, "json")
     val csvDir = stage(dir, "csv")
+    val orcDir = stage(dir, "orc")
     val docs = Tables.documents(spark, dir)
     docs.write.mode("overwrite").json(jsonDir)
     val fromJson = spark.read.schema(docs.schema).json(jsonDir)
@@ -124,10 +126,12 @@ object Sinks {
     fromJson.write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
       .csv(csvDir)
-    spark.read.schema(docs.schema)
+    val fromCsv = spark.read.schema(docs.schema)
       .option("header", "true").option("escape", "\"")
       .option("multiLine", "true")
       .csv(csvDir)
+    fromCsv.write.mode("overwrite").orc(orcDir)
+    spark.read.schema(docs.schema).orc(orcDir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
         sum(length(col("text"))).as("sum_text_len"),
