@@ -103,6 +103,27 @@ class ReferenceDataSpec extends SparkSpec {
     assert(m3.stdSelection.toSeq == m.stdSelection.toSeq)
   }
 
+  test("lymphoma and leukemia: remaining reference datasets fit deterministically") {
+    // the last two datasets shipped with the reference suite (no
+    // published selections, like nci9): pin the frozen deterministic
+    // selection and partition invariance. lymphoma 96×4026 (9-class),
+    // leukemia 72×7129 (binary) — together with lung/colon/nci9 every
+    // reference-suite dataset now has a parity pin.
+    val expected = Map(
+      "test_lymphoma_s3.csv" ->
+        Seq(3783, 3782, 3753, 3762, 3804, 3785, 3803, 3774, 3792, 3794),
+      "test_leukemia_s3.csv" ->
+        Seq(3192, 4787, 4136, 5981, 1960, 2228, 1719, 2582, 6141, 6795))
+    for ((name, exp) <- expected) {
+      val df = loadReferenceCsv(name)
+      val m = fit(df)
+      assert(m.stdSelection.toSeq == exp,
+        s"$name selection drifted: ${m.stdSelection.mkString(",")}")
+      val m2 = fit(df.repartition(3))
+      assert(m2.stdSelection.toSeq == exp, s"$name not partition-invariant")
+    }
+  }
+
   test("colon: reference-params run selects the shared feature core, invariant to partitioning") {
     val df = loadReferenceCsv("test_colon_s3.csv")
     val m = fit(df)
