@@ -84,6 +84,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children(0), k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hypersig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hypersig"),
+      (children: Seq[Expression]) => {
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hypersig bits must be an int literal, got $other")
+        }
+        HyperplaneSig(children(0), bits)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sigmatch"),
       new ExpressionInfo(classOf[SigMatch].getName, "graft_sigmatch"),
       (children: Seq[Expression]) => SigMatch(children(0), children(1))))

@@ -93,7 +93,20 @@ object Sim {
     */
   def bucketCol: Column = bucketColOf(SigBits)
 
-  def bucketColOf(bits: Int): Column = {
+  /** Native fused loop ([[graft.functions.HyperplaneSig]]) when the
+    * extension is registered — the composable chain below is
+    * CodegenFallback and is paid per corpus row in every ANN operator.
+    * Bit-identical either way (same weights, same left-to-right
+    * per-bit summation), so buckets and oracles are unchanged.
+    */
+  def bucketColOf(bits: Int): Column = bucketColOf(bits, None)
+
+  def bucketColOf(bits: Int, session: Option[SparkSession]): Column =
+    if (session.exists(_.catalog.functionExists("graft_hypersig")))
+      expr(s"graft_hypersig(v, $bits)")
+    else bucketColFallback(bits)
+
+  def bucketColFallback(bits: Int): Column = {
     val P = 1000000007L
     val h1 = s"((((j+1) * 906150257L) % $P * (d + 1) + (j * 741103597L + 13L) % $P) % $P)"
     expr(
@@ -115,7 +128,7 @@ object Sim {
     * corpus. Same queries/top-k contract as e01.
     */
   def e02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("bucket", bucketCol)
+    val e = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
     val b = SigBits
     val probeExpr =
       s"array_union(array_union(array(bucket), " +
@@ -243,7 +256,7 @@ object Sim {
     * as the skew backstop.
     */
   def e05KnnJoin(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(spark, dir).withColumn("bucket", bucketCol)
+    val corpus = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read 4×: census, probe side, join side, vector join-back
     val useful = corpus.groupBy("bucket").count()
       .where(col("count") <= MaxBucketE).select("bucket")
@@ -290,7 +303,7 @@ object Sim {
         expr("transform(v, x -> x * 1.0005d + 0.0001d)").as("v")) // corpus construction only — not a hot path
       .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
     val corpus = base.unionByName(perturbed)
-      .withColumn("bucket", bucketColOf(DedupSigBits))
+      .withColumn("bucket", bucketColOf(DedupSigBits, Some(spark)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read 4×: census, probe side, join side, vector join-back
     val useful = corpus.groupBy("bucket").count()
       .where(col("count") <= MaxBucketE).select("bucket")

@@ -90,6 +90,27 @@ class FunctionsSpec extends SparkSpec {
       s"not codegen'd:\n$plan")
   }
 
+  test("graft_hypersig is bit-identical to the composable hyperplane fold") {
+    for (bits <- Seq(8, 16)) {
+      val df = graft.Tables.embeddings(spark, sfDir)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .select(
+          expr(s"graft_hypersig(v, $bits)").as("native"),
+          graft.sim.Sim.bucketColFallback(bits).as("fold"))
+      assert(df.count() > 0)
+      assert(df.where(col("native") =!= col("fold")).count() == 0, s"bits=$bits")
+    }
+  }
+
+  test("graft_hypersig runs inside whole-stage codegen") {
+    val plan = graft.Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(expr("graft_hypersig(v, 16)"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_hypersig""".r.findFirstIn(plan).isDefined,
+      s"not codegen'd:\n$plan")
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // cast (codegen-able), NOT transform (CodegenFallback — would push
     // the whole projection to interpreted mode)
