@@ -79,6 +79,11 @@ object Dedup {
     */
   def withSignature(sh: DataFrame): DataFrame = {
     val fns = sh.sparkSession.catalog
+    if (fns.functionExists("graft_minhash_str"))
+      // fully fused shingles→signature kernel (MinHashFromStrings):
+      // no transform() layer, no intermediate hash array —
+      // bit-identical to the two-step path below
+      return sh.withColumn("sig", expr(s"graft_minhash_str(shingles, $NumHashes)"))
     val hashExpr =
       if (fns.functionExists("graft_polyhash"))
         "transform(shingles, s -> graft_polyhash(s, 17, 31))"

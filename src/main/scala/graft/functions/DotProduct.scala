@@ -84,6 +84,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children(0), k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_str"),
+      new ExpressionInfo(classOf[MinHashFromStrings].getName, "graft_minhash_str"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_str numHashes must be an int literal, got $other")
+        }
+        MinHashFromStrings(children(0), k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hypersig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hypersig"),
       (children: Seq[Expression]) => {

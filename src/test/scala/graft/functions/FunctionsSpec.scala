@@ -90,6 +90,31 @@ class FunctionsSpec extends SparkSpec {
       s"not codegen'd:\n$plan")
   }
 
+  test("graft_minhash_str is bit-identical to the two-step polyhash+minhash path") {
+    val k = graft.dedup.Dedup.NumHashes
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))
+      .select(
+        expr(s"graft_minhash_str(shingles, $k)").as("fused"),
+        expr(s"graft_minhash(transform(shingles, s -> graft_polyhash(s, 17, 31)), $k)").as("twostep"))
+    assert(df.count() > 0)
+    assert(df.where(not(col("fused") <=> col("twostep"))).count() == 0)
+  }
+
+  test("graft_minhash_str runs inside whole-stage codegen") {
+    // split() is codegen-able, so the whole projection stays in the
+    // generated stage (tokens are a valid array<string> input)
+    val plan = graft.Tables.documents(spark, sfDir)
+      .select(expr("graft_minhash_str(split(trim(lower(text)), '\\\\s+'), 8)"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_minhash_str""".r.findFirstIn(plan).isDefined,
+      s"not codegen'd:\n$plan")
+  }
+
   test("graft_hypersig is bit-identical to the composable hyperplane fold") {
     for (bits <- Seq(8, 16)) {
       val df = graft.Tables.embeddings(spark, sfDir)
