@@ -181,6 +181,10 @@ object Dedup {
     * the 16-bit chunk buckets over the low 48 bits are unaffected).
     */
   def simhash(df: DataFrame, toksCol: String): Column = {
+    if (df.sparkSession.catalog.functionExists("graft_simhash_str"))
+      // fully fused tokens→simhash kernel (SimHashFromStrings) —
+      // bit-identical to the two-step path below
+      return expr(s"graft_simhash_str($toksCol)")
     // hash each token once; per-bit votes then only shift/mask longs
     val thash =
       if (df.sparkSession.catalog.functionExists("graft_polyhash"))

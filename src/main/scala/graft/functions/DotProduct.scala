@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children(0), k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_str"),
+      new ExpressionInfo(classOf[SimHashFromStrings].getName, "graft_simhash_str"),
+      (children: Seq[Expression]) => SimHashFromStrings(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash_str"),
       new ExpressionInfo(classOf[MinHashFromStrings].getName, "graft_minhash_str"),
       (children: Seq[Expression]) => {

@@ -115,6 +115,27 @@ class FunctionsSpec extends SparkSpec {
       s"not codegen'd:\n$plan")
   }
 
+  test("graft_simhash_str is bit-identical to the two-step polyhash+simhash path") {
+    val P = graft.dedup.Dedup.P
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(
+        expr("graft_simhash_str(toks)").as("fused"),
+        expr(s"graft_simhash(transform(toks, t -> " +
+          s"graft_polyhash(t, 17, 31) * ${P}L + graft_polyhash(t, 19, 37)))").as("twostep"))
+    assert(df.count() > 0)
+    assert(df.where(col("fused") =!= col("twostep")).count() == 0)
+  }
+
+  test("graft_simhash_str runs inside whole-stage codegen") {
+    val plan = graft.Tables.documents(spark, sfDir)
+      .select(expr("graft_simhash_str(split(trim(lower(text)), '\\\\s+'))"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_simhash_str""".r.findFirstIn(plan).isDefined,
+      s"not codegen'd:\n$plan")
+  }
+
   test("graft_hypersig is bit-identical to the composable hyperplane fold") {
     for (bits <- Seq(8, 16)) {
       val df = graft.Tables.embeddings(spark, sfDir)
