@@ -138,14 +138,65 @@ object Multimodal {
       w.toDouble / h))
   }
 
+  /** Real decoder for uncompressed 24-bit BMP images (the other
+    * zero-dependency container): parses the BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, walks the padded bottom-up BGR raster, and
+    * emits the same 8 features as [[decodePpm]]. Returns None unless
+    * the payload is a complete well-formed BMP of exactly that shape
+    * (magic, header size 40, planes 1, 24 bpp, BI_RGB, positive dims,
+    * raster fits) — anything else falls back to the stub path.
+    */
+  def decodeBmp(payload: Array[Byte]): Option[Array[Double]] = {
+    def u16(i: Int): Int =
+      (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def i32(i: Int): Int =
+      (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+        ((payload(i + 2) & 0xff) << 16) | ((payload(i + 3) & 0xff) << 24)
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val dataOffset = i32(10)
+    if (i32(14) != 40) return None // BITMAPINFOHEADER only
+    val w = i32(18); val h = i32(22)
+    if (w <= 0 || h <= 0) return None // top-down (negative h) not supported
+    if (u16(26) != 1 || u16(28) != 24 || i32(30) != 0) return None // planes/24bpp/BI_RGB
+    val rowSize = (3 * w + 3) / 4 * 4 // rows padded to 4 bytes
+    if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * h > payload.length) return None
+    val n = w.toLong * h
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var sumLuma = 0L; var sumLumaSq = 0L
+    var nDark = 0L; var nBright = 0L
+    var row = 0
+    while (row < h) {
+      var p = dataOffset + row * rowSize
+      var x = 0
+      while (x < w) {
+        val b = payload(p) & 0xff; val g = payload(p + 1) & 0xff; val r = payload(p + 2) & 0xff
+        sumR += r; sumG += g; sumB += b
+        val luma = 299L * r + 587L * g + 114L * b
+        sumLuma += luma; sumLumaSq += luma * luma
+        if (luma < 64000L) nDark += 1
+        if (luma >= 192000L) nBright += 1
+        x += 1; p += 3
+      }
+      row += 1
+    }
+    val meanLuma = sumLuma.toDouble / n
+    val varLuma = (sumLumaSq.toDouble / n - meanLuma * meanLuma) / (1000.0 * 255.0 * 1000.0 * 255.0)
+    Some(Array(
+      sumR.toDouble / (255.0 * n), sumG.toDouble / (255.0 * n), sumB.toDouble / (255.0 * n),
+      meanLuma / (1000.0 * 255.0), varLuma,
+      nDark.toDouble / n, nBright.toDouble / n,
+      w.toDouble / h))
+  }
+
   /** Decode dispatch: a payload whose magic + structure parses as P6
-    * PPM gets REAL features; everything else (incl. every text payload
-    * the oracle checks) takes the deterministic stub. The checksum is
-    * always the rolling payload hash — identity, either path.
+    * PPM or 24-bit BMP gets REAL features; everything else (incl.
+    * every text payload the oracle checks) takes the deterministic
+    * stub. The checksum is always the rolling payload hash — identity,
+    * either path.
     */
   def decode(payload: Array[Byte]): (Long, Array[Double]) = {
     val (checksum, stubFeat) = stubDecode(payload)
-    decodePpm(payload) match {
+    decodePpm(payload).orElse(decodeBmp(payload)) match {
       case Some(feat) => (checksum, feat)
       case None       => (checksum, stubFeat)
     }

@@ -289,6 +289,33 @@ class TextDedupSimSpec extends SparkSpec {
     assert(row.getAs[Double]("feat_5") == 0.25 && row.getAs[Double]("feat_7") == 1.0)
   }
 
+  test("m01 BMP decode matches the PPM features for the same image") {
+    // the same 2×2 image as the PPM test, as an uncompressed 24-bit
+    // BMP (bottom-up BGR rows padded to 4 bytes): identical integer
+    // histograms → bit-identical features
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val rowSize = 8 // 2 pixels × 3 bytes, padded to 4
+    val header =
+      Array[Byte]('B', 'M') ++ le32(54 + rowSize * 2) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(rowSize * 2) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    // bottom row first: (0,0,255) (255,255,255); top row: (255,0,0) (0,255,0)
+    val raster = Array[Int](
+      255, 0, 0, 255, 255, 255, 0, 0, // BGR BGR + 2 pad
+      0, 0, 255, 0, 255, 0, 0, 0).map(_.toByte)
+    val bmp = header ++ raster
+    assert(header.length == 54)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Int](
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val bmpFeat = Multimodal.decodeBmp(bmp).get
+    val ppmFeat = Multimodal.decodePpm(ppm).get
+    assert(bmpFeat.toSeq == ppmFeat.toSeq)
+    // dispatch picks the real decoder; truncated raster falls back
+    assert(Multimodal.decode(bmp)._2.toSeq == bmpFeat.toSeq)
+    assert(Multimodal.decodeBmp(bmp.dropRight(1)).isEmpty)
+  }
+
   test("s05 streaming near-dup emits exactly the batch d06 pair set") {
     val stream = graft.streaming.Streams.s05StreamNearDup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(identity).toSeq
