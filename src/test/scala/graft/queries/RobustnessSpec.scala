@@ -15,7 +15,7 @@ class RobustnessSpec extends SparkSpec {
     * whitespace-only row and one normal row.
     */
   private lazy val nullDir: String = {
-    val out = "/tmp/graft_null_docs"
+    val out = "/tmp/graft_null_docs_v2"
     val marker = new java.io.File(s"$out/_STAGED")
     if (!marker.exists()) {
       import spark.implicits._
@@ -23,7 +23,10 @@ class RobustnessSpec extends SparkSpec {
         (1L, None: Option[String], "en", "src0", 0L),
         (2L, Some(""), "en", "src0", 0L),
         (3L, Some("   "), "en", "src1", 3L),
-        (4L, Some("the quick brown fox jumps over the lazy dog"), "en", "src1", 44L))
+        (4L, Some("the quick brown fox jumps over the lazy dog"), "en", "src1", 44L),
+        // multi-byte UTF-8: the hash kernels read bytes — must not
+        // crash or disagree with themselves on non-ASCII text
+        (5L, Some("víctor naïve café 中文 текст — déjà vu"), "und", "src2", 37L))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       marker.createNewFile()
