@@ -12,10 +12,20 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B harness hooks: SPARK_GRAFT_CONF="k=v;k=v" sets extra runtime
+    // confs (e.g. spark.graft.fusedKernels=false); SPARK_GRAFT_QUERIES
+    // ="d06,d07" restricts the run to a comma-separated subset so a
+    // focused comparison doesn't pay the full 77-query pass per arm.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+    val onlyQ = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries.filter { case (n, _) =>
+      onlyQ.forall(f => f.exists(n.startsWith))
+    }
     // Untimed warmup at the smallest SF: pays JIT + codegen compilation
     // once so the timed pass measures the queries, not JVM warmup.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -28,7 +38,7 @@ object Bench {
     // flattering ~0 s timing: collect per-query errors and emit them.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    for (_ <- 1 to nRuns; (name, fn) <- SparkEntry.queries) {
+    for (_ <- 1 to nRuns; (name, fn) <- queries) {
       spark.catalog.clearCache() // no warm-cache runs: each timing does full work
       val t0 = System.nanoTime()
       // noop sink: materializes every row/column (count() would let
@@ -44,7 +54,7 @@ object Bench {
     }
     // a query is "err" only if EVERY run failed: a transient failure
     // followed by a success must not poison the entry
-    val results = SparkEntry.queries.map { case (name, _) =>
+    val results = queries.map { case (name, _) =>
       val ok = times.getOrElse(name, Nil)
       if (ok.nonEmpty) errors.remove(name)
       name -> (if (ok.nonEmpty) ok.min else 0.0)

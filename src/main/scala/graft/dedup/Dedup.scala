@@ -71,6 +71,16 @@ object Dedup {
     */
   val P = graft.text.Text.FpMod // 1e9+7
 
+  /** Fused single-expression kernels (graft_minhash_str /
+    * graft_simhash_str) vs the two-step native path (graft_polyhash +
+    * graft_minhash/graft_simhash): both are codegen'd and bit-identical;
+    * this conf exists so the two can be A/B-benched on the same build.
+    * Default true — the r5 A/B (SURVEY §9) measured the fused path
+    * faster on the hot dedup family.
+    */
+  private def fusedKernels(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.fusedKernels").forall(_.toBoolean)
+
   /** MinHash signature: NumHashes universal-hash minima over shingles.
     * Each shingle string is poly-hashed to [0, P) ONCE; the per-seed
     * "permutations" are (a_s·h + b_s) mod P — 64× less string hashing
@@ -79,7 +89,7 @@ object Dedup {
     */
   def withSignature(sh: DataFrame): DataFrame = {
     val fns = sh.sparkSession.catalog
-    if (fns.functionExists("graft_minhash_str"))
+    if (fusedKernels(sh.sparkSession) && fns.functionExists("graft_minhash_str"))
       // fully fused shingles→signature kernel (MinHashFromStrings):
       // no transform() layer, no intermediate hash array —
       // bit-identical to the two-step path below
@@ -167,10 +177,18 @@ object Dedup {
     */
   def d06MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
-    lshCandidates(signatureTable(corpus))
+    val sigs = signatureTable(corpus)
+    // materialize the small survivor set eagerly so the persisted
+    // signature table can be released NOW instead of leaking for the
+    // session's lifetime (cacheManager entries are not GC-cleaned;
+    // localCheckpoint blocks are) — the s05 pattern
+    val out = lshCandidates(sigs)
       .withColumn("est_jaccard", expr(estJaccardExpr(spark)))
       .where(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b", "est_jaccard")
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 vote sums packed
@@ -181,7 +199,8 @@ object Dedup {
     * the 16-bit chunk buckets over the low 48 bits are unaffected).
     */
   def simhash(df: DataFrame, toksCol: String): Column = {
-    if (df.sparkSession.catalog.functionExists("graft_simhash_str"))
+    if (fusedKernels(df.sparkSession) &&
+        df.sparkSession.catalog.functionExists("graft_simhash_str"))
       // fully fused tokens→simhash kernel (SimHashFromStrings) —
       // bit-identical to the two-step path below
       return expr(s"graft_simhash_str($toksCol)")
@@ -231,12 +250,17 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = in.select(col("chunk_id"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("chunk_id", "chunk_val"))
+    // eager-release (s05 pattern): checkpoint the survivor pairs, then
+    // drop the persisted per-chunk frame before returning
+    val out = a.join(b, Seq("chunk_id", "chunk_val"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .distinct()
       .where(col("hamming") <= 6)
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Large-star step (Kiveris et al., "Connected Components in
@@ -360,12 +384,17 @@ object Dedup {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
     val sigs = signatureTable(corpus)
     val sh = sigs.select(col("doc_id"), col("shingles"))
-    lshCandidates(sigs).select("doc_a", "doc_b")
+    // eager-release (s05 pattern): the survivor pairs are tiny; release
+    // the persisted signature table before returning
+    val out = lshCandidates(sigs).select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= 0.6)
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 }

@@ -276,8 +276,14 @@ object Sim {
       .select(col("query_id"), col("neighbor_id"),
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    // eager-release (s05 pattern): the top-k result is tiny; checkpoint
+    // it and release the persisted corpus before returning so the cache
+    // entry doesn't outlive the operator in a long-lived session
+    val out = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
       .select("query_id", "neighbor_id", "cosine")
+      .localCheckpoint(true)
+    corpus.unpersist()
+    out
   }
 
   /** e03: embedding near-duplicate pairs — corpus ∪ a deterministically
@@ -317,11 +323,16 @@ object Sim {
       .where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .distinct()
-    cand
+    // eager-release (s05 pattern): survivors are few; release the
+    // persisted corpus before returning
+    val out = cand
       .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
       .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (dotOf(spark, "va", "vb") / (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= 0.995)
+      .localCheckpoint(true)
+    corpus.unpersist()
+    out
   }
 }
