@@ -188,15 +188,71 @@ object Multimodal {
       w.toDouble / h))
   }
 
+  /** The shared 8-feature accumulation over any pixel source (PPM/BMP
+    * walk their rasters directly; the ImageIO path feeds packed ARGB
+    * ints through this): exact integer sums, one division at the end —
+    * the same contract and normalization as [[decodePpm]].
+    */
+  private def featuresOfRgb(w: Int, h: Int, rgb: Array[Int]): Array[Double] = {
+    val n = w.toLong * h
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var sumLuma = 0L; var sumLumaSq = 0L
+    var nDark = 0L; var nBright = 0L
+    var i = 0
+    while (i < rgb.length) {
+      val px = rgb(i)
+      val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff; val b = px & 0xff
+      sumR += r; sumG += g; sumB += b
+      val luma = 299L * r + 587L * g + 114L * b
+      sumLuma += luma; sumLumaSq += luma * luma
+      if (luma < 64000L) nDark += 1
+      if (luma >= 192000L) nBright += 1
+      i += 1
+    }
+    val meanLuma = sumLuma.toDouble / n
+    val varLuma = (sumLumaSq.toDouble / n - meanLuma * meanLuma) / (1000.0 * 255.0 * 1000.0 * 255.0)
+    Array(
+      sumR.toDouble / (255.0 * n), sumG.toDouble / (255.0 * n), sumB.toDouble / (255.0 * n),
+      meanLuma / (1000.0 * 255.0), varLuma,
+      nDark.toDouble / n, nBright.toDouble / n,
+      w.toDouble / h)
+  }
+
+  /** Real decoder for JPEG and PNG via `javax.imageio` — the codecs a
+    * web corpus actually contains, shipped in the JDK (zero new
+    * dependencies, headless-safe: pure raster work, no display).
+    * Dispatch is on magic bytes (JPEG FF D8 FF; PNG 89 'PNG' …), so the
+    * expensive ImageIO probe is never paid by the text payloads the
+    * oracle checks. Features are the same 8-slot contract as
+    * [[decodePpm]], computed from the packed sRGB raster. A truncated
+    * or corrupt stream returns None (→ stub fallback) rather than
+    * throwing — codec failure must not kill an ingestion batch.
+    */
+  def decodeImageIo(payload: Array[Byte]): Option[Array[Double]] = {
+    val isJpeg = payload.length >= 3 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff
+    val isPng = payload.length >= 8 &&
+      (payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    if (!isJpeg && !isPng) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      Some(featuresOfRgb(w, h, rgb))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decode dispatch: a payload whose magic + structure parses as P6
-    * PPM or 24-bit BMP gets REAL features; everything else (incl.
-    * every text payload the oracle checks) takes the deterministic
-    * stub. The checksum is always the rolling payload hash — identity,
-    * either path.
+    * PPM, 24-bit BMP, JPEG or PNG gets REAL features; everything else
+    * (incl. every text payload the oracle checks) takes the
+    * deterministic stub. The checksum is always the rolling payload
+    * hash — identity, either path.
     */
   def decode(payload: Array[Byte]): (Long, Array[Double]) = {
     val (checksum, stubFeat) = stubDecode(payload)
-    decodePpm(payload).orElse(decodeBmp(payload)) match {
+    decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodeImageIo(payload)) match {
       case Some(feat) => (checksum, feat)
       case None       => (checksum, stubFeat)
     }

@@ -316,6 +316,48 @@ class TextDedupSimSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(bmp.dropRight(1)).isEmpty)
   }
 
+  test("m01 JPEG/PNG decode via javax.imageio matches the raster features") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // the same 2×2 image as the PPM/BMP tests
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer in this JVM")
+      bos.toByteArray
+    }
+    val png = encode("png")
+    val jpg = encode("jpg")
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Int](
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ref = Multimodal.decodePpm(ppm).get
+    // PNG is lossless: bit-identical features to the raster reference
+    val pngFeat = Multimodal.decodeImageIo(png).get
+    assert(pngFeat.toSeq == ref.toSeq)
+    // JPEG is lossy: same structure, means within codec tolerance
+    val jpgFeat = Multimodal.decodeImageIo(jpg).get
+    assert(jpgFeat(7) == 1.0) // aspect ratio survives exactly
+    (0 to 3).foreach(i => assert(math.abs(jpgFeat(i) - ref(i)) < 0.15,
+      s"feat_$i ${jpgFeat(i)} vs ${ref(i)}"))
+    // dispatch picks the real decoder for both; corrupt streams fall
+    // back to the stub instead of throwing
+    assert(Multimodal.decode(png)._2.toSeq == pngFeat.toSeq)
+    assert(Multimodal.decode(jpg)._2.toSeq == jpgFeat.toSeq)
+    assert(Multimodal.decodeImageIo(png.take(20)).isEmpty)
+    assert(Multimodal.decodeImageIo("plain text".getBytes("US-ASCII")).isEmpty)
+    // end-to-end through the Spark decode stage
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, png, "image/png", png.length.toLong),
+      Multimodal.MediaRow(2L, jpg, "image/jpeg", jpg.length.toLong)).toDS().toDF()
+    val rows = Multimodal.decodeFrame(media).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Double]("feat_7") == 1.0 && rows(1).getAs[Double]("feat_7") == 1.0)
+    assert(rows(0).getAs[Double]("feat_5") == 0.25) // PNG: exactly the blue pixel is dark
+  }
+
   test("s05 streaming near-dup emits exactly the batch d06 pair set") {
     val stream = graft.streaming.Streams.s05StreamNearDup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(identity).toSeq
