@@ -49,6 +49,7 @@ object SparkEntry {
     "q25_percentiles"     -> Relational.q25Percentiles _,
     "q25b_approx_percentiles" -> Relational.q25bApproxPercentiles _,
     "q31_ntile_deciles"   -> Relational.q31NtileDeciles _,
+    "q31b_decile_cuts"    -> Relational.q31bDecileCuts _,
     "q26_session_window"  -> Events.q26SessionWindow _,
     "q27_salted_join"     -> Events.q27SaltedJoin _,
     "q28_correlated_subquery" -> Relational.q28CorrelatedSubquery _,
@@ -1107,6 +1108,22 @@ object SparkEntry {
         |d AS (SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile FROM rev)
         |SELECT decile, count(*) AS n_customers, CAST(sum(rev) AS DOUBLE) AS sum_revenue
         |FROM d GROUP BY 1""".stripMargin,
+    // q25b's exactness trick again: accuracy 1e6 >> n makes Spark's
+    // approx_percentile sketch exact, matching quantile_disc's discrete
+    // cut elements; decile = 10 - #{cuts <= rev} mirrors the band join
+    "q31b_decile_cuts" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |cuts AS (
+        |  SELECT unnest(quantile_disc(CAST(rev AS DOUBLE),
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS c FROM rev),
+        |assigned AS (
+        |  SELECT r.rev,
+        |    10 - (SELECT count(*) FROM cuts WHERE c <= CAST(r.rev AS DOUBLE)) AS decile
+        |  FROM rev r)
+        |SELECT decile, count(*) AS n_customers, CAST(sum(rev) AS DOUBLE) AS sum_revenue
+        |FROM assigned GROUP BY 1""".stripMargin,
     // chunk-level dedup over the near-dup corpus: d06's corpus prelude +
     // d09's chunk arithmetic, then occurrence counts per chunk text
     "d17_chunk_dedup" ->

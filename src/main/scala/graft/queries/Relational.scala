@@ -341,6 +341,44 @@ object Relational {
         sum($"rev").cast("double").as("sum_revenue"))
   }
 
+  /** q31b: the 100 TB decile path q31's scaladoc documents — no global
+    * sort anywhere. Cut-points come from one `approx_percentile` sketch
+    * pass (mergeable, bounded memory), are expanded into a 10-row band
+    * table (decile d covers [c_{10-d}, c_{11-d}) with ±∞ sentinels at
+    * the ends), and every customer is binned by a broadcast range join
+    * against that table — a BroadcastNestedLoopJoin over exactly 10
+    * rows, so the fact side never shuffles for the assignment and the
+    * only exchange is the final 10-group rollup. Deciles descend like
+    * q31's (`decile 1` = top revenue): decile = 10 − #{cuts ≤ rev}.
+    *
+    * Cross-engine checkability is q25b's trick: accuracy 1e6 ≫ n keeps
+    * the Greenwald-Khanna sketch exact, so the cut-points are the same
+    * discrete elements DuckDB's `quantile_disc` picks. Unlike q31's
+    * ntile, band population is value-determined (ties land in one
+    * band together, band sizes are n/10 only approximately) — the
+    * q31-vs-q31b tolerance spec pins how close.
+    */
+  def q31bDecileCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+      .withColumn("rev_d", $"rev".cast("double"))
+    val cuts = rev.agg(expr(
+      "approx_percentile(rev_d, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 1000000)").as("cs"))
+    val bands = cuts
+      .select(explode(sequence(lit(1), lit(10))).as("d"), $"cs")
+      .select($"d".cast("long").as("decile"),
+        when($"d" === 10, lit(Double.NegativeInfinity))
+          .otherwise(expr("element_at(cs, 10 - d)")).as("lo"),
+        when($"d" === 1, lit(Double.PositiveInfinity))
+          .otherwise(expr("element_at(cs, 11 - d)")).as("hi"))
+    rev.join(broadcast(bands), $"rev_d" >= $"lo" && $"rev_d" < $"hi")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"rev").cast("double").as("sum_revenue"))
+  }
+
   /** q15: top-supplier — agg subquery joined against its own max. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

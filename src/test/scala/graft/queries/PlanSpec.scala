@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_approx_percentile"), plan)
   }
 
+  test("q31b: band assignment is a broadcast range join with no global sort") {
+    // the point of the at-scale decile path: the fact side is binned by
+    // a 10-row broadcast nested-loop range join — never ntile's
+    // single-partition window, never a global Sort of the aggregate
+    val plan = explain(Relational.q31bDecileCuts(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // and the sketch still combines map-side like q25b's
+    assert(plan.contains("partial_approx_percentile"), plan)
+  }
+
   test("LSH family: no cartesian/nested-loop join anywhere") {
     // every candidate join must be bucket-keyed — a cartesian in any of
     // these is the 100 TB failure mode the census caps exist to prevent

@@ -1,56 +1,34 @@
 package graft.queries
 
 import graft.SparkSpec
-import graft.dedup.Dedup
-import graft.Tables
 
-/** Round-5 pins: eager cache release in the dedup/ANN family and the
-  * fused-kernel A/B toggle.
+/** Round-5 operators: the at-scale decile path (q31b) next to exact
+  * q31, persisted-index ANN serving (e06) next to e02.
   */
 class Round5Spec extends SparkSpec {
 
-  test("d06/d07/d08/d11/e03/e05 leave no cacheManager entry behind") {
-    val cm = spark.sharedState.cacheManager
-    spark.catalog.clearCache()
-    assert(cm.isEmpty)
-    // each operator persists an intermediate (signature table, per-chunk
-    // frame, bucketed corpus); the contract is that the operator itself
-    // releases it — localCheckpoint the survivor set, unpersist — so a
-    // long-lived session embedding these never accumulates cache entries
-    val ops: Seq[(String, () => Long)] = Seq(
-      "d06" -> (() => Dedup.d06MinHashLsh(spark, sfDir).count()),
-      "d07" -> (() => Dedup.d07SimHash(spark, sfDir).count()),
-      "d08" -> (() => Dedup.d08NgramJaccard(spark, sfDir).count()),
-      "d11" -> (() => Dedup.d11DupClusters(spark, sfDir).count()),
-      "e03" -> (() => graft.sim.Sim.e03EmbedDedup(spark, sfDir).count()),
-      "e05" -> (() => graft.sim.Sim.e05KnnJoin(spark, sfDir).count()))
-    for ((name, run) <- ops) {
-      run()
-      assert(cm.isEmpty, s"$name left a persisted plan in the cacheManager")
-    }
-  }
-
-  test("spark.graft.fusedKernels=false routes signatures to the two-step native path") {
-    val sh = Dedup.shingled(Dedup.nearDupCorpus(Tables.documents(spark, sfDir)))
-    spark.conf.set("spark.graft.fusedKernels", "false")
-    try {
-      val plan = Dedup.withSignature(sh).queryExecution.analyzed.toString
-      assert(!plan.contains("graft_minhash_str"), "fused kernel used despite toggle off")
-      assert(plan.contains("graft_minhash"), "two-step native path not used")
-      val sim = sh.select(Dedup.simhash(sh, "toks")).queryExecution.analyzed.toString
-      assert(!sim.contains("graft_simhash_str"), "fused simhash used despite toggle off")
-    } finally spark.conf.unset("spark.graft.fusedKernels")
-    // default (unset) prefers the fused kernels
-    val plan2 = Dedup.withSignature(sh).queryExecution.analyzed.toString
-    assert(plan2.contains("graft_minhash_str"))
-  }
-
-  test("fused and two-step signature paths are bit-identical end-to-end (d06)") {
-    val fused = Dedup.d06MinHashLsh(spark, sfDir).collect().map(_.toString).sorted
-    spark.conf.set("spark.graft.fusedKernels", "false")
-    try {
-      val twoStep = Dedup.d06MinHashLsh(spark, sfDir).collect().map(_.toString).sorted
-      assert(fused.sameElements(twoStep))
-    } finally spark.conf.unset("spark.graft.fusedKernels")
+  test("q31b cut-point deciles track exact q31 ntile bands within the tie tolerance") {
+    import spark.implicits._
+    def byDecile(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact  = byDecile(Relational.q31NtileDeciles(spark, sfDir))
+    val approx = byDecile(Relational.q31bDecileCuts(spark, sfDir))
+    // same bands, every customer binned exactly once, no revenue lost
+    assert(approx.keySet == (1L to 10L).toSet, approx.keySet)
+    assert(approx.values.map(_._1).sum == exact.values.map(_._1).sum)
+    assert(math.abs(approx.values.map(_._2).sum - exact.values.map(_._2).sum) < 1e-6)
+    // band sizes: ntile splits ranks evenly; the cut-point path is
+    // value-determined, so bands can differ only where revenues tie on
+    // a boundary (plus ntile's ±1 remainder spread). The testdata's
+    // DECIMAL revenue sums make large tie groups implausible — pin a
+    // small absolute envelope.
+    val n = exact.values.map(_._1).sum
+    val tol = math.max(2L, n / 50)
+    for (d <- 1L to 10L)
+      assert(math.abs(approx(d)._1 - exact(d)._1) <= tol,
+        s"decile $d: q31b=${approx(d)._1} q31=${exact(d)._1} tol=$tol")
+    // monotone: average revenue per customer still decreases 1 → 10
+    val avg = (1L to 10L).map(d => approx(d)._2 / approx(d)._1)
+    assert(avg.sliding(2).forall { case Seq(a, b) => a > b }, avg.mkString(","))
   }
 }
