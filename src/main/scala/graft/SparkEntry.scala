@@ -77,6 +77,7 @@ object SparkEntry {
     "d20_corpus_mix"      -> graft.text.Corpus.d20CorpusMix _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
+    "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
     "e04_ann_ivf"         -> Sim.e04AnnIvf _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
@@ -106,6 +107,34 @@ object SparkEntry {
     * names as the Spark result — the driver sorts columns by name before
     * hashing).
     */
+  /** The hamming-≤2 multi-probe LSH search in DuckDB terms — shared by
+    * e02 (in-session signature table) and e06 (persisted index): both
+    * serve the identical result, so both check against the same SQL.
+    */
+  private val annLshOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+      |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+      |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+      |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM bk WHERE vec_id < 20),
+      |probes AS (
+      |  SELECT query_id, qv, qn, unnest(list_distinct(list_concat(list_concat(
+      |      [bucket],
+      |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
+      |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
+      |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))) AS bucket
+      |  FROM q),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id,
+      |    list_dot_product(p.qv, b.v) / (p.qn * b.nrm) AS cosine
+      |  FROM probes p JOIN bk b USING (bucket)
+      |  WHERE b.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rn FROM cand) t
+      |WHERE rn <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -523,29 +552,10 @@ object SparkEntry {
     // Full LSH-ANN reproduction: mod-prime hyperplane parities (identical
     // arithmetic to Sim.bucketColOf), hamming<=2 probe set, exact cosine
     // rank. list_dot_product matches the graft_dot fold bit-for-bit.
-    "e02_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
-        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
-        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
-        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM bk WHERE vec_id < 20),
-        |probes AS (
-        |  SELECT query_id, qv, qn, unnest(list_distinct(list_concat(list_concat(
-        |      [bucket],
-        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
-        |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
-        |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))) AS bucket
-        |  FROM q),
-        |cand AS (
-        |  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id,
-        |    list_dot_product(p.qv, b.v) / (p.qn * b.nrm) AS cosine
-        |  FROM probes p JOIN bk b USING (bucket)
-        |  WHERE b.vec_id <> p.query_id)
-        |SELECT query_id, neighbor_id, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM cand) t
-        |WHERE rn <= 10""".stripMargin,
+    "e02_ann_lsh" -> annLshOracleSql,
+    // e06 serves the SAME search from the persisted index — identical
+    // result contract, so the oracle is e02's verbatim
+    "e06_ann_index_serve" -> annLshOracleSql,
     // the all-pairs kNN join: same 8-bit buckets as e02, but EVERY
     // vector is a query (census cap + hamming-1 probes), top-3 per
     // query by (cosine DESC, neighbor_id)

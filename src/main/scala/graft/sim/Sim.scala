@@ -120,6 +120,18 @@ object Sim {
          | 0L, (a, x) -> a | x)""".stripMargin)
   }
 
+  /** Hamming-≤2 multi-probe set over a `bucket` column: the bucket
+    * itself, every 1-bit flip, every 2-bit flip (1 + b + b(b−1)/2
+    * probes). Shared by e02 (in-memory index) and e06 (persisted
+    * index) so the two paths probe identically by construction.
+    */
+  private def probeExprOf(b: Int): String =
+    s"array_union(array_union(array(bucket), " +
+      s"transform(sequence(0, ${b - 1}), j -> bucket ^ shiftleft(1L, j))), " +
+      s"flatten(transform(sequence(0, ${b - 2}), j -> " +
+      s"transform(sequence(j + 1, ${b - 1}), k -> " +
+      s"bucket ^ shiftleft(1L, j) ^ shiftleft(1L, k)))))"
+
   /** e02: LSH-bucketed approximate NN — hash join on bucket id, cosine
     * rank within the probed buckets. Multi-probe: each query also
     * probes every bucket within hamming distance 2 of its own signature
@@ -129,18 +141,71 @@ object Sim {
     */
   def e02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
-    val b = SigBits
-    val probeExpr =
-      s"array_union(array_union(array(bucket), " +
-        s"transform(sequence(0, ${b - 1}), j -> bucket ^ shiftleft(1L, j))), " +
-        s"flatten(transform(sequence(0, ${b - 2}), j -> " +
-        s"transform(sequence(j + 1, ${b - 1}), k -> " +
-        s"bucket ^ shiftleft(1L, j) ^ shiftleft(1L, k)))))"
     val q = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(expr(probeExpr)).as("bucket"))
+        explode(expr(probeExprOf(SigBits))).as("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** Staging path of the persisted e06 index, keyed by (dir, appId)
+    * like [[graft.sources.Sinks.bucketedStagePath]] so concurrent
+    * sessions never clobber each other's layout.
+    */
+  private[graft] def annIndexPath(spark: SparkSession, dir: String): String =
+    s"/tmp/graft_ann_index_${Integer.toHexString(dir.hashCode)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+
+  private val indexLock = new Object
+
+  /** The persisted ANN index: the e02 signature table written ONCE as
+    * parquet partitioned by bucket id — one directory per bucket, so a
+    * serving read that probes k buckets lists k directories and never
+    * touches the rest (partition pruning, pinned in PlanSpec). At
+    * 100 TB this is the nightly index build; vectors land hash-
+    * partitioned across ≤2^SigBits directories and queries are served
+    * from the layout without recomputing a single corpus signature.
+    */
+  private[graft] def annIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = annIndexPath(spark, dir)
+    indexLock.synchronized {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        emb(spark, dir)
+          .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+          .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      }
+    }
+    spark.read
+      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, bucket BIGINT")
+      .parquet(path)
+  }
+
+  /** e06: ANN serving from the persisted index — e02's exact search
+    * (same signatures, same hamming-≤2 probes, same ranking) but the
+    * corpus side is the partition-pruned read of [[annIndex]] instead
+    * of an in-session signature scan. Only the tiny query batch
+    * computes signatures at serving time; the index scan reads ONLY
+    * probed bucket directories via dynamic partition pruning (the
+    * broadcast probe set doubles as the pruning filter — nothing is
+    * collected to the driver). Results are identical to e02 by
+    * construction, which is what the oracle checks.
+    */
+  def e06AnnIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = annIndex(spark, dir)
+    val q = emb(spark, dir)
+      .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+      .where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(expr(probeExprOf(SigBits))).as("bucket"))
+    val scored = idx.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))

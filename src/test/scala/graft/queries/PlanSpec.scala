@@ -108,6 +108,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_approx_percentile"), plan)
   }
 
+  test("e06: the persisted ANN index layout prunes to probed bucket directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    // a point-read of one bucket must touch exactly one partition
+    // directory of the layout — the property serving depends on
+    val idx = graft.sim.Sim.annIndex(spark, sfDir)
+    val buckets = idx.select("bucket").distinct().collect().map(_.getLong(0))
+    assert(buckets.length > 1, s"degenerate layout: ${buckets.length} buckets")
+    val one = idx.where(col("bucket") === buckets.min)
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"${scan.selectedPartitions.partitionCount} of ${buckets.length} partitions read")
+    // and the serving plan prunes dynamically from the broadcast probe
+    // set — no driver round-trip, no full index scan
+    val plan = explain(graft.sim.Sim.e06AnnIndexServe(spark, sfDir))
+    assert(plan.contains("dynamicpruningexpression"), plan)
+  }
+
   test("LSH family: no cartesian/nested-loop join anywhere") {
     // every candidate join must be bucket-keyed — a cartesian in any of
     // these is the 100 TB failure mode the census caps exist to prevent

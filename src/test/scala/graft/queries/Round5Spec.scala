@@ -31,4 +31,16 @@ class Round5Spec extends SparkSpec {
     val avg = (1L to 10L).map(d => approx(d)._2 / approx(d)._1)
     assert(avg.sliding(2).forall { case Seq(a, b) => a > b }, avg.mkString(","))
   }
+
+  test("e06 persisted-index serving returns exactly e02's results") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val inMemory  = rows(graft.sim.Sim.e02AnnLsh(spark, sfDir))
+    val fromIndex = rows(graft.sim.Sim.e06AnnIndexServe(spark, sfDir))
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex == inMemory)
+    // serving twice reuses the already-built index (idempotent build)
+    assert(rows(graft.sim.Sim.e06AnnIndexServe(spark, sfDir)) == inMemory)
+  }
 }
