@@ -19,19 +19,51 @@ object Streams {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** Stream a single-file parquet table: the file stream source
-    * requires a directory, but the testdata ships bare files — stage a
-    * directory of symlinks (idempotent, /tmp).
+  /** Stage `dir/fileName` into a source directory for the file stream
+    * (which requires a directory; the testdata ships bare files).
+    * Idempotent. Two modes via `spark.graft.stream.staging`:
+    *  - `symlink` (default): a /tmp directory of symlinks — free, but
+    *    inherently local-filesystem-only (the sandbox contract);
+    *  - `copy`: a real byte copy through the Hadoop FileSystem API —
+    *    honest on any Hadoop-compatible store; on a cluster point
+    *    `spark.graft.stream.stagingDir` at shared storage (an HDFS/S3A
+    *    URI) and every executor reads the staged directory.
     */
-  private def fileStream(spark: SparkSession, dir: String, fileName: String): DataFrame = {
+  private[graft] def stageStreamSource(
+      spark: SparkSession, dir: String, fileName: String): String = {
     val src = java.nio.file.Paths.get(dir, fileName).toAbsolutePath
-    val stageDir = java.nio.file.Paths.get(
-      "/tmp", s"graft_stream_src_${Integer.toHexString(src.toString.hashCode)}")
-    java.nio.file.Files.createDirectories(stageDir)
-    val link = stageDir.resolve(fileName)
-    if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
-    val schema = spark.read.parquet(src.toString).schema
-    spark.readStream.schema(schema).parquet(stageDir.toString)
+    val key = Integer.toHexString(src.toString.hashCode)
+    spark.conf.get("spark.graft.stream.staging", "symlink") match {
+      case "symlink" =>
+        val stageDir = java.nio.file.Paths.get("/tmp", s"graft_stream_src_$key")
+        java.nio.file.Files.createDirectories(stageDir)
+        val link = stageDir.resolve(fileName)
+        if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+        stageDir.toString
+      case "copy" =>
+        import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+        val root = spark.conf.get("spark.graft.stream.stagingDir", "/tmp")
+        val hconf = spark.sessionState.newHadoopConf()
+        val stageDir = new HPath(s"$root/graft_stream_src_copy_$key")
+        val dst = new HPath(stageDir, fileName)
+        val dstFs = stageDir.getFileSystem(hconf)
+        val srcPath = new HPath(src.toString)
+        if (!dstFs.exists(dst)) {
+          dstFs.mkdirs(stageDir)
+          FileUtil.copy(srcPath.getFileSystem(hconf), srcPath, dstFs, dst,
+            false, true, hconf)
+        }
+        stageDir.toString
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.stream.staging must be symlink or copy, got: $other")
+    }
+  }
+
+  private def fileStream(spark: SparkSession, dir: String, fileName: String): DataFrame = {
+    val stagePath = stageStreamSource(spark, dir, fileName)
+    val schema = spark.read
+      .parquet(java.nio.file.Paths.get(dir, fileName).toString).schema
+    spark.readStream.schema(schema).parquet(stagePath)
   }
 
   /** Raw events as a stream: TIMESTAMP(NANOS) parquet must be read with
@@ -62,6 +94,12 @@ object Streams {
   private def streamSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    // newSession starts from the context defaults — carry the caller's
+    // graft knobs (e.g. staging mode) across so conf-driven behavior
+    // survives the private-session isolation
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.graft.")) s.conf.set(k, v)
+    }
     s
   }
 

@@ -11,6 +11,24 @@ import graft.{SparkSpec, Tables}
   */
 class StreamsSpec extends SparkSpec {
 
+  test("copy-mode staging stages real bytes and leaves s01 results unchanged") {
+    def s01Rows() = Streams.s01StreamTumbling(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1.getTime, t._2)).toSeq
+    val viaSymlink = s01Rows()
+    spark.conf.set("spark.graft.stream.staging", "copy")
+    try {
+      val staged = Paths.get(Streams.stageStreamSource(spark, sfDir, "events.parquet"))
+      val f = staged.resolve("events.parquet")
+      // a real byte copy, not a symlink — what a cluster filesystem needs
+      assert(Files.exists(f) && !Files.isSymbolicLink(f))
+      assert(Files.size(f) == Files.size(Paths.get(sfDir, "events.parquet")))
+      // the conf survives the operator's private stream session and the
+      // copied source produces the identical result
+      assert(s01Rows() == viaSymlink)
+    } finally spark.conf.unset("spark.graft.stream.staging")
+  }
+
   test("s02 session state carries across multiple micro-batches") {
     // Stage the events as TWO time-ordered files and force one file per
     // micro-batch: sessions spanning the split boundary exercise the
