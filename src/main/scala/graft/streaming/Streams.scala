@@ -95,10 +95,12 @@ object Streams {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     // newSession starts from the context defaults — carry the caller's
-    // graft knobs (e.g. staging mode) across so conf-driven behavior
-    // survives the private-session isolation
+    // graft knobs (e.g. staging mode) and streaming conf (e.g. the
+    // state-store provider) across so conf-driven behavior survives
+    // the private-session isolation
     spark.conf.getAll.foreach { case (k, v) =>
-      if (k.startsWith("spark.graft.")) s.conf.set(k, v)
+      if (k.startsWith("spark.graft.") || k.startsWith("spark.sql.streaming."))
+        s.conf.set(k, v)
     }
     s
   }

@@ -43,4 +43,25 @@ class Round5Spec extends SparkSpec {
     // serving twice reuses the already-built index (idempotent build)
     assert(rows(graft.sim.Sim.e06AnnIndexServe(spark, sfDir)) == inMemory)
   }
+
+  test("dedup/ANN operators leave no cached tables behind (session cache hygiene)") {
+    // each operator persists its signature/corpus table internally and
+    // must release it eagerly (localCheckpoint the small survivor set,
+    // unpersist the big intermediate — the s05 pattern): a long-lived
+    // session embedding these operators must not accumulate executor
+    // memory across calls
+    spark.catalog.clearCache()
+    val ops: Seq[(String, () => Long)] = Seq(
+      "d06" -> (() => graft.dedup.Dedup.d06MinHashLsh(spark, sfDir).count()),
+      "d07" -> (() => graft.dedup.Dedup.d07SimHash(spark, sfDir).count()),
+      "d08" -> (() => graft.dedup.Dedup.d08NgramJaccard(spark, sfDir).count()),
+      "d11" -> (() => graft.dedup.Dedup.d11DupClusters(spark, sfDir).count()),
+      "e03" -> (() => graft.sim.Sim.e03EmbedDedup(spark, sfDir).count()),
+      "e05" -> (() => graft.sim.Sim.e05KnnJoin(spark, sfDir).count()))
+    for ((name, run) <- ops) {
+      assert(run() >= 0)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left a cached table registered after its action")
+    }
+  }
 }
