@@ -27,18 +27,22 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args
-    val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // source events.ts is TIMESTAMP(NANOS): read it as a plain long
-      // and write it back as BIGINT nanos — Tables.events handles both
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, factorS.toInt)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    // source events.ts is TIMESTAMP(NANOS): read it as a plain long
+    // and write it back as BIGINT nanos — Tables.events handles both
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def base(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
@@ -107,6 +111,5 @@ object ScaleUp {
       Map("doc_id" -> base(t("documents"), "doc_id")), text = true), "documents")
     write(replicate(t("embeddings"),
       Map("vec_id" -> base(t("embeddings"), "vec_id"))), "embeddings")
-    spark.stop()
   }
 }

@@ -95,6 +95,7 @@ object SparkEntry {
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
     "w04_source_formats"  -> graft.sources.Sinks.w04SourceFormats _,
     "w05_sink_upsert"     -> graft.sources.Sinks.w05SinkUpsert _,
+    "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_select"       -> ReliefQueries.reliefSelect _,
     "relief_transform"    -> ReliefQueries.reliefTransform _,
@@ -1092,6 +1093,22 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM inc) AS n_incoming,
         |  count(DISTINCT h) AS n_distinct_new
         |FROM inc WHERE h NOT IN (SELECT h FROM ex)""".stripMargin,
+    // w06 lands exactly the rows s07's gate admits, so the oracle is
+    // the batch gate as a WHERE (null gate = rejected, like Spark's
+    // where) rolled up per source; CAST: DuckDB sum(BIGINT) is HUGEINT
+    "w06_sink_streamed" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) BETWEEN 50 AND 100000
+        |  AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |      / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) >= 0.05
+        |  AND length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) <= 0.3
+        |  AND len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    + len(regexp_extract_all(text, '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b')) = 0)
+        |GROUP BY 1""".stripMargin,
     // the streaming gate is d18's scalar-gate subset (no repetition
     // gate), so the batch formulation is the exact oracle
     "s07_stream_quality_gate" ->

@@ -24,12 +24,23 @@ object ReliefQueries {
 
   private def fitSelector(spark: SparkSession, dir: String,
       redundancy: Boolean): ReliefFRSelectorModel = {
-    new ReliefFRSelector()
+    val sel = new ReliefFRSelector()
       .setInputCol("features").setLabelCol("label").setOutputCol("selected")
       .setNumTopFeatures(10).setNumNeighbors(3)
       .setEstimationRatio(0.25).setBatchSize(0.5)
       .setRedundancyRemoval(redundancy).setSeed(20260812L)
-      .fit(assembled(spark, dir))
+    // estimationRatio grows the query set WITH the corpus, making the
+    // kNN pass quadratic in corpus size at a fixed ratio; this conf
+    // pins an ABSOLUTE query budget instead (ratio = budget/n) — the
+    // linear-in-corpus production posture. Affects weights only
+    // through which queries are sampled, so it's a bench/scale knob,
+    // not a correctness one (leave unset for oracle runs).
+    val data = assembled(spark, dir)
+    spark.conf.getOption("spark.graft.relief.queryBudget").foreach { v =>
+      val n = data.count()
+      if (n > 0) sel.setEstimationRatio(math.min(1.0, v.toDouble / n))
+    }
+    sel.fit(data)
   }
 
   /** relief_weights: normalized RELIEF-F relevance per feature. */

@@ -139,27 +139,81 @@ object Streams {
     * gate stays in the nightly batch pass (d18), the cheap codegen'd
     * gates run on the firehose. Oracle: the identical batch projection.
     */
-  def s07StreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+  /** The cheap ingestion gates shared by s07 (counting) and w06
+    * (landing-zone write): token bounds, stopword density, uppercase
+    * ratio, PII — stateless, codegen'd, null-safe divisors (same as
+    * d18: empty/null text fails the gate as null instead of crashing
+    * the stream under ANSI mode).
+    */
+  private def admittedCol: org.apache.spark.sql.Column = {
     import graft.text.{Corpus, Text}
     val t = col("text")
     val toks = Text.wsTokens(lower(t))
-    // null-safe divisors (same as d18): empty/null text fails the gate
-    // as null instead of crashing the stream under ANSI mode
+    size(toks).cast("long").between(50L, 100000L) &&
+      (size(filter(toks, tok => tok.isin(Text.StopEn: _*))).cast("double") /
+        when(size(toks) === 0, lit(null)).otherwise(size(toks)).cast("double") >= 0.05) &&
+      (length(regexp_replace(t, "[^A-Z]", "")).cast("double") /
+        when(length(t) === 0, lit(null)).otherwise(length(t)).cast("double") <= 0.3) &&
+      (size(regexp_extract_all(t, lit(Corpus.EmailRe), lit(0))) +
+        size(regexp_extract_all(t, lit(Corpus.Ipv4Re), lit(0))) +
+        size(regexp_extract_all(t, lit(Corpus.PhoneRe), lit(0))) === 0)
+  }
+
+  def s07StreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val gated = fileStream(streamSession(spark), dir, "documents.parquet")
-      .select(col("source"),
-        (size(toks).cast("long").between(50L, 100000L) &&
-          (size(filter(toks, tok => tok.isin(Text.StopEn: _*))).cast("double") /
-            when(size(toks) === 0, lit(null)).otherwise(size(toks)).cast("double") >= 0.05) &&
-          (length(regexp_replace(t, "[^A-Z]", "")).cast("double") /
-            when(length(t) === 0, lit(null)).otherwise(length(t)).cast("double") <= 0.3) &&
-          (size(regexp_extract_all(t, lit(Corpus.EmailRe), lit(0))) +
-            size(regexp_extract_all(t, lit(Corpus.Ipv4Re), lit(0))) +
-            size(regexp_extract_all(t, lit(Corpus.PhoneRe), lit(0))) === 0)).as("admitted"))
+      .select(col("source"), admittedCol.as("admitted"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"))
     val (s, name) = runToCompletion(gated, OutputMode.Complete())
     s.table(name)
+  }
+
+  /** w06: streaming partitioned landing-zone sink — the WRITE side of
+    * ingestion, which the memory-sink s-operators don't exercise: the
+    * document firehose passes the s07 gates and admitted rows land
+    * append-mode in a source-partitioned parquet layout through the
+    * exactly-once file-sink commit protocol (per-batch file manifest
+    * in `_spark_metadata` + checkpoint). A resumed/re-run query
+    * replays from the checkpoint and adds NOTHING when no new data
+    * arrived — the guarantee that makes bulk ingest retryable (pinned
+    * by spec). The returned rollup reads the layout back through the
+    * sink's own metadata log (only committed files are visible), so
+    * the oracle pins write→read integrity of the gated projection,
+    * like w01-w05 do for the batch writers.
+    */
+  def w06SinkStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val out = sinkPaths(ss, dir)._1
+    runSinkStreamed(ss, dir)
+    ss.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, source STRING")
+      .parquet(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private[graft] def sinkPaths(spark: SparkSession, dir: String): (String, String) = {
+    val key = s"${Integer.toHexString(dir.hashCode)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    (s"/tmp/graft_stream_sink_$key", s"/tmp/graft_stream_sink_ckpt_$key")
+  }
+
+  /** Run (or resume) the w06 landing-zone query to completion. */
+  private[graft] def runSinkStreamed(ss: SparkSession, dir: String): Unit = {
+    val (out, ckpt) = sinkPaths(ss, dir)
+    // an all-rejected (or empty) batch writes no files: pre-create the
+    // layout dir so the schema-explicit read-back returns the empty
+    // frame an empty ingest day should produce (the w01 lesson)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val q = fileStream(ss, dir, "documents.parquet")
+      .where(admittedCol)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .partitionBy("source")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
   }
 
   /** s08: streaming incremental dedup — the ingestion-time half of

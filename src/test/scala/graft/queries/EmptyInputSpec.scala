@@ -51,7 +51,10 @@ class EmptyInputSpec extends SparkSpec {
       "e05" -> (() => graft.sim.Sim.e05KnnJoin(spark, emptyDir).count()),
       "m01" -> (() => graft.multimodal.Multimodal.m01Multimodal(spark, emptyDir).count()),
       "w01" -> (() => graft.sources.Sinks.w01SinkPartitioned(spark, emptyDir).count()),
-      "w05" -> (() => graft.sources.Sinks.w05SinkUpsert(spark, emptyDir).count()))
+      "w05" -> (() => graft.sources.Sinks.w05SinkUpsert(spark, emptyDir).count()),
+      "q31b" -> (() => Relational.q31bDecileCuts(spark, emptyDir).count()),
+      "e06" -> (() => graft.sim.Sim.e06AnnIndexServe(spark, emptyDir).count()),
+      "w06" -> (() => graft.streaming.Streams.w06SinkStreamed(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>
       try { assert(run() == 0L, s"$name returned rows on empty input"); None }
       catch {

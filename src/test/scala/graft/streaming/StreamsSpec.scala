@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
@@ -27,6 +29,30 @@ class StreamsSpec extends SparkSpec {
       // copied source produces the identical result
       assert(s01Rows() == viaSymlink)
     } finally spark.conf.unset("spark.graft.stream.staging")
+  }
+
+  test("w06 file sink is exactly-once: a resumed run with no new data adds nothing") {
+    def rollup() = Streams.w06SinkStreamed(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    def dataFiles(out: String): Set[String] = {
+      val root = Paths.get(out)
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally s.close()
+    }
+    val first = rollup()
+    assert(first.nonEmpty)
+    val out = Streams.sinkPaths(spark, sfDir)._1
+    val committed = dataFiles(out)
+    assert(committed.nonEmpty)
+    // resume from the checkpoint: same rollup, not one new file
+    assert(rollup() == first)
+    assert(dataFiles(out) == committed)
+    // and the landed row counts agree with s07's admitted counts
+    val admitted = Streams.s07StreamQualityGate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).filter(_._2 > 0).sortBy(_._1).toSeq
+    assert(first.map(t => (t._1, t._2)) == admitted)
   }
 
   test("s02 session state carries across multiple micro-batches") {
