@@ -230,15 +230,19 @@ object SparkEntry {
         |  / sum(l_extendedprice * (1.0 - l_discount)) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    // exact DECIMAL revenue (q28's multiply-through rule): the
+    // max-equality filter is order-independent at any scale; cast to
+    // double only on emit
     "q15_top_supplier" ->
       """WITH revenue AS (
-        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_exact
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
         |  GROUP BY 1)
-        |SELECT s_suppkey, s_name, total_revenue
+        |SELECT s_suppkey, s_name, CAST(rev_exact AS DOUBLE) AS total_revenue
         |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+        |WHERE rev_exact = (SELECT max(rev_exact) FROM revenue)""".stripMargin,
     "q19_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty, count(*) AS n_rows

@@ -379,18 +379,27 @@ object Relational {
         sum($"rev").cast("double").as("sum_revenue"))
   }
 
-  /** q15: top-supplier — agg subquery joined against its own max. */
+  /** q15: top-supplier — agg subquery joined against its own max.
+    * Revenue is summed as exact DECIMAL (the q28 multiply-through
+    * rule): a double-summed `revenue = max(revenue)` equality is
+    * scale-fragile — at sf1 the two engines' summation orders diverge
+    * in the last ulp and the oracle's max matched NO row. Exact
+    * decimals make the equality order-independent at any scale; the
+    * emitted revenue casts to double once, after the filter.
+    */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val revenue = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
               $"l_shipdate" <  lit("1997-07-01").cast("timestamp"))
       .groupBy($"l_suppkey")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
-    val maxRev = revenue.agg(max($"total_revenue").as("max_revenue"))
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
+        .as("rev_exact"))
+    val maxRev = revenue.agg(max($"rev_exact").as("max_exact"))
     revenue
-      .join(broadcast(maxRev), $"total_revenue" === $"max_revenue") // 1 row
+      .join(broadcast(maxRev), $"rev_exact" === $"max_exact") // 1 row
       .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
-      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .select($"s_suppkey", $"s_name", $"rev_exact".cast("double").as("total_revenue"))
   }
 }

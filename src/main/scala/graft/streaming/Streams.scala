@@ -85,6 +85,16 @@ object Streams {
     */
   private val StreamShufflePartitions = "8"
 
+  /** Conf override for the stream-plan width: at bulk-load state
+    * volumes (s05 at sf1 carries ~10⁵ bucket keys) the per-store
+    * snapshot commit is the bottleneck and MORE stores parallelize it;
+    * at trickle volumes the per-store fixed cost dominates and fewer
+    * win. Size to state volume, not CPU count.
+    */
+  private def streamShufflePartitions(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.stream.shufflePartitions")
+      .getOrElse(StreamShufflePartitions)
+
   /** Each streaming operator plans inside its own cloned session
     * (shared SparkContext, private SQLConf), so the narrow
     * shuffle-partition setting never leaks into concurrent batch
@@ -93,7 +103,7 @@ object Streams {
     */
   private def streamSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(spark))
     // newSession starts from the context defaults — carry the caller's
     // graft knobs (e.g. staging mode) and streaming conf (e.g. the
     // state-store provider) across so conf-driven behavior survives

@@ -55,6 +55,16 @@ class StreamsSpec extends SparkSpec {
     assert(first.map(t => (t._1, t._2)) == admitted)
   }
 
+  test("stream results are partition-count invariant (shufflePartitions knob)") {
+    def rows() = Streams.s01StreamTumbling(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1.getTime, t._2)).toSeq
+    val base = rows()
+    spark.conf.set("spark.graft.stream.shufflePartitions", "3")
+    try assert(rows() == base)
+    finally spark.conf.unset("spark.graft.stream.shufflePartitions")
+  }
+
   test("s02 session state carries across multiple micro-batches") {
     // Stage the events as TWO time-ordered files and force one file per
     // micro-batch: sessions spanning the split boundary exercise the
