@@ -55,6 +55,7 @@ object SparkEntry {
     "q28_correlated_subquery" -> Relational.q28CorrelatedSubquery _,
     "q29_json_props"      -> Events.q29JsonProps _,
     "q30_lead_lag"        -> Events.q30LeadLag _,
+    "q32_trailing_window" -> Events.q32TrailingWindow _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -75,6 +76,8 @@ object SparkEntry {
     "d18_curation_funnel" -> graft.text.Corpus.d18CurationFunnel _,
     "d19_incremental_dedup" -> graft.text.Corpus.d19IncrementalDedup _,
     "d20_corpus_mix"      -> graft.text.Corpus.d20CorpusMix _,
+    "d21_pack_shards"     -> graft.text.Pack.d21PackShards _,
+    "d22_corpus_profile"  -> Text.d22CorpusProfile _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
@@ -364,6 +367,16 @@ object SparkEntry {
         |  CAST(avg(gap_us) AS DOUBLE) AS avg_gap_us,
         |  max(gap_us) AS max_gap_us, min(gap_us) AS min_gap_us
         |FROM x WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+    // Trailing time-RANGE frame: the frame SET is identical in both
+    // engines (integer-µs anchor, ties are peers) and the value sum is
+    // an exact integer milli-value — no float summation order.
+    "q32_trailing_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w AS n_trailing_1h,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS sum_value_mil_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     // DuckDB's native ASOF JOIN against the union+window composition;
     // clicks deduped per (user, ts) so the as-of match is deterministic.
     "q23_asof_join" ->
@@ -1091,6 +1104,30 @@ object SparkEntry {
         |      CAST(floor((sh % 3 + 1) * 0.25 * 1000000007) AS BIGINT)) AS n_sampled,
         |  (sh % 3 + 1) * 0.25 AS target_frac
         |FROM s GROUP BY source, sh""".stripMargin,
+    // The oracle states the packing as ONE global cumulative window —
+    // the semantics the two-level prefix-sum plan must reproduce.
+    "d21_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_token, start_token // 2000 AS shard_id
+        |FROM c""".stripMargin,
+    "d22_corpus_profile" ->
+      """WITH a AS (
+        |  SELECT lang,
+        |    least(CAST(floor(n_chars / 50) AS BIGINT), 11) AS len_bucket,
+        |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, len_bucket, n_docs, sum_chars,
+        |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+        |    AS lang_share
+        |FROM a""".stripMargin,
     "s08_stream_incr_dedup" ->
       """WITH inc AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
         |ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0)

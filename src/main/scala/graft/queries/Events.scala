@@ -203,6 +203,33 @@ object Events {
         min($"gap_us").as("min_gap_us"))
   }
 
+  /** q32: trailing time-RANGE window — per event, the count and value
+    * volume of the same user's events in the preceding hour (frame
+    * inclusive of the current row). This is the sliding-feature shape
+    * every behavioral model consumes ("activity in the last hour"), and
+    * it exercises Spark's RANGE frame over an integer time axis — the
+    * ROWS-framed q08 cannot express "one hour", only "N rows".
+    *
+    * Engine-exactness: the frame is anchored on integer microseconds
+    * (ties are frame-peers in both engines, so the frame SET is
+    * identical), and the value sum is carried as an integer
+    * milli-value (`round(value·1000)`) — no float summation-order to
+    * diverge. One shuffle by user_id; the per-user ordered frame scan
+    * is the operator's definition, not an artifact.
+    */
+  def q32TrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-hourUs, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        expr("cast(round(value * 1000) as bigint)").as("v_mil"))
+      .select($"event_id", $"user_id", $"ts_us",
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum($"v_mil").over(w).as("sum_value_mil_1h"))
+  }
+
   /** q18: pivot event counts per user into one column per event type. */
   def q18EventsPivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

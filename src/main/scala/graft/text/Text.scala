@@ -193,6 +193,31 @@ object Text {
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
   }
 
+  /** d22: corpus profile — the per-language length-distribution
+    * dashboard a corpus owner reads before every training run: document
+    * counts and character volume per (language, length bucket), plus
+    * each bucket's share of its language. The histogram buckets are
+    * fixed-width (50 chars, clamped at bucket 11) so the profile is
+    * comparable across snapshots.
+    *
+    * Scale shape: one map-side-combined groupBy to a ~|langs × 12|-row
+    * aggregate; the share window runs over that tiny frame (partitioned
+    * by language), never over the corpus. The share is a ratio of two
+    * exact integer counts — one double division, bit-identical on any
+    * engine.
+    */
+  def d22CorpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = least(floor(col("n_chars") / lit(50)), lit(11L)).cast("long")
+    val byLang = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), bucket.as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("len_bucket"), col("n_docs"), col("sum_chars"),
+        (col("n_docs").cast("double") / sum(col("n_docs")).over(byLang).cast("double"))
+          .as("lang_share"))
+  }
+
   /** d10: corpus vocabulary — global term frequencies, top 100 terms.
     * Explode + hash groupBy (map-side combined); the classic vocab
     * build. Deterministic tie-break by term.

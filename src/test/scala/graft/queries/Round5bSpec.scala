@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.SparkSpec
+
+/** Round-5 additions: shard packing (d21), corpus profile (d22), and
+  * the trailing time-RANGE window (q32).
+  */
+class Round5bSpec extends SparkSpec {
+
+  test("d21 two-level prefix sum equals the naive global-window packing") {
+    import spark.implicits._
+    val got = graft.text.Pack.d21PackShards(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // naive semantics: one global cumulative window (fine on a spec
+    // corpus; the operator exists because this plans a single-partition
+    // sort at scale)
+    val naiveW = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", size(graft.text.Text.wsTokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("start_token", coalesce(sum("n_tokens").over(naiveW), lit(0L)))
+      .select($"doc_id", $"n_tokens", $"start_token", expr("start_token div 2000").as("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty)
+    assert(got == naive)
+    // shard assignment is monotone in the order key and starts at 0
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    assert(got.head._3 == 0L)
+  }
+
+  test("d21 packing is invariant to the prefix-sum bucket width (the decomposition knob)") {
+    def run(): Seq[(Long, Long, Long, Long)] =
+      graft.text.Pack.d21PackShards(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val default = run()
+    for (w <- Seq("8", "1024")) {
+      spark.conf.set("spark.graft.pack.bucketWidth", w)
+      try assert(run() == default, s"bucketWidth=$w changed the packing")
+      finally spark.conf.unset("spark.graft.pack.bucketWidth")
+    }
+  }
+
+  test("d21 plan: the per-document window is bucket-partitioned (no global sort of the corpus)") {
+    val plan = graft.text.Pack.d21PackShards(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only windows over document rows partition by the prefix-sum
+    // bucket; the global-ordered window runs on the tiny bucket
+    // aggregate after a HashAggregate, never on the corpus
+    assert(plan.contains("hashpartitioning(bucket"), plan.take(2000))
+  }
+
+  test("d22 corpus profile: shares sum to 1 per language, counts cover the corpus") {
+    val rows = graft.text.Text.d22CorpusProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.Tables.documents(spark, sfDir).count())
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val share = rs.map(_.getDouble(4)).sum
+      assert(math.abs(share - 1.0) < 1e-12, s"lang=$lang share=$share")
+    }
+    // buckets are clamped to [0, 11]
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 11))
+  }
+
+  test("q32 trailing window matches a brute-force self-join on a sample") {
+    import spark.implicits._
+    val got = Events.q32TrailingWindow(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    // brute force: for each event, count/sum same-user events in
+    // [ts-1h, ts] via an explicit range self-join
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        expr("cast(round(value * 1000) as bigint)").as("v_mil"))
+    val brute = ev.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"b.ts_us" >= $"a.ts_us" - lit(3600L * 1000 * 1000) &&
+          $"b.ts_us" <= $"a.ts_us")
+      .groupBy($"a.event_id")
+      .agg(count(lit(1)).as("n"), sum($"b.v_mil").as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    assert(got == brute)
+  }
+}
