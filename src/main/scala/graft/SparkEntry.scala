@@ -85,6 +85,7 @@ object SparkEntry {
     "e04_ann_ivf"         -> Sim.e04AnnIvf _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
+    "m02_binary_source"   -> Multimodal.m02BinarySource _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -93,6 +94,7 @@ object SparkEntry {
     "s06_stream_session_window" -> Streams.s06StreamSessionWindow _,
     "s07_stream_quality_gate" -> Streams.s07StreamQualityGate _,
     "s08_stream_incr_dedup" -> Streams.s08StreamIncrementalDedup _,
+    "s09_stream_decontam" -> Streams.s09StreamDecontam _,
     "w01_sink_partitioned" -> graft.sources.Sinks.w01SinkPartitioned _,
     "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
@@ -111,6 +113,26 @@ object SparkEntry {
     * names as the Spark result — the driver sorts columns by name before
     * hashing).
     */
+  /** d14's 5-gram decontamination in DuckDB terms — shared by the
+    * batch pass (d14) and its at-ingestion streaming deployment (s09),
+    * which must reproduce the identical flagged-doc table.
+    */
+  private val decontamOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+      |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
+      |      < 20000000 AS is_bench
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, is_bench,
+      |    unnest(list_distinct(list_transform(range(1, len(toks)-3),
+      |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      |  FROM d WHERE len(toks) >= 5),
+      |b AS (SELECT DISTINCT gram FROM g WHERE is_bench)
+      |SELECT g.doc_id, count(*) AS n_contaminated_ngrams
+      |FROM g JOIN b USING (gram) WHERE NOT g.is_bench
+      |GROUP BY 1""".stripMargin
+
   /** The hamming-≤2 multi-probe LSH search in DuckDB terms — shared by
     * e02 (in-session signature table) and e06 (persisted index): both
     * serve the identical result, so both check against the same SQL.
@@ -993,21 +1015,10 @@ object SparkEntry {
         |lab AS (SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a)
         |SELECT cluster AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
         |FROM lab GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
-    "d14_decontam" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
-        |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
-        |      < 20000000 AS is_bench
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, is_bench,
-        |    unnest(list_distinct(list_transform(range(1, len(toks)-3),
-        |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
-        |  FROM d WHERE len(toks) >= 5),
-        |b AS (SELECT DISTINCT gram FROM g WHERE is_bench)
-        |SELECT g.doc_id, count(*) AS n_contaminated_ngrams
-        |FROM g JOIN b USING (gram) WHERE NOT g.is_bench
-        |GROUP BY 1""".stripMargin,
+    "d14_decontam" -> decontamOracleSql,
+    // s09 is d14 deployed at ingestion: one AvailableNow pass over the
+    // document stream must reproduce the batch decontamination exactly.
+    "s09_stream_decontam" -> decontamOracleSql,
     "d15_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -1260,7 +1271,18 @@ object SparkEntry {
     // ASCII (octet_length == length on all SFs), so ascii(text[i]) IS the
     // payload byte; the mod-1e9+7 checksum and exact integer byte-sums
     // were chosen so checked BIGINT arithmetic matches JVM longs.
-    "m01_multimodal" ->
+    "m01_multimodal" -> multimodalOracleSql,
+    // m02 ingests the same payloads from a staged directory of files
+    // via the binaryFile source — the decode result is byte-identical
+    // to m01, so both check against the same SQL.
+    "m02_binary_source" -> multimodalOracleSql,
+  )
+
+  /** m01's deterministic decode in DuckDB terms — shared by the
+    * binary-column pipeline (m01) and the binaryFile-directory
+    * ingestion (m02), which must produce the identical feature table.
+    */
+  private val multimodalOracleSql: String =
       """WITH b AS (
         |  SELECT doc_id, 'application/x-graft-' || lang AS mime,
         |    CAST(length(text) AS BIGINT) AS n_bytes, text,
@@ -1278,6 +1300,5 @@ object SparkEntry {
         |  COALESCE(list_sum(list_transform(range(6, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_5,
         |  COALESCE(list_sum(list_transform(range(7, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_6,
         |  COALESCE(list_sum(list_transform(range(8, length(text) + 1, 8), i -> ascii(text[i]))), 0) / 255.0 AS feat_7
-        |FROM b""".stripMargin,
-  )
+        |FROM b""".stripMargin
 }

@@ -280,6 +280,70 @@ object Multimodal {
   def m01Multimodal(spark: SparkSession, dir: String): DataFrame =
     decodeFrame(mediaTable(spark, dir))
 
+  /** Staging dir for the m02 binary-file source, keyed by (dir, appId)
+    * so concurrent sessions/dirs never collide; point
+    * `spark.graft.media.stagingDir` at shared storage on a cluster.
+    */
+  private def mediaStageDir(spark: SparkSession, dir: String): String = {
+    val root = spark.conf.get("spark.graft.media.stagingDir", "/tmp")
+    val key = Integer.toHexString(dir.hashCode)
+    val app = Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    s"$root/graft_media_src_${key}_$app"
+  }
+
+  /** Write one `doc_<id>.bin` file per document through the Hadoop
+    * FileSystem API — executor-side, partition-parallel, no driver
+    * collection — so the staged directory is honest on any
+    * Hadoop-compatible store. Idempotent via a `_STAGED` marker.
+    */
+  private def stageMediaFiles(spark: SparkSession, dir: String, stage: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new HPath(stage, "_STAGED")
+    if (fs.exists(marker)) return
+    fs.mkdirs(new HPath(stage))
+    mediaTable(spark, dir).select(col("doc_id"), col("payload"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        // executor-side FS handle; default Configuration resolves the
+        // scheme from the executor classpath (core-site on a cluster)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val pfs = new HPath(stage).getFileSystem(conf)
+        rows.foreach { r =>
+          val out = pfs.create(new HPath(stage, s"doc_${r.getLong(0)}.bin"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+    fs.create(marker, true).close()
+  }
+
+  /** m02: multimodal ingestion from a DIRECTORY OF FILES — the other
+    * half of the m01 pipeline. m01 assumes media already sits in a
+    * binary column; real corpora start as millions of image files in
+    * object storage. The payloads are staged as one `.bin` file per
+    * document (executor-parallel Hadoop FS writes), ingested with
+    * Spark's `binaryFile` source (path/length/content schema,
+    * `pathGlobFilter` pushdown), keyed by the id parsed from the file
+    * name, re-joined to the catalog metadata, and decoded by the same
+    * dispatch as m01 — so the end-to-end result is byte-identical to
+    * m01 and shares its oracle.
+    */
+  def m02BinarySource(spark: SparkSession, dir: String): DataFrame = {
+    val stage = mediaStageDir(spark, dir)
+    stageMediaFiles(spark, dir, stage)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(stage)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"))
+    val meta = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(lit("application/x-graft-"), coalesce(col("lang"), lit("und"))).as("mime"),
+      coalesce(length(col("text")).cast("long"), lit(0L)).as("n_bytes"))
+    decodeFrame(bin.join(meta, Seq("doc_id"))
+      .select(col("doc_id"), coalesce(col("payload"), lit(Array.empty[Byte])).as("payload"),
+        col("mime"), col("n_bytes")))
+  }
+
   /** The decode stage on any media-shaped frame (doc_id, payload, mime,
     * n_bytes): partition-local batched decode, scalar features out.
     */

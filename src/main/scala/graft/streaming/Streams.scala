@@ -256,6 +256,33 @@ object Streams {
       .select(lit(nIncoming).as("n_incoming"), col("n_distinct_new"))
   }
 
+  /** s09: streaming benchmark decontamination — d14's contamination
+    * check applied AT INGESTION: the incoming document stream is
+    * projected to its distinct 5-grams (stateless explode) and
+    * STREAM-STATIC inner-joined against the broadcast benchmark gram
+    * set; the per-doc contaminated-gram count is the only streaming
+    * state (one row per flagged doc). This is how eval-set hygiene is
+    * actually enforced on a firehose: the benchmark set is small and
+    * static (broadcast once per micro-batch), training n-grams never
+    * shuffle, and a flagged doc is known before it lands. Oracle: d14's
+    * batch SQL — one AvailableNow pass over the corpus must reproduce
+    * the nightly batch result exactly.
+    */
+  def s09StreamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Corpus
+    val ss = streamSession(spark)
+    val benchGrams = Corpus.fiveGrams(
+        graft.Tables.documents(ss, dir).where(Corpus.isBenchCol))
+      .select("gram").distinct()
+    val flagged = Corpus.fiveGrams(
+        fileStream(ss, dir, "documents.parquet").where(!Corpus.isBenchCol))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+    val (sess, name) = runToCompletion(flagged, OutputMode.Complete())
+    sess.table(name)
+  }
+
   /** s03: streaming exact dedup — the stream unioned with itself (every
     * event arrives twice) is deduplicated on event_id with watermarked
     * state, then aggregated. The final counts must equal the batch

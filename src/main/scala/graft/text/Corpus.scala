@@ -46,19 +46,26 @@ object Corpus {
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
   }
 
-  def d14Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic ~2% "benchmark" hash split and the distinct
+    * per-doc 5-gram projection — shared by the batch decontamination
+    * pass (d14) and its at-ingestion streaming deployment (s09).
+    */
+  private[graft] def isBenchCol: Column = {
     val P = 1000000007L
-    val u = ((col("doc_id") % P) * 777000037L % P + 4242L) % P
-    val isBench = u < math.floor(0.02 * P).toLong
+    ((col("doc_id") % P) * 777000037L % P + 4242L) % P < math.floor(0.02 * P).toLong
+  }
+
+  private[graft] def fiveGrams(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), Text.wsTokens(lower(col("text"))).as("toks"))
+    .where(size(col("toks")) >= 5)
+    .select(col("doc_id"), explode(expr(
+      "array_distinct(transform(sequence(0, size(toks)-5), " +
+        "i -> concat_ws(' ', slice(toks, i+1, 5))))")).as("gram"))
+
+  def d14Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), Text.wsTokens(lower(col("text"))).as("toks"))
-      .where(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, size(toks)-5), " +
-          "i -> concat_ws(' ', slice(toks, i+1, 5))))")).as("gram"))
-    val benchGrams = grams(docs.where(isBench)).select("gram").distinct()
-    grams(docs.where(!isBench))
+    val benchGrams = fiveGrams(docs.where(isBenchCol)).select("gram").distinct()
+    fiveGrams(docs.where(!isBenchCol))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_ngrams"))

@@ -67,6 +67,42 @@ class Round5bSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 11))
   }
 
+  test("s09 streaming decontamination reproduces the d14 batch result") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one AvailableNow pass over the document stream must flag exactly
+    // the docs the nightly batch pass flags (both may be empty on a
+    // word-soup spec corpus — the 5-gram machinery is pinned below)
+    assert(rows(graft.streaming.Streams.s09StreamDecontam(spark, sfDir)) ==
+      rows(graft.text.Corpus.d14Decontaminate(spark, sfDir)))
+  }
+
+  test("the shared 5-gram projection explodes distinct sliding grams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),      // two sliding 5-grams
+      (2L, "a b c d"),          // under 5 tokens -> excluded
+      (3L, "x x x x x x")       // repeated gram deduped per doc
+    ).toDF("doc_id", "text")
+    val grams = graft.text.Corpus.fiveGrams(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(grams == Set(
+      (1L, "a b c d e"), (1L, "b c d e f"),
+      (3L, "x x x x x")))
+  }
+
+  test("m02 binaryFile-directory ingestion decodes to exactly m01's feature table") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        (4 until 12).map(r.getDouble).toSeq)).sortBy(_._1).toSeq
+    val fromColumn = rows(graft.multimodal.Multimodal.m01Multimodal(spark, sfDir))
+    val fromFiles  = rows(graft.multimodal.Multimodal.m02BinarySource(spark, sfDir))
+    assert(fromFiles.nonEmpty)
+    assert(fromFiles == fromColumn)
+    // staging is idempotent: a second serve reuses the staged directory
+    assert(rows(graft.multimodal.Multimodal.m02BinarySource(spark, sfDir)) == fromColumn)
+  }
+
   test("q32 trailing window matches a brute-force self-join on a sample") {
     import spark.implicits._
     val got = Events.q32TrailingWindow(spark, sfDir)
