@@ -78,6 +78,7 @@ object SparkEntry {
     "d20_corpus_mix"      -> graft.text.Corpus.d20CorpusMix _,
     "d21_pack_shards"     -> graft.text.Pack.d21PackShards _,
     "d22_corpus_profile"  -> Text.d22CorpusProfile _,
+    "d23_cluster_survivors" -> Dedup.d23ClusterSurvivors _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
@@ -95,6 +96,7 @@ object SparkEntry {
     "s07_stream_quality_gate" -> Streams.s07StreamQualityGate _,
     "s08_stream_incr_dedup" -> Streams.s08StreamIncrementalDedup _,
     "s09_stream_decontam" -> Streams.s09StreamDecontam _,
+    "s10_stream_ann_serve" -> Streams.s10StreamAnnServe _,
     "w01_sink_partitioned" -> graft.sources.Sinks.w01SinkPartitioned _,
     "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
@@ -596,6 +598,9 @@ object SparkEntry {
     // e06 serves the SAME search from the persisted index — identical
     // result contract, so the oracle is e02's verbatim
     "e06_ann_index_serve" -> annLshOracleSql,
+    // s10 serves the SAME search from a query STREAM against the
+    // persisted index — one AvailableNow pass must reproduce e02/e06
+    "s10_stream_ann_serve" -> annLshOracleSql,
     // the all-pairs kNN join: same 8-bit buckets as e02, but EVERY
     // vector is a query (census cap + hamming-1 probes), top-3 per
     // query by (cosine DESC, neighbor_id)
@@ -1015,6 +1020,71 @@ object SparkEntry {
         |lab AS (SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a)
         |SELECT cluster AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
         |FROM lab GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // d23 composes the SAME clustering (CTEs duplicated verbatim, as
+    // d06/d07/d08 already do for the signature pipeline) with the
+    // survivor rule: longest member wins, ties to the smaller doc_id —
+    // exact integer comparisons, so the choice can never flip engines.
+    "d23_cluster_survivors" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id, shingles, list_transform(shingles, s ->
+        |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
+        |    list_min(list_transform(hv, h ->
+        |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_id,
+        |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
+        |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+        |  FROM sg, (SELECT unnest(range(0, 16)) AS b) b),
+        |useful AS (
+        |  SELECT band_id, band_sig FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) a
+        |  JOIN (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) b
+        |    USING (band_id, band_sig)
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM (
+        |    SELECT p.doc_a, p.doc_b,
+        |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        |    FROM pairs p
+        |    JOIN sg sa ON sa.doc_id = p.doc_a
+        |    JOIN sg sb ON sb.doc_id = p.doc_b) t
+        |  WHERE jaccard >= 0.6),
+        |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |reach AS (
+        |  SELECT u AS a, v AS b FROM bidir
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN bidir e ON r.b = e.u WHERE e.v <> r.a),
+        |lab AS (SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+        |ln AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len FROM corpus),
+        |rk AS (
+        |  SELECT cluster, node, n_len,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY n_len DESC, node) AS rn,
+        |    count(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM lab JOIN ln ON node = doc_id)
+        |SELECT cluster AS cluster_id, CAST(n_members AS BIGINT) AS n_members,
+        |  node AS survivor_id, n_len AS survivor_len
+        |FROM rk WHERE rn = 1 AND n_members >= 2""".stripMargin,
     "d14_decontam" -> decontamOracleSql,
     // s09 is d14 deployed at ingestion: one AvailableNow pass over the
     // document stream must reproduce the batch decontamination exactly.

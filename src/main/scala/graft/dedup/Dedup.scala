@@ -330,7 +330,11 @@ object Dedup {
     }
   }
 
-  def d11DupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The converged star forest over the verified near-dup edges
+    * (u = member, v = component minimum) — the CC kernel shared by the
+    * cluster census (d11) and survivor selection (d23).
+    */
+  private def ccStarForest(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
     val sigs = signatureTable(corpus)
     val sh = sigs.select(col("doc_id"), col("shingles"))
@@ -369,11 +373,44 @@ object Dedup {
         s"d11 connected components did not converge in $maxRounds alternating " +
           "large-star/small-star rounds; the edge set is not a star forest and the " +
           "cluster aggregation would be wrong. Raise spark.graft.cc.maxRounds.")
+    edges
+  }
+
+  def d11DupClusters(spark: SparkSession, dir: String): DataFrame =
     // at convergence the edge set is a star forest: u = member,
     // v = component minimum
-    edges.groupBy(col("v").as("cluster_id"))
+    ccStarForest(spark, dir).groupBy(col("v").as("cluster_id"))
       .agg((countDistinct(col("u")) + lit(1)).as("n_members"))
       .where(col("n_members") >= 2)
+
+  /** d23: near-dup cluster survivorship — which twin a dedup pass
+    * actually KEEPS. d11 answers "which documents are duplicates of
+    * each other"; the curation decision is "keep one per cluster": the
+    * longest member (truncated twins lose to their full document), ties
+    * broken by the smaller doc_id. Exact integer comparisons only, so
+    * the choice can never flip cross-engine.
+    *
+    * Scale shape: the star forest is tiny relative to the corpus (only
+    * near-dup members), the label frame carries 16-byte rows, and the
+    * survivor rank is a window partitioned by cluster — per-cluster
+    * work over small groups, never a global sort.
+    */
+  def d23ClusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = ccStarForest(spark, dir)
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+    val lens = nearDupCorpus(Tables.documents(spark, dir))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_len"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val rank = byCluster.orderBy(col("n_len").desc, col("doc_id"))
+    labels.join(lens, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("rn", row_number().over(rank))
+      .where(col("rn") === 1 && col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"),
+        col("doc_id").as("survivor_id"), col("n_len").as("survivor_len"))
   }
 
   /** d08: exact n-gram Jaccard verification of the LSH candidates —

@@ -49,7 +49,7 @@ object Sim {
     * the composable zip_with/aggregate fold (bit-identical results —
     * same left-to-right summation).
     */
-  private def dotOf(spark: SparkSession, a: String, b: String): Column =
+  private[graft] def dotOf(spark: SparkSession, a: String, b: String): Column =
     if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
     else expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
 
@@ -58,7 +58,7 @@ object Sim {
     * array casts codegen, higher-order functions are CodegenFallback
     * and would drop the whole projection out of codegen.
     */
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
@@ -125,7 +125,7 @@ object Sim {
     * probes). Shared by e02 (in-memory index) and e06 (persisted
     * index) so the two paths probe identically by construction.
     */
-  private def probeExprOf(b: Int): String =
+  private[graft] def probeExprOf(b: Int): String =
     s"array_union(array_union(array(bucket), " +
       s"transform(sequence(0, ${b - 1}), j -> bucket ^ shiftleft(1L, j))), " +
       s"flatten(transform(sequence(0, ${b - 2}), j -> " +

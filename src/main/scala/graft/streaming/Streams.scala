@@ -283,6 +283,44 @@ object Streams {
     sess.table(name)
   }
 
+  /** s10: streaming ANN serving — the retrieval tier of the e-family
+    * run on a QUERY STREAM: incoming vectors are signed (stateless
+    * hyperplane-signature projection), exploded to their hamming-≤2
+    * probe set, and stream-static joined on bucket id against the
+    * PERSISTED index (e06's nightly build) — candidate scoring is
+    * stateless append-mode work with zero streaming state. The
+    * per-query top-k rank runs as a batch over the landed candidates:
+    * streaming cannot rank, and a serving tier ranks at read time
+    * anyway. Results are identical to e02/e06 row-for-row (shared
+    * oracle). At scale the static side is the bucket-partitioned index
+    * table probed per micro-batch; the stream side is the tiny one.
+    */
+  def s10StreamAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sim.Sim
+    val ss = streamSession(spark)
+    val idx = Sim.annIndex(ss, dir)
+    val queries = fileStream(ss, dir, "embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Sim.dotOf(ss, "v", "v")))
+      .where(col("nrm") > 0.0 && col("vec_id") < 20)
+      .withColumn("bucket", Sim.bucketColOf(Sim.SigBits, Some(ss)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(expr(Sim.probeExprOf(Sim.SigBits))).as("bucket"))
+    val scored = queries.join(idx, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Sim.dotOf(ss, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+    val (sess, name) = runToCompletion(scored, OutputMode.Append())
+    // read-time rank over the landed candidates (multi-probe repeats
+    // collapse here too — dedup state never lives on the stream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    sess.table(name)
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** s03: streaming exact dedup — the stream unioned with itself (every
     * event arrives twice) is deduplicated on event_id with watermarked
     * state, then aggregated. The final counts must equal the batch

@@ -103,6 +103,31 @@ class Round5bSpec extends SparkSpec {
     assert(rows(graft.multimodal.Multimodal.m02BinarySource(spark, sfDir)) == fromColumn)
   }
 
+  test("d23 survivors agree with d11's clusters and full docs beat their truncated twins") {
+    val clusters = graft.dedup.Dedup.d11DupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = graft.dedup.Dedup.d23ClusterSurvivors(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(survivors.nonEmpty)
+    // same clusters, same member counts
+    assert(survivors.map(s => s._1 -> s._2).toMap == clusters)
+    // the synthetic near-dup corpus pairs every truncated twin
+    // (doc_id >= 1e6) with its strictly-longer base document, so a
+    // truncated twin must never win survivorship
+    assert(survivors.forall(_._3 < 1000000L), survivors.filter(_._3 >= 1000000L).take(3).toSeq)
+    assert(survivors.forall(_._4 > 0L))
+  }
+
+  test("s10 streaming ANN serving returns exactly e02's results") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val batch  = rows(graft.sim.Sim.e02AnnLsh(spark, sfDir))
+    val stream = rows(graft.streaming.Streams.s10StreamAnnServe(spark, sfDir))
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("q32 trailing window matches a brute-force self-join on a sample") {
     import spark.implicits._
     val got = Events.q32TrailingWindow(spark, sfDir)
