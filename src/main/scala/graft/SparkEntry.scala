@@ -56,6 +56,7 @@ object SparkEntry {
     "q29_json_props"      -> Events.q29JsonProps _,
     "q30_lead_lag"        -> Events.q30LeadLag _,
     "q32_trailing_window" -> Events.q32TrailingWindow _,
+    "q33_funnel"          -> Events.q33Funnel _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -79,6 +80,7 @@ object SparkEntry {
     "d21_pack_shards"     -> graft.text.Pack.d21PackShards _,
     "d22_corpus_profile"  -> Text.d22CorpusProfile _,
     "d23_cluster_survivors" -> Dedup.d23ClusterSurvivors _,
+    "d24_doc_rarity"      -> Text.d24DocRarity _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
@@ -391,6 +393,22 @@ object SparkEntry {
         |  CAST(avg(gap_us) AS DOUBLE) AS avg_gap_us,
         |  max(gap_us) AS max_gap_us, min(gap_us) AS min_gap_us
         |FROM x WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+    // Ordered funnel: stage mins chain on the previous stage's time;
+    // integer-µs arithmetic keeps stage times and mean gaps exact.
+    "q33_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT user_id, min(ts_us) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+        |p AS (SELECT user_id, min(ts_us) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1)
+        |SELECT count(*) AS n_view,
+        |  count(t_click) AS n_click_after_view,
+        |  count(t_purchase) AS n_purchase_after_click,
+        |  CAST(avg(t_click - t_view) AS DOUBLE) AS avg_view_to_click_us,
+        |  CAST(avg(t_purchase - t_click) AS DOUBLE) AS avg_click_to_purchase_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     // Trailing time-RANGE frame: the frame SET is identical in both
     // engines (integer-µs anchor, ties are peers) and the value sum is
     // an exact integer milli-value — no float summation order.
@@ -1199,6 +1217,18 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, start_token, start_token // 2000 AS shard_id
         |FROM c""".stripMargin,
+    // All-integer rarity statistics (document frequencies) + one exact
+    // division — deliberately no log/rank so nothing can diverge.
+    "d24_doc_rarity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS term
+        |  FROM documents),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_terms, CAST(min(df) AS BIGINT) AS min_df,
+        |  CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+        |FROM t JOIN d USING (term)
+        |GROUP BY 1""".stripMargin,
     "d22_corpus_profile" ->
       """WITH a AS (
         |  SELECT lang,

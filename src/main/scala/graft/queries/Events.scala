@@ -230,6 +230,43 @@ object Events {
         sum($"v_mil").over(w).as("sum_value_mil_1h"))
   }
 
+  /** q33: ordered conversion funnel — per user, the first `view`, the
+    * first `click` strictly after that view, and the first `purchase`
+    * strictly after that click; rolled up into stage-reach counts and
+    * mean stage-transition times. The ORDER constraint is what makes
+    * this a funnel and not three filters: a click before the first
+    * view does not count.
+    *
+    * Shape: one aggregate per stage, each keyed by user_id and joined
+    * back on user_id — three shuffles on the SAME key, so Catalyst
+    * reuses one exchange layout; no window over raw events, no
+    * per-user explode. Integer-µs arithmetic: stage times are exact,
+    * and the mean gaps are sums of integers below 2^53 — bit-identical
+    * in both engines.
+    */
+  def q33Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val v = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("t_view"))
+    val c = ev.where($"event_type" === "click")
+      .join(v, Seq("user_id"))
+      .where($"ts_us" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts_us").as("t_click"))
+    val p = ev.where($"event_type" === "purchase")
+      .join(c, Seq("user_id"))
+      .where($"ts_us" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts_us").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_view"),
+        count($"t_click").as("n_click_after_view"),
+        count($"t_purchase").as("n_purchase_after_click"),
+        avg($"t_click" - $"t_view").as("avg_view_to_click_us"),
+        avg($"t_purchase" - $"t_click").as("avg_click_to_purchase_us"))
+  }
+
   /** q18: pivot event counts per user into one column per event type. */
   def q18EventsPivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

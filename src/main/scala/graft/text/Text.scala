@@ -218,6 +218,32 @@ object Text {
           .as("lang_share"))
   }
 
+  /** d24: document rarity scoring — a vocabulary-statistics quality
+    * signal (the cheap stand-in for an LM perplexity filter): for each
+    * document, the mean and minimum DOCUMENT FREQUENCY of its distinct
+    * terms. Documents full of corpus-rare terms (low mean_df) are
+    * gibberish/OCR-noise candidates; documents of only ubiquitous
+    * terms (high mean_df) are boilerplate candidates. All-integer
+    * statistics + one exact division — no log/float accumulation to
+    * diverge cross-engine.
+    *
+    * Scale shape: explode → two map-side-combined aggregates (df per
+    * term, stats per doc) + one join keyed by term. The df table is
+    * vocabulary-sized; no global sort or rank anywhere (rank-based
+    * rarity would need one — df-based rarity deliberately doesn't).
+    */
+  def d24DocRarity(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(wsTokens(lower(col("text"))))).as("term"))
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    terms.join(df, Seq("term"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        min(col("df")).as("min_df"),
+        (sum(col("df")).cast("double") / count(lit(1)).cast("double")).as("mean_df"))
+  }
+
   /** d10: corpus vocabulary — global term frequencies, top 100 terms.
     * Explode + hash groupBy (map-side combined); the classic vocab
     * build. Deterministic tie-break by term.

@@ -128,6 +128,45 @@ class Round5bSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("q33 funnel matches a driver-side brute-force stage chain") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val stages = byUser.values.flatMap { rows =>
+      val v = rows.collect { case (_, "view", t) => t }.minOption
+      val c = v.flatMap(tv => rows.collect { case (_, "click", t) if t > tv => t }.minOption)
+      val p = c.flatMap(tc => rows.collect { case (_, "purchase", t) if t > tc => t }.minOption)
+      v.map(tv => (tv, c, p))
+    }.toSeq
+    val got = Events.q33Funnel(spark, sfDir).head()
+    assert(got.getLong(0) == stages.size)
+    assert(got.getLong(1) == stages.count(_._2.isDefined))
+    assert(got.getLong(2) == stages.count(_._3.isDefined))
+    val gaps1 = stages.collect { case (tv, Some(tc), _) => tc - tv }
+    assert(math.abs(got.getDouble(3) - gaps1.sum.toDouble / gaps1.size) < 1e-9)
+    // ordering constraint is live: the funnel must be monotone
+    assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
+  }
+
+  test("d24 rarity statistics match a driver-side document-frequency count") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "coalesce(text, '') AS text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val termsOf = (t: String) => t.trim.toLowerCase.split("\\s+").distinct.toSeq
+    val df = docs.flatMap(d => termsOf(d._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.text.Text.d24DocRarity(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val ts = termsOf(text).map(df)
+      val (n, mn, mean) = got(id)
+      assert(n == ts.size && mn == ts.min, s"doc $id")
+      assert(math.abs(mean - ts.sum.toDouble / ts.size) < 1e-12, s"doc $id")
+    }
+  }
+
   test("q32 trailing window matches a brute-force self-join on a sample") {
     import spark.implicits._
     val got = Events.q32TrailingWindow(spark, sfDir)
