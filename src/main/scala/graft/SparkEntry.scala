@@ -86,6 +86,7 @@ object SparkEntry {
     "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
     "e04_ann_ivf"         -> Sim.e04AnnIvf _,
+    "e07_ann_pq"          -> Sim.e07AnnPq _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -136,6 +137,76 @@ object SparkEntry {
       |SELECT g.doc_id, count(*) AS n_contaminated_ngrams
       |FROM g JOIN b USING (gram) WHERE NOT g.is_bench
       |GROUP BY 1""".stripMargin
+
+  /** e07's product-quantized search in DuckDB terms, GENERATED for
+    * M=[[graft.sim.Sim.PqM]] subspaces over the 64-dim verification
+    * embeddings (one argmin CTE + one ADC lookup CTE per subspace).
+    * Arithmetic mirrors the Spark pipeline operation-for-operation —
+    * same slices, same left-to-right adds — so the approximate-cosine
+    * candidate cut and the exact rerank agree bit-for-bit.
+    */
+  private val e07OracleSql: String = {
+    val m = graft.sim.Sim.PqM
+    val sub = 64 / m // verification embeddings are 64-dim
+    val cand = graft.sim.Sim.PqCand
+    def sl(s: Int, v: String) = s"$v[${s * sub + 1}:${(s + 1) * sub}]"
+    val cbCols = (0 until m).map(s =>
+      s"${sl(s, "cv")} AS cs$s, list_dot_product(${sl(s, "cv")}, ${sl(s, "cv")}) AS c2$s").mkString(",\n  ")
+    val codeCtes = (0 until m).map(s =>
+      s"""c$s AS (
+         |  SELECT vec_id, cid AS code$s, c2$s FROM (
+         |    SELECT en.vec_id, cb.cid, cb.c2$s,
+         |      row_number() OVER (PARTITION BY en.vec_id
+         |        ORDER BY list_dot_product(${sl(s, "en.v")}, cb.cs$s) * -2.0 + cb.c2$s, cb.cid) AS rn
+         |    FROM en CROSS JOIN cb) t
+         |  WHERE rn = 1)""".stripMargin).mkString(",\n")
+    val lutCtes = (0 until m).map(s =>
+      s"""l$s AS (
+         |  SELECT en.vec_id AS query_id, cb.cid AS code$s,
+         |    list_dot_product(${sl(s, "en.v")}, cb.cs$s) AS a$s
+         |  FROM en CROSS JOIN cb WHERE en.vec_id < 20)""".stripMargin).mkString(",\n")
+    val codeJoins = (0 until m).map(s => s"JOIN c$s USING (vec_id)").mkString("\n  ")
+    val lutJoins = (0 until m).map(s =>
+      if (s == 0) "JOIN l0 ON l0.code0 = c0.code0"
+      else s"JOIN l$s ON l$s.code$s = c$s.code$s AND l$s.query_id = l0.query_id").mkString("\n  ")
+    val anrm = (0 until m).map(s => s"c$s.c2$s").mkString(" + ")
+    val adot = (0 until m).map(s => s"l$s.a$s").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id) - 1 AS cid,
+       |    v AS cv
+       |  FROM e
+       |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
+       |  LIMIT 16),
+       |cb AS (
+       |  SELECT cid, $cbCols
+       |  FROM cents),
+       |$codeCtes,
+       |$lutCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM en WHERE vec_id < 20),
+       |cand AS (
+       |  SELECT l0.query_id, en.vec_id AS neighbor_id, en.v, en.nrm, q.qv, q.qn,
+       |    ($adot) / (q.qn * sqrt($anrm)) AS approx_cos
+       |  FROM en
+       |  $codeJoins
+       |  $lutJoins
+       |  JOIN q ON q.query_id = l0.query_id
+       |  WHERE en.vec_id <> l0.query_id),
+       |top AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_cos DESC, neighbor_id) AS rn
+       |    FROM cand) t
+       |  WHERE rn <= $cand)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id,
+       |    list_dot_product(qv, v) / (qn * nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_dot_product(qv, v) / (qn * nrm) DESC, neighbor_id) AS rn2
+       |  FROM top) t
+       |WHERE rn2 <= 10""".stripMargin
+  }
 
   /** The hamming-≤2 multi-probe LSH search in DuckDB terms — shared by
     * e02 (in-session signature table) and e06 (persisted index): both
@@ -684,6 +755,13 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         |  FROM cand) t
         |WHERE rn <= 10""".stripMargin,
+    // Product-quantization reproduction (generated for M=8 subspaces
+    // over the 64-dim verification embeddings): e04's sampled fit split
+    // into M sub-codebooks, per-subspace argmin codes, ADC lookup
+    // tables, approximate-cosine top-64 cut, exact rerank. Every double
+    // on both engines is the same left-to-right fold, so cut and rank
+    // agree bit-for-bit.
+    "e07_ann_pq" -> e07OracleSql,
     // Embed-dedup reproduction: perturbed-twin corpus, 16-bit buckets with
     // the 64-cap census, hamming-1 probes, cosine threshold.
     "e03_embed_dedup" ->

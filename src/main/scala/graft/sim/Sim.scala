@@ -306,6 +306,102 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e07: product-quantized ANN with asymmetric distance (ADC) — the
+    * memory-compression path of the family: at 10¹¹ vectors the floats
+    * (256 B each) do not fit anywhere, so every vector is stored as
+    * M=2 sub-codes (1 byte each) into per-subspace codebooks, and
+    * search scans the CODES, not the vectors. M=[[PqM]] subspaces,
+    * 16 codes each:
+    *
+    *  - codebooks: the same deterministic sampled rows as e04's coarse
+    *    quantizer (cross-engine reproducible; a trained sub-KMeans
+    *    plugs in identically), each sampled vector's M slices forming
+    *    one entry per subspace;
+    *  - encoding: M 16-row broadcast argmin assignments (map-side
+    *    combined, ties on code id) — no shuffle of vectors;
+    *  - search: each query precomputes its M×16 dot-product lookup
+    *    table (the ADC trick); candidate scoring is then M broadcast
+    *    LUT probes + adds per code row — the scan touches only
+    *    (vec_id, code_0..M−1);
+    *  - rerank: the top-[[PqCand]] by approximate cosine fetch their
+    *    full vectors and rank by exact cosine (top-10 out) — the
+    *    standard two-stage serving shape, and only 20×32 rows ever
+    *    touch floats again.
+    *
+    * All doubles on both engines come from the identical left-to-right
+    * folds, so the candidate cut and final ranking cannot diverge —
+    * e07 is oracle-checkable like the rest of the family.
+    */
+  val PqM = 8
+  val PqCand = 64
+
+  def e07AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val P = 1000000007L
+    val sampled = e.select(col("vec_id"), col("v"))
+      .withColumn("ch", col("vec_id") % P * IvfHashMul % P)
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(IvfK)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    val subLen = sampled.head._2.length / PqM
+    val subs = 0 until PqM
+    // per-subspace codebook: (code id, sub-centroid, its |·|²)
+    def cb(s: Int) = spark.createDataFrame(
+        sampled.toSeq.map { case (i, cv) =>
+          val cs = cv.slice(s * subLen, (s + 1) * subLen)
+          (i, cs.toSeq, cs.foldLeft(0.0)((a, x) => a + x * x))
+        })
+      .toDF(s"code$s", s"cs$s", s"c2_$s")
+    val sliced = e.select(
+      col("vec_id") +: col("v") +: col("nrm") +:
+        subs.map(s => expr(s"slice(v, ${s * subLen + 1}, $subLen)").as(s"x$s")): _*)
+    // encoding: one 16-row broadcast argmin per subspace, map-side
+    // combined by vec_id; min_by carries the chosen entry's |·|² along
+    // so the approximate norm needs no second lookup
+    def assign(s: Int) = sliced
+      .select(col("vec_id"), col(s"x$s"))
+      .crossJoin(broadcast(cb(s)))
+      .withColumn("d2", dotOf(spark, s"x$s", s"cs$s") * lit(-2.0) + col(s"c2_$s"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col(s"code$s"), col(s"c2_$s")), struct(col("d2"), col(s"code$s"))).as("m"))
+      .select(col("vec_id"), col("m")(s"code$s").as(s"code$s"), col("m")(s"c2_$s").as(s"c2_$s"))
+    // the compressed table a production pipeline would persist:
+    // (vec_id, code_0..M-1) — M bytes per vector — plus the
+    // code-derived approximate norm
+    val codes = subs.foldLeft(sliced.select(col("vec_id"), col("v"), col("nrm"))) {
+        (acc, s) => acc.join(assign(s), Seq("vec_id"))
+      }
+      .withColumn("anrm", sqrt(subs.map(s => col(s"c2_$s")).reduce(_ + _)))
+    // per-query ADC lookup tables: M×16 sub-dot-products per query —
+    // candidate scoring is then M LUT probes + adds per CODE row
+    val q = sliced.where(col("vec_id") < 20)
+    def lut(s: Int) = q
+      .select(col("vec_id").as(s"qid$s"), col(s"x$s"))
+      .crossJoin(broadcast(cb(s)))
+      .select(col(s"qid$s"), col(s"code$s"), dotOf(spark, s"x$s", s"cs$s").as(s"a$s"))
+    val fanned = subs.foldLeft(codes) { (acc, s) =>
+      val l = lut(s)
+      val cond = if (s == 0) acc(s"code$s") === l(s"code$s")
+        else acc(s"code$s") === l(s"code$s") && acc("qid0") === l(s"qid$s")
+      acc.join(broadcast(l), cond).drop(l(s"code$s"))
+    }
+    val qn = q.select(col("vec_id").as("qid0"), col("v").as("qv"), col("nrm").as("qn"))
+    val approx = fanned
+      .where(col("vec_id") =!= col("qid0"))
+      .withColumn("adot", subs.map(s => col(s"a$s")).reduce(_ + _))
+      .join(broadcast(qn), Seq("qid0"))
+      .withColumn("approx_cos", col("adot") / (col("qn") * col("anrm")))
+    val wA = Window.partitionBy("qid0").orderBy(col("approx_cos").desc, col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    approx.withColumn("rn", row_number().over(wA)).where(col("rn") <= PqCand)
+      .select(col("qid0").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** e05: k-NN JOIN — top-3 neighbors for EVERY vector, not for a
     * broadcastable query batch. This is the retrieval-for-every-
     * training-example shape (kNN-LM / RETRO-style pipelines, embedding-

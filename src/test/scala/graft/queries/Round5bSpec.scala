@@ -167,6 +167,30 @@ class Round5bSpec extends SparkSpec {
     }
   }
 
+  test("e07 PQ-ADC serves ranked exact-cosine top-k with honest recall vs e01") {
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val exact = byQuery(graft.sim.Sim.e01KnnCosine(spark, sfDir))
+    val pq    = byQuery(graft.sim.Sim.e07AnnPq(spark, sfDir))
+    assert(pq.nonEmpty && pq.keySet == exact.keySet)
+    // reranked output: exact cosines, 10 per query, properly ordered
+    pq.values.foreach { ns =>
+      assert(ns.size == 10)
+      val cos = ns.sortBy(t => (-t._2, t._1)).map(_._2)
+      assert(cos == cos.sorted.reverse)
+    }
+    // recall@10 vs brute force: deterministic for this data; the 32-
+    // candidate ADC cut over 16² code combinations must find most of
+    // the true neighborhood
+    val recalls = exact.map { case (q, ns) =>
+      val truth = ns.map(_._1).toSet
+      pq(q).map(_._1).count(truth) / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
+  }
+
   test("q32 trailing window matches a brute-force self-join on a sample") {
     import spark.implicits._
     val got = Events.q32TrailingWindow(spark, sfDir)
