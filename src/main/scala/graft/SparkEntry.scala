@@ -100,6 +100,7 @@ object SparkEntry {
     "s08_stream_incr_dedup" -> Streams.s08StreamIncrementalDedup _,
     "s09_stream_decontam" -> Streams.s09StreamDecontam _,
     "s10_stream_ann_serve" -> Streams.s10StreamAnnServe _,
+    "s11_stream_sampler"  -> Streams.s11StreamSampler _,
     "w01_sink_partitioned" -> graft.sources.Sinks.w01SinkPartitioned _,
     "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
@@ -207,6 +208,17 @@ object SparkEntry {
        |  FROM top) t
        |WHERE rn2 <= 10""".stripMargin
   }
+
+  /** d13's deterministic stratified sample in DuckDB terms — shared by
+    * the batch pass (d13) and its streaming deployment (s11).
+    */
+  private val stratifiedOracleSql: String =
+    """SELECT lang, count(*) AS n_sampled FROM documents
+      |WHERE ((doc_id % 1000000007) * 900000011 % 1000000007 + 20260812) % 1000000007 <
+      |  CASE lang WHEN 'en' THEN 500000003 WHEN 'es' THEN 300000002
+      |            WHEN 'de' THEN 300000002 WHEN 'fr' THEN 300000002
+      |            WHEN 'zh' THEN 100000000 ELSE -1 END
+      |GROUP BY 1""".stripMargin
 
   /** The hamming-≤2 multi-probe LSH search in DuckDB terms — shared by
     * e02 (in-session signature table) and e06 (persisted index): both
@@ -1418,13 +1430,10 @@ object SparkEntry {
         |FROM z GROUP BY user_id, sid""".stripMargin,
     // Reproduces the deterministic stratified-sample threshold exactly
     // (thresholds are floor(frac * P) literals on both sides).
-    "d13_stratified" ->
-      """SELECT lang, count(*) AS n_sampled FROM documents
-        |WHERE ((doc_id % 1000000007) * 900000011 % 1000000007 + 20260812) % 1000000007 <
-        |  CASE lang WHEN 'en' THEN 500000003 WHEN 'es' THEN 300000002
-        |            WHEN 'de' THEN 300000002 WHEN 'fr' THEN 300000002
-        |            WHEN 'zh' THEN 100000000 ELSE -1 END
-        |GROUP BY 1""".stripMargin,
+    "d13_stratified" -> stratifiedOracleSql,
+    // s11 is d13 deployed at ingestion: the keep-predicate is a pure
+    // row function, so one AvailableNow pass selects the batch sample.
+    "s11_stream_sampler" -> stratifiedOracleSql,
     // Reproduces Text.fingerprint exactly: the same two mod-1e9+7
     // polynomial token/char folds, packed h1*P+h2 (every intermediate
     // < 2^63, so checked BIGINT arithmetic agrees with JVM longs).

@@ -283,6 +283,22 @@ object Streams {
     sess.table(name)
   }
 
+  /** s11: streaming stratified sampler — d13's deterministic
+    * per-language keep-predicate applied AT INGESTION: the document
+    * stream is filtered by the pure (doc_id, lang) hash threshold
+    * (stateless, codegen'd — reproducible sampling needs no RNG state
+    * and no coordination), rolled up to per-language admitted counts.
+    * Because the predicate is a pure row function, one AvailableNow
+    * pass selects exactly the batch sample — d13's oracle checks it.
+    */
+  def s11StreamSampler(spark: SparkSession, dir: String): DataFrame = {
+    val gated = fileStream(streamSession(spark), dir, "documents.parquet")
+      .where(graft.text.Text.sampleKeepCol)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val (s, name) = runToCompletion(gated, OutputMode.Complete())
+    s.table(name)
+  }
+
   /** s10: streaming ANN serving — the retrieval tier of the e-family
     * run on a QUERY STREAM: incoming vectors are signed (stateless
     * hyperplane-signature projection), exploded to their hamming-≤2

@@ -182,16 +182,23 @@ object Text {
   val SampleMulA = 900000011L
   val SampleAddB = 20260812L
 
-  def d13StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic keep-predicate shared by the batch sample (d13)
+    * and its at-ingestion streaming deployment (s11): a pure function
+    * of (doc_id, lang), so both must select the identical row set.
+    */
+  private[graft] def sampleKeepCol: Column = {
     val fractions = Seq("en" -> 0.5, "es" -> 0.3, "de" -> 0.3, "fr" -> 0.3, "zh" -> 0.1)
     val u = (col("doc_id") % SampleMod) * SampleMulA % SampleMod + SampleAddB
     val thr = fractions.foldLeft(lit(-1L)) { case (acc, (l, f)) =>
       when(col("lang") === l, lit(math.floor(f * SampleMod).toLong)).otherwise(acc)
     }
-    Tables.documents(spark, dir)
-      .where(u % SampleMod < thr)
-      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    u % SampleMod < thr
   }
+
+  def d13StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(sampleKeepCol)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
 
   /** d22: corpus profile — the per-language length-distribution
     * dashboard a corpus owner reads before every training run: document

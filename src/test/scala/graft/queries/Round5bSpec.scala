@@ -191,6 +191,15 @@ class Round5bSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("s11 streaming sampler selects exactly the d13 batch sample") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch  = rows(graft.text.Text.d13StratifiedSample(spark, sfDir))
+    val stream = rows(graft.streaming.Streams.s11StreamSampler(spark, sfDir))
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("q32 trailing window matches a brute-force self-join on a sample") {
     import spark.implicits._
     val got = Events.q32TrailingWindow(spark, sfDir)
