@@ -345,6 +345,14 @@ object Sim {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    // empty corpus → no codebook to fit; the serving contract is an
+    // empty result, not a NoSuchElementException (EmptyInputSpec)
+    if (sampled.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType), StructField("neighbor_id", LongType),
+          StructField("cosine", DoubleType))))
+    }
     val subLen = sampled.head._2.length / PqM
     val subs = 0 until PqM
     // per-subspace codebook: (code id, sub-centroid, its |·|²)

@@ -54,7 +54,14 @@ class EmptyInputSpec extends SparkSpec {
       "w05" -> (() => graft.sources.Sinks.w05SinkUpsert(spark, emptyDir).count()),
       "q31b" -> (() => Relational.q31bDecileCuts(spark, emptyDir).count()),
       "e06" -> (() => graft.sim.Sim.e06AnnIndexServe(spark, emptyDir).count()),
-      "w06" -> (() => graft.streaming.Streams.w06SinkStreamed(spark, emptyDir).count()))
+      "w06" -> (() => graft.streaming.Streams.w06SinkStreamed(spark, emptyDir).count()),
+      "q32" -> (() => Events.q32TrailingWindow(spark, emptyDir).count()),
+      "d21" -> (() => graft.text.Pack.d21PackShards(spark, emptyDir).count()),
+      "d22" -> (() => graft.text.Text.d22CorpusProfile(spark, emptyDir).count()),
+      "d23" -> (() => graft.dedup.Dedup.d23ClusterSurvivors(spark, emptyDir).count()),
+      "d24" -> (() => graft.text.Text.d24DocRarity(spark, emptyDir).count()),
+      "e07" -> (() => graft.sim.Sim.e07AnnPq(spark, emptyDir).count()),
+      "m02" -> (() => graft.multimodal.Multimodal.m02BinarySource(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>
       try { assert(run() == 0L, s"$name returned rows on empty input"); None }
       catch {
@@ -74,5 +81,16 @@ class EmptyInputSpec extends SparkSpec {
     // s08's global rollup always emits exactly one summary row
     val s08 = graft.streaming.Streams.s08StreamIncrementalDedup(spark, emptyDir).head()
     assert(s08.getLong(0) == 0L && s08.getLong(1) == 0L)
+    assert(graft.streaming.Streams.s09StreamDecontam(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s10StreamAnnServe(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s11StreamSampler(spark, emptyDir).count() == 0L)
+  }
+
+  test("q33's scalar funnel summary is all-zero (not an error) on empty events") {
+    // a global aggregate over zero rows still emits its one summary
+    // row — counts zero, means null — the dashboard-friendly contract
+    val r = Events.q33Funnel(spark, emptyDir).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
   }
 }
