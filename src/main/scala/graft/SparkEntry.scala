@@ -57,6 +57,7 @@ object SparkEntry {
     "q30_lead_lag"        -> Events.q30LeadLag _,
     "q32_trailing_window" -> Events.q32TrailingWindow _,
     "q33_funnel"          -> Events.q33Funnel _,
+    "q34_retention"       -> Events.q34Retention _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -81,6 +82,7 @@ object SparkEntry {
     "d22_corpus_profile"  -> Text.d22CorpusProfile _,
     "d23_cluster_survivors" -> Dedup.d23ClusterSurvivors _,
     "d24_doc_rarity"      -> Text.d24DocRarity _,
+    "d25_corpus_diff"     -> graft.text.Corpus.d25CorpusDiff _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
@@ -107,6 +109,7 @@ object SparkEntry {
     "w04_source_formats"  -> graft.sources.Sinks.w04SourceFormats _,
     "w05_sink_upsert"     -> graft.sources.Sinks.w05SinkUpsert _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
+    "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_select"       -> ReliefQueries.reliefSelect _,
     "relief_transform"    -> ReliefQueries.reliefTransform _,
@@ -476,6 +479,37 @@ object SparkEntry {
         |  CAST(avg(gap_us) AS DOUBLE) AS avg_gap_us,
         |  max(gap_us) AS max_gap_us, min(gap_us) AS min_gap_us
         |FROM x WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+    // Day-over-day retention: distinct (day, user) + self-join on
+    // (user, day+1) — exact timestamp-bucket equality.
+    "q34_retention" ->
+      """WITH a AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events)
+        |SELECT a.day, count(*) AS n_active, count(b.user_id) AS n_retained_next_day
+        |FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+        |GROUP BY 1""".stripMargin,
+    // Snapshot diff: digest-compare both derived versions; counts are
+    // exact integers.
+    "d25_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, source AS src_old, md5(text) AS h_old
+        |           FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, source AS src_new,
+        |        md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h_new
+        |      FROM documents)
+        |SELECT coalesce(src_new, src_old) AS source,
+        |  CAST(sum(CASE WHEN h_old IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN h_new IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL AND h_old <> h_new
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN h_old = h_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM o FULL JOIN n USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+    // Schema evolution: the mergeSchema read must reconstruct exactly
+    // the generation split the writer produced.
+    "w07_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen2,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE NULL END) AS BIGINT) AS sum_chars_gen2
+        |FROM documents GROUP BY 1""".stripMargin,
     // Ordered funnel: stage mins chain on the previous stage's time;
     // integer-µs arithmetic keeps stage times and mean gaps exact.
     "q33_funnel" ->

@@ -267,6 +267,27 @@ object Events {
         avg($"t_purchase" - $"t_click").as("avg_click_to_purchase_us"))
   }
 
+  /** q34: day-over-day retention — per day, how many users were active
+    * and how many of them return the next day. The cohort-retention
+    * primitive behind every engagement dashboard.
+    *
+    * Shape: one distinct (day, user) projection (map-side combined),
+    * one self-equi-join on (user, day+1) — at most one match per row
+    * by construction — and a ~|days|-row rollup. Exact timestamp
+    * equality on `date_trunc` buckets; no windows, no inequality join.
+    */
+  def q34Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val active = Tables.events(spark, dir)
+      .select(date_trunc("day", $"ts").as("day"), $"user_id").distinct()
+    active.as("a").join(active.as("b"),
+        $"b.user_id" === $"a.user_id" &&
+          $"b.day" === $"a.day" + expr("INTERVAL 1 DAY"), "left")
+      .groupBy($"a.day".as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count($"b.user_id").as("n_retained_next_day"))
+  }
+
   /** q18: pivot event counts per user into one column per event type. */
   def q18EventsPivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

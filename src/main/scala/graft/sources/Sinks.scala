@@ -138,6 +138,40 @@ object Sinks {
         countDistinct(col("text")).as("n_distinct_texts"))
   }
 
+  /** w07: schema evolution across file generations — the lakehouse
+    * reality that old files never get rewritten: generation 1 landed
+    * with a narrow schema (doc_id, lang, text), generation 2 added
+    * columns (source, n_chars). A `mergeSchema` read unions the
+    * generations — absent columns surface as nulls — and the rollup
+    * proves the widened read is correct (null source counted per
+    * generation, n_chars summed only where it exists).
+    *
+    * At 100 TB the same read works because parquet footers carry each
+    * file's own schema; the merge is planning-time only, and column
+    * pruning/pushdown still reach every generation's scan. (For
+    * steady-state reads you'd pin the union schema explicitly and skip
+    * the footer sampling — documented here, demonstrated with the
+    * option on.)
+    */
+  def w07SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = stage(dir, "evolve")
+    val docs = Tables.documents(spark, dir)
+    // generation 1: the narrow v1 schema (old files, never rewritten)
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    // generation 2: the widened schema
+    docs.where(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_gen1"),
+        sum(when(col("source").isNotNull, 1L).otherwise(0L)).as("n_gen2"),
+        sum(col("n_chars")).as("sum_chars_gen2"))
+  }
+
   /** w05: partition-level upsert — the parquet-lake MERGE pattern
     * without a table format: the corpus lands partitioned by lang, then
     * an incremental batch (updates to some `en` documents + brand-new

@@ -71,6 +71,36 @@ object Corpus {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** d25: corpus snapshot diff — the data-versioning primitive: given
+    * two corpus versions, report per source how many documents were
+    * added, removed, changed, or untouched. Versions are derived
+    * deterministically from the one verification table (old = doc_id
+    * not divisible by 7; new = all docs, with every 11th's text
+    * revised) the same way d19 derives its incremental batch.
+    *
+    * Scale shape: each side reduces to a 16-byte digest BEFORE the
+    * shuffle (text never moves), one full-outer join on doc_id, one
+    * ~|sources|-row rollup. At 100 TB both snapshots are bucketed by
+    * doc_id and the join is exchange-free.
+    */
+  def d25CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source").as("src_old"), md5(col("text")).as("h_old"))
+    val neu = docs
+      .select(col("doc_id"), col("source").as("src_new"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .groupBy(coalesce(col("src_new"), col("src_old")).as("source"))
+      .agg(
+        sum(when(col("h_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("h_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("h_old").isNotNull && col("h_new").isNotNull &&
+          col("h_old") =!= col("h_new"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("h_old") === col("h_new"), 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
   /** d15: repetition / quality signals (Gopher-style document filters:
     * word-count bounds, mean word length, most-repeated-bigram mass).
     * One projection for the per-doc stats; the bigram mode is a

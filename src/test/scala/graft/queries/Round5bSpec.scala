@@ -200,6 +200,52 @@ class Round5bSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("d25 corpus diff classifies every document into exactly one bucket") {
+    import spark.implicits._
+    val ids = graft.Tables.documents(spark, sfDir).select($"doc_id").as[Long].collect()
+    val got = graft.text.Corpus.d25CorpusDiff(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (added, removed, changed, unchanged) =
+      (got.map(_._1).sum, got.map(_._2).sum, got.map(_._3).sum, got.map(_._4).sum)
+    // derived versions: old = id % 7 != 0; new = all, every 11th revised
+    assert(added == ids.count(_ % 7 == 0))
+    assert(removed == 0L) // old is a subset of new by id
+    assert(changed == ids.count(id => id % 7 != 0 && id % 11 == 0))
+    assert(unchanged == ids.count(id => id % 7 != 0 && id % 11 != 0))
+    assert(added + changed + unchanged == ids.length)
+  }
+
+  test("q34 retention matches a driver-side day/user walk") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000 * 1000
+    val act = graft.Tables.events(spark, sfDir)
+      .select(unix_micros(date_trunc("day", $"ts")).as("d"), $"user_id")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = act.groupBy(_._1).map { case (d, rows) =>
+      d -> (rows.size.toLong, rows.count { case (_, u) => act.contains((d + dayUs, u)) }.toLong)
+    }
+    val got = Events.q34Retention(spark, sfDir).select(
+        unix_micros($"day"), $"n_active", $"n_retained_next_day")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
+  test("w07 mergeSchema read reconstructs the generation split exactly") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"lang", $"doc_id", $"n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = graft.sources.Sinks.w07SchemaEvolution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val (n, g1, g2) = got(lang)
+      assert(n == rows.size)
+      assert(g1 == rows.count(_._2 % 2 == 0))
+      assert(g2 == rows.count(_._2 % 2 != 0))
+    }
+  }
+
   test("q32 trailing window matches a brute-force self-join on a sample") {
     import spark.implicits._
     val got = Events.q32TrailingWindow(spark, sfDir)
