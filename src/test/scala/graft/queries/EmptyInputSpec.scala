@@ -61,7 +61,10 @@ class EmptyInputSpec extends SparkSpec {
       "d23" -> (() => graft.dedup.Dedup.d23ClusterSurvivors(spark, emptyDir).count()),
       "d24" -> (() => graft.text.Text.d24DocRarity(spark, emptyDir).count()),
       "e07" -> (() => graft.sim.Sim.e07AnnPq(spark, emptyDir).count()),
-      "m02" -> (() => graft.multimodal.Multimodal.m02BinarySource(spark, emptyDir).count()))
+      "m02" -> (() => graft.multimodal.Multimodal.m02BinarySource(spark, emptyDir).count()),
+      "q34" -> (() => Events.q34Retention(spark, emptyDir).count()),
+      "d25" -> (() => graft.text.Corpus.d25CorpusDiff(spark, emptyDir).count()),
+      "w07" -> (() => graft.sources.Sinks.w07SchemaEvolution(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>
       try { assert(run() == 0L, s"$name returned rows on empty input"); None }
       catch {
