@@ -246,6 +246,16 @@ class Round5bSpec extends SparkSpec {
     }
   }
 
+  test("q33's repeated stage aggregate is deduplicated at execution (ReusedExchange)") {
+    // the funnel references the first-view aggregate twice (as the
+    // click stage's filter and in the final rollup); AQE must reuse
+    // the exchange rather than recompute it — at corpus scale a
+    // regression here silently doubles a whole stage
+    val df = Events.q33Funnel(spark, sfDir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+  }
+
   test("q32 trailing window matches a brute-force self-join on a sample") {
     import spark.implicits._
     val got = Events.q32TrailingWindow(spark, sfDir)
