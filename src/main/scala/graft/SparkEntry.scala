@@ -489,10 +489,11 @@ object SparkEntry {
     // Snapshot diff: digest-compare both derived versions; counts are
     // exact integers.
     "d25_corpus_diff" ->
-      """WITH o AS (SELECT doc_id, source AS src_old, md5(text) AS h_old
+      """WITH o AS (SELECT doc_id, source AS src_old, md5(coalesce(text, '')) AS h_old
         |           FROM documents WHERE doc_id % 7 <> 0),
         |n AS (SELECT doc_id, source AS src_new,
-        |        md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h_new
+        |        md5(CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '') || ' v2'
+        |            ELSE coalesce(text, '') END) AS h_new
         |      FROM documents)
         |SELECT coalesce(src_new, src_old) AS source,
         |  CAST(sum(CASE WHEN h_old IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,

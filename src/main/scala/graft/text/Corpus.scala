@@ -85,12 +85,16 @@ object Corpus {
     */
   def d25CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // null-safe digest: a null-text doc present in both snapshots must
+    // compare EQUAL (null md5 never equals anything and would
+    // misclassify the doc as added — RobustnessSpec)
+    val t = coalesce(col("text"), lit(""))
     val old = docs.where(col("doc_id") % 7 =!= 0)
-      .select(col("doc_id"), col("source").as("src_old"), md5(col("text")).as("h_old"))
+      .select(col("doc_id"), col("source").as("src_old"), md5(t).as("h_old"))
     val neu = docs
       .select(col("doc_id"), col("source").as("src_new"),
-        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text"))).as("h_new"))
+        md5(when(col("doc_id") % 11 === 0, concat(t, lit(" v2")))
+          .otherwise(t)).as("h_new"))
     old.join(neu, Seq("doc_id"), "full_outer")
       .groupBy(coalesce(col("src_new"), col("src_old")).as("source"))
       .agg(

@@ -42,7 +42,11 @@ class RobustnessSpec extends SparkSpec {
       "d16" -> (() => graft.text.Corpus.d16PiiScrub(spark, nullDir).collect()),
       "d18" -> (() => graft.text.Corpus.d18CurationFunnel(spark, nullDir).collect()),
       "d01" -> (() => graft.dedup.Dedup.d01DedupExact(spark, nullDir).collect()),
-      "m01" -> (() => graft.multimodal.Multimodal.m01Multimodal(spark, nullDir).collect())
+      "m01" -> (() => graft.multimodal.Multimodal.m01Multimodal(spark, nullDir).collect()),
+      "d21" -> (() => graft.text.Pack.d21PackShards(spark, nullDir).collect()),
+      "d22" -> (() => graft.text.Text.d22CorpusProfile(spark, nullDir).collect()),
+      "d24" -> (() => graft.text.Text.d24DocRarity(spark, nullDir).collect()),
+      "d25" -> (() => graft.text.Corpus.d25CorpusDiff(spark, nullDir).collect())
     ).flatMap { case (name, run) =>
       try {
         val rows = run()
@@ -61,6 +65,13 @@ class RobustnessSpec extends SparkSpec {
     val d02 = graft.text.Text.d02TokenCount(spark, nullDir).collect()
       .filter(r => !r.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d02(4L) == 9L, d02.toString)
+    // d25: a null-text doc present in both snapshots must classify as
+    // unchanged (null-safe digest), never as added
+    val d25 = graft.text.Corpus.d25CorpusDiff(spark, nullDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ids 1..5: none divisible by 7 or 11 -> old == new for every doc
+    assert(d25.map(_._1).sum == 0L, s"added=${d25.map(_._1).sum}")
+    assert(d25.map(_._4).sum == 5L, s"unchanged=${d25.map(_._4).sum}")
   }
 
   test("similarity operators tolerate zero (corrupt) embedding vectors") {
