@@ -309,8 +309,8 @@ object Sim {
   /** e07: product-quantized ANN with asymmetric distance (ADC) — the
     * memory-compression path of the family: at 10¹¹ vectors the floats
     * (256 B each) do not fit anywhere, so every vector is stored as
-    * M=2 sub-codes (1 byte each) into per-subspace codebooks, and
-    * search scans the CODES, not the vectors. M=[[PqM]] subspaces,
+    * M=[[PqM]] sub-codes (1 byte each) into per-subspace codebooks,
+    * and search scans the CODES, not the vectors. [[PqM]] subspaces,
     * 16 codes each:
     *
     *  - codebooks: the same deterministic sampled rows as e04's coarse
@@ -321,12 +321,15 @@ object Sim {
     *    combined, ties on code id) — no shuffle of vectors;
     *  - search: each query precomputes its M×16 dot-product lookup
     *    table (the ADC trick); candidate scoring is then M broadcast
-    *    LUT probes + adds per code row — the scan touches only
-    *    (vec_id, code_0..M−1);
-    *  - rerank: the top-[[PqCand]] by approximate cosine fetch their
-    *    full vectors and rank by exact cosine (top-10 out) — the
-    *    standard two-stage serving shape, and only 20×32 rows ever
-    *    touch floats again.
+    *    LUT probes + adds per code row — the scan, the LUT joins and
+    *    the top-[[PqCand]] window touch ONLY
+    *    (vec_id, code_0..M−1, anrm): no float vector rides the
+    *    approximate phase (pinned in PlanSpec);
+    *  - rerank: the top-[[PqCand]] by approximate cosine JOIN their
+    *    full vectors back by vec_id (the e05 join-back shape: the tiny
+    *    20×[[PqCand]] candidate set broadcasts, the corpus is probed,
+    *    never the reverse) and rank by exact cosine (top-10 out) — only
+    *    20×[[PqCand]] rows ever touch floats again.
     *
     * All doubles on both engines come from the identical left-to-right
     * folds, so the candidate cut and final ranking cannot diverge —
@@ -335,7 +338,13 @@ object Sim {
   val PqM = 8
   val PqCand = 64
 
-  def e07AnnPq(spark: SparkSession, dir: String): DataFrame = {
+  /** The approximate (code-only) phase of e07: encode, ADC-score, cut
+    * to the top-[[PqCand]] candidates per query. Output is bare
+    * (query_id, neighbor_id) — by construction nothing downstream of
+    * the per-subspace encoding aggregates carries a float vector,
+    * which PlanSpec pins.
+    */
+  private[graft] def e07CandidateStage(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val P = 1000000007L
     val sampled = e.select(col("vec_id"), col("v"))
@@ -350,8 +359,7 @@ object Sim {
     if (sampled.isEmpty) {
       import org.apache.spark.sql.types._
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("query_id", LongType), StructField("neighbor_id", LongType),
-          StructField("cosine", DoubleType))))
+        StructType(Seq(StructField("query_id", LongType), StructField("neighbor_id", LongType))))
     }
     val subLen = sampled.head._2.length / PqM
     val subs = 0 until PqM
@@ -363,7 +371,7 @@ object Sim {
         })
       .toDF(s"code$s", s"cs$s", s"c2_$s")
     val sliced = e.select(
-      col("vec_id") +: col("v") +: col("nrm") +:
+      col("vec_id") +: col("nrm") +:
         subs.map(s => expr(s"slice(v, ${s * subLen + 1}, $subLen)").as(s"x$s")): _*)
     // encoding: one 16-row broadcast argmin per subspace, map-side
     // combined by vec_id; min_by carries the chosen entry's |·|² along
@@ -377,8 +385,10 @@ object Sim {
       .select(col("vec_id"), col("m")(s"code$s").as(s"code$s"), col("m")(s"c2_$s").as(s"c2_$s"))
     // the compressed table a production pipeline would persist:
     // (vec_id, code_0..M-1) — M bytes per vector — plus the
-    // code-derived approximate norm
-    val codes = subs.foldLeft(sliced.select(col("vec_id"), col("v"), col("nrm"))) {
+    // code-derived approximate norm. NO float vector: this is the
+    // whole point of PQ, and everything from here to the candidate
+    // cut stays code-width.
+    val codes = subs.foldLeft(sliced.select(col("vec_id"))) {
         (acc, s) => acc.join(assign(s), Seq("vec_id"))
       }
       .withColumn("anrm", sqrt(subs.map(s => col(s"c2_$s")).reduce(_ + _)))
@@ -395,16 +405,33 @@ object Sim {
         else acc(s"code$s") === l(s"code$s") && acc("qid0") === l(s"qid$s")
       acc.join(broadcast(l), cond).drop(l(s"code$s"))
     }
-    val qn = q.select(col("vec_id").as("qid0"), col("v").as("qv"), col("nrm").as("qn"))
+    // query norms only (scalars) — the query VECTORS stay out of the
+    // approximate phase too; they join back at rerank like the corpus'
+    val qn = q.select(col("vec_id").as("qid0"), col("nrm").as("qn"))
     val approx = fanned
       .where(col("vec_id") =!= col("qid0"))
       .withColumn("adot", subs.map(s => col(s"a$s")).reduce(_ + _))
       .join(broadcast(qn), Seq("qid0"))
       .withColumn("approx_cos", col("adot") / (col("qn") * col("anrm")))
     val wA = Window.partitionBy("qid0").orderBy(col("approx_cos").desc, col("vec_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     approx.withColumn("rn", row_number().over(wA)).where(col("rn") <= PqCand)
-      .select(col("qid0").as("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("qid0").as("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  def e07AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val cut = e07CandidateStage(spark, dir)
+    val e = emb(spark, dir)
+    // exact rerank: the surviving 20×PqCand (query, neighbor) pairs
+    // broadcast against the corpus to fetch full vectors — e05's
+    // join-back shape (Sim.scala e05KnnJoin); floats move only for
+    // survivors
+    val qv = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .join(broadcast(cut), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
       .select("query_id", "neighbor_id", "cosine")

@@ -128,6 +128,43 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("dynamicpruningexpression"), plan)
   }
 
+  test("e07: the approximate (candidate) phase never shuffles a float vector") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // the PQ premise: after encoding, search scans CODES — so no
+    // shuffle in the candidate stage may carry an array column. The
+    // only arrays left in the plan are the parquet scan + the 16-row
+    // codebook broadcasts, both beneath the encoding aggregates.
+    // AQE wraps the executed plan in a leaf AdaptiveSparkPlanExec that
+    // collect() cannot traverse — pin the static plan instead (the
+    // conf is read when executedPlan is first forced)
+    val stage = graft.sim.Sim.e07CandidateStage(spark, sfDir)
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      stage.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty, "expected shuffles in the candidate stage")
+    exchanges.foreach { x =>
+      assert(!x.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"float vectors ride a candidate-phase shuffle: ${x.output.mkString(", ")}")
+    }
+    // and the top-PqCand window (the corpus-scale sort of the phase)
+    // sees only code-width rows — no v/qv/x-slice attribute
+    val wins = stage.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val names = w.child.output.map(_.name)
+      assert(!names.exists(n => n == "v" || n == "qv" || n.startsWith("x")),
+        s"vector column under the candidate window: $names")
+    }
+    // rerank joins the tiny surviving candidate set back by id —
+    // broadcast, so the corpus is probed rather than shuffled
+    val plan = explain(graft.sim.Sim.e07AnnPq(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("LSH family: no cartesian/nested-loop join anywhere") {
     // every candidate join must be bucket-keyed — a cartesian in any of
     // these is the 100 TB failure mode the census caps exist to prevent

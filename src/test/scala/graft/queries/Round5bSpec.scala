@@ -180,9 +180,9 @@ class Round5bSpec extends SparkSpec {
       val cos = ns.sortBy(t => (-t._2, t._1)).map(_._2)
       assert(cos == cos.sorted.reverse)
     }
-    // recall@10 vs brute force: deterministic for this data; the 32-
-    // candidate ADC cut over 16² code combinations must find most of
-    // the true neighborhood
+    // recall@10 vs brute force: deterministic for this data; the
+    // PqCand-candidate ADC cut over the PqM 16-entry codebooks must
+    // find most of the true neighborhood
     val recalls = exact.map { case (q, ns) =>
       val truth = ns.map(_._1).toSet
       pq(q).map(_._1).count(truth) / 10.0
