@@ -92,6 +92,7 @@ object SparkEntry {
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
+    "m03_container_source" -> Multimodal.m03ContainerSource _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -1498,6 +1499,10 @@ object SparkEntry {
     // via the binaryFile source — the decode result is byte-identical
     // to m01, so both check against the same SQL.
     "m02_binary_source" -> multimodalOracleSql,
+    // m03 ingests the same payloads from a compacted
+    // parquet-of-binaries container (the w03 mechanics) — decode is
+    // byte-identical to m01 again, same SQL.
+    "m03_container_source" -> multimodalOracleSql,
   )
 
   /** m01's deterministic decode in DuckDB terms — shared by the

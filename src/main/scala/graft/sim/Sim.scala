@@ -157,11 +157,15 @@ object Sim {
 
   /** Staging path of the persisted e06 index, keyed by (dir, appId)
     * like [[graft.sources.Sinks.bucketedStagePath]] so concurrent
-    * sessions never clobber each other's layout.
+    * sessions never clobber each other's layout. The root defaults to
+    * /tmp; point `spark.graft.ann.indexDir` at shared storage
+    * (anything the Hadoop FileSystem API resolves) on a cluster.
     */
-  private[graft] def annIndexPath(spark: SparkSession, dir: String): String =
-    s"/tmp/graft_ann_index_${Integer.toHexString(dir.hashCode)}_" +
+  private[graft] def annIndexPath(spark: SparkSession, dir: String): String = {
+    val root = spark.conf.get("spark.graft.ann.indexDir", "/tmp")
+    s"$root/graft_ann_index_${Integer.toHexString(dir.hashCode)}_" +
       Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+  }
 
   private val indexLock = new Object
 
@@ -172,14 +176,24 @@ object Sim {
     * 100 TB this is the nightly index build; vectors land hash-
     * partitioned across ≤2^SigBits directories and queries are served
     * from the layout without recomputing a single corpus signature.
+    *
+    * Build-once is decided through the Hadoop FileSystem API against a
+    * `_BUILT` marker committed AFTER the write (the m02 staging
+    * pattern) — a local-only `java.nio.file` probe would always
+    * rebuild on an object store, and a bare directory-exists check
+    * would serve a half-written index after a failed build.
     */
   private[graft] def annIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
     val path = annIndexPath(spark, dir)
     indexLock.synchronized {
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val fs = new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+      val marker = new HPath(path, "_BUILT")
+      if (!fs.exists(marker)) {
         emb(spark, dir)
           .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
           .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        fs.create(marker, true).close()
       }
     }
     spark.read

@@ -13,16 +13,22 @@ import graft.Tables
   */
 object Sinks {
 
-  private def hex(dir: String): String = Integer.toHexString(dir.hashCode)
+  private def hex(s: String): String = Integer.toHexString(s.hashCode)
 
   private[graft] def bucketedTableName(appId: String, dir: String): String =
-    s"graft_docs_bucketed_${hex(dir)}_${Integer.toHexString(appId.hashCode)}"
+    s"graft_docs_bucketed_${hex(dir)}_${hex(appId)}"
 
   private[graft] def bucketedStagePath(appId: String, dir: String): String =
-    s"${stage(dir, "bucket")}_${Integer.toHexString(appId.hashCode)}"
+    s"/tmp/graft_sink_bucket_${hex(dir)}_${hex(appId)}"
 
-  private def stage(dir: String, name: String): String =
-    s"/tmp/graft_sink_${name}_${hex(dir)}"
+  /** Every sink stages under (data dir, application id): the dir hash
+    * stops one session racing itself across dirs, the appId stops two
+    * concurrent sessions over the SAME dir overwriting each other's
+    * files mid-read (mergeSchema reads of w07's generations are the
+    * sharpest case).
+    */
+  private def stage(spark: SparkSession, dir: String, name: String): String =
+    s"/tmp/graft_sink_${name}_${hex(dir)}_${hex(spark.sparkContext.applicationId)}"
 
   /** w01: partitioned parquet sink — documents written partitioned by
     * language (the standard corpus layout: per-language directories,
@@ -31,7 +37,7 @@ object Sinks {
     * partition value, scans of one language never touch the rest.
     */
   def w01SinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
-    val out = stage(dir, "part")
+    val out = stage(spark, dir, "part")
     val docs = Tables.documents(spark, dir)
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
     // explicit schema: a partitionBy write of ZERO rows creates no
@@ -47,7 +53,7 @@ object Sinks {
     * a full-table read.
     */
   def w01ReadOneLang(spark: SparkSession, dir: String): DataFrame = {
-    val out = stage(dir, "part")
+    val out = stage(spark, dir, "part")
     spark.read.schema(Tables.documents(spark, dir).schema).parquet(out)
       .where(col("lang") === "en")
   }
@@ -88,14 +94,14 @@ object Sinks {
   }
 
   private[graft] def smallFilesDir(spark: SparkSession, dir: String): String = {
-    val small = stage(dir, "small")
+    val small = stage(spark, dir, "small")
     Tables.documents(spark, dir).repartition(64)
       .write.mode("overwrite").parquet(small)
     small
   }
 
   private[graft] def compactedDir(spark: SparkSession, dir: String): String = {
-    val out = stage(dir, "compact")
+    val out = stage(spark, dir, "compact")
     spark.read.parquet(smallFilesDir(spark, dir))
       .repartitionByRange(4, col("doc_id"))
       .sortWithinPartitions("doc_id")
@@ -113,9 +119,9 @@ object Sinks {
     * parquet-sourced oracle.
     */
   def w04SourceFormats(spark: SparkSession, dir: String): DataFrame = {
-    val jsonDir = stage(dir, "json")
-    val csvDir = stage(dir, "csv")
-    val orcDir = stage(dir, "orc")
+    val jsonDir = stage(spark, dir, "json")
+    val csvDir = stage(spark, dir, "csv")
+    val orcDir = stage(spark, dir, "orc")
     val docs = Tables.documents(spark, dir)
     docs.write.mode("overwrite").json(jsonDir)
     val fromJson = spark.read.schema(docs.schema).json(jsonDir)
@@ -154,7 +160,7 @@ object Sinks {
     * option on.)
     */
   def w07SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val out = stage(dir, "evolve")
+    val out = stage(spark, dir, "evolve")
     val docs = Tables.documents(spark, dir)
     // generation 1: the narrow v1 schema (old files, never rewritten)
     docs.where(col("doc_id") % 2 === 0)
@@ -198,7 +204,7 @@ object Sinks {
   }
 
   private[graft] def upsertInitialLoad(spark: SparkSession, dir: String): String = {
-    val out = stage(dir, "upsert")
+    val out = stage(spark, dir, "upsert")
     Tables.documents(spark, dir)
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     out
@@ -209,7 +215,7 @@ object Sinks {
     * Written with DYNAMIC partition overwrite — only lang=en rewrites.
     */
   private[graft] def upsertApplyIncrement(spark: SparkSession, dir: String): Unit = {
-    val out = stage(dir, "upsert")
+    val out = stage(spark, dir, "upsert")
     val docs = Tables.documents(spark, dir)
     val updated = docs.where(col("lang") === "en")
       .withColumn("n_chars",

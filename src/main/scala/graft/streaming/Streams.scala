@@ -212,11 +212,20 @@ object Streams {
   /** Run (or resume) the w06 landing-zone query to completion. */
   private[graft] def runSinkStreamed(ss: SparkSession, dir: String): Unit = {
     val (out, ckpt) = sinkPaths(ss, dir)
+    runSinkStreamedFrom(fileStream(ss, dir, "documents.parquet"), out, ckpt)
+  }
+
+  /** The landing-zone write from any (streaming) documents frame to an
+    * explicit (layout, checkpoint) pair — exposed for multi-batch
+    * specs.
+    */
+  private[graft] def runSinkStreamedFrom(
+      docs: DataFrame, out: String, ckpt: String): Unit = {
     // an all-rejected (or empty) batch writes no files: pre-create the
     // layout dir so the schema-explicit read-back returns the empty
     // frame an empty ingest day should produce (the w01 lesson)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    val q = fileStream(ss, dir, "documents.parquet")
+    val q = docs
       .where(admittedCol)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
       .writeStream.format("parquet")
@@ -269,13 +278,21 @@ object Streams {
     * the nightly batch result exactly.
     */
   def s09StreamDecontam(spark: SparkSession, dir: String): DataFrame = {
-    import graft.text.Corpus
     val ss = streamSession(spark)
+    runDecontam(dir, fileStream(ss, dir, "documents.parquet"))
+  }
+
+  /** Wire a (streaming) documents frame through the decontamination
+    * gate. Exposed so specs can drive it with a multi-file /
+    * multi-batch source (the runSessionize pattern).
+    */
+  private[graft] def runDecontam(dir: String, docs: DataFrame): DataFrame = {
+    import graft.text.Corpus
+    val ss = docs.sparkSession
     val benchGrams = Corpus.fiveGrams(
         graft.Tables.documents(ss, dir).where(Corpus.isBenchCol))
       .select("gram").distinct()
-    val flagged = Corpus.fiveGrams(
-        fileStream(ss, dir, "documents.parquet").where(!Corpus.isBenchCol))
+    val flagged = Corpus.fiveGrams(docs.where(!Corpus.isBenchCol))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
@@ -291,8 +308,14 @@ object Streams {
     * Because the predicate is a pure row function, one AvailableNow
     * pass selects exactly the batch sample — d13's oracle checks it.
     */
-  def s11StreamSampler(spark: SparkSession, dir: String): DataFrame = {
-    val gated = fileStream(streamSession(spark), dir, "documents.parquet")
+  def s11StreamSampler(spark: SparkSession, dir: String): DataFrame =
+    runSampler(fileStream(streamSession(spark), dir, "documents.parquet"))
+
+  /** The sampler gate on any (streaming) documents frame — exposed for
+    * multi-batch specs.
+    */
+  private[graft] def runSampler(docs: DataFrame): DataFrame = {
+    val gated = docs
       .where(graft.text.Text.sampleKeepCol)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
     val (s, name) = runToCompletion(gated, OutputMode.Complete())
@@ -312,10 +335,18 @@ object Streams {
     * table probed per micro-batch; the stream side is the tiny one.
     */
   def s10StreamAnnServe(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sim.Sim
     val ss = streamSession(spark)
+    runAnnServe(dir, fileStream(ss, dir, "embeddings.parquet"))
+  }
+
+  /** ANN serving over any (streaming) embeddings frame — exposed for
+    * multi-batch specs.
+    */
+  private[graft] def runAnnServe(dir: String, embStream: DataFrame): DataFrame = {
+    import graft.sim.Sim
+    val ss = embStream.sparkSession
     val idx = Sim.annIndex(ss, dir)
-    val queries = fileStream(ss, dir, "embeddings.parquet")
+    val queries = embStream
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Sim.dotOf(ss, "v", "v")))
       .where(col("nrm") > 0.0 && col("vec_id") < 20)

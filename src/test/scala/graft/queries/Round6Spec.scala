@@ -1,0 +1,94 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-6 hardening pins: the shared star forest (d11/d23), the
+  * cluster-honest ANN index lifecycle, and staging-key hygiene.
+  */
+class Round6Spec extends SparkSpec {
+
+  private def rmTree(p: String): Unit = {
+    val d = Paths.get(p)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  test("d11 and d23 share one materialized star forest (built once, read twice)") {
+    import graft.dedup.Dedup
+    val path = Dedup.starForestPath(spark, sfDir)
+    rmTree(path)
+    // d11 builds the forest on miss
+    val clusters = Dedup.d11DupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val marker = Paths.get(path, "_BUILT")
+    assert(Files.exists(marker), s"no _BUILT marker at $path")
+    val builtAt = Files.getLastModifiedTime(marker)
+    // d23 must READ the same forest, not re-run LSH + CC
+    val survivors = Dedup.d23ClusterSurvivors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Files.getLastModifiedTime(marker) == builtAt,
+      "d23 rebuilt the forest d11 had already materialized")
+    // identical forest → identical clusters: same cluster ids, same sizes
+    assert(clusters.nonEmpty && clusters == survivors)
+    // and the persisted forest itself is what both aggregated: every
+    // component minimum appears as a cluster id
+    val forest = spark.read.schema("u BIGINT, v BIGINT").parquet(path)
+    val mins = forest.select("v").distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters.keySet.subsetOf(mins))
+  }
+
+  test("e06 index stages through the Hadoop FS under spark.graft.ann.indexDir") {
+    import graft.sim.Sim
+    val root = "/tmp/graft_ann_custom_root"
+    rmTree(root)
+    spark.conf.set("spark.graft.ann.indexDir", root)
+    try {
+      val path = Sim.annIndexPath(spark, sfDir)
+      assert(path.startsWith(root), path)
+      val got = Sim.e06AnnIndexServe(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+      // the build committed its marker under the conf-ed root...
+      assert(Files.exists(Paths.get(path, "_BUILT")), s"no _BUILT under $path")
+      // ...and serving from it still returns exactly e02's results
+      val batch = Sim.e02AnnLsh(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+      assert(got.nonEmpty && got == batch)
+    } finally spark.conf.unset("spark.graft.ann.indexDir")
+  }
+
+  test("m03 container ingestion is byte-identical to m01 from a handful of files") {
+    import scala.jdk.CollectionConverters._
+    import graft.multimodal.Multimodal
+    val m01 = Multimodal.m01Multimodal(spark, sfDir).collect().map(_.toSeq).toSet
+    val m03 = Multimodal.m03ContainerSource(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(m03.nonEmpty && m03 == m01)
+    // the whole point vs m02: payloads ride a FEW container files (one
+    // columnar scan, split by row group), not one file per document
+    val nFiles = {
+      val s = Files.list(Paths.get(Multimodal.mediaContainerDir(spark, sfDir)))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(nFiles <= Multimodal.ContainerFiles, s"$nFiles container files")
+    assert(nFiles < nDocs / 10, s"$nFiles files for $nDocs docs — not a container layout")
+  }
+
+  test("m02 staging dir is keyed by a corpus fingerprint (corpus change restages)") {
+    import graft.multimodal.Multimodal
+    // same dir, same app → same stage key (idempotent reuse)...
+    val a = Multimodal.mediaStageDir(spark, sfDir)
+    assert(a == Multimodal.mediaStageDir(spark, sfDir))
+    // ...but a different corpus must never resolve to the same stage
+    // (the 0.01 corpus differs in count/ids → different fingerprint,
+    // even if the two dir strings were to hash-collide)
+    val sibling = sfDir.replace("0.001", "0.01")
+    assert(a != Multimodal.mediaStageDir(spark, sibling))
+  }
+}

@@ -65,6 +65,81 @@ class StreamsSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.stream.shufflePartitions")
   }
 
+  /** Stage a table as TWO parity-split files and stream them one file
+    * per micro-batch: every round-5 stream op must produce the same
+    * result it produces from a single batch — batch boundaries must
+    * not change results (the property that matters on a firehose).
+    */
+  private def twoFileStream(table: String, idCol: String, tag: String)
+      : org.apache.spark.sql.DataFrame = {
+    val src = spark.read.parquet(s"$sfDir/$table.parquet")
+    val stage = s"/tmp/graft_stream_twofiles_$tag"
+    val d = Paths.get(stage)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(d)
+    src.where(col(idCol) % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100) // distinct mtimes (file source timestamps are ms)
+    src.where(col(idCol) % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p2")
+    val schema = spark.read.parquet(s"$stage/p1").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/p*")
+  }
+
+  test("s09 decontamination is batch-boundary invariant (two micro-batches)") {
+    val got = Streams.runDecontam(sfDir, twoFileStream("documents", "doc_id", "s09"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batch = graft.text.Corpus.d14Decontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == batch)
+  }
+
+  test("s10 ANN serving is batch-boundary invariant (queries split across batches)") {
+    val got = Streams.runAnnServe(sfDir, twoFileStream("embeddings", "vec_id", "s10"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    val batch = graft.sim.Sim.e02AnnLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got.nonEmpty && got == batch)
+  }
+
+  test("s11 sampler is batch-boundary invariant (two micro-batches)") {
+    val got = Streams.runSampler(twoFileStream("documents", "doc_id", "s11"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batch = graft.text.Text.d13StratifiedSample(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == batch)
+  }
+
+  test("w06 landing zone lands the same rows across two micro-batches") {
+    val out = "/tmp/graft_stream_mb_sink"
+    val ckpt = "/tmp/graft_stream_mb_sink_ckpt"
+    for (p <- Seq(out, ckpt)) {
+      val d = Paths.get(p)
+      if (Files.exists(d)) {
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+    }
+    Streams.runSinkStreamedFrom(twoFileStream("documents", "doc_id", "w06"), out, ckpt)
+    // two offsets committed = two micro-batches actually executed
+    val offsets = Files.list(Paths.get(ckpt, "offsets")).count()
+    assert(offsets >= 2, s"expected >=2 micro-batches, got $offsets")
+    val got = spark.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, source STRING")
+      .parquet(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val single = Streams.w06SinkStreamed(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == single)
+  }
+
   test("s02 session state carries across multiple micro-batches") {
     // Stage the events as TWO time-ordered files and force one file per
     // micro-batch: sessions spanning the split boundary exercise the

@@ -40,6 +40,15 @@ def main(sf_dir, out_dir):
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # ScaleUp-synthesized layouts write events.ts as BIGINT nanos
+    # (Spark cannot author TIMESTAMP(NANOS) parquet); rebind it as a
+    # microsecond timestamp so the events-family oracles run at sf1
+    # too. Driver testdata (real TIMESTAMP_NS) is untouched.
+    ts_type = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+    if ts_type and ts_type[0] == 'BIGINT':
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+            f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{sf_dir}/events.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
