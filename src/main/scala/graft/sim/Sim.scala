@@ -387,24 +387,37 @@ object Sim {
     val sliced = e.select(
       col("vec_id") +: col("nrm") +:
         subs.map(s => expr(s"slice(v, ${s * subLen + 1}, $subLen)").as(s"x$s")): _*)
-    // encoding: one 16-row broadcast argmin per subspace, map-side
-    // combined by vec_id; min_by carries the chosen entry's |·|² along
-    // so the approximate norm needs no second lookup
-    def assign(s: Int) = sliced
-      .select(col("vec_id"), col(s"x$s"))
-      .crossJoin(broadcast(cb(s)))
-      .withColumn("d2", dotOf(spark, s"x$s", s"cs$s") * lit(-2.0) + col(s"c2_$s"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col(s"code$s"), col(s"c2_$s")), struct(col("d2"), col(s"code$s"))).as("m"))
-      .select(col("vec_id"), col("m")(s"code$s").as(s"code$s"), col("m")(s"c2_$s").as(s"c2_$s"))
+    // encoding: ALL M subspace argmins in ONE pass — (vec_id, s, x_s)
+    // rows join the broadcast 128-row (s, code, cs, |cs|²) codebook
+    // union on s, a single map-side-combined min_by per (vec_id, s)
+    // picks each sub-code, and one more keyed aggregate pivots the M
+    // rows back to columns. Two exchanges total, vs an M-deep chain of
+    // per-subspace joins re-shuffling the growing code row M times —
+    // the difference between encoding in one pass and M passes at
+    // 10¹¹ vectors. Argmin semantics per subspace are unchanged
+    // (same d2, same (d2, code) tie-break), so codes cannot move.
+    val cbAll = spark.createDataFrame(
+        subs.flatMap(s => sampled.toSeq.map { case (i, cv) =>
+          val cs = cv.slice(s * subLen, (s + 1) * subLen)
+          (s, i, cs.toSeq, cs.foldLeft(0.0)((a, x) => a + x * x))
+        }).toSeq)
+      .toDF("s", "code", "cs", "c2")
+    val exploded = sliced.select(col("vec_id"),
+      posexplode(array(subs.map(s => col(s"x$s")): _*)).as(Seq("s", "x")))
+    val assigned = exploded.join(broadcast(cbAll), Seq("s"))
+      .withColumn("d2", dotOf(spark, "x", "cs") * lit(-2.0) + col("c2"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(struct(col("code"), col("c2")), struct(col("d2"), col("code"))).as("m"))
     // the compressed table a production pipeline would persist:
     // (vec_id, code_0..M-1) — M bytes per vector — plus the
     // code-derived approximate norm. NO float vector: this is the
     // whole point of PQ, and everything from here to the candidate
     // cut stays code-width.
-    val codes = subs.foldLeft(sliced.select(col("vec_id"))) {
-        (acc, s) => acc.join(assign(s), Seq("vec_id"))
-      }
+    val pivotCols =
+      subs.map(s => first(when(col("s") === s, col("m.code")), ignoreNulls = true).as(s"code$s")) ++
+        subs.map(s => first(when(col("s") === s, col("m.c2")), ignoreNulls = true).as(s"c2_$s"))
+    val codes = assigned.groupBy(col("vec_id"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
       .withColumn("anrm", sqrt(subs.map(s => col(s"c2_$s")).reduce(_ + _)))
     // per-query ADC lookup tables: M×16 sub-dot-products per query —
     // candidate scoring is then M LUT probes + adds per CODE row
@@ -434,16 +447,23 @@ object Sim {
 
   def e07AnnPq(spark: SparkSession, dir: String): DataFrame = {
     val cut = e07CandidateStage(spark, dir)
-    val e = emb(spark, dir)
     // exact rerank: the surviving 20×PqCand (query, neighbor) pairs
     // broadcast against the corpus to fetch full vectors — e05's
     // join-back shape (Sim.scala e05KnnJoin); floats move only for
-    // survivors
-    val qv = e.where(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // survivors. Norms are recomputed AFTER the join (survivors +
+    // the 20 queries pay the dot product, not the whole corpus —
+    // candidate ids came from [[emb]], so the nrm>0 filter already
+    // held; the fold is the same left-to-right sum, bit-identical).
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = raw.where(col("vec_id") < 20)
+      .withColumn("qn", sqrt(dotOf(spark, "v", "v")))
+      .where(col("qn") > 0.0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    raw.select(col("vec_id").as("neighbor_id"), col("v"))
       .join(broadcast(cut), Seq("neighbor_id"))
+      .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
