@@ -89,6 +89,7 @@ object SparkEntry {
     "e03_embed_dedup"     -> Sim.e03EmbedDedup _,
     "e04_ann_ivf"         -> Sim.e04AnnIvf _,
     "e07_ann_pq"          -> Sim.e07AnnPq _,
+    "e08_ann_ivf_pq"      -> Sim.e08AnnIvfPq _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -150,10 +151,19 @@ object SparkEntry {
     * same slices, same left-to-right adds — so the approximate-cosine
     * candidate cut and the exact rerank agree bit-for-bit.
     */
-  private val e07OracleSql: String = {
+  private val e07OracleSql: String = pqOracleSql(ivf = false)
+  private val e08OracleSql: String = pqOracleSql(ivf = true)
+
+  /** The PQ-ADC search in DuckDB terms, generated for M subspaces —
+    * e07 scans the whole code table; with `ivf` the candidates are
+    * first restricted to each query's nprobe coarse cells via e04's
+    * assignment/probe CTEs (same sampled centroids, same argmin).
+    */
+  private def pqOracleSql(ivf: Boolean): String = {
     val m = graft.sim.Sim.PqM
     val sub = 64 / m // verification embeddings are 64-dim
     val cand = graft.sim.Sim.PqCand
+    val nprobe = graft.sim.Sim.IvfNprobe
     def sl(s: Int, v: String) = s"$v[${s * sub + 1}:${(s + 1) * sub}]"
     val cbCols = (0 until m).map(s =>
       s"${sl(s, "cv")} AS cs$s, list_dot_product(${sl(s, "cv")}, ${sl(s, "cv")}) AS c2$s").mkString(",\n  ")
@@ -176,6 +186,25 @@ object SparkEntry {
       else s"JOIN l$s ON l$s.code$s = c$s.code$s AND l$s.query_id = l0.query_id").mkString("\n  ")
     val anrm = (0 until m).map(s => s"c$s.c2$s").mkString(" + ")
     val adot = (0 until m).map(s => s"l$s.a$s").mkString(" + ")
+    val ivfCtes = if (!ivf) "" else s"""
+       |cc AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents),
+       |asg AS (
+       |  SELECT vec_id, cid AS centroid_id FROM (
+       |    SELECT en.vec_id, cc.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+       |    FROM en CROSS JOIN cc) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cid AS centroid_id FROM (
+       |    SELECT en.vec_id AS query_id, cc.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+       |    FROM en CROSS JOIN cc WHERE en.vec_id < 20) t
+       |  WHERE rn <= $nprobe),""".stripMargin
+    val ivfJoins = if (!ivf) "" else
+      "JOIN asg ON asg.vec_id = en.vec_id\n  " +
+        "JOIN probes p ON p.centroid_id = asg.centroid_id AND p.query_id = l0.query_id\n  "
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |cents AS (
@@ -183,7 +212,7 @@ object SparkEntry {
        |    v AS cv
        |  FROM e
        |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
-       |  LIMIT 16),
+       |  LIMIT 16),$ivfCtes
        |cb AS (
        |  SELECT cid, $cbCols
        |  FROM cents),
@@ -196,7 +225,7 @@ object SparkEntry {
        |  FROM en
        |  $codeJoins
        |  $lutJoins
-       |  JOIN q ON q.query_id = l0.query_id
+       |  ${ivfJoins}JOIN q ON q.query_id = l0.query_id
        |  WHERE en.vec_id <> l0.query_id),
        |top AS (
        |  SELECT * FROM (
@@ -810,6 +839,10 @@ object SparkEntry {
     // on both engines is the same left-to-right fold, so cut and rank
     // agree bit-for-bit.
     "e07_ann_pq" -> e07OracleSql,
+    // IVF+PQ composition: the same generated PQ SQL with e04's
+    // assignment/probe CTEs restricting candidates to the probed
+    // coarse cells before the ADC cut.
+    "e08_ann_ivf_pq" -> e08OracleSql,
     // Embed-dedup reproduction: perturbed-twin corpus, 16-bit buckets with
     // the 64-cap census, hamming-1 probes, cosine threshold.
     "e03_embed_dedup" ->

@@ -352,13 +352,22 @@ object Sim {
   val PqM = 8
   val PqCand = 64
 
-  /** The approximate (code-only) phase of e07: encode, ADC-score, cut
-    * to the top-[[PqCand]] candidates per query. Output is bare
+  /** The approximate (code-only) phase of e07/e08: encode, ADC-score,
+    * cut to the top-[[PqCand]] candidates per query. Output is bare
     * (query_id, neighbor_id) — by construction nothing downstream of
     * the per-subspace encoding aggregates carries a float vector,
     * which PlanSpec pins.
+    *
+    * With `ivf = true` (e08) the scored candidates are first
+    * restricted to each query's `IvfNprobe` nearest coarse cells:
+    * every vector gets e04's argmin centroid assignment at encode
+    * time (one more byte next to the M codes — the classic IVF+PQ
+    * layout), and the ADC scan touches only the probed lists instead
+    * of the whole code table — corpus/IvfK × IvfNprobe code rows per
+    * query.
     */
-  private[graft] def e07CandidateStage(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def e07CandidateStage(spark: SparkSession, dir: String,
+      ivf: Boolean = false): DataFrame = {
     val e = emb(spark, dir)
     val P = 1000000007L
     val sampled = e.select(col("vec_id"), col("v"))
@@ -416,9 +425,31 @@ object Sim {
     val pivotCols =
       subs.map(s => first(when(col("s") === s, col("m.code")), ignoreNulls = true).as(s"code$s")) ++
         subs.map(s => first(when(col("s") === s, col("m.c2")), ignoreNulls = true).as(s"c2_$s"))
-    val codes = assigned.groupBy(col("vec_id"))
+    val codesPq = assigned.groupBy(col("vec_id"))
       .agg(pivotCols.head, pivotCols.tail: _*)
       .withColumn("anrm", sqrt(subs.map(s => col(s"c2_$s")).reduce(_ + _)))
+    // IVF side (e08): the 16 sampled vectors double as e04's coarse
+    // centroids (same rows, same argmin, same oracle CTE); assignment
+    // happens at encode time and rides the code row as one more small
+    // column. The probe list is the tiny query side.
+    val centsDf = spark.createDataFrame(
+        sampled.toSeq.map { case (i, cv) =>
+          (i, cv.toSeq, cv.foldLeft(0.0)((a, x) => a + x * x))
+        })
+      .toDF("cid", "cv", "cc2")
+    def d2full = dotOf(spark, "v", "cv") * lit(-2.0) + col("cc2")
+    lazy val asg = e.crossJoin(broadcast(centsDf))
+      .withColumn("d2", d2full)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    lazy val probes = e.where(col("vec_id") < 20)
+      .crossJoin(broadcast(centsDf))
+      .withColumn("d2", d2full)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+      .where(col("pr") <= IvfNprobe)
+      .select(col("vec_id").as("pqid"), col("cid").as("pcid"))
+    val codes = if (ivf) codesPq.join(asg, Seq("vec_id")) else codesPq
     // per-query ADC lookup tables: M×16 sub-dot-products per query —
     // candidate scoring is then M LUT probes + adds per CODE row
     val q = sliced.where(col("vec_id") < 20)
@@ -435,7 +466,15 @@ object Sim {
     // query norms only (scalars) — the query VECTORS stay out of the
     // approximate phase too; they join back at rerank like the corpus'
     val qn = q.select(col("vec_id").as("qid0"), col("nrm").as("qn"))
-    val approx = fanned
+    // e08: keep only candidates whose coarse cell is in the query's
+    // probe list — the inverted-list restriction, applied as a tiny
+    // broadcast semi-join on (cell, query) before the ranking window
+    val restricted =
+      if (ivf) fanned.join(broadcast(probes),
+        col("cid") === col("pcid") && col("qid0") === col("pqid"))
+        .drop("pcid", "pqid")
+      else fanned
+    val approx = restricted
       .where(col("vec_id") =!= col("qid0"))
       .withColumn("adot", subs.map(s => col(s"a$s")).reduce(_ + _))
       .join(broadcast(qn), Seq("qid0"))
@@ -445,15 +484,16 @@ object Sim {
       .select(col("qid0").as("query_id"), col("vec_id").as("neighbor_id"))
   }
 
-  def e07AnnPq(spark: SparkSession, dir: String): DataFrame = {
-    val cut = e07CandidateStage(spark, dir)
-    // exact rerank: the surviving 20×PqCand (query, neighbor) pairs
-    // broadcast against the corpus to fetch full vectors — e05's
-    // join-back shape (Sim.scala e05KnnJoin); floats move only for
-    // survivors. Norms are recomputed AFTER the join (survivors +
-    // the 20 queries pay the dot product, not the whole corpus —
-    // candidate ids came from [[emb]], so the nrm>0 filter already
-    // held; the fold is the same left-to-right sum, bit-identical).
+  /** Exact rerank over a bare (query_id, neighbor_id) candidate cut:
+    * the surviving 20×PqCand pairs broadcast against the corpus to
+    * fetch full vectors — e05's join-back shape (e05KnnJoin); floats
+    * move only for survivors. Norms are recomputed AFTER the join
+    * (survivors + the 20 queries pay the dot product, not the whole
+    * corpus — candidate ids came from [[emb]], so the nrm>0 filter
+    * already held; the fold is the same left-to-right sum,
+    * bit-identical).
+    */
+  private def exactRerank(spark: SparkSession, dir: String, cut: DataFrame): DataFrame = {
     val raw = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val qv = raw.where(col("vec_id") < 20)
@@ -470,6 +510,23 @@ object Sim {
       .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
       .select("query_id", "neighbor_id", "cosine")
   }
+
+  def e07AnnPq(spark: SparkSession, dir: String): DataFrame =
+    exactRerank(spark, dir, e07CandidateStage(spark, dir))
+
+  /** e08: IVF + PQ — the production serving shape for very large
+    * corpora, composing e04's inverted lists with e07's code
+    * compression: vectors are stored as (centroid_id, code_0..M−1) —
+    * M+1 bytes — search probes IvfNprobe coarse cells, ADC-scores
+    * ONLY the probed lists' code rows (corpus/IvfK × IvfNprobe per
+    * query instead of e07's full code scan), and the top-[[PqCand]]
+    * survivors rerank exactly from their fetched vectors. Both
+    * approximations share e04/e07's deterministic fits, so the cut and
+    * ranking reproduce in DuckDB — e08 is oracle-checkable like the
+    * rest of the family.
+    */
+  def e08AnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    exactRerank(spark, dir, e07CandidateStage(spark, dir, ivf = true))
 
   /** e05: k-NN JOIN — top-3 neighbors for EVERY vector, not for a
     * broadcastable query batch. This is the retrieval-for-every-

@@ -61,6 +61,8 @@ class EmptyInputSpec extends SparkSpec {
       "d23" -> (() => graft.dedup.Dedup.d23ClusterSurvivors(spark, emptyDir).count()),
       "d24" -> (() => graft.text.Text.d24DocRarity(spark, emptyDir).count()),
       "e07" -> (() => graft.sim.Sim.e07AnnPq(spark, emptyDir).count()),
+      "e08" -> (() => graft.sim.Sim.e08AnnIvfPq(spark, emptyDir).count()),
+      "m03" -> (() => graft.multimodal.Multimodal.m03ContainerSource(spark, emptyDir).count()),
       "m02" -> (() => graft.multimodal.Multimodal.m02BinarySource(spark, emptyDir).count()),
       "q34" -> (() => Events.q34Retention(spark, emptyDir).count()),
       "d25" -> (() => graft.text.Corpus.d25CorpusDiff(spark, emptyDir).count()),

@@ -62,6 +62,43 @@ class Round6Spec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.indexDir")
   }
 
+  test("e08 IVF+PQ serves ranked exact-cosine top-k with honest recall; code-only candidate phase") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val exact = byQuery(graft.sim.Sim.e01KnnCosine(spark, sfDir))
+    val ivfpq = byQuery(graft.sim.Sim.e08AnnIvfPq(spark, sfDir))
+    assert(ivfpq.nonEmpty && ivfpq.keySet == exact.keySet)
+    // reranked output: exact cosines, 10 per query, properly ordered
+    ivfpq.values.foreach { ns =>
+      assert(ns.size == 10)
+      val cos = ns.sortBy(t => (-t._2, t._1)).map(_._2)
+      assert(cos == cos.sorted.reverse)
+    }
+    // recall@10 vs brute force, through BOTH approximations (nprobe
+    // coarse filter + ADC cut): deterministic 0.5 on this data
+    val recalls = exact.map { case (q, ns) =>
+      val truth = ns.map(_._1).toSet
+      ivfpq(q).map(_._1).count(truth) / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.45, s"mean recall@10 = $mean")
+    // the e07 candidate-phase property holds with the IVF restriction
+    // in the plan: no shuffle carries an array column
+    val stage = graft.sim.Sim.e07CandidateStage(spark, sfDir, ivf = true)
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      stage.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { x =>
+      assert(!x.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"float vectors ride an e08 candidate-phase shuffle: ${x.output.mkString(", ")}")
+    }
+  }
+
   test("m03 container ingestion is byte-identical to m01 from a handful of files") {
     import scala.jdk.CollectionConverters._
     import graft.multimodal.Multimodal
