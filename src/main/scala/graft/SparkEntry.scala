@@ -66,6 +66,7 @@ object SparkEntry {
     "d06_minhash_lsh"     -> Dedup.d06MinHashLsh _,
     "d07_simhash"         -> Dedup.d07SimHash _,
     "d08_ngram_jaccard"   -> Dedup.d08NgramJaccard _,
+    "d28_containment"     -> Dedup.d28Containment _,
     "d09_chunk"           -> Text.d09Chunk _,
     "d11_dup_clusters"    -> Dedup.d11DupClusters _,
     "d12_tfidf"           -> Text.d12TfIdf _,
@@ -110,6 +111,7 @@ object SparkEntry {
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
     "w04_source_formats"  -> graft.sources.Sinks.w04SourceFormats _,
     "w05_sink_upsert"     -> graft.sources.Sinks.w05SinkUpsert _,
+    "w08_atomic_publish"  -> graft.sources.Sinks.w08AtomicPublish _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -593,6 +595,14 @@ object SparkEntry {
     // round-trip integrity: the partitioned write+read-back must
     // preserve exactly the source rows and bytes per language
     "w01_sink_partitioned" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // w08 publishes snapshot 1 = the full corpus and leaves snapshot
+    // 2's data files UNCOMMITTED — the manifest-resolved read-back
+    // must therefore roll up to exactly the source table (atomicity
+    // baked into the oracle).
+    "w08_atomic_publish" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
@@ -1141,6 +1151,56 @@ object SparkEntry {
         |  JOIN sg sa ON sa.doc_id = p.doc_a
         |  JOIN sg sb ON sb.doc_id = p.doc_b) t
         |WHERE jaccard >= 0.6""".stripMargin,
+    // Directional shingle containment over the SAME LSH candidate
+    // pairs — exact integer set sizes, so the 0.9 threshold cannot
+    // flip cross-engine.
+    "d28_containment" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id, shingles, list_transform(shingles, s ->
+        |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
+        |    list_min(list_transform(hv, h ->
+        |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_id,
+        |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
+        |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+        |  FROM sg, (SELECT unnest(range(0, 16)) AS b) b),
+        |useful AS (
+        |  SELECT band_id, band_sig FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) a
+        |  JOIN (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) b
+        |    USING (band_id, band_sig)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, containment_a, containment_b FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |      / len(sa.shingles) AS containment_a,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |      / len(sb.shingles) AS containment_b
+        |  FROM pairs p
+        |  JOIN sg sa ON sa.doc_id = p.doc_a
+        |  JOIN sg sb ON sb.doc_id = p.doc_b) t
+        |WHERE greatest(containment_a, containment_b) >= 0.9""".stripMargin,
     // Connected components over the d08 edges via recursive transitive
     // closure (min reachable id = cluster id) — matches large-star/small-star.
     "d11_dup_clusters" ->

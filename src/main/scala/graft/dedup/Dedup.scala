@@ -450,6 +450,37 @@ object Dedup {
         col("doc_id").as("survivor_id"), col("n_len").as("survivor_len"))
   }
 
+  /** d28: asymmetric CONTAINMENT dedup — catches "A is inside B"
+    * (quotation, aggregation pages, truncated twins) that symmetric
+    * Jaccard misses when sizes differ: |A∩B|/|A∪B| shrinks with the
+    * size gap while containment |A∩B|/|A| stays at 1.0 for a true
+    * inclusion. Candidates come from the shared LSH table; both
+    * directional containments are exact-integer ratios, so the
+    * threshold can never flip cross-engine. (Production caveat,
+    * documented: MinHash banding is Jaccard-biased — for extreme size
+    * asymmetry a size-stratified bucketing raises recall; the
+    * verification semantics here are unchanged.)
+    */
+  def d28Containment(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(Tables.documents(spark, dir))
+    val sigs = signatureTable(corpus)
+    val sh = sigs.select(col("doc_id"), col("shingles"))
+    // eager-release (s05 pattern), same as d08
+    val out = lshCandidates(sigs).select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / col("na")).as("containment_a"),
+        (col("inter") / col("nb")).as("containment_b"))
+      .where(greatest(col("containment_a"), col("containment_b")) >= 0.9)
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
+
   /** d08: exact n-gram Jaccard verification of the LSH candidates —
     * only candidate pairs (not the cross product) pay the set-intersect
     * cost.

@@ -229,6 +229,88 @@ object Sinks {
       .parquet(out)
   }
 
+  /** w08: atomic snapshot publish — the manifest-commit primitive
+    * every table format builds on: a snapshot's data files land FIRST
+    * (any number of writers, any duration), then ONE manifest file —
+    * the committed file list — is renamed into place LAST. Readers
+    * resolve the highest committed manifest and read exactly its
+    * files, never the directory listing, so a half-written snapshot is
+    * invisible until its single-file commit and a reader can never see
+    * a torn write. Rename-as-commit is atomic on HDFS and on object
+    * stores with atomic rename semantics; at 100 TB the manifest is
+    * the only serialization point — data file writes stay massively
+    * parallel.
+    *
+    * The operator bakes the guarantee into its ORACLE: it publishes
+    * snapshot 1 (the full corpus), then writes snapshot 2's data files
+    * WITHOUT committing their manifest — the returned read-back rollup
+    * must be exactly snapshot 1's, which DuckDB checks against the
+    * source table. The spec then commits manifest 2 and pins the
+    * atomic flip.
+    */
+  def w08AtomicPublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "publish")
+    val docs = Tables.documents(spark, dir)
+    publishSnapshot(spark, docs, root, 1)
+    // snapshot 2's data files exist but its manifest is NOT committed:
+    // readers must keep serving snapshot 1
+    writeSnapshotData(spark, docs.where(col("doc_id") % 3 === 0), root, 2)
+    readPublished(spark, dir, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
+  private[graft] def writeSnapshotData(
+      spark: SparkSession, df: DataFrame, root: String, n: Int): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val out = s"$root/data/snap$n"
+    df.write.mode("overwrite").parquet(out)
+    val fs = new HPath(out).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.globStatus(new HPath(s"$out/part-*.parquet"))
+      .map(_.getPath.toUri.getPath).toIndexedSeq.sorted
+  }
+
+  /** Commit a manifest atomically: write the file list to a temp name,
+    * then rename into place (rename is the atomic primitive).
+    */
+  private[graft] def commitManifest(
+      spark: SparkSession, root: String, n: Int, files: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new HPath(root, s"_tmp_manifest_$n")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new HPath(root, s"manifest-$n")))
+      throw new IllegalStateException(s"manifest-$n commit rename failed")
+  }
+
+  private[graft] def publishSnapshot(
+      spark: SparkSession, df: DataFrame, root: String, n: Int): Unit =
+    commitManifest(spark, root, n, writeSnapshotData(spark, df, root, n))
+
+  /** Read the published table: resolve the HIGHEST committed manifest,
+    * read exactly its files. The directory listing is never trusted —
+    * that is the whole contract.
+    */
+  private[graft] def readPublished(
+      spark: SparkSession, dir: String, root: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests = fs.globStatus(new HPath(s"$root/manifest-*"))
+    require(manifests.nonEmpty, s"no committed manifest under $root")
+    val latest = manifests.map(_.getPath).maxBy(_.getName.stripPrefix("manifest-").toInt)
+    val in = fs.open(latest)
+    val files = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    val schema = Tables.documents(spark, dir).schema
+    // an empty snapshot commits an empty manifest (the w01 lesson: an
+    // empty ingest day is an empty frame, not a read error)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
   private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {
     // table name AND stage path keyed by (data dir, application id):
     // the dir hash stops two threads of one session racing across

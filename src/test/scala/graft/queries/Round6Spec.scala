@@ -117,6 +117,59 @@ class Round6Spec extends SparkSpec {
     assert(nFiles < nDocs / 10, s"$nFiles files for $nDocs docs — not a container layout")
   }
 
+  test("w08 publish is atomic: uncommitted snapshot invisible, manifest commit flips readers") {
+    import graft.sources.Sinks
+    import graft.Tables
+    import org.apache.spark.sql.DataFrame
+    val root = "/tmp/graft_w08_spec"
+    rmTree(root)
+    val docs = Tables.documents(spark, sfDir)
+    def rollup(df: DataFrame): Seq[(String, Long)] =
+      df.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    Sinks.publishSnapshot(spark, docs, root, 1)
+    val snap1 = rollup(Sinks.readPublished(spark, sfDir, root))
+    assert(snap1 == rollup(docs))
+    // snapshot 2's data files land but stay uncommitted — readers must
+    // not move (the directory listing is never trusted)
+    val files2 = Sinks.writeSnapshotData(spark, docs.where(col("doc_id") % 3 === 0), root, 2)
+    assert(files2.nonEmpty)
+    assert(rollup(Sinks.readPublished(spark, sfDir, root)) == snap1)
+    // the one-file commit flips the table to snapshot 2 atomically
+    Sinks.commitManifest(spark, root, 2, files2)
+    val snap2 = rollup(Sinks.readPublished(spark, sfDir, root))
+    assert(snap2 == rollup(docs.where(col("doc_id") % 3 === 0)))
+    assert(snap2 != snap1)
+  }
+
+  test("d28 containment flags every truncated twin at exactly 1.0") {
+    import graft.dedup.Dedup
+    import graft.Tables
+    val got = Dedup.d28Containment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    // a truncated twin's shingles are a strict subset of its full
+    // document's, so one directional containment must be exactly 1.0
+    val twins = got.keys.filter { case (a, b) => b == a + 1000000L }
+    assert(twins.nonEmpty)
+    twins.foreach { k =>
+      val (ca, cb) = got(k)
+      assert(math.max(ca, cb) == 1.0, s"$k: $ca/$cb")
+    }
+    // and the computed quantity genuinely differs from symmetric
+    // Jaccard: every truncated twin scores containment 1.0 while its
+    // jaccard stays strictly below (the dropped shingles shrink the
+    // union but not the subset side) — d28 is not a re-labeled d08
+    val jac = Dedup.d08NgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val strict = twins.filter(k => jac.get(k).exists(_ < 1.0))
+    assert(strict.nonEmpty)
+    strict.foreach { k =>
+      val (ca, cb) = got(k)
+      assert(math.max(ca, cb) > jac(k), s"$k")
+    }
+  }
+
   test("m02 staging dir is keyed by a corpus fingerprint (corpus change restages)") {
     import graft.multimodal.Multimodal
     // same dir, same app → same stage key (idempotent reuse)...
