@@ -112,6 +112,7 @@ object SparkEntry {
     "w04_source_formats"  -> graft.sources.Sinks.w04SourceFormats _,
     "w05_sink_upsert"     -> graft.sources.Sinks.w05SinkUpsert _,
     "w08_atomic_publish"  -> graft.sources.Sinks.w08AtomicPublish _,
+    "w09_stats_pruning"   -> graft.sources.Sinks.w09StatsPruning _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -606,6 +607,17 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // w09's pruned read answers the id-range predicate from only the
+    // manifest-selected files — the rollup must equal the plain
+    // filtered scan (integer threshold: min + (max-min)/8, and both
+    // engines floor the non-negative division identically).
+    "w09_stats_pruning" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id <= (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 8
+        |                 FROM documents)
+        |GROUP BY 1""".stripMargin,
     // self-join on the unique bucket key is the identity: the bucketed
     // write+read-back must preserve exactly the source rows
     "w02_sink_bucketed" ->

@@ -311,6 +311,98 @@ object Sinks {
     else spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** w09: manifest zone maps + data-skipping reads — the second half
+    * of the w08 manifest contract and the reason real table formats
+    * carry per-file column stats: the publish step range-lays-out the
+    * corpus on doc_id (disjoint per-file ranges, the w03 mechanics)
+    * and records each file's (min, max) doc_id IN the manifest; a
+    * predicate read then resolves the manifest and opens ONLY the
+    * files whose [min, max] window intersects the predicate — the
+    * planner never lists the directory and never opens a file it can
+    * prove empty. At 100 TB this is the difference between a full
+    * 100 TB scan and reading one file: partition pruning for
+    * predicates that aren't partition columns.
+    *
+    * The returned rollup is over `doc_id <= min + (max-min)/8` (an
+    * eighth of the id range), which the pruned read must answer from
+    * a strict subset of the files — the spec pins files-opened <
+    * files-total and equality with the unpruned scan.
+    */
+  def w09StatsPruning(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "zonemap")
+    val docs = Tables.documents(spark, dir)
+    publishWithStats(spark, docs, root)
+    val schema = docs.schema
+    idRangeThreshold(docs) match {
+      case None => // empty corpus: empty frame with the rollup schema
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      case Some(hi) =>
+        val files = pruneFiles(spark, root, Long.MinValue, hi)
+        val base =
+          if (files.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema).parquet(files: _*)
+        base.where(col("doc_id") <= hi)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }
+  }
+
+  /** The read predicate's bound: an eighth of the observed id range —
+    * one tiny 1-row agg on the driver, the same scalar a catalog
+    * would resolve before planning the file list.
+    */
+  private[graft] def idRangeThreshold(docs: DataFrame): Option[Long] = {
+    val r = docs.agg(min("doc_id"), max("doc_id")).head()
+    if (r.isNullAt(0)) None
+    else Some(r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8)
+  }
+
+  /** Publish the corpus range-sorted on doc_id with per-file
+    * (min, max) doc_id stats in the manifest. Stats come from one
+    * per-file agg over the freshly written layout (8 rows), the
+    * moral equivalent of reading back the parquet footers.
+    */
+  private[graft] def publishWithStats(
+      spark: SparkSession, docs: DataFrame, root: String): Unit = {
+    val out = s"$root/data/snap1"
+    docs.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(out)
+    val stats = spark.read.schema(docs.schema).parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect()
+      .map(r => s"${new java.net.URI(r.getString(0)).getPath}\t${r.getLong(1)}\t${r.getLong(2)}")
+      .toIndexedSeq.sorted
+    commitManifest(spark, root, 1, stats)
+  }
+
+  /** Resolve the manifest and return only the files whose [lo, hi]
+    * zone intersects the query's [qlo, qhi] — file-level skipping
+    * from stats alone, no directory listing, no file opens.
+    */
+  private[graft] def pruneFiles(
+      spark: SparkSession, root: String, qlo: Long, qhi: Long): Seq[String] =
+    manifestLines(spark, root).flatMap { line =>
+      val Array(path, lo, hi) = line.split('\t')
+      if (lo.toLong <= qhi && hi.toLong >= qlo) Some(path) else None
+    }
+
+  private[graft] def manifestLines(spark: SparkSession, root: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests = fs.globStatus(new HPath(s"$root/manifest-*"))
+    require(manifests.nonEmpty, s"no committed manifest under $root")
+    val latest = manifests.map(_.getPath).maxBy(_.getName.stripPrefix("manifest-").toInt)
+    val in = fs.open(latest)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {
     // table name AND stage path keyed by (data dir, application id):
     // the dir hash stops two threads of one session racing across

@@ -68,6 +68,7 @@ class EmptyInputSpec extends SparkSpec {
       "d25" -> (() => graft.text.Corpus.d25CorpusDiff(spark, emptyDir).count()),
       "w07" -> (() => graft.sources.Sinks.w07SchemaEvolution(spark, emptyDir).count()),
       "w08" -> (() => graft.sources.Sinks.w08AtomicPublish(spark, emptyDir).count()),
+      "w09" -> (() => graft.sources.Sinks.w09StatsPruning(spark, emptyDir).count()),
       "d28" -> (() => graft.dedup.Dedup.d28Containment(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>
       try { assert(run() == 0L, s"$name returned rows on empty input"); None }

@@ -142,6 +142,37 @@ class Round6Spec extends SparkSpec {
     assert(snap2 != snap1)
   }
 
+  test("w09 zone maps prune files: predicate read opens a strict subset, result unchanged") {
+    import graft.sources.Sinks
+    import graft.Tables
+    val root = "/tmp/graft_w09_spec"
+    rmTree(root)
+    val docs = Tables.documents(spark, sfDir)
+    Sinks.publishWithStats(spark, docs, root)
+    val all = Sinks.manifestLines(spark, root)
+    assert(all.size > 1, s"need >1 file for pruning to mean anything, got ${all.size}")
+    val hi = Sinks.idRangeThreshold(docs).get
+    val pruned = Sinks.pruneFiles(spark, root, Long.MinValue, hi)
+    // an eighth of a disjoint 8-file range layout must NOT need every file
+    assert(pruned.size < all.size, s"no pruning: ${pruned.size} of ${all.size}")
+    assert(pruned.nonEmpty)
+    // and skipping those files loses nothing: pruned+filter == full scan+filter
+    val schema = docs.schema
+    val fromPruned = spark.read.schema(schema).parquet(pruned: _*)
+      .where(col("doc_id") <= hi).agg(count(lit(1)), sum("doc_id")).head()
+    val fromAll = spark.read.schema(schema)
+      .parquet(all.map(_.split('\t')(0)): _*)
+      .where(col("doc_id") <= hi).agg(count(lit(1)), sum("doc_id")).head()
+    assert(fromPruned == fromAll)
+    // zone-map sanity: every skipped file's [lo, hi] lies wholly above the bound
+    val skipped = all.filterNot(l => pruned.contains(l.split('\t')(0)))
+    assert(skipped.nonEmpty)
+    skipped.foreach { l =>
+      val lo = l.split('\t')(1).toLong
+      assert(lo > hi, s"skipped file overlaps the predicate: $l")
+    }
+  }
+
   test("d28 containment flags every truncated twin at exactly 1.0") {
     import graft.dedup.Dedup
     import graft.Tables
