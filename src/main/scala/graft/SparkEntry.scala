@@ -106,6 +106,7 @@ object SparkEntry {
     "s09_stream_decontam" -> Streams.s09StreamDecontam _,
     "s10_stream_ann_serve" -> Streams.s10StreamAnnServe _,
     "s11_stream_sampler"  -> Streams.s11StreamSampler _,
+    "s12_stream_publish"  -> Streams.s12StreamPublish _,
     "w01_sink_partitioned" -> graft.sources.Sinks.w01SinkPartitioned _,
     "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
@@ -113,6 +114,7 @@ object SparkEntry {
     "w05_sink_upsert"     -> graft.sources.Sinks.w05SinkUpsert _,
     "w08_atomic_publish"  -> graft.sources.Sinks.w08AtomicPublish _,
     "w09_stats_pruning"   -> graft.sources.Sinks.w09StatsPruning _,
+    "w10_time_travel"     -> graft.sources.Sinks.w10TimeTravel _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -604,6 +606,21 @@ object SparkEntry {
     // must therefore roll up to exactly the source table (atomicity
     // baked into the oracle).
     "w08_atomic_publish" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // s12 streams the corpus through the manifest-publish sink (one
+    // commit per micro-batch); the final manifest must reference every
+    // landed row exactly once — the full-corpus rollup checks it.
+    "s12_stream_publish" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // w10 commits snapshot 2 (a filtered rewrite) AFTER snapshot 1 and
+    // then time-travels back: the as-of-1 read must still roll up to
+    // exactly the source table even though a newer committed snapshot
+    // supersedes it.
+    "w10_time_travel" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,

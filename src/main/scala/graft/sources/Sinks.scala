@@ -288,18 +288,27 @@ object Sinks {
       spark: SparkSession, df: DataFrame, root: String, n: Int): Unit =
     commitManifest(spark, root, n, writeSnapshotData(spark, df, root, n))
 
-  /** Read the published table: resolve the HIGHEST committed manifest,
-    * read exactly its files. The directory listing is never trusted —
-    * that is the whole contract.
+  /** Read the published table: resolve the HIGHEST committed manifest
+    * (or, for a time-travel read, exactly snapshot `asOf`), read
+    * exactly its files. The directory listing is never trusted — that
+    * is the whole contract.
     */
   private[graft] def readPublished(
-      spark: SparkSession, dir: String, root: String): DataFrame = {
+      spark: SparkSession, dir: String, root: String,
+      asOf: Option[Int] = None): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
     val manifests = fs.globStatus(new HPath(s"$root/manifest-*"))
     require(manifests.nonEmpty, s"no committed manifest under $root")
-    val latest = manifests.map(_.getPath).maxBy(_.getName.stripPrefix("manifest-").toInt)
-    val in = fs.open(latest)
+    val chosen = asOf match {
+      case Some(n) =>
+        manifests.map(_.getPath).find(_.getName == s"manifest-$n")
+          .getOrElse(throw new IllegalArgumentException(
+            s"snapshot $n was never committed under $root"))
+      case None =>
+        manifests.map(_.getPath).maxBy(_.getName.stripPrefix("manifest-").toInt)
+    }
+    val in = fs.open(chosen)
     val files = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).toList
       finally in.close()
@@ -309,6 +318,29 @@ object Sinks {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** w10: time-travel read — the other read primitive a manifest table
+    * gives for free: every committed manifest is an immutable snapshot
+    * forever (data files are never rewritten in place, superseded ones
+    * just stop being referenced), so "the table as of snapshot N" is
+    * resolving manifest-N instead of the highest. The operator commits
+    * snapshot 1 = the full corpus, then commits snapshot 2 = a
+    * filtered rewrite; the CURRENT read serves snapshot 2, and the
+    * as-of-1 read — what the operator returns — must still roll up to
+    * exactly the source table even though a newer committed snapshot
+    * has long since superseded it. Reproducibility at 100 TB: a
+    * training run pinned to snapshot N reads identical bytes months
+    * later, regardless of how many snapshots landed since.
+    */
+  def w10TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "travel")
+    val docs = Tables.documents(spark, dir)
+    publishSnapshot(spark, docs, root, 1)
+    publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), root, 2)
+    readPublished(spark, dir, root, asOf = Some(1))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }
 
   /** w09: manifest zone maps + data-skipping reads — the second half
@@ -401,6 +433,27 @@ object Sinks {
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** Append-publish ONE micro-batch into a manifest table: the batch's
+    * data files land under their own directory, then manifest-(id+1) =
+    * previous manifest's files + the new ones commits via the same
+    * rename. Idempotent on batch replay: foreachBatch is at-least-once,
+    * so a retried batch id finds its manifest already committed and
+    * does nothing — the manifest check upgrades the sink to
+    * exactly-once publish, and a reader mid-stream only ever sees
+    * whole committed batches.
+    */
+  private[graft] def publishBatch(
+      spark: SparkSession, batch: DataFrame, root: String, id: Long): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val n = id.toInt + 1
+    if (fs.exists(new HPath(root, s"manifest-$n"))) return // replayed batch
+    val prev = if (n == 1) Seq.empty[String]
+      else manifestLines(spark, root) // serial batches: highest == n-1
+    val fresh = writeSnapshotData(spark, batch, root, n)
+    commitManifest(spark, root, n, prev ++ fresh)
   }
 
   private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {

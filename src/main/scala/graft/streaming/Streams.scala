@@ -322,6 +322,59 @@ object Streams {
     s.table(name)
   }
 
+  /** s12: streaming atomic publish — the w06 landing zone upgraded to
+    * the w08 manifest contract: each micro-batch lands its data files,
+    * then ONE manifest rename commits (previous files + the batch's).
+    * A reader mid-stream resolves the highest committed manifest and
+    * only ever sees whole batches — never a torn micro-batch write —
+    * and every committed manifest stays readable as a time-travel
+    * snapshot (w10). foreachBatch is at-least-once; the
+    * manifest-exists guard in [[graft.sources.Sinks.publishBatch]]
+    * makes a replayed batch a no-op, so the publish is exactly-once
+    * without the file-sink's `_spark_metadata` coupling — this is how
+    * a stream lands in a manifest table at 100 TB.
+    */
+  def s12StreamPublish(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val (root, ckpt) = publishPaths(ss, dir)
+    runStreamPublishFrom(ss, fileStream(ss, dir, "documents.parquet"), root, ckpt)
+    // an empty source runs ZERO micro-batches, so nothing ever commits:
+    // a never-published table reads as the empty corpus, not an error
+    // (the w01 lesson, one level up)
+    val hasManifest = {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val p = new HPath(root)
+      val fs = p.getFileSystem(ss.sessionState.newHadoopConf())
+      fs.exists(p) && fs.globStatus(new HPath(s"$root/manifest-*")).nonEmpty
+    }
+    val table =
+      if (hasManifest) graft.sources.Sinks.readPublished(ss, dir, root)
+      else ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.Tables.documents(ss, dir).schema)
+    table.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private[graft] def publishPaths(spark: SparkSession, dir: String): (String, String) = {
+    val key = s"${Integer.toHexString(dir.hashCode)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    (s"/tmp/graft_stream_publish_$key", s"/tmp/graft_stream_publish_ckpt_$key")
+  }
+
+  /** The manifest-publish sink from any (streaming) documents frame —
+    * exposed for multi-batch specs.
+    */
+  private[graft] def runStreamPublishFrom(
+      ss: SparkSession, docs: DataFrame, root: String, ckpt: String): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Sinks.publishBatch(ss, batch, root, id)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** s10: streaming ANN serving — the retrieval tier of the e-family
     * run on a QUERY STREAM: incoming vectors are signed (stateless
     * hyperplane-signature projection), exploded to their hamming-≤2

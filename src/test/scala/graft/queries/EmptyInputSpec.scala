@@ -69,6 +69,7 @@ class EmptyInputSpec extends SparkSpec {
       "w07" -> (() => graft.sources.Sinks.w07SchemaEvolution(spark, emptyDir).count()),
       "w08" -> (() => graft.sources.Sinks.w08AtomicPublish(spark, emptyDir).count()),
       "w09" -> (() => graft.sources.Sinks.w09StatsPruning(spark, emptyDir).count()),
+      "w10" -> (() => graft.sources.Sinks.w10TimeTravel(spark, emptyDir).count()),
       "d28" -> (() => graft.dedup.Dedup.d28Containment(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>
       try { assert(run() == 0L, s"$name returned rows on empty input"); None }
@@ -92,6 +93,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.streaming.Streams.s09StreamDecontam(spark, emptyDir).count() == 0L)
     assert(graft.streaming.Streams.s10StreamAnnServe(spark, emptyDir).count() == 0L)
     assert(graft.streaming.Streams.s11StreamSampler(spark, emptyDir).count() == 0L)
+    // the zero-row batch still commits its (empty) manifest
+    assert(graft.streaming.Streams.s12StreamPublish(spark, emptyDir).count() == 0L)
   }
 
   test("q33's scalar funnel summary is all-zero (not an error) on empty events") {

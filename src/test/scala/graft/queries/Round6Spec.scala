@@ -142,6 +142,29 @@ class Round6Spec extends SparkSpec {
     assert(snap2 != snap1)
   }
 
+  test("w10 time travel: as-of reads pin every committed snapshot; current follows the highest") {
+    import graft.sources.Sinks
+    import graft.Tables
+    import org.apache.spark.sql.DataFrame
+    val root = "/tmp/graft_w10_spec"
+    rmTree(root)
+    val docs = Tables.documents(spark, sfDir)
+    def rollup(df: DataFrame): Seq[(String, Long)] =
+      df.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val third = docs.where(col("doc_id") % 3 === 0)
+    Sinks.publishSnapshot(spark, docs, root, 1)
+    Sinks.publishSnapshot(spark, third, root, 2)
+    // current = highest committed; as-of resolves each immutable snapshot
+    assert(rollup(Sinks.readPublished(spark, sfDir, root)) == rollup(third))
+    assert(rollup(Sinks.readPublished(spark, sfDir, root, asOf = Some(1))) == rollup(docs))
+    assert(rollup(Sinks.readPublished(spark, sfDir, root, asOf = Some(2))) == rollup(third))
+    // a snapshot that was never committed is an error, not a guess
+    intercept[IllegalArgumentException] {
+      Sinks.readPublished(spark, sfDir, root, asOf = Some(7))
+    }
+  }
+
   test("w09 zone maps prune files: predicate read opens a strict subset, result unchanged") {
     import graft.sources.Sinks
     import graft.Tables

@@ -140,6 +140,41 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got == single)
   }
 
+  test("s12 manifest publish commits once per micro-batch; replayed batches are no-ops") {
+    import graft.sources.Sinks
+    val root = "/tmp/graft_stream_mb_publish"
+    val ckpt = "/tmp/graft_stream_mb_publish_ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val d = Paths.get(p)
+      if (Files.exists(d)) {
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+    }
+    Streams.runStreamPublishFrom(spark, twoFileStream("documents", "doc_id", "s12"), root, ckpt)
+    // count committed offsets only (the dir also holds hidden .crc files)
+    val offsets = Files.list(Paths.get(ckpt, "offsets"))
+      .filter(!_.getFileName.toString.startsWith(".")).count()
+    assert(offsets >= 2, s"expected >=2 micro-batches, got $offsets")
+    // one committed manifest per batch, and each is a readable snapshot:
+    // manifest-1 = batch 0 alone (time travel), highest = everything
+    val manifests = Files.list(Paths.get(root)).filter(_.getFileName.toString.startsWith("manifest-")).count()
+    assert(manifests == offsets, s"$manifests manifests for $offsets batches")
+    def rollup(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rollup(Sinks.readPublished(spark, sfDir, root)) == rollup(docs))
+    assert(rollup(Sinks.readPublished(spark, sfDir, root, asOf = Some(1)))
+      == rollup(docs.where(col("doc_id") % 2 === 0)))
+    // at-least-once replay: re-publishing an already-committed batch id
+    // must add nothing (the manifest-exists guard is the exactly-once)
+    Sinks.publishBatch(spark, docs.limit(5), root, 0L)
+    val after = Files.list(Paths.get(root)).filter(_.getFileName.toString.startsWith("manifest-")).count()
+    assert(after == manifests)
+    assert(rollup(Sinks.readPublished(spark, sfDir, root)) == rollup(docs))
+  }
+
   test("s02 session state carries across multiple micro-batches") {
     // Stage the events as TWO time-ordered files and force one file per
     // micro-batch: sessions spanning the split boundary exercise the
