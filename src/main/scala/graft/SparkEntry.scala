@@ -115,6 +115,7 @@ object SparkEntry {
     "w08_atomic_publish"  -> graft.sources.Sinks.w08AtomicPublish _,
     "w09_stats_pruning"   -> graft.sources.Sinks.w09StatsPruning _,
     "w10_time_travel"     -> graft.sources.Sinks.w10TimeTravel _,
+    "w11_compact_snapshots" -> graft.sources.Sinks.w11CompactSnapshots _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -613,6 +614,13 @@ object SparkEntry {
     // commit per micro-batch); the final manifest must reference every
     // landed row exactly once — the full-corpus rollup checks it.
     "s12_stream_publish" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // w11 lands the corpus as 3 appended snapshots, compacts the live
+    // table into 2 range-sorted files, and reads back THROUGH the
+    // compacted manifest — the rewrite must preserve every row exactly.
+    "w11_compact_snapshots" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,

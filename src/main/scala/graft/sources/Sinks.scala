@@ -456,6 +456,55 @@ object Sinks {
     commitManifest(spark, root, n, prev ++ fresh)
   }
 
+  /** w11: snapshot compaction — the maintenance primitive (OPTIMIZE)
+    * a manifest table needs once streams land many small files: read
+    * the LIVE snapshot through its manifest, rewrite it as few
+    * range-sorted files, and commit the result as a NEW manifest. The
+    * flip is the same one-rename commit as any other snapshot, so
+    * readers switch atomically from many files to few; the superseded
+    * manifest and its files are untouched — every older snapshot
+    * stays byte-identical for time travel (w10), and the compacted
+    * rewrite is just another entry in the table's history. At 100 TB
+    * compaction is continuous background work, and THIS is why it can
+    * be: it never blocks or breaks a reader.
+    */
+  def w11CompactSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "compact")
+    val docs = Tables.documents(spark, dir)
+    // a streamed landing leaves one file-set per batch: simulate with
+    // a 3-way split published as 3 snapshots (s12's layout shape)
+    val parts = Seq(0, 1, 2).map(i => docs.where(col("doc_id") % 3 === i))
+    publishSnapshot(spark, parts(0), root, 1)
+    parts.zipWithIndex.drop(1).foreach { case (p, i) =>
+      publishBatch(spark, p, root, i.toLong)
+    }
+    compactLive(spark, dir, root)
+    readPublished(spark, dir, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
+  /** Rewrite the live snapshot as a handful of range-sorted files and
+    * commit them as the next manifest. Returns the new snapshot id.
+    */
+  private[graft] def compactLive(
+      spark: SparkSession, dir: String, root: String): Int = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val live = fs.globStatus(new HPath(s"$root/manifest-*"))
+      .map(_.getPath.getName.stripPrefix("manifest-").toInt).max
+    val n = live + 1
+    val out = s"$root/data/snap$n"
+    readPublished(spark, dir, root)
+      .repartitionByRange(2, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(out)
+    val files = fs.globStatus(new HPath(s"$out/part-*.parquet"))
+      .map(_.getPath.toUri.getPath).toIndexedSeq.sorted
+    commitManifest(spark, root, n, files)
+    n
+  }
+
   private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {
     // table name AND stage path keyed by (data dir, application id):
     // the dir hash stops two threads of one session racing across

@@ -165,6 +165,34 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("w11 compaction shrinks the live file set atomically; superseded snapshots untouched") {
+    import graft.sources.Sinks
+    import graft.Tables
+    import org.apache.spark.sql.DataFrame
+    val root = "/tmp/graft_w11_spec"
+    rmTree(root)
+    val docs = Tables.documents(spark, sfDir)
+    def rollup(df: DataFrame): Seq[(String, Long)] =
+      df.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    // a streamed landing: 3 appended snapshots, one file-set each
+    Sinks.publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), root, 1)
+    Sinks.publishBatch(spark, docs.where(col("doc_id") % 3 === 1), root, 1L)
+    Sinks.publishBatch(spark, docs.where(col("doc_id") % 3 === 2), root, 2L)
+    val before = Sinks.manifestLines(spark, root)
+    val preCompact = rollup(Sinks.readPublished(spark, sfDir, root))
+    assert(preCompact == rollup(docs))
+    val n = Sinks.compactLive(spark, sfDir, root)
+    val after = Sinks.manifestLines(spark, root)
+    // fewer files, same rows — and the flip was one manifest commit
+    assert(after.size < before.size, s"${after.size} !< ${before.size}")
+    assert(rollup(Sinks.readPublished(spark, sfDir, root)) == preCompact)
+    // every pre-compaction snapshot still reads exactly as it did
+    assert(rollup(Sinks.readPublished(spark, sfDir, root, asOf = Some(n - 1))) == preCompact)
+    assert(rollup(Sinks.readPublished(spark, sfDir, root, asOf = Some(1)))
+      == rollup(docs.where(col("doc_id") % 3 === 0)))
+  }
+
   test("w09 zone maps prune files: predicate read opens a strict subset, result unchanged") {
     import graft.sources.Sinks
     import graft.Tables
