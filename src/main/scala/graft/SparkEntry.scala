@@ -67,6 +67,7 @@ object SparkEntry {
     "d07_simhash"         -> Dedup.d07SimHash _,
     "d08_ngram_jaccard"   -> Dedup.d08NgramJaccard _,
     "d28_containment"     -> Dedup.d28Containment _,
+    "d29_bloom_decontam"  -> graft.text.Corpus.d29BloomDecontam _,
     "d09_chunk"           -> Text.d09Chunk _,
     "d11_dup_clusters"    -> Dedup.d11DupClusters _,
     "d12_tfidf"           -> Text.d12TfIdf _,
@@ -1360,6 +1361,9 @@ object SparkEntry {
         |  node AS survivor_id, n_len AS survivor_len
         |FROM rk WHERE rn = 1 AND n_members >= 2""".stripMargin,
     "d14_decontam" -> decontamOracleSql,
+    // d29 is d14 with a Bloom pre-filter whose false positives the
+    // exact verify join removes — row-identical, same oracle
+    "d29_bloom_decontam" -> decontamOracleSql,
     // s09 is d14 deployed at ingestion: one AvailableNow pass over the
     // document stream must reproduce the batch decontamination exactly.
     "s09_stream_decontam" -> decontamOracleSql,

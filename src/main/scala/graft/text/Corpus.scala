@@ -71,6 +71,69 @@ object Corpus {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** d29: Bloom-pre-filtered decontamination — d14's exact semantics
+    * with the at-scale candidate path: the benchmark gram set (the
+    * SMALL side by definition — it's the held-out eval data) is folded
+    * once into a bit array, and every corpus gram tests k=2 xxhash64
+    * probes against that bitset BEFORE anything shuffles — all native
+    * codegen'd expressions (element_at + shiftright + bitand), no UDF.
+    * Only might-contain survivors enter the exact broadcast verify
+    * join (which removes Bloom's false positives; false negatives are
+    * impossible by construction), so the result is row-identical to
+    * d14 and shares its oracle. At 100 TB the difference is the
+    * shuffle/probe volume: a 100 TB corpus explodes to ~10^13 grams,
+    * and the bitset turns "join every gram" into "join the ~0 that
+    * might match". `spark.graft.bloom.bits` sizes the array (default
+    * 2^17 bits = 16 KiB riding the plan as one literal; size to
+    * ~10 bits per benchmark gram in production).
+    */
+  def d29BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = fiveGrams(docs.where(isBenchCol)).select("gram").distinct()
+    bloomSurvivors(spark, dir)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
+  /** Fold the (small) gram frame into a Bloom bit array: two xxhash64
+    * probes per gram, positions collected once on the driver — the
+    * build side is eval data, bounded by construction.
+    */
+  private[graft] def bloomBits(grams: DataFrame, mBits: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 64)
+    grams.select(
+        pmod(xxhash64(col("gram")), lit(mBits.toLong)).as("p1"),
+        pmod(xxhash64(col("gram"), lit(1)), lit(mBits.toLong)).as("p2"))
+      .collect()
+      .foreach { r =>
+        Seq(r.getLong(0), r.getLong(1)).foreach { p =>
+          words(p.toInt / 64) |= (1L << (p.toInt % 64))
+        }
+      }
+    words
+  }
+
+  /** The Bloom-survivor gram frame alone (pre-verify) — exposed for
+    * the pruning spec: survivors must be a strict subset of all grams
+    * and a superset of the true matches.
+    */
+  private[graft] def bloomSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = fiveGrams(docs.where(isBenchCol)).select("gram").distinct()
+    val mBits = spark.conf.get("spark.graft.bloom.bits", (1 << 17).toString).toInt
+    val bits = typedLit(bloomBits(bench, mBits).toSeq)
+    fiveGrams(docs.where(!isBenchCol))
+      .withColumn("h1", pmod(xxhash64(col("gram")), lit(mBits.toLong)))
+      .withColumn("h2", pmod(xxhash64(col("gram"), lit(1)), lit(mBits.toLong)))
+      .withColumn("bm", bits)
+      .where(expr("(shiftright(element_at(bm, CAST(h1 DIV 64 AS INT) + 1), " +
+          "CAST(h1 % 64 AS INT)) & 1) = 1")
+        && expr("(shiftright(element_at(bm, CAST(h2 DIV 64 AS INT) + 1), " +
+          "CAST(h2 % 64 AS INT)) & 1) = 1"))
+      .select("doc_id", "gram")
+  }
+
   /** d25: corpus snapshot diff — the data-versioning primitive: given
     * two corpus versions, report per source how many documents were
     * added, removed, changed, or untouched. Versions are derived

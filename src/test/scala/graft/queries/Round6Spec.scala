@@ -165,6 +165,46 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("d29 bloom decontam equals d14 exactly; the bitset prunes without false negatives") {
+    import graft.text.Corpus
+    // the operator end-to-end: row-identical to the exact join
+    val got = Corpus.d29BloomDecontam(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val exact = Corpus.d14Decontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == exact)
+    // the pre-filter actually prunes: survivors are a strict subset of
+    // the exploded gram stream
+    val allGrams = Corpus.fiveGrams(
+      graft.Tables.documents(spark, sfDir).where(!Corpus.isBenchCol)).count()
+    val survivors = Corpus.bloomSurvivors(spark, sfDir).count()
+    assert(survivors < allGrams, s"no pruning: $survivors of $allGrams")
+    // bitset mechanics, pinned with guaranteed positives: every member
+    // gram passes its own probes (false negatives are impossible)...
+    import spark.implicits._
+    val member = (1 to 200).map(i => s"alpha bravo charlie delta echo$i").toDF("gram")
+    val mBits = 1 << 17
+    val bits = typedLit(Corpus.bloomBits(member, mBits).toSeq)
+    def passed(df: org.apache.spark.sql.DataFrame): Long = df
+      .withColumn("h1", pmod(xxhash64(col("gram")), lit(mBits.toLong)))
+      .withColumn("h2", pmod(xxhash64(col("gram"), lit(1)), lit(mBits.toLong)))
+      .withColumn("bm", bits)
+      .where(expr("(shiftright(element_at(bm, CAST(h1 DIV 64 AS INT) + 1), " +
+          "CAST(h1 % 64 AS INT)) & 1) = 1")
+        && expr("(shiftright(element_at(bm, CAST(h2 DIV 64 AS INT) + 1), " +
+          "CAST(h2 % 64 AS INT)) & 1) = 1"))
+      .count()
+    assert(passed(member) == 200L)
+    // ...and a disjoint gram set almost entirely fails (fp rate at
+    // 400 set bits in 2^17 is ~1e-5 per probe-pair)
+    val stranger = (1 to 1000).map(i => s"zulu yankee xray whiskey victor$i").toDF("gram")
+    assert(passed(stranger) < 10L)
+    // the probe path is native codegen'd expressions, not a UDF
+    val plan = Corpus.bloomSurvivors(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), "bloom probe fell back to a UDF")
+    assert(plan.contains("xxhash64"))
+  }
+
   test("w11 compaction shrinks the live file set atomically; superseded snapshots untouched") {
     import graft.sources.Sinks
     import graft.Tables
