@@ -96,6 +96,7 @@ object SparkEntry {
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
     "m03_container_source" -> Multimodal.m03ContainerSource _,
+    "m04_audio_features"  -> Multimodal.m04AudioFeatures _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -1637,6 +1638,23 @@ object SparkEntry {
     // parquet-of-binaries container (the w03 mechanics) — decode is
     // byte-identical to m01 again, same SQL.
     "m03_container_source" -> multimodalOracleSql,
+    // m04 regenerates the deterministic PCM signal from its formula and
+    // aggregates integer-exact features; Spark round-trips the SAME
+    // signal through a real WAV encode → decode, so a header mis-parse
+    // or sample-bias error on the Spark side breaks the hash match.
+    "m04_audio_features" ->
+      """WITH ids AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS t FROM ids),
+        |v AS (SELECT doc_id, n, t, ((doc_id*31 + t*7) % 256) - 128 AS v FROM s),
+        |w AS (SELECT doc_id, n, t, v,
+        |        lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv FROM v)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(v*v) AS BIGINT) AS sum_sq,
+        |  CAST(count(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0) AS BIGINT)
+        |    AS n_sign_flips
+        |FROM w GROUP BY doc_id""".stripMargin,
   )
 
   /** m01's deterministic decode in DuckDB terms — shared by the

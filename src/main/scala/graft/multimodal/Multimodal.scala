@@ -252,10 +252,143 @@ object Multimodal {
     */
   def decode(payload: Array[Byte]): (Long, Array[Double]) = {
     val (checksum, stubFeat) = stubDecode(payload)
-    decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodeImageIo(payload)) match {
+    decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodeImageIo(payload))
+      .orElse(decodeWav(payload).map(wavFeatures)) match {
       case Some(feat) => (checksum, feat)
       case None       => (checksum, stubFeat)
     }
+  }
+
+  /** Project decoded PCM into the pipeline's 8-wide feature shape:
+    * sample rate, length, duration, mean, RMS, zero-cross rate,
+    * min, max — the audio analogue of the image channel moments.
+    */
+  private[graft] def wavFeatures(wav: (Int, Array[Int])): Array[Double] = {
+    val (rate, s) = wav
+    val n = s.length
+    if (n == 0) return Array(rate.toDouble, 0, 0, 0, 0, 0, 0, 0)
+    var sum = 0L; var ss = 0L; var flips = 0L
+    var mn = s(0); var mx = s(0)
+    var i = 0
+    while (i < n) {
+      val v = s(i)
+      sum += v; ss += v.toLong * v
+      if (i > 0 && s(i - 1) * v < 0) flips += 1
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    Array(rate.toDouble, n.toDouble, n.toDouble / rate,
+      sum.toDouble / n, math.sqrt(ss.toDouble / n),
+      flips.toDouble / n, mn.toDouble, mx.toDouble)
+  }
+
+  /** REAL pure-JVM WAV decoder (RIFF container, PCM): walks the chunk
+    * list, reads `fmt ` (requires uncompressed PCM, mono, 8 or 16
+    * bit), then decodes `data` into signed sample values. Returns
+    * (sampleRate, samples); None for anything that is not a complete
+    * well-formed PCM WAV, so the caller falls through to the stub —
+    * exactly the PPM/BMP contract. Cites the RIFF/WAVE layout:
+    * little-endian chunk sizes, 8-bit samples stored unsigned biased
+    * +128, 16-bit signed little-endian.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Array[Int])] = {
+    def le32(o: Int): Long =
+      (payload(o) & 0xffL) | (payload(o + 1) & 0xffL) << 8 |
+        (payload(o + 2) & 0xffL) << 16 | (payload(o + 3) & 0xffL) << 24
+    def le16(o: Int): Int = (payload(o) & 0xff) | (payload(o + 1) & 0xff) << 8
+    def tag(o: Int): String = new String(payload.slice(o, o + 4), "US-ASCII")
+    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var o = 12
+    var rate = -1; var bits = -1
+    var samples: Array[Int] = null
+    while (o + 8 <= payload.length) {
+      val id = tag(o)
+      val sz = le32(o + 4).toInt
+      if (sz < 0 || o + 8 + sz > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val fmt = le16(o + 8)
+          val ch = le16(o + 10)
+          if (fmt != 1 || ch != 1) return None // PCM mono only
+          rate = le32(o + 12).toInt
+          bits = le16(o + 22)
+          if (rate <= 0 || (bits != 8 && bits != 16)) return None
+        case "data" =>
+          if (rate < 0) return None // fmt must precede data
+          samples =
+            if (bits == 8) Array.tabulate(sz)(i => (payload(o + 8 + i) & 0xff) - 128)
+            else {
+              if (sz % 2 != 0) return None
+              Array.tabulate(sz / 2)(i => le16(o + 8 + 2 * i).toShort.toInt)
+            }
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && samples != null) Some((rate, samples)) else None
+  }
+
+  /** Encode mono PCM as a WAV byte array (the decoder's inverse);
+    * 8-bit samples in [-128, 127] stored biased unsigned.
+    */
+  private[graft] def encodeWav(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate) // byte rate = rate × 1 byte/sample
+      .putShort(1).putShort(8) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(n)
+    samples.foreach(s => bb.put((s + 128).toByte))
+    bb.array()
+  }
+
+  /** Typed row for the audio stage. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
+      sum_sq: Long, n_sign_flips: Long)
+
+  /** The deterministic PCM test signal for doc_id: n = 100 + id % 50
+    * samples, s_t = ((id·31 + t·7) mod 256) − 128 — integer-exact, so
+    * the DuckDB oracle regenerates the SIGNAL from the formula while
+    * Spark round-trips it through a real WAV encode → decode: any
+    * header mis-parse or sample bias error breaks the hash match.
+    */
+  private[graft] def synthSamples(id: Long): Array[Int] = {
+    val n = 100 + (id % 50).toInt
+    Array.tabulate(n)(t => (((id * 31 + t.toLong * 7) % 256) - 128).toInt)
+  }
+
+  /** m04: audio feature extraction — the audio modality of the media
+    * pipeline: per-document WAV payloads decoded partition-locally by
+    * the REAL RIFF/PCM codec (no external libs — the container ships
+    * none, and none are needed), reduced to integer-exact signal
+    * features (energy as sum of squares, sign-flip count) that
+    * hash-compare across engines. Same mapPartitions codec shape as
+    * m01: at 100 TB the payload bytes never shuffle — features only.
+    */
+  def m04AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val wav = encodeWav(8000, synthSamples(id))
+        val (rate, s) = decodeWav(wav).getOrElse(
+          throw new IllegalStateException(s"WAV round-trip failed for doc $id"))
+        var ss = 0L; var flips = 0L
+        var i = 0
+        while (i < s.length) {
+          ss += s(i).toLong * s(i)
+          if (i > 0 && s(i - 1) * s(i) < 0) flips += 1
+          i += 1
+        }
+        AudioFeatures(id, rate.toLong, s.length.toLong, ss, flips)
+      }
+    }.toDF()
   }
 
   /** The `documents` table re-shaped as a media table: text bytes stand

@@ -64,6 +64,7 @@ class EmptyInputSpec extends SparkSpec {
       "e08" -> (() => graft.sim.Sim.e08AnnIvfPq(spark, emptyDir).count()),
       "m03" -> (() => graft.multimodal.Multimodal.m03ContainerSource(spark, emptyDir).count()),
       "m02" -> (() => graft.multimodal.Multimodal.m02BinarySource(spark, emptyDir).count()),
+      "m04" -> (() => graft.multimodal.Multimodal.m04AudioFeatures(spark, emptyDir).count()),
       "q34" -> (() => Events.q34Retention(spark, emptyDir).count()),
       "d25" -> (() => graft.text.Corpus.d25CorpusDiff(spark, emptyDir).count()),
       "w07" -> (() => graft.sources.Sinks.w07SchemaEvolution(spark, emptyDir).count()),

@@ -165,6 +165,41 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("m04 WAV codec: exact PCM round-trip, 16-bit and chunk-skip paths, corrupt rejects") {
+    import graft.multimodal.Multimodal
+    // 8-bit round-trip is byte-exact
+    val s8 = Array(-128, -1, 0, 1, 127, 64, -64)
+    val (r8, got8) = Multimodal.decodeWav(Multimodal.encodeWav(44100, s8)).get
+    assert(r8 == 44100 && got8.toSeq == s8.toSeq)
+    // 16-bit signed little-endian, with an unknown chunk BEFORE data
+    // (real encoders emit LIST/fact chunks — the walker must skip them)
+    val s16 = Array(-32768, -1, 0, 1, 32767)
+    val bb = java.nio.ByteBuffer.allocate(44 + 8 + 6 + s16.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 8 + 6 + s16.length * 2).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("LIST".getBytes).putInt(5).put("INFOx".getBytes).put(0.toByte) // odd size: word-aligned
+    bb.put("data".getBytes).putInt(s16.length * 2)
+    s16.foreach(v => bb.putShort(v.toShort))
+    val (r16, got16) = Multimodal.decodeWav(bb.array()).get
+    assert(r16 == 8000 && got16.toSeq == s16.toSeq)
+    // corrupt payloads reject (fall to the stub), never throw
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)        // no chunks
+    assert(Multimodal.decodeWav("not audio at all".getBytes).isEmpty)    // no magic
+    val trunc = Multimodal.encodeWav(8000, Array(1, 2, 3)).dropRight(2)
+    assert(Multimodal.decodeWav(trunc).isEmpty)                          // torn data chunk
+    // the generic m01 dispatch picks WAV up by magic (text never does)
+    val (_, feat) = Multimodal.decode(Multimodal.encodeWav(100, Array(10, -10)))
+    assert(feat(0) == 100.0 && feat(1) == 2.0 && feat(5) == 0.5) // rate, n, flip rate
+    // m04 row matches a local recomputation for one document
+    val row = Multimodal.m04AudioFeatures(spark, sfDir)
+      .where(col("doc_id") === 7L).head()
+    val s = Multimodal.synthSamples(7L)
+    assert(row.getLong(2) == s.length.toLong)
+    assert(row.getLong(3) == s.map(v => v.toLong * v).sum)
+  }
+
   test("d29 bloom decontam equals d14 exactly; the bitset prunes without false negatives") {
     import graft.text.Corpus
     // the operator end-to-end: row-identical to the exact join
