@@ -118,6 +118,7 @@ object SparkEntry {
     "w09_stats_pruning"   -> graft.sources.Sinks.w09StatsPruning _,
     "w10_time_travel"     -> graft.sources.Sinks.w10TimeTravel _,
     "w11_compact_snapshots" -> graft.sources.Sinks.w11CompactSnapshots _,
+    "w12_expire_snapshots" -> graft.sources.Sinks.w12ExpireSnapshots _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -616,6 +617,13 @@ object SparkEntry {
     // commit per micro-batch); the final manifest must reference every
     // landed row exactly once — the full-corpus rollup checks it.
     "s12_stream_publish" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // w12 expires everything below the compacted snapshot and GCs the
+    // orphaned data files — the LIVE read must be untouched by the
+    // deletion (the full corpus, snapshot 3 = w11's compaction of 2).
+    "w12_expire_snapshots" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,

@@ -505,6 +505,58 @@ object Sinks {
     n
   }
 
+  /** w12: snapshot expiry + garbage collection — the VACUUM half of
+    * the manifest lifecycle: compaction (w11) supersedes snapshots but
+    * deletes nothing, so storage only grows until expiry removes (a)
+    * manifests older than the retention horizon and (b) every data
+    * file no SURVIVING manifest references. Deletion order is the
+    * safety: manifests first (readers can no longer resolve the
+    * expired snapshot), then the orphaned files — a crash between the
+    * two leaves unreferenced files (harmless, re-collectable), never a
+    * manifest pointing at deleted data. At 100 TB expiry is the only
+    * thing standing between a busy table and unbounded storage, and
+    * it must be provably unable to break the live table — the spec
+    * pins the live read byte-identical across the GC.
+    */
+  def w12ExpireSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "expire")
+    val docs = Tables.documents(spark, dir)
+    // history: full corpus → filtered rewrite → compaction (3 snapshots)
+    publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), root, 1)
+    publishSnapshot(spark, docs, root, 2)
+    compactLive(spark, dir, root)
+    expireSnapshots(spark, root, keepFrom = 3)
+    readPublished(spark, dir, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
+  /** Expire every snapshot below `keepFrom`, then delete data files no
+    * surviving manifest references. Returns (manifests deleted, data
+    * files deleted).
+    */
+  private[graft] def expireSnapshots(
+      spark: SparkSession, root: String, keepFrom: Int): (Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val all = fs.globStatus(new HPath(s"$root/manifest-*")).map(_.getPath)
+    val (expired, kept) = all.partition(_.getName.stripPrefix("manifest-").toInt < keepFrom)
+    require(kept.nonEmpty, s"expiry must keep at least one snapshot under $root")
+    // 1. manifests first: the expired snapshots stop being resolvable
+    expired.foreach(p => fs.delete(p, false))
+    // 2. then any data file only the expired snapshots referenced
+    val live = kept.flatMap { m =>
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.split('\t')(0)).toList
+      finally in.close()
+    }.toSet
+    val orphans = fs.globStatus(new HPath(s"$root/data/*/part-*.parquet"))
+      .map(_.getPath).filterNot(p => live.contains(p.toUri.getPath))
+    orphans.foreach(p => fs.delete(p, false))
+    (expired.length, orphans.length)
+  }
+
   private[graft] def bucketedTable(spark: SparkSession, dir: String): DataFrame = {
     // table name AND stage path keyed by (data dir, application id):
     // the dir hash stops two threads of one session racing across

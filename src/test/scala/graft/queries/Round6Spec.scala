@@ -200,6 +200,43 @@ class Round6Spec extends SparkSpec {
     assert(row.getLong(3) == s.map(v => v.toLong * v).sum)
   }
 
+  test("w12 expiry deletes only what no surviving snapshot references; live read untouched") {
+    import graft.sources.Sinks
+    import graft.Tables
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.spark.sql.DataFrame
+    val root = "/tmp/graft_w12_spec"
+    rmTree(root)
+    val docs = Tables.documents(spark, sfDir)
+    def rollup(df: DataFrame): Seq[(String, Long)] =
+      df.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    Sinks.publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), root, 1)
+    Sinks.publishSnapshot(spark, docs, root, 2)
+    val compacted = Sinks.compactLive(spark, sfDir, root) // snapshot 3
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Set[String] = fs.globStatus(new HPath(s"$root/data/*/part-*.parquet"))
+      .map(_.getPath.toUri.getPath).toSet
+    val before = dataFiles()
+    val liveBefore = rollup(Sinks.readPublished(spark, sfDir, root))
+    val (nManifests, nFiles) = Sinks.expireSnapshots(spark, root, keepFrom = compacted)
+    // snapshots 1 and 2 expired; their files (referenced by no survivor) GC'd
+    assert(nManifests == 2 && nFiles > 0)
+    // the live snapshot survives byte-identical: same files, same rows
+    val after = dataFiles()
+    assert(after.subsetOf(before) && after.size == before.size - nFiles)
+    assert(rollup(Sinks.readPublished(spark, sfDir, root)) == liveBefore)
+    assert(rollup(Sinks.readPublished(spark, sfDir, root, asOf = Some(compacted))) == liveBefore)
+    // expired snapshots are gone as snapshots, not just as files
+    intercept[IllegalArgumentException] {
+      Sinks.readPublished(spark, sfDir, root, asOf = Some(1))
+    }
+    // expiry refuses to delete the whole history
+    intercept[IllegalArgumentException] {
+      Sinks.expireSnapshots(spark, root, keepFrom = 99)
+    }
+  }
+
   test("d29 bloom decontam equals d14 exactly; the bitset prunes without false negatives") {
     import graft.text.Corpus
     // the operator end-to-end: row-identical to the exact join
