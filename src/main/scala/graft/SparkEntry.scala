@@ -119,6 +119,7 @@ object SparkEntry {
     "w10_time_travel"     -> graft.sources.Sinks.w10TimeTravel _,
     "w11_compact_snapshots" -> graft.sources.Sinks.w11CompactSnapshots _,
     "w12_expire_snapshots" -> graft.sources.Sinks.w12ExpireSnapshots _,
+    "w13_incremental_read" -> graft.sources.Sinks.w13IncrementalRead _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -634,6 +635,12 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // w13 reads the 1→3 manifest increment (two appended batches) —
+    // exactly the rows NOT in snapshot 1's doc_id % 3 == 0 slice.
+    "w13_incremental_read" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1""".stripMargin,
     // w10 commits snapshot 2 (a filtered rewrite) AFTER snapshot 1 and
     // then time-travels back: the as-of-1 read must still roll up to
     // exactly the source table even though a newer committed snapshot

@@ -237,6 +237,42 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("w13 incremental read is a pure manifest set difference; increments compose") {
+    import graft.sources.Sinks
+    import graft.Tables
+    import org.apache.spark.sql.DataFrame
+    val root = "/tmp/graft_w13_spec"
+    rmTree(root)
+    val docs = Tables.documents(spark, sfDir)
+    Sinks.publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), root, 1)
+    Sinks.publishBatch(spark, docs.where(col("doc_id") % 3 === 1), root, 1L)
+    Sinks.publishBatch(spark, docs.where(col("doc_id") % 3 === 2), root, 2L)
+    def ids(df: DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inc13 = ids(Sinks.readIncrement(spark, sfDir, root, 1, 3))
+    // row-exact: the increment is precisely the appended batches
+    assert(inc13 == ids(docs.where(col("doc_id") % 3 =!= 0)))
+    // increments compose: 1→2 ∪ 2→3 == 1→3, disjointly
+    val inc12 = ids(Sinks.readIncrement(spark, sfDir, root, 1, 2))
+    val inc23 = ids(Sinks.readIncrement(spark, sfDir, root, 2, 3))
+    assert((inc12 ++ inc23) == inc13 && (inc12 & inc23).isEmpty)
+    // the degenerate window is empty, not an error
+    assert(Sinks.readIncrement(spark, sfDir, root, 3, 3).count() == 0L)
+    // file-exact: only the fresh files are ever opened — the read of
+    // 2→3 scans exactly files(3) \ files(2)
+    val fresh = Sinks.manifestFilesAt(spark, root, 3).toSet --
+      Sinks.manifestFilesAt(spark, root, 2).toSet
+    val scanned = Sinks.readIncrement(spark, sfDir, root, 2, 3)
+      .select(input_file_name()).distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(fresh),
+      s"incremental read opened non-fresh files: ${scanned -- fresh}")
+    // an uncommitted snapshot id is a loud error
+    intercept[IllegalArgumentException] {
+      Sinks.readIncrement(spark, sfDir, root, 1, 9)
+    }
+  }
+
   test("d29 bloom decontam equals d14 exactly; the bitset prunes without false negatives") {
     import graft.text.Corpus
     // the operator end-to-end: row-identical to the exact join
