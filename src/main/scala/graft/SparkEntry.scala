@@ -93,6 +93,7 @@ object SparkEntry {
     "e07_ann_pq"          -> Sim.e07AnnPq _,
     "e08_ann_ivf_pq"      -> Sim.e08AnnIvfPq _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
+    "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
     "m03_container_source" -> Multimodal.m03ContainerSource _,
@@ -907,6 +908,46 @@ object SparkEntry {
     // assignment/probe CTEs restricting candidates to the probed
     // coarse cells before the ADC cut.
     "e08_ann_ivf_pq" -> e08OracleSql,
+    // SemDeDup reproduction: base ∪ two perturbed generations, e04's
+    // deterministic coarse quantizer + argmin assignment (CTEs verbatim
+    // from the e04 oracle), within-cluster exact cosine edges at the
+    // 0.99 threshold, recursive-CTE connected components (the d11
+    // pattern), per-cluster census with the base-member count.
+    "d30_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |g1 AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.0005 + 0.0001) AS v FROM e),
+        |g2 AS (SELECT vec_id + 200000 AS vec_id, list_transform(v, x -> x * 0.9995 - 0.0001) AS v FROM e),
+        |corpus AS (SELECT * FROM e UNION ALL SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+        |       WHERE sqrt(list_dot_product(v, v)) > 0),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id) - 1 AS cid,
+        |    v AS cv
+        |  FROM en
+        |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
+        |  LIMIT 16),
+        |cc AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents),
+        |asg AS (
+        |  SELECT vec_id, v, nrm, cid AS centroid_id FROM (
+        |    SELECT en.vec_id, en.v, en.nrm, cc.cid,
+        |      row_number() OVER (PARTITION BY en.vec_id
+        |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+        |    FROM en CROSS JOIN cc) t
+        |  WHERE rn = 1),
+        |edges AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM asg a JOIN asg b USING (centroid_id)
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99),
+        |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |reach AS (
+        |  SELECT u AS a, v AS b FROM bidir
+        |  UNION
+        |  SELECT r.a, e2.v FROM reach r JOIN bidir e2 ON r.b = e2.u WHERE e2.v <> r.a),
+        |lab AS (SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+        |SELECT cluster AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(count(*) FILTER (node < 100000) AS BIGINT) AS n_base
+        |FROM lab GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     // Embed-dedup reproduction: perturbed-twin corpus, 16-bit buckets with
     // the 64-cap census, hamming-1 probes, cosine threshold.
     "e03_embed_dedup" ->

@@ -338,13 +338,29 @@ object Dedup {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
     val sigs = signatureTable(corpus)
     val sh = sigs.select(col("doc_id"), col("shingles"))
-    var edges = barrier(lshCandidates(sigs).select("doc_a", "doc_b")
+    // barrier here (not just inside convergeForest) so the persisted
+    // signature table can be released before the CC rounds run
+    val edges = barrier(lshCandidates(sigs).select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.6)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
     sigs.unpersist()
+    convergeForest(spark, edges, "d11")
+  }
+
+  /** Converge an arbitrary undirected edge set `(u, v)` to its star
+    * forest (u = member, v = component minimum) via alternating
+    * large-star/small-star rounds — the CC kernel, usable by any
+    * operator that produces an edge list (text near-dups for d11/d23,
+    * semantic embedding edges for d30). Every round is barriered so
+    * lineage stays one step deep, and convergence is one tiny
+    * `(count, bit_xor(hash))` action per round.
+    */
+  private[graft] def convergeForest(
+      spark: SparkSession, edges0: DataFrame, what: String): DataFrame = {
+    var edges = barrier(edges0)
 
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
@@ -370,7 +386,7 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"d11 connected components did not converge in $maxRounds alternating " +
+        s"$what connected components did not converge in $maxRounds alternating " +
           "large-star/small-star rounds; the edge set is not a star forest and the " +
           "cluster aggregation would be wrong. Raise spark.graft.cc.maxRounds.")
     edges

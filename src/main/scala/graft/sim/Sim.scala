@@ -279,29 +279,42 @@ object Sim {
         .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     }
 
-  def e04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cents = fitCentroids(e)
-    // 16-row broadcast dimension table: (centroid_id, cv, |cv|²).
-    // |v|² is constant per row and drops out of the argmin, so d2 is
-    // −2·v·c + |c|² — same quantity the oracle ranks on.
-    val centsDf = spark.createDataFrame(
+  /** k-row broadcast dimension table for a fitted coarse quantizer:
+    * (centroid_id, cv, |cv|²). |v|² is constant per row and drops out
+    * of any per-row argmin, so ranking uses d2 = −2·v·c + |c|² — the
+    * same quantity the oracles rank on.
+    */
+  private def centroidsDf(
+      spark: SparkSession, cents: Array[(Int, Array[Double])]): DataFrame =
+    spark.createDataFrame(
         cents.toSeq.map { case (i, cv) =>
           (i, cv.toSeq, cv.foldLeft(0.0)((a, x) => a + x * x))
         })
       .toDF("centroid_id", "cv", "c2")
+
+  /** Nearest-centroid assignment: broadcast-nested-loop over the k
+    * centroids, then a map-side-combined min_by per vec_id (k candidate
+    * rows collapse to 1 before the exchange; ties break on
+    * centroid_id). At cluster scale this is one vector-carrying
+    * shuffle; a model-broadcast scalar argmin would avoid it at the
+    * cost of a giant literal plan.
+    */
+  private def assignToNearest(
+      spark: SparkSession, e: DataFrame, centsDf: DataFrame): DataFrame = {
     val d2 = dotOf(spark, "v", "cv") * lit(-2.0) + col("c2")
-    // assignment: broadcast-nested-loop over 16 centroids, then a
-    // map-side-combined min_by per vec_id (16 candidate rows collapse
-    // to 1 before the exchange; ties break on centroid_id). At cluster
-    // scale this is one vector-carrying shuffle; a model-broadcast
-    // scalar argmin would avoid it at the cost of a giant literal plan.
-    val assigned = e.crossJoin(broadcast(centsDf))
+    e.crossJoin(broadcast(centsDf))
       .withColumn("d2", d2)
       .groupBy(col("vec_id"))
       .agg(
         min_by(col("centroid_id"), struct(col("d2"), col("centroid_id"))).as("centroid_id"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+  }
+
+  def e04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centsDf = centroidsDf(spark, fitCentroids(e))
+    val d2 = dotOf(spark, "v", "cv") * lit(-2.0) + col("c2")
+    val assigned = assignToNearest(spark, e, centsDf)
     // each query probes its nprobe nearest centroids (tiny side)
     val q = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v"), col("nrm").as("qn"))
@@ -621,5 +634,76 @@ object Sim {
       .localCheckpoint(true)
     corpus.unpersist()
     out
+  }
+
+  /** Cosine threshold for a semantic duplicate: the perturbed twins in
+    * the d30 corpus sit above 0.999 while unrelated pairs top out near
+    * 0.51 — a wide margin on both sides, so the cut can never flip
+    * cross-engine.
+    */
+  val SemThresh = 0.99
+
+  /** d30: semantic deduplication (the SemDeDup recipe — Abbas et al.
+    * 2023, arXiv:2303.09540): exact and lexical near-duplicates are
+    * caught by d01/d06-d08; semantically identical re-encodings
+    * (paraphrases, re-crawls through different boilerplate,
+    * translations round-tripped) only show up in embedding space. The
+    * published pipeline, Spark-first:
+    *
+    *   1. coarse-cluster every embedding with e04's deterministic
+    *      quantizer ([[IvfK]] clusters; in production k scales ∝ N so
+    *      cluster size — and with it the per-cluster pair count, the
+    *      quadratic term — stays CONSTANT as the corpus grows; the
+    *      `spark.graft.ivf.quantizer=kmeans` toggle trades the
+    *      cross-engine-verifiable fit for a trained one, same as e04);
+    *   2. score exact pairwise cosine WITHIN each cluster only and
+    *      keep edges ≥ [[SemThresh]] — the cross-cluster pair space
+    *      is never generated, which is the entire scale story;
+    *   3. converge the edges to a star forest with the shared CC
+    *      kernel ([[graft.dedup.Dedup.convergeForest]] — the same
+    *      kernel d11/d23 run on text near-dup edges);
+    *   4. census per semantic cluster: keep the minimum vec_id, drop
+    *      the rest.
+    *
+    * The corpus is base ∪ two deterministic perturbed generations
+    * (double-precision scale + shift — re-encoding stand-ins, the e03
+    * device), so every base vector anchors a live 3-member semantic
+    * cluster and the oracle verifies real positives, not an empty
+    * result. `n_base` counts members from the original table per
+    * cluster — in production the cross-generation containment signal.
+    */
+  def d30SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select("vec_id", "v")
+    val g1 = base.select((col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(v, x -> x * 1.0005d + 0.0001d)").as("v")) // corpus construction only — not a hot path
+    val g2 = base.select((col("vec_id") + 200000L).as("vec_id"),
+      expr("transform(v, x -> x * 0.9995d - 0.0001d)").as("v"))
+    val corpus = base.unionByName(g1).unionByName(g2)
+      .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
+      .where(col("nrm") > 0.0)
+    val centsDf = centroidsDf(spark, fitCentroids(corpus))
+    // persisted because BOTH sides of the within-cluster pair join read
+    // it; released eagerly once the forest is materialized (s05 pattern)
+    val assigned = assignToNearest(spark, corpus, centsDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val edges = a.join(b, Seq("centroid_id"))
+      .where(col("vec_a") < col("vec_b") &&
+        dotOf(spark, "va", "vb") / (col("na") * col("nb")) >= SemThresh)
+      .select(col("vec_a").as("u"), col("vec_b").as("v"))
+    // convergeForest materializes its input eagerly, so the release
+    // below never recomputes the pair join
+    val forest = graft.dedup.Dedup.convergeForest(spark, edges, "d30")
+    assigned.unpersist()
+    val labels = forest.select(col("u").as("node"), col("v").as("cluster_id"))
+      .union(forest.select(col("v").as("node"), col("v").as("cluster_id")))
+      .distinct()
+    labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        count(when(col("node") < 100000L, 1)).as("n_base"))
+      .where(col("n_members") >= 2)
   }
 }

@@ -74,6 +74,7 @@ class EmptyInputSpec extends SparkSpec {
       "w11" -> (() => graft.sources.Sinks.w11CompactSnapshots(spark, emptyDir).count()),
       "w12" -> (() => graft.sources.Sinks.w12ExpireSnapshots(spark, emptyDir).count()),
       "w13" -> (() => graft.sources.Sinks.w13IncrementalRead(spark, emptyDir).count()),
+      "d30" -> (() => graft.sim.Sim.d30SemanticDedup(spark, emptyDir).count()),
       "d28" -> (() => graft.dedup.Dedup.d28Containment(spark, emptyDir).count()),
       "d29" -> (() => graft.text.Corpus.d29BloomDecontam(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>

@@ -273,6 +273,23 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("d30 semantic dedup finds every planted 3-member cluster; pairs never leave their coarse cell") {
+    import graft.sim.Sim
+    val out = Sim.d30SemanticDedup(spark, sfDir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one semantic cluster per base vector: {x, x+100000, x+200000},
+    // anchored at the base id (the component minimum), with exactly one
+    // base member — nothing unrelated ever crosses the 0.99 threshold
+    val nBase = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == nBase, s"${rows.length} clusters for $nBase base vectors")
+    assert(rows.forall { case (cid, m, b) => cid < 100000L && m == 3L && b == 1L })
+    // scale pin: the pair space is generated per coarse cell, never as
+    // a corpus cartesian — the only nested-loop join in the plan is the
+    // 16-row broadcast centroid table
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "d30 planned a cartesian pair join")
+  }
+
   test("d29 bloom decontam equals d14 exactly; the bitset prunes without false negatives") {
     import graft.text.Corpus
     // the operator end-to-end: row-identical to the exact join
