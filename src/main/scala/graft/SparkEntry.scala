@@ -98,6 +98,7 @@ object SparkEntry {
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
     "m03_container_source" -> Multimodal.m03ContainerSource _,
     "m04_audio_features"  -> Multimodal.m04AudioFeatures _,
+    "m05_video_frames"    -> Multimodal.m05VideoFrames _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -1711,6 +1712,29 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0) AS BIGINT)
         |    AS n_sign_flips
         |FROM w GROUP BY doc_id""".stripMargin,
+    // m05 regenerates each sampled frame's raster from the channel
+    // formulas; Spark round-trips the SAME raster through the real
+    // GVF1 container (header + frame index + seek) and the real P6
+    // parser — an index, header, or channel-order error on the Spark
+    // side breaks the hash match.
+    "m05_video_frames" ->
+      """WITH ids AS (SELECT doc_id, 6 + doc_id % 7 AS nf FROM documents),
+        |fr AS (SELECT doc_id, nf, unnest(range(0, nf)) AS frame_no FROM ids),
+        |samp AS (SELECT doc_id, nf, frame_no FROM fr WHERE frame_no % 3 = 0),
+        |px AS (SELECT doc_id, nf, frame_no, unnest(range(0, 48)) AS p FROM samp),
+        |chan AS (
+        |  SELECT doc_id, nf, frame_no,
+        |    (doc_id*7 + frame_no*13 + p*3) % 256 AS r,
+        |    (doc_id*11 + frame_no*5 + p*7) % 256 AS g,
+        |    (doc_id*13 + frame_no*3 + p*11) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id, frame_no, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(count(*) FILTER (WHERE 299*r + 587*g + 114*b < 64000) AS BIGINT)
+        |    AS n_dark
+        |FROM chan GROUP BY doc_id, frame_no, nf""".stripMargin,
   )
 
   /** m01's deterministic decode in DuckDB terms — shared by the

@@ -81,6 +81,40 @@ object Multimodal {
     * text payloads) byte-exact.
     */
   def decodePpm(payload: Array[Byte]): Option[Array[Double]] = {
+    val (w, h, off) = ppmRaster(payload) match {
+      case Some(t) => t
+      case None    => return None
+    }
+    var i = off
+    val n = w.toLong * h
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var sumLuma = 0L; var sumLumaSq = 0L
+    var nDark = 0L; var nBright = 0L
+    var p = i
+    while (p < payload.length) {
+      val r = payload(p) & 0xff; val g = payload(p + 1) & 0xff; val b = payload(p + 2) & 0xff
+      sumR += r; sumG += g; sumB += b
+      val luma = 299L * r + 587L * g + 114L * b // ×1000 fixed-point
+      sumLuma += luma; sumLumaSq += luma * luma
+      if (luma < 64000L) nDark += 1
+      if (luma >= 192000L) nBright += 1
+      p += 3
+    }
+    val meanLuma = sumLuma.toDouble / n
+    val varLuma = (sumLumaSq.toDouble / n - meanLuma * meanLuma) / (1000.0 * 255.0 * 1000.0 * 255.0)
+    Some(Array(
+      sumR.toDouble / (255.0 * n), sumG.toDouble / (255.0 * n), sumB.toDouble / (255.0 * n),
+      meanLuma / (1000.0 * 255.0), varLuma,
+      nDark.toDouble / n, nBright.toDouble / n,
+      w.toDouble / h))
+  }
+
+  /** P6 header parse shared by [[decodePpm]] and the m05 frame walk:
+    * returns (width, height, raster offset) for a COMPLETE well-formed
+    * binary PPM (magic, optional `#` comments, maxval 255, exactly
+    * 3·w·h raster bytes), None otherwise.
+    */
+  private[graft] def ppmRaster(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
     var i = 2
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
@@ -114,28 +148,8 @@ object Multimodal {
     // exactly ONE whitespace byte separates maxval from the raster
     if (i >= payload.length || !isWs(payload(i))) return None
     i += 1
-    val n = w.toLong * h
-    if (payload.length - i != 3 * n) return None
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
-    var sumLuma = 0L; var sumLumaSq = 0L
-    var nDark = 0L; var nBright = 0L
-    var p = i
-    while (p < payload.length) {
-      val r = payload(p) & 0xff; val g = payload(p + 1) & 0xff; val b = payload(p + 2) & 0xff
-      sumR += r; sumG += g; sumB += b
-      val luma = 299L * r + 587L * g + 114L * b // ×1000 fixed-point
-      sumLuma += luma; sumLumaSq += luma * luma
-      if (luma < 64000L) nDark += 1
-      if (luma >= 192000L) nBright += 1
-      p += 3
-    }
-    val meanLuma = sumLuma.toDouble / n
-    val varLuma = (sumLumaSq.toDouble / n - meanLuma * meanLuma) / (1000.0 * 255.0 * 1000.0 * 255.0)
-    Some(Array(
-      sumR.toDouble / (255.0 * n), sumG.toDouble / (255.0 * n), sumB.toDouble / (255.0 * n),
-      meanLuma / (1000.0 * 255.0), varLuma,
-      nDark.toDouble / n, nBright.toDouble / n,
-      w.toDouble / h))
+    if (payload.length - i != 3L * w * h) return None
+    Some((w, h, i))
   }
 
   /** Real decoder for uncompressed 24-bit BMP images (the other
@@ -387,6 +401,119 @@ object Multimodal {
           i += 1
         }
         AudioFeatures(id, rate.toLong, s.length.toLong, ss, flips)
+      }
+    }.toDF()
+  }
+
+  /** m05 video container geometry: every frame is an 8×6 binary P6
+    * PPM; a document's clip has 6 + id % 7 frames and every 3rd frame
+    * is sampled (the standard stride-sampling a vision-language
+    * pipeline does before the expensive per-frame model).
+    */
+  val VideoW = 8
+  val VideoH = 6
+  val VideoStride = 3
+
+  private[graft] def videoFrameCount(id: Long): Int = (6 + id % 7).toInt
+
+  /** Deterministic raster for frame `f` of doc `id`: channel values
+    * are mod-256 affine forms of (id, frame, pixel), so the DuckDB
+    * oracle regenerates the SIGNAL from the formula while Spark
+    * round-trips it through the real container + PPM codec.
+    */
+  private[graft] def synthFrameRaster(id: Long, f: Int): Array[Byte] = {
+    val out = new Array[Byte]((VideoW * VideoH * 3))
+    var p = 0
+    while (p < VideoW * VideoH) {
+      out(p * 3) = (((id * 7 + f.toLong * 13 + p.toLong * 3) % 256)).toByte
+      out(p * 3 + 1) = (((id * 11 + f.toLong * 5 + p.toLong * 7) % 256)).toByte
+      out(p * 3 + 2) = (((id * 13 + f.toLong * 3 + p.toLong * 11) % 256)).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** Encode doc `id`'s clip into the GVF1 container: a 20-byte header
+    * (magic, frame count, width, height, fps·1000), then a fixed-width
+    * frame INDEX of (offset, length) pairs, then the concatenated
+    * P6 PPM frame payloads — the moov-atom idea in miniature: a reader
+    * resolves the index and seeks straight to the frames it wants.
+    */
+  private[graft] def encodeVideo(id: Long): Array[Byte] = {
+    val nf = videoFrameCount(id)
+    val header = s"P6\n$VideoW $VideoH\n255\n".getBytes("US-ASCII")
+    val frames = Array.tabulate(nf)(f => header ++ synthFrameRaster(id, f))
+    val indexBytes = 12 * nf
+    val bb = java.nio.ByteBuffer.allocate(
+        20 + indexBytes + frames.map(_.length).sum)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("GVF1".getBytes("US-ASCII"))
+      .putInt(nf).putInt(VideoW).putInt(VideoH).putInt(24000)
+    var off = 20L + indexBytes
+    frames.foreach { fr => bb.putLong(off).putInt(fr.length); off += fr.length }
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Parse the container and return ONLY the stride-sampled frames as
+    * (frame_no, n_frames, ppm payload): the header and index are read,
+    * then each sampled frame is sliced at its index offset — the bytes
+    * of unsampled frames are never touched (on an FS-backed container
+    * this is a seek, and the spec pins it by tampering an unsampled
+    * frame and asserting identical output).
+    */
+  private[graft] def sampleFrames(c: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    if (!java.util.Arrays.equals(magic, "GVF1".getBytes("US-ASCII")))
+      throw new IllegalStateException("not a GVF1 video container")
+    val nf = bb.getInt
+    val w = bb.getInt; val h = bb.getInt; bb.getInt // fps·1000, unused here
+    if (nf < 0 || w != VideoW || h != VideoH)
+      throw new IllegalStateException(s"corrupt GVF1 header: nf=$nf ${w}x$h")
+    val index = Array.tabulate(nf)(_ => (bb.getLong, bb.getInt))
+    (0 until nf by VideoStride).map { f =>
+      val (off, len) = index(f)
+      if (off < 0 || len < 0 || off + len > c.length)
+        throw new IllegalStateException(s"frame $f index out of bounds")
+      (f, nf, java.util.Arrays.copyOfRange(c, off.toInt, off.toInt + len))
+    }
+  }
+
+  /** Typed row for the video stage: integer-exact per-frame features. */
+  case class VideoFrame(doc_id: Long, frame_no: Long, n_frames: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, n_dark: Long)
+
+  /** m05: video frame sampling — the video modality of the media
+    * pipeline: per-document clips in a real indexed container (GVF1 —
+    * header + frame index + P6 PPM frames), stride-sampled via the
+    * index so unsampled frames are NEVER read, each sampled frame
+    * decoded by the real PPM parser ([[ppmRaster]] — the same codec
+    * m01 uses) and reduced to integer-exact channel statistics. Same
+    * mapPartitions codec shape as m01/m04: at 100 TB the frame bytes
+    * never shuffle — per-frame features only, and the index walk makes
+    * per-clip decode cost proportional to SAMPLED frames, not clip
+    * length (the property that matters when a clip is 10⁵ frames and
+    * the pipeline wants 10²).
+    */
+  def m05VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.flatMap { id =>
+      sampleFrames(encodeVideo(id)).map { case (f, nf, ppm) =>
+        val (w, h, off) = ppmRaster(ppm).getOrElse(
+          throw new IllegalStateException(s"frame $f of doc $id is not a valid P6 PPM"))
+        var sr = 0L; var sg = 0L; var sb = 0L; var nd = 0L
+        var p = off
+        while (p < ppm.length) {
+          val r = ppm(p) & 0xff; val g = ppm(p + 1) & 0xff; val b = ppm(p + 2) & 0xff
+          sr += r; sg += g; sb += b
+          if (299L * r + 587L * g + 114L * b < 64000L) nd += 1
+          p += 3
+        }
+        require(w == VideoW && h == VideoH)
+        VideoFrame(id, f.toLong, nf.toLong, sr, sg, sb, nd)
       }
     }.toDF()
   }

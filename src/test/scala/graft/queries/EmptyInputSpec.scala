@@ -75,6 +75,7 @@ class EmptyInputSpec extends SparkSpec {
       "w12" -> (() => graft.sources.Sinks.w12ExpireSnapshots(spark, emptyDir).count()),
       "w13" -> (() => graft.sources.Sinks.w13IncrementalRead(spark, emptyDir).count()),
       "d30" -> (() => graft.sim.Sim.d30SemanticDedup(spark, emptyDir).count()),
+      "m05" -> (() => graft.multimodal.Multimodal.m05VideoFrames(spark, emptyDir).count()),
       "d28" -> (() => graft.dedup.Dedup.d28Containment(spark, emptyDir).count()),
       "d29" -> (() => graft.text.Corpus.d29BloomDecontam(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>

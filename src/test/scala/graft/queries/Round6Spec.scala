@@ -273,6 +273,57 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("m05 reads frames through the container index; unsampled bytes are dead weight") {
+    import graft.multimodal.Multimodal
+    val id = 12345L
+    val c = Multimodal.encodeVideo(id)
+    val nf = Multimodal.videoFrameCount(id)
+    val frames = Multimodal.sampleFrames(c)
+    assert(frames.map(_._1) == (0 until nf by Multimodal.VideoStride))
+    assert(frames.forall(_._2 == nf))
+    def entry(k: Int): (Long, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.position(20 + 12 * k)
+      (bb.getLong, bb.getInt)
+    }
+    // tampering an UNSAMPLED frame (1, stride 3) changes nothing the
+    // reader emits — the index walk provably never touches those bytes
+    val (off1, len1) = entry(1)
+    val t1 = c.clone()
+    t1(off1.toInt + len1 - 1) = (t1(off1.toInt + len1 - 1) ^ 0x7f).toByte
+    assert(Multimodal.sampleFrames(t1).map(t => (t._1, t._3.toSeq)) ==
+      frames.map(t => (t._1, t._3.toSeq)))
+    // ...while tampering a SAMPLED frame (0) is visible
+    val (off0, len0) = entry(0)
+    val t0 = c.clone()
+    t0(off0.toInt + len0 - 1) = (t0(off0.toInt + len0 - 1) ^ 0x7f).toByte
+    assert(Multimodal.sampleFrames(t0).map(_._3.toSeq) != frames.map(_._3.toSeq))
+    // corrupt magic and an out-of-bounds index entry are loud errors
+    val bad = c.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalStateException] { Multimodal.sampleFrames(bad) }
+    // the operator end-to-end equals a driver-side walk of the formula
+    val got = Multimodal.m05VideoFrames(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val ids = graft.Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val expectRows = ids.map(i =>
+      (Multimodal.videoFrameCount(i) + Multimodal.VideoStride - 1) / Multimodal.VideoStride).sum
+    assert(got.size == expectRows)
+    for (d <- ids.take(25); f <- 0 until Multimodal.videoFrameCount(d) by Multimodal.VideoStride) {
+      val raster = Multimodal.synthFrameRaster(d, f)
+      var sr = 0L; var sg = 0L; var sb = 0L; var nd = 0L
+      for (p <- 0 until Multimodal.VideoW * Multimodal.VideoH) {
+        val r = raster(p * 3) & 0xff; val g = raster(p * 3 + 1) & 0xff
+        val b = raster(p * 3 + 2) & 0xff
+        sr += r; sg += g; sb += b
+        if (299L * r + 587L * g + 114L * b < 64000L) nd += 1
+      }
+      assert(got((d, f.toLong)) ==
+        ((Multimodal.videoFrameCount(d).toLong, sr, sg, sb, nd)))
+    }
+  }
+
   test("d30 semantic dedup finds every planted 3-member cluster; pairs never leave their coarse cell") {
     import graft.sim.Sim
     val out = Sim.d30SemanticDedup(spark, sfDir)
