@@ -58,6 +58,7 @@ object SparkEntry {
     "q32_trailing_window" -> Events.q32TrailingWindow _,
     "q33_funnel"          -> Events.q33Funnel _,
     "q34_retention"       -> Events.q34Retention _,
+    "q35_decayed_agg"     -> Relational.q35DecayedAgg _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -122,6 +123,7 @@ object SparkEntry {
     "w11_compact_snapshots" -> graft.sources.Sinks.w11CompactSnapshots _,
     "w12_expire_snapshots" -> graft.sources.Sinks.w12ExpireSnapshots _,
     "w13_incremental_read" -> graft.sources.Sinks.w13IncrementalRead _,
+    "w14_zorder_compact"  -> graft.sources.Sinks.w14ZorderCompact _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -528,6 +530,24 @@ object SparkEntry {
         |SELECT a.day, count(*) AS n_active, count(b.user_id) AS n_retained_next_day
         |FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
         |GROUP BY 1""".stripMargin,
+    // Freshness-decayed aggregation: integer days → quarter buckets →
+    // floor-division decay by 2^k (never pow() on doubles); the
+    // freshness ratio divides two exact integers once at the end.
+    "q35_decayed_agg" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+        |o AS (SELECT o_orderpriority,
+        |        CAST(round(o_totalprice * 1000) AS BIGINT) AS rm,
+        |        date_diff('day', o_orderdate, (SELECT max_d FROM mx)) AS age_days
+        |      FROM orders),
+        |d AS (SELECT o_orderpriority, rm,
+        |        rm // (CAST(1 AS BIGINT) << (age_days // 90)) AS dm
+        |      FROM o)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(rm) AS BIGINT) AS raw_milli,
+        |  CAST(sum(dm) AS BIGINT) AS decayed_milli,
+        |  CAST(CAST(sum(dm) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(rm) AS BIGINT) AS DOUBLE)
+        |    AS freshness
+        |FROM d GROUP BY 1""".stripMargin,
     // Snapshot diff: digest-compare both derived versions; counts are
     // exact integers.
     "d25_corpus_diff" ->
@@ -637,6 +657,17 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // w14's Z-ordered layout answers the n_chars-range predicate from
+    // only the bounding-box-intersecting files — the rollup must equal
+    // the plain filtered scan (same integer threshold device as w09,
+    // on the OTHER dimension).
+    "w14_zorder_compact" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE n_chars <= (SELECT min(n_chars) + (max(n_chars) - min(n_chars)) // 8
+        |                  FROM documents)
+        |GROUP BY 1""".stripMargin,
     // w13 reads the 1→3 manifest increment (two appended batches) —
     // exactly the rows NOT in snapshot 1's doc_id % 3 == 0 slice.
     "w13_incremental_read" ->

@@ -402,4 +402,38 @@ object Relational {
       .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"rev_exact".cast("double").as("total_revenue"))
   }
+
+  /** q35: freshness-decayed aggregation — the "how much of this data
+    * still matters" primitive a training-data mix shares with every
+    * time-weighted dashboard: value is half-lived per 90-day age
+    * bucket relative to the NEWEST row, so recent data dominates and
+    * stale data fades instead of falling off a cliff at an arbitrary
+    * cutoff date.
+    *
+    * Exactness contract: ages are integer days, buckets integer
+    * quarters, and the decay is floor-division of the milli-value by
+    * 2^k — pure integer arithmetic end to end (never pow() on
+    * doubles, whose last-ulp behavior is libm-specific), so the
+    * result can never drift cross-engine; the freshness ratio divides
+    * two exact integers (both < 2^53) once at the end. The reference
+    * date is a 1-row max() agg broadcast into the scan — no driver
+    * round trip, and the whole plan is scan → broadcast join →
+    * map-side-combined agg: one shuffle of 5 group rows at any scale.
+    */
+  def q35DecayedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val mx = o.agg(max($"o_orderdate").as("max_d"))
+    o.crossJoin(broadcast(mx))
+      .withColumn("rm", expr("CAST(round(o_totalprice * 1000) AS BIGINT)"))
+      .withColumn("k", expr("datediff(max_d, o_orderdate) div 90"))
+      .withColumn("dm", expr("rm div shiftleft(1L, k)"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"rm").as("raw_milli"),
+        sum($"dm").as("decayed_milli"))
+      .withColumn("freshness",
+        $"decayed_milli".cast("double") / $"raw_milli".cast("double"))
+  }
 }

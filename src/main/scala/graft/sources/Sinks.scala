@@ -557,6 +557,101 @@ object Sinks {
     (expired.length, orphans.length)
   }
 
+  /** w14: Z-order compaction — multi-dimensional clustering, the
+    * OPTIMIZE ZORDER BY primitive: w09's range layout prunes doc_id
+    * predicates, but a predicate on any OTHER column intersects every
+    * file. Interleaving the bits of per-dimension range buckets
+    * (16×16 grid → 8-bit Z value, all integer bit arithmetic inside
+    * codegen) and range-laying the files on Z gives every file a
+    * tight bounding BOX in both dimensions, so the manifest's
+    * per-file (min,max) stats prune a predicate on EITHER column. At
+    * 100 TB this is the difference between "fast on the cluster key,
+    * full scan on everything else" and file-skipping on every
+    * dimension the table is curated by. The operator publishes the
+    * corpus Z-ordered with 2-D stats and answers an n_chars-range
+    * rollup — the dimension w09's layout cannot prune — from only the
+    * intersecting files; the spec pins strict-subset opens on BOTH
+    * dimensions.
+    */
+  def w14ZorderCompact(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "zorder")
+    val docs = Tables.documents(spark, dir)
+    publishZordered(spark, docs, root)
+    val schema = docs.schema
+    dimThreshold(docs, "n_chars") match {
+      case None => // empty corpus: empty frame with the rollup schema
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      case Some(hi) =>
+        val files = pruneFilesDim(spark, root, dim = 1, Long.MinValue, hi)
+        val base =
+          if (files.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema).parquet(files: _*)
+        base.where(col("n_chars") <= hi)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }
+  }
+
+  /** Lower-eighth value threshold for a dimension (w09's device). */
+  private[graft] def dimThreshold(docs: DataFrame, c: String): Option[Long] = {
+    val r = docs.agg(min(c), max(c)).head()
+    if (r.isNullAt(0)) None
+    else Some(r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8)
+  }
+
+  /** Publish the corpus Z-ordered on (doc_id, n_chars) with per-file
+    * (min,max) stats for BOTH dimensions in the manifest. The Z value
+    * interleaves the bits of each dimension's 16-bucket range index —
+    * pure integer shifts/masks, fully inside whole-stage codegen.
+    */
+  private[graft] def publishZordered(
+      spark: SparkSession, docs: DataFrame, root: String): Unit = {
+    val out = s"$root/data/snap1"
+    val r = docs.agg(min("doc_id"), max("doc_id"), min("n_chars"), max("n_chars")).head()
+    val (loI, hiI, loC, hiC) =
+      if (r.isNullAt(0)) (0L, 0L, 0L, 0L)
+      else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val wI = (hiI - loI) / 16 + 1
+    val wC = (hiC - loC) / 16 + 1
+    val z = expr(
+      s"""(((doc_id - $loI) div $wI) & 1)
+         | | (((n_chars - $loC) div $wC) & 1) << 1
+         | | (((doc_id - $loI) div $wI) & 2) << 1
+         | | (((n_chars - $loC) div $wC) & 2) << 2
+         | | (((doc_id - $loI) div $wI) & 4) << 2
+         | | (((n_chars - $loC) div $wC) & 4) << 3
+         | | (((doc_id - $loI) div $wI) & 8) << 3
+         | | (((n_chars - $loC) div $wC) & 8) << 4""".stripMargin.replace("\n", " "))
+    docs.withColumn("zv", z)
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions("zv")
+      .drop("zv")
+      .write.mode("overwrite").parquet(out)
+    val stats = spark.read.schema(docs.schema).parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo_i"), max("doc_id").as("hi_i"),
+        min("n_chars").as("lo_c"), max("n_chars").as("hi_c"))
+      .collect()
+      .map(r => s"${new java.net.URI(r.getString(0)).getPath}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}\t${r.getLong(4)}")
+      .toIndexedSeq.sorted
+    commitManifest(spark, root, 1, stats)
+  }
+
+  /** Resolve the 2-D stats manifest and return only files whose zone
+    * for dimension `dim` (0 = doc_id, 1 = n_chars) intersects
+    * [qlo, qhi].
+    */
+  private[graft] def pruneFilesDim(
+      spark: SparkSession, root: String, dim: Int, qlo: Long, qhi: Long): Seq[String] =
+    manifestLines(spark, root).flatMap { line =>
+      val parts = line.split('\t')
+      val (lo, hi) = (parts(1 + 2 * dim).toLong, parts(2 + 2 * dim).toLong)
+      if (lo <= qhi && hi >= qlo) Some(parts(0)) else None
+    }
+
   /** w13: incremental (CDC-style) read — "exactly the rows that landed
     * between snapshot A and snapshot B". Data files are immutable and
     * every manifest is the complete file list of its snapshot, so the

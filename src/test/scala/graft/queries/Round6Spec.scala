@@ -273,6 +273,77 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("w14 z-order prunes both dimensions; the single-dimension layout cannot") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.DataFrame
+    val root = "/tmp/graft_w14_spec"
+    rmTree(root)
+    val docs = graft.Tables.documents(spark, sfDir)
+    Sinks.publishZordered(spark, docs, root)
+    val total = Sinks.manifestLines(spark, root).size
+    assert(total == 8)
+    val hiI = Sinks.dimThreshold(docs, "doc_id").get
+    val hiC = Sinks.dimThreshold(docs, "n_chars").get
+    // both dimensions prune to strict subsets of the z-ordered files
+    val byId = Sinks.pruneFilesDim(spark, root, 0, Long.MinValue, hiI)
+    val byChars = Sinks.pruneFilesDim(spark, root, 1, Long.MinValue, hiC)
+    assert(byId.size < total, s"doc_id dim did not prune: ${byId.size}/$total")
+    assert(byChars.size < total, s"n_chars dim did not prune: ${byChars.size}/$total")
+    // the pruned reads answer exactly
+    def rollup(df: DataFrame): Map[String, Long] =
+      df.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val schema = docs.schema
+    assert(rollup(spark.read.schema(schema).parquet(byChars: _*)
+        .where(col("n_chars") <= hiC)) ==
+      rollup(docs.where(col("n_chars") <= hiC)))
+    assert(rollup(spark.read.schema(schema).parquet(byId: _*)
+        .where(col("doc_id") <= hiI)) ==
+      rollup(docs.where(col("doc_id") <= hiI)))
+    // contrast with the single-dimension layout: lay the SAME corpus
+    // out range-sorted on doc_id (w09's layout) and count the files an
+    // n_chars zone map would keep — the clustered dimension prunes,
+    // the other one opens (nearly) everything
+    val flat = "/tmp/graft_w14_flat_spec"
+    rmTree(flat)
+    docs.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(flat)
+    val flatOpens = spark.read.schema(schema).parquet(flat)
+      .groupBy(input_file_name()).agg(min("n_chars").as("lo"))
+      .collect().count(_.getLong(1) <= hiC)
+    assert(byChars.size < flatOpens,
+      s"z-order (${byChars.size} files) should beat the doc_id layout ($flatOpens) on n_chars")
+  }
+
+  test("q35 decayed agg equals a driver-side integer walk; reference date broadcasts") {
+    import java.time.temporal.ChronoUnit
+    val got = Relational.q35DecayedAgg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // brute force: same integer arithmetic, one row at a time
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice", "o_orderdate").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate))
+    val maxD = orders.map(_._3).max
+    val expect = orders.groupBy(_._1).map { case (prio, rows) =>
+      var raw = 0L; var dec = 0L
+      rows.foreach { case (_, price, d) =>
+        val rm = math.round(price * 1000)
+        val k = (ChronoUnit.DAYS.between(d, maxD) / 90).toInt
+        raw += rm; dec += rm / (1L << k)
+      }
+      prio -> ((rows.length.toLong, raw, dec, dec.toDouble / raw.toDouble))
+    }
+    assert(got == expect)
+    // freshness is a proper fraction everywhere (decay only shrinks)
+    assert(got.values.forall { case (_, raw, dec, f) => dec <= raw && f > 0.0 && f <= 1.0 })
+    // the reference date joins as a broadcast, never a driver round trip
+    val plan = Relational.q35DecayedAgg(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "q35's max-date scalar should broadcast into the scan")
+  }
+
   test("m05 reads frames through the container index; unsampled bytes are dead weight") {
     import graft.multimodal.Multimodal
     val id = 12345L
