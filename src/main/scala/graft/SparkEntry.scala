@@ -124,6 +124,7 @@ object SparkEntry {
     "w12_expire_snapshots" -> graft.sources.Sinks.w12ExpireSnapshots _,
     "w13_incremental_read" -> graft.sources.Sinks.w13IncrementalRead _,
     "w14_zorder_compact"  -> graft.sources.Sinks.w14ZorderCompact _,
+    "w15_row_deletes"     -> graft.sources.Sinks.w15RowDeletes _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -657,6 +658,15 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // w15 copy-on-write-deletes the lower-eighth doc_id range and
+    // reads back through the new manifest: exactly the surviving rows.
+    "w15_row_deletes" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id > (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 8
+        |                FROM documents)
+        |GROUP BY 1""".stripMargin,
     // w14's Z-ordered layout answers the n_chars-range predicate from
     // only the bounding-box-intersecting files — the rollup must equal
     // the plain filtered scan (same integer threshold device as w09,

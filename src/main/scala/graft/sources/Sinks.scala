@@ -557,6 +557,91 @@ object Sinks {
     (expired.length, orphans.length)
   }
 
+  /** w15: copy-on-write row-level deletes — the compliance primitive
+    * (GDPR erasure, takedown requests, per-user opt-out) a training
+    * corpus cannot ship without. Deleting rows from an immutable
+    * layout means REWRITING files — and the zone-map stats make that
+    * surgical: only files whose (min,max) doc_id window intersects
+    * the delete predicate are opened and rewritten; every other file
+    * is carried into the new manifest untouched, byte-identical. The
+    * new manifest commits with the same one-rename atomicity as any
+    * snapshot, so readers flip from "rows present" to "rows gone" in
+    * one step — and the SUPERSEDED snapshot still serves the deleted
+    * rows for as-of reads until expiry (w12) garbage-collects it:
+    * erasure becomes durable exactly when retention policy says so.
+    * At 100 TB the delete cost is proportional to the files the
+    * predicate touches, never to the table.
+    */
+  def w15RowDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "rowdel")
+    val docs = Tables.documents(spark, dir)
+    publishWithStats(spark, docs, root) // snapshot 1: range layout + stats
+    idRangeThreshold(docs).foreach { thr =>
+      deleteIdRange(spark, docs.schema, root, Long.MinValue, thr) // snapshot 2
+    }
+    readStatsPublished(spark, docs.schema, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
+  /** Copy-on-write delete of doc_id ∈ [qlo, qhi] from the live stats
+    * manifest: affected files (zone intersection) are read, filtered
+    * and rewritten under the next snapshot; untouched files carry
+    * over verbatim. Returns (files rewritten, files carried).
+    */
+  private[graft] def deleteIdRange(
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      root: String, qlo: Long, qhi: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val live = fs.globStatus(new HPath(s"$root/manifest-*"))
+      .map(_.getPath.getName.stripPrefix("manifest-").toInt).max
+    val lines = manifestLines(spark, root)
+    val (affected, untouched) = lines.partition { line =>
+      val p = line.split('\t')
+      p(1).toLong <= qhi && p(2).toLong >= qlo
+    }
+    val n = live + 1
+    val rewrittenStats =
+      if (affected.isEmpty) Seq.empty[String]
+      else {
+        val out = s"$root/data/snap$n"
+        spark.read.schema(schema).parquet(affected.map(_.split('\t')(0)): _*)
+          .where(!(col("doc_id") >= qlo && col("doc_id") <= qhi))
+          .repartitionByRange(math.max(1, affected.size), col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(out)
+        val written = fs.globStatus(new HPath(s"$out/part-*.parquet"))
+        if (written.isEmpty) Seq.empty[String]
+        else spark.read.schema(schema)
+          .parquet(written.map(_.getPath.toUri.getPath).toIndexedSeq: _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+          .collect()
+          .map(r => s"${new java.net.URI(r.getString(0)).getPath}\t${r.getLong(1)}\t${r.getLong(2)}")
+          .toIndexedSeq.sorted
+      }
+    commitManifest(spark, root, n, untouched ++ rewrittenStats)
+    (affected.length, untouched.length)
+  }
+
+  /** Read a stats-manifest table (latest, or as-of `asOf`): resolve
+    * the manifest, strip the stats columns, read exactly those files.
+    */
+  private[graft] def readStatsPublished(
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      root: String, asOf: Option[Int] = None): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val lines = asOf match {
+      case Some(n) => manifestFilesAt(spark, root, n)
+      case None    => manifestLines(spark, root)
+    }
+    val files = lines.map(_.split('\t')(0))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
   /** w14: Z-order compaction — multi-dimensional clustering, the
     * OPTIMIZE ZORDER BY primitive: w09's range layout prunes doc_id
     * predicates, but a predicate on any OTHER column intersects every

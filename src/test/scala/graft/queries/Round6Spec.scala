@@ -273,6 +273,48 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("w15 deletes rewrite only zone-intersecting files; the superseded snapshot still serves") {
+    import graft.sources.Sinks
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = "/tmp/graft_w15_spec"
+    rmTree(root)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val schema = docs.schema
+    Sinks.publishWithStats(spark, docs, root)
+    val thr = Sinks.idRangeThreshold(docs).get
+    val before = Sinks.manifestLines(spark, root)
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    def meta(p: String): (Long, Long) = {
+      val s = fs.getFileStatus(new HPath(p)); (s.getLen, s.getModificationTime)
+    }
+    val metaBefore = before.map(_.split('\t')(0)).map(p => p -> meta(p)).toMap
+    val (rewritten, carried) = Sinks.deleteIdRange(spark, schema, root, Long.MinValue, thr)
+    // surgical: the zone maps confine the rewrite to the intersecting files
+    assert(rewritten > 0 && carried > 0 && rewritten < before.size,
+      s"rewrote $rewritten of ${before.size} files, carried $carried")
+    val after = Sinks.manifestLines(spark, root)
+    val afterPaths = after.map(_.split('\t')(0)).toSet
+    // carried files are referenced verbatim and untouched on disk
+    val carriedPaths = before.map(_.split('\t')(0)).filter(afterPaths.contains)
+    assert(carriedPaths.size == carried)
+    assert(carriedPaths.forall(p => meta(p) == metaBefore(p)),
+      "a carried file was modified by the delete")
+    // live read: deleted rows gone, every other row intact
+    val live = Sinks.readStatsPublished(spark, schema, root)
+    assert(live.where(col("doc_id") <= thr).count() == 0L)
+    assert(live.count() == docs.where(col("doc_id") > thr).count())
+    // the superseded snapshot still serves the deleted rows — erasure
+    // becomes durable through w12 expiry, exactly when retention says
+    assert(Sinks.readStatsPublished(spark, schema, root, asOf = Some(1)).count() == docs.count())
+    // the rewritten files' manifest stats are true
+    for (line <- after if !metaBefore.contains(line.split('\t')(0))) {
+      val Array(p, lo, hi) = line.split('\t')
+      val r = spark.read.schema(schema).parquet(p)
+        .agg(min("doc_id"), max("doc_id")).head()
+      assert(r.getLong(0) == lo.toLong && r.getLong(1) == hi.toLong)
+    }
+  }
+
   test("w14 z-order prunes both dimensions; the single-dimension layout cannot") {
     import graft.sources.Sinks
     import org.apache.spark.sql.DataFrame
