@@ -69,6 +69,7 @@ object SparkEntry {
     "d08_ngram_jaccard"   -> Dedup.d08NgramJaccard _,
     "d28_containment"     -> Dedup.d28Containment _,
     "d29_bloom_decontam"  -> graft.text.Corpus.d29BloomDecontam _,
+    "d31_reference_lm"    -> graft.text.Corpus.d31ReferenceLm _,
     "d09_chunk"           -> Text.d09Chunk _,
     "d11_dup_clusters"    -> Dedup.d11DupClusters _,
     "d12_tfidf"           -> Text.d12TfIdf _,
@@ -1463,6 +1464,28 @@ object SparkEntry {
     // d29 is d14 with a Bloom pre-filter whose false positives the
     // exact verify join removes — row-identical, same oracle
     "d29_bloom_decontam" -> decontamOracleSql,
+    // d31 trains the bigram "LM" on the bench slice and scores the
+    // crawl — integer counts end to end, no log-probs (libm-safe).
+    "d31_reference_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
+        |      < 20000000 AS is_bench
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_bench,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM d WHERE len(toks) >= 2),
+        |m AS (SELECT gram, count(*) AS ref_freq FROM g WHERE is_bench GROUP BY 1),
+        |s AS (SELECT g.doc_id, g.gram, m.ref_freq
+        |      FROM g LEFT JOIN m USING (gram) WHERE NOT g.is_bench)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(count(*) FILTER (ref_freq IS NULL) AS BIGINT) AS n_unseen,
+        |  CAST(sum(coalesce(ref_freq, 0)) AS BIGINT) AS sum_ref_freq,
+        |  CAST(count(*) - count(*) FILTER (ref_freq IS NULL) AS DOUBLE)
+        |    / count(*) AS coverage
+        |FROM s GROUP BY 1""".stripMargin,
     // s09 is d14 deployed at ingestion: one AvailableNow pass over the
     // document stream must reproduce the batch decontamination exactly.
     "s09_stream_decontam" -> decontamOracleSql,

@@ -340,4 +340,47 @@ object Corpus {
           regexp_replace(col("text"), EmailRe, "[EMAIL]"),
           Ipv4Re, "[IP]"),
         PhoneRe, "[PHONE]").as("scrubbed"))
+
+  /** Token bigrams WITH multiplicity (no array_distinct — a language
+    * model counts occurrences, not presence) for every doc with ≥ 2
+    * tokens. Same tokenizer as every other text operator.
+    */
+  private[graft] def tokenBigrams(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), Text.wsTokens(lower(col("text"))).as("toks"))
+    .where(size(col("toks")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))")).as("gram"))
+
+  /** d31: reference-LM fluency scoring — the CCNet/Gopher filter
+    * shape: a language model trained on a TRUSTED reference slice
+    * scores the crawl, and gibberish / non-language / boilerplate
+    * scores poorly. The "LM" here is the token-bigram count table of
+    * the bench slice (d14's reference split), broadcast into one agg
+    * over the crawl's bigram stream — the exact plan a perplexity
+    * filter runs at 100 TB (model broadcast, data scanned once, no
+    * shuffle wider than the per-doc rollup).
+    *
+    * Integer-exact by design: per crawl doc we emit total bigrams,
+    * bigrams UNSEEN by the reference, the summed reference frequency,
+    * and a coverage ratio of two exact integers. No log-probs on
+    * purpose — ln() differs across libms in the last ulp, while
+    * integer counts (and therefore the induced quality RANKING)
+    * reproduce on any engine; a production deployment would bin
+    * log-probs on top of the same plan.
+    */
+  def d31ReferenceLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = tokenBigrams(docs.where(isBenchCol))
+      .groupBy("gram").agg(count(lit(1)).as("ref_freq"))
+    tokenBigrams(docs.where(!isBenchCol))
+      .join(broadcast(model), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("ref_freq").isNull, 1)).as("n_unseen"),
+        sum(coalesce(col("ref_freq"), lit(0L))).as("sum_ref_freq"))
+      .withColumn("coverage",
+        (col("n_bigrams") - col("n_unseen")).cast("double") /
+          col("n_bigrams").cast("double"))
+  }
 }

@@ -273,6 +273,41 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("d31 reference-LM scores equal a driver-side model rebuild; the model broadcasts") {
+    import graft.text.Corpus
+    val out = Corpus.d31ReferenceLm(spark, sfDir)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // rebuild the bigram LM and the scores from first principles
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), Corpus.isBenchCol.as("b")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getBoolean(2)))
+    def bigrams(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.size < 2) Seq.empty else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val model = docs.filter(_._3).flatMap(d => bigrams(d._2))
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val expect = docs.filterNot(_._3).flatMap { case (id, t, _) =>
+      val bs = bigrams(t)
+      if (bs.isEmpty) None
+      else {
+        val unseen = bs.count(!model.contains(_)).toLong
+        val n = bs.size.toLong
+        Some(id -> ((n, unseen, bs.map(model.getOrElse(_, 0L)).sum,
+          (n - unseen).toDouble / n.toDouble)))
+      }
+    }.toMap
+    assert(got == expect)
+    // live signal at spec scale: some bigrams are covered, some unseen
+    assert(got.values.exists(_._2 > 0) && got.values.exists(v => v._1 > v._2))
+    // the LM joins as a broadcast — the crawl gram stream never
+    // shuffles on gram
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "d31's model should broadcast")
+  }
+
   test("w15 deletes rewrite only zone-intersecting files; the superseded snapshot still serves") {
     import graft.sources.Sinks
     import org.apache.hadoop.fs.{Path => HPath}
