@@ -113,6 +113,7 @@ object SparkEntry {
     "s10_stream_ann_serve" -> Streams.s10StreamAnnServe _,
     "s11_stream_sampler"  -> Streams.s11StreamSampler _,
     "s12_stream_publish"  -> Streams.s12StreamPublish _,
+    "s13_stream_quality_lm" -> Streams.s13StreamQualityLm _,
     "w01_sink_partitioned" -> graft.sources.Sinks.w01SinkPartitioned _,
     "w02_sink_bucketed"   -> graft.sources.Sinks.w02SinkBucketed _,
     "w03_sink_compacted"  -> graft.sources.Sinks.w03SinkCompacted _,
@@ -1466,26 +1467,10 @@ object SparkEntry {
     "d29_bloom_decontam" -> decontamOracleSql,
     // d31 trains the bigram "LM" on the bench slice and scores the
     // crawl — integer counts end to end, no log-probs (libm-safe).
-    "d31_reference_lm" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
-        |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
-        |      < 20000000 AS is_bench
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, is_bench,
-        |    unnest(list_transform(range(1, len(toks)),
-        |      i -> toks[i] || ' ' || toks[i+1])) AS gram
-        |  FROM d WHERE len(toks) >= 2),
-        |m AS (SELECT gram, count(*) AS ref_freq FROM g WHERE is_bench GROUP BY 1),
-        |s AS (SELECT g.doc_id, g.gram, m.ref_freq
-        |      FROM g LEFT JOIN m USING (gram) WHERE NOT g.is_bench)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(count(*) FILTER (ref_freq IS NULL) AS BIGINT) AS n_unseen,
-        |  CAST(sum(coalesce(ref_freq, 0)) AS BIGINT) AS sum_ref_freq,
-        |  CAST(count(*) - count(*) FILTER (ref_freq IS NULL) AS DOUBLE)
-        |    / count(*) AS coverage
-        |FROM s GROUP BY 1""".stripMargin,
+    "d31_reference_lm" -> referenceLmOracleSql,
+    // s13 is d31 deployed at ingestion: one AvailableNow pass over the
+    // document stream must reproduce the batch scores exactly.
+    "s13_stream_quality_lm" -> referenceLmOracleSql,
     // s09 is d14 deployed at ingestion: one AvailableNow pass over the
     // document stream must reproduce the batch decontamination exactly.
     "s09_stream_decontam" -> decontamOracleSql,
@@ -1800,6 +1785,30 @@ object SparkEntry {
         |    AS n_dark
         |FROM chan GROUP BY doc_id, frame_no, nf""".stripMargin,
   )
+
+  /** d31's reference-LM scoring in DuckDB terms — shared by the batch
+    * scorer (d31) and its at-ingestion streaming deployment (s13).
+    */
+  private val referenceLmOracleSql: String =
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
+        |      < 20000000 AS is_bench
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_bench,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM d WHERE len(toks) >= 2),
+        |m AS (SELECT gram, count(*) AS ref_freq FROM g WHERE is_bench GROUP BY 1),
+        |s AS (SELECT g.doc_id, g.gram, m.ref_freq
+        |      FROM g LEFT JOIN m USING (gram) WHERE NOT g.is_bench)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(count(*) FILTER (ref_freq IS NULL) AS BIGINT) AS n_unseen,
+        |  CAST(sum(coalesce(ref_freq, 0)) AS BIGINT) AS sum_ref_freq,
+        |  CAST(count(*) - count(*) FILTER (ref_freq IS NULL) AS DOUBLE)
+        |    / count(*) AS coverage
+        |FROM s GROUP BY 1""".stripMargin
 
   /** m01's deterministic decode in DuckDB terms — shared by the
     * binary-column pipeline (m01) and the binaryFile-directory

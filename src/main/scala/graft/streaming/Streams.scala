@@ -322,6 +322,47 @@ object Streams {
     s.table(name)
   }
 
+  /** s13: the reference-LM quality filter (d31) deployed at
+    * ingestion — the fluency gate a crawl firehose runs before
+    * anything lands: the bigram model trains ONCE on the static bench
+    * slice and broadcasts into a stateless stream-static left join
+    * over the arriving documents' bigram stream, rolled up per doc in
+    * complete mode. Stateless with respect to the stream (the model
+    * is static, the rollup keyed by doc_id), so state never grows
+    * with the firehose — the same shape as s09's decontamination
+    * gate. One AvailableNow pass must reproduce the d31 batch scores
+    * exactly (shared oracle); the multi-batch spec pins
+    * batch-boundary invariance.
+    */
+  def s13StreamQualityLm(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runQualityLm(dir, fileStream(ss, dir, "documents.parquet"))
+  }
+
+  /** The LM scorer on any (streaming) documents frame — exposed for
+    * multi-batch specs. The coverage ratio is computed on the sink
+    * table (after the streaming agg), from the same two exact
+    * integers as d31.
+    */
+  private[graft] def runQualityLm(dir: String, docs: DataFrame): DataFrame = {
+    import graft.text.Corpus
+    val ss = docs.sparkSession
+    val model = Corpus.tokenBigrams(
+        graft.Tables.documents(ss, dir).where(Corpus.isBenchCol))
+      .groupBy("gram").agg(count(lit(1)).as("ref_freq"))
+    val scored = Corpus.tokenBigrams(docs.where(!Corpus.isBenchCol))
+      .join(broadcast(model), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("ref_freq").isNull, 1)).as("n_unseen"),
+        sum(coalesce(col("ref_freq"), lit(0L))).as("sum_ref_freq"))
+    val (sess, name) = runToCompletion(scored, OutputMode.Complete())
+    sess.table(name).withColumn("coverage",
+      (col("n_bigrams") - col("n_unseen")).cast("double") /
+        col("n_bigrams").cast("double"))
+  }
+
   /** s12: streaming atomic publish — the w06 landing zone upgraded to
     * the w08 manifest contract: each micro-batch lands its data files,
     * then ONE manifest rename commits (previous files + the batch's).
