@@ -94,6 +94,7 @@ object SparkEntry {
     "e04_ann_ivf"         -> Sim.e04AnnIvf _,
     "e07_ann_pq"          -> Sim.e07AnnPq _,
     "e08_ann_ivf_pq"      -> Sim.e08AnnIvfPq _,
+    "e09_filtered_ann"    -> Sim.e09FilteredAnn _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -876,6 +877,33 @@ object SparkEntry {
     // s10 serves the SAME search from a query STREAM against the
     // persisted index — one AvailableNow pass must reproduce e02/e06
     "s10_stream_ann_serve" -> annLshOracleSql,
+    // e09 is e02 with PRE-filter semantics: the corpus is cut to
+    // lang='en' rows (metadata join on id) before candidate
+    // generation; buckets/probes/ranking identical to e02.
+    "e09_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+        |fb AS (SELECT bk.* FROM bk JOIN documents d ON bk.vec_id = d.doc_id WHERE d.lang = 'en'),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM bk WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT query_id, qv, qn, unnest(list_distinct(list_concat(list_concat(
+        |      [bucket],
+        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
+        |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
+        |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))) AS bucket
+        |  FROM q),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(p.qv, b.v) / (p.qn * b.nrm) AS cosine
+        |  FROM probes p JOIN fb b USING (bucket)
+        |  WHERE b.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM cand) t
+        |WHERE rn <= 10""".stripMargin,
     // the all-pairs kNN join: same 8-bit buckets as e02, but EVERY
     // vector is a query (census cap + hamming-1 probes), top-3 per
     // query by (cosine DESC, neighbor_id)

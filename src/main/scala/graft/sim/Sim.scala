@@ -636,6 +636,39 @@ object Sim {
     out
   }
 
+  /** e09: metadata-filtered ANN — "nearest neighbors WHERE lang='en'",
+    * the shape every production vector store serves (RAG over one
+    * tenant, retrieval within a language/license slice). Semantics are
+    * PRE-filter: the predicate cuts the corpus BEFORE candidate
+    * generation, so top-k always comes from the filtered set —
+    * post-filtering an unfiltered top-k collapses recall whenever the
+    * predicate is selective (k results shrink to k·selectivity). The
+    * metadata join (embeddings ↔ documents on id) happens on the
+    * bucketed corpus rows BEFORE any query fan-out, so the filter is
+    * paid once per corpus row, not once per (probe × row); the rest is
+    * e02's multi-probe LSH verbatim — same buckets, same probes, same
+    * ranking, so the oracle is e02's with one extra join.
+    */
+  def e09FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.documents(spark, dir)
+      .where(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val e = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+    val filtered = e.join(meta, Seq("vec_id"))
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(expr(probeExprOf(SigBits))).as("bucket"))
+    val scored = filtered.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** Cosine threshold for a semantic duplicate: the perturbed twins in
     * the d30 corpus sit above 0.999 while unrelated pairs top out near
     * 0.51 — a wide margin on both sides, so the cut can never flip

@@ -273,6 +273,30 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("e09 filtered ANN serves only predicate rows; prefilter beats postfilter recall") {
+    import graft.sim.Sim
+    val got = Sim.e09FilteredAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // every served neighbor satisfies the predicate
+    val en = graft.Tables.documents(spark, sfDir).where(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (_, n) => en.contains(n) },
+      "e09 served a neighbor outside the lang='en' slice")
+    // recall: post-filtering the UNFILTERED top-10 keeps only the en
+    // rows that happened to rank — prefiltering refills the slots from
+    // the filtered corpus, so per-query result counts dominate
+    val pre = got.groupBy(_._1).view.mapValues(_.length).toMap
+    val post = Sim.e02AnnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, n) => en.contains(n) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(pre.keySet == post.keySet ++ pre.keySet) // every query answered
+    assert(pre.forall { case (q, n) => n >= post.getOrElse(q, 0) })
+    assert(pre.exists { case (q, n) => n > post.getOrElse(q, 0) },
+      "prefiltering never beat postfiltering — predicate not selective enough to pin")
+  }
+
   test("d31 reference-LM scores equal a driver-side model rebuild; the model broadcasts") {
     import graft.text.Corpus
     val out = Corpus.d31ReferenceLm(spark, sfDir)
