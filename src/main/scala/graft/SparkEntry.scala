@@ -128,6 +128,7 @@ object SparkEntry {
     "w13_incremental_read" -> graft.sources.Sinks.w13IncrementalRead _,
     "w14_zorder_compact"  -> graft.sources.Sinks.w14ZorderCompact _,
     "w15_row_deletes"     -> graft.sources.Sinks.w15RowDeletes _,
+    "w16_partition_evolution" -> graft.sources.Sinks.w16PartitionEvolution _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -660,6 +661,15 @@ object SparkEntry {
     "w11_compact_snapshots" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // w16 re-partitions the table between generations without
+    // rewriting history; the union read must recover every row with
+    // both partition columns intact (lang from gen1's dirs, source
+    // from gen2's dirs).
+    "w16_partition_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         |FROM documents GROUP BY 1""".stripMargin,
     // w15 copy-on-write-deletes the lower-eighth doc_id range and
     // reads back through the new manifest: exactly the surviving rows.

@@ -557,6 +557,70 @@ object Sinks {
     (expired.length, orphans.length)
   }
 
+  /** w16: partition evolution — the table re-partitions WITHOUT
+    * rewriting history: generation 1 landed partitioned by `lang`
+    * (the original curation axis), generation 2 lands partitioned by
+    * `source` (the new one), and the read path unions both layouts.
+    * The contract at 100 TB: re-partitioning a table must never mean
+    * rewriting 100 TB — old files keep their old directory pruning,
+    * new files get the new pruning, and each generation's reads prune
+    * by ITS OWN layout (spec pins partition filters on both). The
+    * partition column is recovered from directory names on read (the
+    * standard Hive layout), so the union is loss-free.
+    */
+  def w16PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = stage(spark, dir, "pevolve")
+    val docs = Tables.documents(spark, dir)
+    docs.where(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$out/gen1")
+    docs.where(col("doc_id") % 2 =!= 0)
+      .write.mode("overwrite").partitionBy("source").parquet(s"$out/gen2")
+    w16Union(spark, dir, out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  /** The evolution-aware read: each generation is read with its own
+    * partition layout (its partition column recovered from directory
+    * names), then aligned by name. Explicit per-generation schemas: a
+    * zero-row generation must read as empty, not throw (the w01
+    * lesson), and schema inference is a full extra pass at scale.
+    */
+  private[graft] def w16Union(
+      spark: SparkSession, dir: String, out: String): DataFrame = {
+    val full = Tables.documents(spark, dir).schema
+    def gen(sub: String, partCol: String): DataFrame = {
+      val dataCols = org.apache.spark.sql.types.StructType(
+        full.filterNot(_.name == partCol))
+      val df = spark.read.schema(dataCols).option("basePath", s"$out/$sub")
+        .parquet(s"$out/$sub")
+      // A zero-row generation has no partition directories, so the
+      // partition column is never discovered — back-fill it typed-null
+      // so the union stays schema-aligned.
+      if (df.columns.contains(partCol)) df
+      else df.withColumn(partCol, lit(null).cast(full(partCol).dataType))
+    }
+    val g1 = gen("gen1", "lang")
+    val g2 = gen("gen2", "source")
+    val cols = full.map(f => col(f.name))
+    g1.select(cols: _*).unionByName(g2.select(cols: _*))
+  }
+
+  /** One generation of the w16 layout filtered on its OWN partition
+    * column — exposed for the pruning plan pin.
+    */
+  private[graft] def w16GenRead(
+      spark: SparkSession, dir: String, sub: String, partCol: String,
+      value: String): DataFrame = {
+    val out = stage(spark, dir, "pevolve")
+    val full = Tables.documents(spark, dir).schema
+    val dataCols = org.apache.spark.sql.types.StructType(
+      full.filterNot(_.name == partCol))
+    spark.read.schema(dataCols).option("basePath", s"$out/$sub")
+      .parquet(s"$out/$sub").where(col(partCol) === value)
+  }
+
   /** w15: copy-on-write row-level deletes — the compliance primitive
     * (GDPR erasure, takedown requests, per-user opt-out) a training
     * corpus cannot ship without. Deleting rows from an immutable

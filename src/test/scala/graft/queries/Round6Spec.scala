@@ -273,6 +273,33 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("w16 partition evolution: each generation prunes by its own layout; union loss-free") {
+    import graft.sources.Sinks
+    val docs = graft.Tables.documents(spark, sfDir)
+    // stages both generations and returns the union rollup
+    val rolled = Sinks.w16PartitionEvolution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expect = docs.groupBy("lang")
+      .agg(count(lit(1)), sum("n_chars"), countDistinct(col("source"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rolled == expect)
+    // gen1 (partitioned by lang) prunes a lang predicate at the
+    // DIRECTORY level; gen2 (partitioned by source) prunes source
+    val p1 = Sinks.w16GenRead(spark, sfDir, "gen1", "lang", "en")
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters") && p1.contains("lang"),
+      "gen1's lang predicate should be a partition filter")
+    val p2 = Sinks.w16GenRead(spark, sfDir, "gen2", "source", "src7")
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("PartitionFilters") && p2.contains("source"),
+      "gen2's source predicate should be a partition filter")
+    // and the pruned reads answer exactly
+    assert(Sinks.w16GenRead(spark, sfDir, "gen1", "lang", "en").count() ==
+      docs.where(col("doc_id") % 2 === 0 && col("lang") === "en").count())
+    assert(Sinks.w16GenRead(spark, sfDir, "gen2", "source", "src7").count() ==
+      docs.where(col("doc_id") % 2 =!= 0 && col("source") === "src7").count())
+  }
+
   test("e09 filtered ANN serves only predicate rows; prefilter beats postfilter recall") {
     import graft.sim.Sim
     val got = Sim.e09FilteredAnn(spark, sfDir).collect()
