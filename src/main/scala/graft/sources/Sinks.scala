@@ -675,18 +675,114 @@ object Sinks {
           .repartitionByRange(math.max(1, affected.size), col("doc_id"))
           .sortWithinPartitions("doc_id")
           .write.mode("overwrite").parquet(out)
-        val written = fs.globStatus(new HPath(s"$out/part-*.parquet"))
-        if (written.isEmpty) Seq.empty[String]
-        else spark.read.schema(schema)
-          .parquet(written.map(_.getPath.toUri.getPath).toIndexedSeq: _*)
-          .groupBy(input_file_name().as("f"))
-          .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-          .collect()
-          .map(r => s"${new java.net.URI(r.getString(0)).getPath}\t${r.getLong(1)}\t${r.getLong(2)}")
-          .toIndexedSeq.sorted
+        dataFileStats(spark, schema, out)
       }
     commitManifest(spark, root, n, untouched ++ rewrittenStats)
     (affected.length, untouched.length)
+  }
+
+  /** Re-derive true per-file (min,max) doc_id stats for every parquet
+    * file just written under `out` — one distributed pass grouped by
+    * `input_file_name()`, the manifest line format of w09.
+    */
+  private[graft] def dataFileStats(
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      out: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(out).getFileSystem(spark.sessionState.newHadoopConf())
+    val written = fs.globStatus(new HPath(s"$out/part-*.parquet"))
+    if (written == null || written.isEmpty) Seq.empty[String]
+    else spark.read.schema(schema)
+      .parquet(written.map(_.getPath.toUri.getPath).toIndexedSeq: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect()
+      .map(r => s"${new java.net.URI(r.getString(0)).getPath}\t${r.getLong(1)}\t${r.getLong(2)}")
+      .toIndexedSeq.sorted
+  }
+
+  /** w17: row-level MERGE / CDC apply — the write primitive that
+    * completes the lakehouse surface next to w05 (partition upsert)
+    * and w15 (deletes): one changeset carrying DELETEs, UPDATEs and
+    * INSERTs lands in a single atomic commit. The changeset here is
+    * confined to the lower-eighth doc_id range (a CDC batch touches a
+    * key range, not the whole table): within it, `doc_id % 4 == 1`
+    * rows are deleted and re-land under new ids (`mx + doc_id`,
+    * source `cdc_ins` — the delete-then-reinsert shape real CDC
+    * streams produce), and `doc_id % 4 == 2` rows are updated in
+    * place (`n_chars + 1000`, source `cdc_upd`). Zone maps confine
+    * the rewrite to files whose (min,max) window intersects the
+    * changeset's key range; INSERTs never rewrite anything — they
+    * land as brand-new files appended to the manifest. One manifest
+    * rename commits all three change kinds atomically, and the
+    * superseded snapshot still serves the pre-merge rows as-of-1.
+    * At 100 TB: merge cost ∝ files the changeset touches + new bytes,
+    * never table size.
+    */
+  def w17MergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "merge")
+    val docs = Tables.documents(spark, dir)
+    publishWithStats(spark, docs, root) // snapshot 1: range layout + stats
+    idRangeThreshold(docs).foreach { thr =>
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      applyMergeCdc(spark, docs.schema, root, thr, mx) // snapshot 2
+    }
+    readStatsPublished(spark, docs.schema, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        count(when(col("source").isin("cdc_upd", "cdc_ins"), 1)).as("n_cdc"))
+  }
+
+  /** Apply the w17 changeset (deletes + updates on doc_id ∈
+    * (-∞, thr], inserts keyed above `mx`) copy-on-write: affected
+    * files (zone intersection with the changeset's key range) are
+    * read, merged and rewritten under the next snapshot; untouched
+    * files carry over verbatim; inserts land as new files. Returns
+    * (files rewritten, files carried, insert files added).
+    */
+  private[graft] def applyMergeCdc(
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      root: String, thr: Long, mx: Long): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val live = fs.globStatus(new HPath(s"$root/manifest-*"))
+      .map(_.getPath.getName.stripPrefix("manifest-").toInt).max
+    val lines = manifestLines(spark, root)
+    // the changeset's keys all lie in (-∞, thr]: a file intersects
+    // iff its min doc_id does
+    val (affected, untouched) = lines.partition(_.split('\t')(1).toLong <= thr)
+    val n = live + 1
+    val touched = col("doc_id") <= thr
+    val outCols = schema.map(f => col(f.name))
+    val (rewrittenStats, insertStats) =
+      if (affected.isEmpty) (Seq.empty[String], Seq.empty[String])
+      else {
+        val src = spark.read.schema(schema)
+          .parquet(affected.map(_.split('\t')(0)): _*)
+        val rwOut = s"$root/data/snap${n}rw"
+        src.where(!(touched && col("doc_id") % 4 === 1))
+          .withColumn("n_chars",
+            when(touched && col("doc_id") % 4 === 2, col("n_chars") + 1000L)
+              .otherwise(col("n_chars")))
+          .withColumn("source",
+            when(touched && col("doc_id") % 4 === 2, lit("cdc_upd"))
+              .otherwise(col("source")))
+          .select(outCols: _*)
+          .repartitionByRange(math.max(1, affected.size), col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(rwOut)
+        val insOut = s"$root/data/snap${n}ins"
+        src.where(touched && col("doc_id") % 4 === 1)
+          .select((col("doc_id") + mx).as("doc_id"), col("text"),
+            col("lang"), lit("cdc_ins").as("source"), col("n_chars"))
+          .select(outCols: _*)
+          .repartitionByRange(math.max(1, affected.size / 2), col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(insOut)
+        (dataFileStats(spark, schema, rwOut), dataFileStats(spark, schema, insOut))
+      }
+    commitManifest(spark, root, n, untouched ++ rewrittenStats ++ insertStats)
+    (affected.length, untouched.length, insertStats.length)
   }
 
   /** Read a stats-manifest table (latest, or as-of `asOf`): resolve

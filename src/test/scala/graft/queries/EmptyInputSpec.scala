@@ -82,6 +82,7 @@ class EmptyInputSpec extends SparkSpec {
       "d31" -> (() => graft.text.Corpus.d31ReferenceLm(spark, emptyDir).count()),
       "e09" -> (() => graft.sim.Sim.e09FilteredAnn(spark, emptyDir).count()),
       "w16" -> (() => graft.sources.Sinks.w16PartitionEvolution(spark, emptyDir).count()),
+      "w17" -> (() => graft.sources.Sinks.w17MergeCdc(spark, emptyDir).count()),
       "d28" -> (() => graft.dedup.Dedup.d28Containment(spark, emptyDir).count()),
       "d29" -> (() => graft.text.Corpus.d29BloomDecontam(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>

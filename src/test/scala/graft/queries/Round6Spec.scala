@@ -401,6 +401,65 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("w17 merge applies one CDC changeset zone-targeted; inserts land as new files") {
+    import graft.sources.Sinks
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = "/tmp/graft_w17_spec"
+    rmTree(root)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val schema = docs.schema
+    Sinks.publishWithStats(spark, docs, root)
+    val thr = Sinks.idRangeThreshold(docs).get
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val before = Sinks.manifestLines(spark, root)
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    def meta(p: String): (Long, Long) = {
+      val s = fs.getFileStatus(new HPath(p)); (s.getLen, s.getModificationTime)
+    }
+    val metaBefore = before.map(_.split('\t')(0)).map(p => p -> meta(p)).toMap
+    val (rewritten, carried, insFiles) =
+      Sinks.applyMergeCdc(spark, schema, root, thr, mx)
+    // zone-targeted: only changeset-intersecting files rewritten;
+    // inserts arrive as genuinely new files
+    assert(rewritten > 0 && carried > 0 && rewritten < before.size,
+      s"rewrote $rewritten of ${before.size} files, carried $carried")
+    assert(insFiles > 0, "inserts should land as new files")
+    val after = Sinks.manifestLines(spark, root)
+    val afterPaths = after.map(_.split('\t')(0)).toSet
+    val carriedPaths = before.map(_.split('\t')(0)).filter(afterPaths.contains)
+    assert(carriedPaths.size == carried)
+    assert(carriedPaths.forall(p => meta(p) == metaBefore(p)),
+      "a carried file was modified by the merge")
+    // final state is row-exact: deletes gone, updates applied,
+    // re-inserts present under new ids
+    val touched = col("doc_id") <= thr
+    val expected = docs.where(!(touched && col("doc_id") % 4 === 1))
+      .withColumn("n_chars",
+        when(touched && col("doc_id") % 4 === 2, col("n_chars") + 1000L)
+          .otherwise(col("n_chars")))
+      .withColumn("source",
+        when(touched && col("doc_id") % 4 === 2, lit("cdc_upd"))
+          .otherwise(col("source")))
+      .unionByName(docs.where(touched && col("doc_id") % 4 === 1)
+        .select((col("doc_id") + mx).as("doc_id"), col("text"),
+          col("lang"), lit("cdc_ins").as("source"), col("n_chars")))
+    val live = Sinks.readStatsPublished(spark, schema, root)
+    assert(live.exceptAll(expected).count() == 0L &&
+      expected.exceptAll(live).count() == 0L,
+      "merged state differs from the driver-side merge walk")
+    // all three change kinds committed in ONE manifest flip; the
+    // superseded snapshot still serves the pre-merge table
+    assert(Sinks.readStatsPublished(spark, schema, root, asOf = Some(1))
+      .exceptAll(docs).count() == 0L)
+    // new files' manifest stats are true
+    for (line <- after if !metaBefore.contains(line.split('\t')(0))) {
+      val Array(p, lo, hi) = line.split('\t')
+      val r = spark.read.schema(schema).parquet(p)
+        .agg(min("doc_id"), max("doc_id")).head()
+      assert(r.getLong(0) == lo.toLong && r.getLong(1) == hi.toLong)
+    }
+  }
+
   test("w14 z-order prunes both dimensions; the single-dimension layout cannot") {
     import graft.sources.Sinks
     import org.apache.spark.sql.DataFrame
