@@ -95,6 +95,7 @@ object SparkEntry {
     "e07_ann_pq"          -> Sim.e07AnnPq _,
     "e08_ann_ivf_pq"      -> Sim.e08AnnIvfPq _,
     "e09_filtered_ann"    -> Sim.e09FilteredAnn _,
+    "e10_ann_recall"      -> Sim.e10AnnRecall _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -272,6 +273,22 @@ object SparkEntry {
       |            WHEN 'de' THEN 300000002 WHEN 'fr' THEN 300000002
       |            WHEN 'zh' THEN 100000000 ELSE -1 END
       |GROUP BY 1""".stripMargin
+
+  /** Exact brute-force cosine top-10 for the 20-query panel — e01's
+    * oracle, and the ground-truth CTE inside e10's recall eval.
+    */
+  private val knnExactOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    list_dot_product(q.v, e.v)
+      |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+      |  FROM e q JOIN e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20)
+      |SELECT query_id, neighbor_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s) t
+      |WHERE rn <= 10""".stripMargin
 
   /** The hamming-≤2 multi-probe LSH search in DuckDB terms — shared by
     * e02 (in-session signature table) and e06 (persisted index): both
@@ -846,18 +863,20 @@ object SparkEntry {
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
         |  FROM documents)
         |GROUP BY 1 ORDER BY freq DESC, term LIMIT 100""".stripMargin,
-    "e01_knn_cosine" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (
-        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |    list_dot_product(q.v, e.v)
-        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
-        |  FROM e q JOIN e ON e.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 20)
-        |SELECT query_id, neighbor_id, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s) t
-        |WHERE rn <= 10""".stripMargin,
+    "e01_knn_cosine" -> knnExactOracleSql,
+    // e10 joins the exact panel ground truth (e01's SQL) against the
+    // index's answers (e02's SQL) — integer hit counts per query.
+    "e10_ann_recall" ->
+      s"""WITH exact AS (
+         |$knnExactOracleSql
+         |), approx AS (
+         |$annLshOracleSql
+         |)
+         |SELECT exact.query_id, count(*) AS n_exact,
+         | count(a.neighbor_id) AS n_hit
+         |FROM exact LEFT JOIN approx a
+         |  ON exact.query_id = a.query_id AND exact.neighbor_id = a.neighbor_id
+         |GROUP BY 1""".stripMargin,
     // single AvailableNow batch == the full batch census, so the
     // streaming near-dup oracle is d06's, verbatim
     "s05_stream_neardup" ->

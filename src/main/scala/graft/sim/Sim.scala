@@ -669,6 +669,29 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e10: ANN recall evaluation — the monitoring primitive every
+    * production vector-serving tier runs: ground truth is computed
+    * brute-force for a SAMPLED query panel only (cost ∝ panel ×
+    * corpus, one embarrassingly-parallel scan — never all-pairs), and
+    * the index's answers are joined against it to report per-query
+    * hit counts. At 10¹¹ vectors this is the nightly job that catches
+    * recall drift after re-sharding, quantizer refits or corpus churn
+    * — the panel stays fixed, so the number is comparable run over
+    * run. Integer counts (n_exact, n_hit) rather than a float ratio
+    * so the result hashes identically cross-engine; recall@10 is
+    * n_hit/n_exact downstream. Reuses e01 (exact baseline) and e02
+    * (the index under test) verbatim, so this evaluates exactly what
+    * serves.
+    */
+  def e10AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = e01KnnCosine(spark, dir).select("query_id", "neighbor_id")
+    val approx = e02AnnLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+  }
+
   /** Cosine threshold for a semantic duplicate: the perturbed twins in
     * the d30 corpus sit above 0.999 while unrelated pairs top out near
     * 0.51 — a wide margin on both sides, so the cut can never flip

@@ -81,6 +81,7 @@ class EmptyInputSpec extends SparkSpec {
       "w15" -> (() => graft.sources.Sinks.w15RowDeletes(spark, emptyDir).count()),
       "d31" -> (() => graft.text.Corpus.d31ReferenceLm(spark, emptyDir).count()),
       "e09" -> (() => graft.sim.Sim.e09FilteredAnn(spark, emptyDir).count()),
+      "e10" -> (() => graft.sim.Sim.e10AnnRecall(spark, emptyDir).count()),
       "w16" -> (() => graft.sources.Sinks.w16PartitionEvolution(spark, emptyDir).count()),
       "w17" -> (() => graft.sources.Sinks.w17MergeCdc(spark, emptyDir).count()),
       "d28" -> (() => graft.dedup.Dedup.d28Containment(spark, emptyDir).count()),

@@ -300,6 +300,31 @@ class Round6Spec extends SparkSpec {
       docs.where(col("doc_id") % 2 =!= 0 && col("source") === "src7").count())
   }
 
+  test("e10 recall eval equals a driver-side set intersection; panel recall is real") {
+    import graft.sim.Sim
+    val got = Sim.e10AnnRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Sim.e01KnnCosine(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = Sim.e02AnnLsh(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = exact.groupBy(_._1).map { case (q, ns) =>
+      q -> (ns.length.toLong, ns.count(approx.contains).toLong)
+    }
+    assert(got == expect, "operator recall differs from the driver-side intersection")
+    assert(got.values.forall { case (ne, nh) => nh <= ne })
+    // the panel's aggregate recall@10 is a live signal, not all-zero:
+    // e02's 8-bit hamming-≤2 search measures ~0.34 on this corpus —
+    // exactly the number e10 exists to surface (and why e02 keeps its
+    // multi-probe lever). Pin that the monitor reports a real,
+    // non-degenerate measurement, not a specific index quality.
+    val recall = got.values.map(_._2).sum.toDouble /
+      math.max(1L, got.values.map(_._1).sum)
+    assert(recall > 0.1 && recall < 1.0, s"panel recall@10 $recall degenerate")
+  }
+
   test("e09 filtered ANN serves only predicate rows; prefilter beats postfilter recall") {
     import graft.sim.Sim
     val got = Sim.e09FilteredAnn(spark, sfDir).collect()
