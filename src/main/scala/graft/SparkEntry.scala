@@ -131,6 +131,7 @@ object SparkEntry {
     "w15_row_deletes"     -> graft.sources.Sinks.w15RowDeletes _,
     "w16_partition_evolution" -> graft.sources.Sinks.w16PartitionEvolution _,
     "w17_merge_cdc"       -> graft.sources.Sinks.w17MergeCdc _,
+    "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -273,6 +274,34 @@ object SparkEntry {
       |            WHEN 'de' THEN 300000002 WHEN 'fr' THEN 300000002
       |            WHEN 'zh' THEN 100000000 ELSE -1 END
       |GROUP BY 1""".stripMargin
+
+  /** The w17/s14 merged final state: one CDC changeset (lower-eighth
+    * key range; %4==1 delete + reinsert above max id, %4==2 update in
+    * place) applied over `documents` — identical whether it lands as
+    * one commit (w17) or one commit per micro-batch (s14).
+    */
+  private val mergeCdcOracleSql: String =
+    """WITH b AS (
+      |  SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 8 AS thr,
+      |         max(doc_id) AS mx
+      |  FROM documents
+      |), merged AS (
+      |  SELECT d.doc_id, d.lang,
+      |         CASE WHEN d.doc_id <= b.thr AND d.doc_id % 4 = 2
+      |              THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars,
+      |         CASE WHEN d.doc_id <= b.thr AND d.doc_id % 4 = 2
+      |              THEN 'cdc_upd' ELSE d.source END AS source
+      |  FROM documents d, b
+      |  WHERE NOT (d.doc_id <= b.thr AND d.doc_id % 4 = 1)
+      |  UNION ALL
+      |  SELECT d.doc_id + b.mx, d.lang, d.n_chars, 'cdc_ins'
+      |  FROM documents d, b
+      |  WHERE d.doc_id <= b.thr AND d.doc_id % 4 = 1
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | count(*) FILTER (WHERE source IN ('cdc_upd','cdc_ins')) AS n_cdc
+      |FROM merged GROUP BY 1""".stripMargin
 
   /** Exact brute-force cosine top-10 for the 20-query panel — e01's
     * oracle, and the ground-truth CTE inside e10's recall eval.
@@ -692,28 +721,11 @@ object SparkEntry {
     // w17 applies one CDC changeset (deletes re-landing as inserts
     // under new ids, in-place updates) confined to the lower-eighth
     // doc_id range, then rolls up the merged final state.
-    "w17_merge_cdc" ->
-      """WITH b AS (
-        |  SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 8 AS thr,
-        |         max(doc_id) AS mx
-        |  FROM documents
-        |), merged AS (
-        |  SELECT d.doc_id, d.lang,
-        |         CASE WHEN d.doc_id <= b.thr AND d.doc_id % 4 = 2
-        |              THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars,
-        |         CASE WHEN d.doc_id <= b.thr AND d.doc_id % 4 = 2
-        |              THEN 'cdc_upd' ELSE d.source END AS source
-        |  FROM documents d, b
-        |  WHERE NOT (d.doc_id <= b.thr AND d.doc_id % 4 = 1)
-        |  UNION ALL
-        |  SELECT d.doc_id + b.mx, d.lang, d.n_chars, 'cdc_ins'
-        |  FROM documents d, b
-        |  WHERE d.doc_id <= b.thr AND d.doc_id % 4 = 1
-        |)
-        |SELECT lang, count(*) AS n_docs,
-        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        | count(*) FILTER (WHERE source IN ('cdc_upd','cdc_ins')) AS n_cdc
-        |FROM merged GROUP BY 1""".stripMargin,
+    "w17_merge_cdc" -> mergeCdcOracleSql,
+    // s14 applies the SAME changeset through per-micro-batch MERGE
+    // commits; every key is merged by exactly one batch, so the
+    // final table is w17's no matter how the stream was batched.
+    "s14_stream_cdc_apply" -> mergeCdcOracleSql,
     // w15 copy-on-write-deletes the lower-eighth doc_id range and
     // reads back through the new manifest: exactly the surviving rows.
     "w15_row_deletes" ->

@@ -785,6 +785,78 @@ object Sinks {
     (affected.length, untouched.length, insertStats.length)
   }
 
+  /** One micro-batch of the s14 streaming MERGE: the batch's rows in
+    * the changeset key range are its CDC records (w17's rules —
+    * doc_id%4==1 delete + reinsert above `mx`, %4==2 update in
+    * place). Zone maps confine the rewrite to files the BATCH's key
+    * span touches, and the rewrite joins on the batch's key set, so
+    * keys owned by other batches pass through untouched. foreachBatch
+    * is at-least-once; the manifest-(id+2) existence guard (manifest-1
+    * is the base load) makes a replayed batch a no-op, so the merge
+    * commits exactly once per batch — the s12 protocol carried from
+    * append-only publish to full MERGE.
+    */
+  private[graft] def applyMergeBatch(
+      spark: SparkSession, batch: DataFrame, root: String,
+      id: Long, thr: Long, mx: Long): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val n = id.toInt + 2
+    if (fs.exists(new HPath(root, s"manifest-$n"))) return // replayed batch
+    val schema = batch.schema
+    val outCols = schema.map(f => col(f.name))
+    val recs = batch.where(col("doc_id") <= thr &&
+        (col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b = recs.agg(min("doc_id"), max("doc_id")).head()
+      if (b.isNullAt(0)) {
+        // a batch with no CDC records still commits (a carry manifest):
+        // the replay guard needs one manifest per batch id
+        commitManifest(spark, root, n, manifestLines(spark, root))
+        return
+      }
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val lines = manifestLines(spark, root)
+      val (affected, untouched) = lines.partition { l =>
+        val p = l.split('\t'); p(1).toLong <= hi && p(2).toLong >= lo
+      }
+      val delKeys = recs.where(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), lit(1).as("del"))
+      val updKeys = recs.where(col("doc_id") % 4 === 2)
+        .select(col("doc_id"), lit(1).as("upd"))
+      val rwStats =
+        if (affected.isEmpty) Seq.empty[String]
+        else {
+          val rwOut = s"$root/data/snap${n}rw"
+          spark.read.schema(schema).parquet(affected.map(_.split('\t')(0)): _*)
+            .join(broadcast(delKeys), Seq("doc_id"), "left")
+            .where(col("del").isNull)
+            .join(broadcast(updKeys), Seq("doc_id"), "left")
+            .withColumn("n_chars",
+              when(col("upd").isNotNull, col("n_chars") + 1000L)
+                .otherwise(col("n_chars")))
+            .withColumn("source",
+              when(col("upd").isNotNull, lit("cdc_upd")).otherwise(col("source")))
+            .select(outCols: _*)
+            .repartitionByRange(math.max(1, affected.size), col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(rwOut)
+          dataFileStats(spark, schema, rwOut)
+        }
+      val insOut = s"$root/data/snap${n}ins"
+      recs.where(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + mx).as("doc_id"), col("text"),
+          col("lang"), lit("cdc_ins").as("source"), col("n_chars"))
+        .select(outCols: _*)
+        .repartitionByRange(math.max(1, affected.size), col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(insOut)
+      commitManifest(spark, root, n,
+        untouched ++ rwStats ++ dataFileStats(spark, schema, insOut))
+    } finally recs.unpersist()
+  }
+
   /** Read a stats-manifest table (latest, or as-of `asOf`): resolve
     * the manifest, strip the stats columns, read exactly those files.
     */

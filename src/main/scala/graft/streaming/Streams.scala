@@ -402,6 +402,64 @@ object Streams {
     (s"/tmp/graft_stream_publish_$key", s"/tmp/graft_stream_publish_ckpt_$key")
   }
 
+  /** s14: streaming CDC apply — w17's row-level MERGE fed by a
+    * stream, the Delta/Iceberg "streaming upsert" shape: the base
+    * table loads once (manifest-1, the stats layout), then every
+    * micro-batch applies ITS changeset — deletes re-landing as
+    * inserts, in-place updates — as one copy-on-write manifest
+    * commit ([[graft.sources.Sinks.applyMergeBatch]]). Zone maps
+    * confine each batch's rewrite to the files its key span touches;
+    * the manifest-per-batch guard turns foreachBatch's at-least-once
+    * into exactly-once; and because every key is merged by exactly
+    * one batch, the final table equals w17's one-shot merge no
+    * matter how the firehose was batched (shared oracle; the
+    * multi-batch spec pins boundary invariance and that replaying
+    * the stream adds nothing). This is how CDC lands in a 100 TB
+    * manifest table: catch-up cost ∝ changed keys, never table size.
+    */
+  def s14StreamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val (root, ckpt) = cdcApplyPaths(ss, dir)
+    val docs = graft.Tables.documents(ss, dir)
+    val schema = docs.schema
+    locally {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val fs = new HPath(root).getFileSystem(ss.sessionState.newHadoopConf())
+      if (!fs.exists(new HPath(root, "manifest-1")))
+        graft.sources.Sinks.publishWithStats(ss, docs, root)
+    }
+    graft.sources.Sinks.idRangeThreshold(docs).foreach { thr =>
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      runCdcApplyFrom(ss, fileStream(ss, dir, "documents.parquet"),
+        root, ckpt, thr, mx)
+    }
+    graft.sources.Sinks.readStatsPublished(ss, schema, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        count(when(col("source").isin("cdc_upd", "cdc_ins"), 1)).as("n_cdc"))
+  }
+
+  private[graft] def cdcApplyPaths(spark: SparkSession, dir: String): (String, String) = {
+    val key = s"${Integer.toHexString(dir.hashCode)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    (s"/tmp/graft_stream_cdc_$key", s"/tmp/graft_stream_cdc_ckpt_$key")
+  }
+
+  /** The per-batch MERGE loop from any (streaming) documents frame —
+    * exposed for multi-batch / replay specs.
+    */
+  private[graft] def runCdcApplyFrom(
+      ss: SparkSession, docs: DataFrame, root: String, ckpt: String,
+      thr: Long, mx: Long): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Sinks.applyMergeBatch(ss, batch, root, id, thr, mx)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** The manifest-publish sink from any (streaming) documents frame —
     * exposed for multi-batch specs.
     */

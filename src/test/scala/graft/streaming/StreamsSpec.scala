@@ -150,6 +150,61 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got == single)
   }
 
+  test("s14 streaming MERGE across two batches equals the one-shot merge; replay adds nothing") {
+    import graft.sources.Sinks
+    val root = "/tmp/graft_stream_mb_cdc"
+    val ckpt = "/tmp/graft_stream_mb_cdc_ckpt"
+    for (p <- Seq(root, ckpt)) {
+      val d = Paths.get(p)
+      if (Files.exists(d)) {
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+    val schema = docs.schema
+    Sinks.publishWithStats(spark, docs, root)
+    val thr = Sinks.idRangeThreshold(docs).get
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    Streams.runCdcApplyFrom(spark,
+      twoFileStream("documents", "doc_id", "s14"), root, ckpt, thr, mx)
+    val offsets = Files.list(Paths.get(ckpt, "offsets"))
+      .filter(!_.getFileName.toString.startsWith(".")).count()
+    assert(offsets >= 2, s"expected >=2 micro-batches, got $offsets")
+    // one merge commit per batch on top of the base load
+    def manifests() = Files.list(Paths.get(root))
+      .filter(_.getFileName.toString.startsWith("manifest-")).count()
+    val committed = manifests()
+    assert(committed == offsets + 1, s"$committed manifests for $offsets batches")
+    // batch-boundary invariance: the streamed MERGE's final table is
+    // w17's one-shot merge, row for row
+    val touched = col("doc_id") <= thr
+    val expected = docs.where(!(touched && col("doc_id") % 4 === 1))
+      .withColumn("n_chars",
+        when(touched && col("doc_id") % 4 === 2, col("n_chars") + 1000L)
+          .otherwise(col("n_chars")))
+      .withColumn("source",
+        when(touched && col("doc_id") % 4 === 2, lit("cdc_upd"))
+          .otherwise(col("source")))
+      .unionByName(docs.where(touched && col("doc_id") % 4 === 1)
+        .select((col("doc_id") + mx).as("doc_id"), col("text"),
+          col("lang"), lit("cdc_ins").as("source"), col("n_chars")))
+    val live = Sinks.readStatsPublished(spark, schema, root)
+    assert(live.exceptAll(expected).count() == 0L &&
+      expected.exceptAll(live).count() == 0L,
+      "streamed merge diverges from the one-shot merge")
+    // replaying the finished stream from the same checkpoint runs no
+    // new batches and commits nothing — exactly-once end to end
+    Streams.runCdcApplyFrom(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet("/tmp/graft_stream_twofiles_s14/p*"),
+      root, ckpt, thr, mx)
+    assert(manifests() == committed, "replay committed new manifests")
+    assert(Sinks.readStatsPublished(spark, schema, root)
+      .exceptAll(expected).count() == 0L, "replay changed the table")
+  }
+
   test("s12 manifest publish commits once per micro-batch; replayed batches are no-ops") {
     import graft.sources.Sinks
     val root = "/tmp/graft_stream_mb_publish"
