@@ -103,6 +103,7 @@ object SparkEntry {
     "m03_container_source" -> Multimodal.m03ContainerSource _,
     "m04_audio_features"  -> Multimodal.m04AudioFeatures _,
     "m05_video_frames"    -> Multimodal.m05VideoFrames _,
+    "m06_image_resize"    -> Multimodal.m06ImageResize _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -1879,6 +1880,29 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE 299*r + 587*g + 114*b < 64000) AS BIGINT)
         |    AS n_dark
         |FROM chan GROUP BY doc_id, frame_no, nf""".stripMargin,
+    // m06 regenerates the thumbnail from the pixel formulas: the
+    // nearest-neighbor map for 16×12 → 8×6 samples source pixel
+    // 32y + 2x for thumb pixel (x, y) — Spark round-trips the same
+    // raster through the real P6 codec + resize kernel.
+    "m06_image_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id, unnest(flatten(list_transform(range(0, 6), y ->
+        |    list_transform(range(0, 8), x -> 32*y + 2*x)))) AS p
+        |  FROM documents),
+        |chan AS (
+        |  SELECT doc_id,
+        |    (doc_id*5 + p*7) % 256 AS r,
+        |    (doc_id*9 + p*5) % 256 AS g,
+        |    (doc_id*3 + p*13) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id, CAST(192 AS BIGINT) AS src_px,
+        |  CAST(48 AS BIGINT) AS thumb_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(count(*) FILTER (WHERE 299*r + 587*g + 114*b < 64000) AS BIGINT)
+        |    AS n_dark
+        |FROM chan GROUP BY doc_id""".stripMargin,
   )
 
   /** d31's reference-LM scoring in DuckDB terms — shared by the batch

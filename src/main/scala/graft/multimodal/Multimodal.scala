@@ -485,6 +485,96 @@ object Multimodal {
   case class VideoFrame(doc_id: Long, frame_no: Long, n_frames: Long,
       sum_r: Long, sum_g: Long, sum_b: Long, n_dark: Long)
 
+  /** m06 image geometry: a 16×12 source raster thumbnailed to 8×6 —
+    * the 2× nearest-neighbor downsample every vision pipeline runs
+    * before the expensive per-image model.
+    */
+  val ImgW = 16
+  val ImgH = 12
+  val ThumbW = 8
+  val ThumbH = 6
+
+  /** Deterministic source image for doc `id`: binary P6 whose channel
+    * values are mod-256 affine forms of (id, pixel) — the m05 device,
+    * so the DuckDB oracle regenerates the signal from the formula
+    * while Spark round-trips it through the real codec + resize
+    * kernel.
+    */
+  private[graft] def synthImage(id: Long): Array[Byte] = {
+    val header = s"P6\n$ImgW $ImgH\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](ImgW * ImgH * 3)
+    var p = 0
+    while (p < ImgW * ImgH) {
+      raster(p * 3) = ((id * 5 + p.toLong * 7) % 256).toByte
+      raster(p * 3 + 1) = ((id * 9 + p.toLong * 5) % 256).toByte
+      raster(p * 3 + 2) = ((id * 3 + p.toLong * 13) % 256).toByte
+      p += 1
+    }
+    header ++ raster
+  }
+
+  /** Nearest-neighbor resize of a packed RGB raster: output pixel
+    * (x, y) copies source pixel (⌊x·w0/w1⌋, ⌊y·h0/h1⌋). The kernel
+    * READS only the w1·h1 sampled source pixels — cost ∝ output size,
+    * not input size (the property that matters when the source is a
+    * 10⁸-pixel scan and the pipeline wants a 256² thumbnail; the spec
+    * pins it by tampering an unsampled pixel).
+    */
+  private[graft] def nearestResize(raster: Array[Byte], w0: Int, h0: Int,
+      w1: Int, h1: Int): Array[Byte] = {
+    val out = new Array[Byte](w1 * h1 * 3)
+    var y = 0
+    while (y < h1) {
+      val sy = (y.toLong * h0 / h1).toInt
+      var x = 0
+      while (x < w1) {
+        val sx = (x.toLong * w0 / w1).toInt
+        val sp = (sy * w0 + sx) * 3
+        val dp = (y * w1 + x) * 3
+        out(dp) = raster(sp); out(dp + 1) = raster(sp + 1); out(dp + 2) = raster(sp + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Typed row for the resize stage: integer-exact thumbnail stats. */
+  case class ThumbFeatures(doc_id: Long, src_px: Long, thumb_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, n_dark: Long)
+
+  /** m06: image resize / thumbnailing — the preprocessing step every
+    * multimodal training pipeline runs between ingestion (m01/m02)
+    * and feature extraction: decode with the REAL P6 parser
+    * ([[ppmRaster]], the m01 codec), nearest-neighbor downsample with
+    * a kernel whose cost ∝ OUTPUT pixels, and reduce to integer-exact
+    * channel stats that hash-compare across engines. Same
+    * mapPartitions codec shape as m01/m04/m05: at 100 TB the rasters
+    * never shuffle — per-image stats only.
+    */
+  def m06ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val ppm = synthImage(id)
+        val (w, h, off) = ppmRaster(ppm).getOrElse(
+          throw new IllegalStateException(s"doc $id synth image is not a valid P6"))
+        val raster = java.util.Arrays.copyOfRange(ppm, off, ppm.length)
+        val thumb = nearestResize(raster, w, h, ThumbW, ThumbH)
+        var sr = 0L; var sg = 0L; var sb = 0L; var nd = 0L
+        var p = 0
+        while (p < thumb.length) {
+          val r = thumb(p) & 0xff; val g = thumb(p + 1) & 0xff; val b = thumb(p + 2) & 0xff
+          sr += r; sg += g; sb += b
+          if (299L * r + 587L * g + 114L * b < 64000L) nd += 1
+          p += 3
+        }
+        ThumbFeatures(id, w.toLong * h, ThumbW.toLong * ThumbH, sr, sg, sb, nd)
+      }
+    }.toDF()
+  }
+
   /** m05: video frame sampling — the video modality of the media
     * pipeline: per-document clips in a real indexed container (GVF1 —
     * header + frame index + P6 PPM frames), stride-sampled via the

@@ -300,6 +300,44 @@ class Round6Spec extends SparkSpec {
       docs.where(col("doc_id") % 2 =!= 0 && col("source") === "src7").count())
   }
 
+  test("m06 resize kernel reads only sampled pixels; stats match the formula walk") {
+    import graft.multimodal.Multimodal
+    val got = Multimodal.m06ImageResize(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.nonEmpty)
+    // driver-side formula walk over the sampled pixel map (thumb (x,y)
+    // reads source pixel 32y + 2x)
+    for (id <- got.keys.take(20)) {
+      var sr = 0L; var sg = 0L; var sb = 0L; var nd = 0L
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val p = 32L * y + 2 * x
+        val r = (id * 5 + p * 7) % 256
+        val g = (id * 9 + p * 5) % 256
+        val b = (id * 3 + p * 13) % 256
+        sr += r; sg += g; sb += b
+        if (299L * r + 587L * g + 114L * b < 64000L) nd += 1
+      }
+      assert(got(id) == ((sr, sg, sb, nd)), s"doc $id diverges from the formula walk")
+    }
+    // cost ∝ output: an UNSAMPLED source pixel never influences the
+    // thumb; a sampled one visibly does
+    val ppm = Multimodal.synthImage(42L)
+    val (w, h, off) = Multimodal.ppmRaster(ppm).get
+    val raster = java.util.Arrays.copyOfRange(ppm, off, ppm.length)
+    val base = Multimodal.nearestResize(raster, w, h, Multimodal.ThumbW, Multimodal.ThumbH)
+    val odd = raster.clone
+    odd((0 * w + 1) * 3) = (odd((0 * w + 1) * 3) ^ 0x7f).toByte // pixel (1,0): odd col
+    assert(java.util.Arrays.equals(
+      Multimodal.nearestResize(odd, w, h, Multimodal.ThumbW, Multimodal.ThumbH), base),
+      "tampering an unsampled pixel changed the thumbnail")
+    val even = raster.clone
+    even((0 * w + 2) * 3) = (even((0 * w + 2) * 3) ^ 0x7f).toByte // pixel (2,0): sampled
+    assert(!java.util.Arrays.equals(
+      Multimodal.nearestResize(even, w, h, Multimodal.ThumbW, Multimodal.ThumbH), base),
+      "tampering a sampled pixel did not show up")
+  }
+
   test("e10 recall eval equals a driver-side set intersection; panel recall is real") {
     import graft.sim.Sim
     val got = Sim.e10AnnRecall(spark, sfDir).collect()
