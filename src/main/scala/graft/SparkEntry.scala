@@ -96,6 +96,7 @@ object SparkEntry {
     "e08_ann_ivf_pq"      -> Sim.e08AnnIvfPq _,
     "e09_filtered_ann"    -> Sim.e09FilteredAnn _,
     "e10_ann_recall"      -> Sim.e10AnnRecall _,
+    "e11_ann_tombstones"  -> Sim.e11AnnTombstones _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -942,6 +943,16 @@ object SparkEntry {
     // e06 serves the SAME search from the persisted index — identical
     // result contract, so the oracle is e02's verbatim
     "e06_ann_index_serve" -> annLshOracleSql,
+    // e11 is e02/e06 with the tombstone set (vec_id % 10 == 7)
+    // removed from the CANDIDATE side before ranking — the oracle is
+    // the LSH SQL with that one predicate added to the cand CTE.
+    "e11_ann_tombstones" -> {
+      val patched = annLshOracleSql.replace(
+        "WHERE b.vec_id <> p.query_id)",
+        "WHERE b.vec_id <> p.query_id AND b.vec_id % 10 <> 7)")
+      require(patched != annLshOracleSql, "e11 oracle patch anchor drifted")
+      patched
+    },
     // s10 serves the SAME search from a query STREAM against the
     // persisted index — one AvailableNow pass must reproduce e02/e06
     "s10_stream_ann_serve" -> annLshOracleSql,

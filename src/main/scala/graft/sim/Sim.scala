@@ -229,6 +229,39 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e11: tombstoned ANN serving — row-level deletes applied to the
+    * persisted index WITHOUT a rebuild: erasure (GDPR, takedowns,
+    * opt-outs — the w15 story) reaches the vector store too, and
+    * rebuilding a 10¹¹-vector index per delete batch is not an
+    * option. The delete delta since the last nightly build is tiny,
+    * so it broadcasts as an anti-join applied to the index rows
+    * BEFORE candidate ranking — a deleted vector can never resurface,
+    * and the top-k still fills from the surviving candidates (deletes
+    * applied AFTER the cut would silently shrink k). The nightly
+    * rebuild (e06) folds tombstones into the layout and resets the
+    * set. Tombstones here: vec_id % 10 == 7, a ~10% erasure batch.
+    */
+  def e11AnnTombstones(spark: SparkSession, dir: String): DataFrame = {
+    val idx = annIndex(spark, dir)
+    val tomb = emb(spark, dir).where(col("vec_id") % 10 === 7)
+      .select(col("vec_id"))
+    val q = emb(spark, dir)
+      .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+      .where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(expr(probeExprOf(SigBits))).as("bucket"))
+    val scored = idx.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** e04: IVF approximate NN — the scale path for very large corpora.
     *  - coarse quantizer: the k corpus vectors with the smallest
     *    mod-prime hash of vec_id serve as centroids (KMeans‖-style

@@ -338,6 +338,33 @@ class Round6Spec extends SparkSpec {
       "tampering a sampled pixel did not show up")
   }
 
+  test("e11 tombstoned serving never surfaces a deleted vector; survivors keep rank order") {
+    import graft.sim.Sim
+    val e11 = Sim.e11AnnTombstones(spark, sfDir)
+    val got = e11.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the core guarantee: a deleted vector can never resurface
+    assert(got.forall(_._2 % 10 != 7), "a tombstoned neighbor was served")
+    // deletes cut BEFORE the top-k cut: e02's surviving top-10 rows
+    // are a rank-order PREFIX of e11's (promoted candidates can only
+    // score below every survivor), and k re-fills from survivors
+    val e02 = Sim.e02AnnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val gotByQ = got.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2) }
+    for ((q, ns) <- e02.groupBy(_._1)) {
+      val survivors = ns.map(_._2).filter(_ % 10 != 7)
+      val served = gotByQ.getOrElse(q, Seq.empty)
+      assert(served.take(survivors.length) == survivors,
+        s"query $q: surviving e02 rows are not a prefix of e11's")
+      assert(served.length >= survivors.length,
+        s"query $q: tombstoning shrank k below the surviving candidate count")
+    }
+    // the tombstone delta rides a broadcast anti-join — never a shuffle
+    val plan = e11.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "tombstone filter should be a broadcast left-anti join")
+  }
+
   test("e10 recall eval equals a driver-side set intersection; panel recall is real") {
     import graft.sim.Sim
     val got = Sim.e10AnnRecall(spark, sfDir).collect()
