@@ -97,6 +97,7 @@ object SparkEntry {
     "e09_filtered_ann"    -> Sim.e09FilteredAnn _,
     "e10_ann_recall"      -> Sim.e10AnnRecall _,
     "e11_ann_tombstones"  -> Sim.e11AnnTombstones _,
+    "e12_ann_delta_serve" -> Sim.e12AnnDeltaServe _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -953,6 +954,10 @@ object SparkEntry {
       require(patched != annLshOracleSql, "e11 oracle patch anchor drifted")
       patched
     },
+    // e12 unions the stale index cut with the fresh delta BEFORE
+    // probing, so the answer must equal the full-index search — e02's
+    // oracle verbatim is the whole point
+    "e12_ann_delta_serve" -> annLshOracleSql,
     // s10 serves the SAME search from a query STREAM against the
     // persisted index — one AvailableNow pass must reproduce e02/e06
     "s10_stream_ann_serve" -> annLshOracleSql,

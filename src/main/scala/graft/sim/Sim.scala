@@ -262,6 +262,42 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e12: delta-serving ANN — the other half of e11's index-freshness
+    * story: vectors ingested AFTER the nightly build must be
+    * searchable before the next rebuild, and rebuilding per ingest
+    * batch is as unaffordable as rebuilding per delete. The serving
+    * read unions two sides: the persisted index scan with the stale
+    * cut pushed down (here `vec_id % 10 != 3` stands in for
+    * `ingest_day < build_day` — the predicate reaches the parquet
+    * scan), and the small fresh delta, which computes its signatures
+    * at serve time (delta cost ∝ delta size, never corpus size).
+    * Union BEFORE probing means fresh vectors compete for top-k on
+    * equal terms, so the answer equals the full-index search exactly —
+    * e02's oracle verbatim. The nightly e06 rebuild folds the delta
+    * into the layout and resets it.
+    */
+  def e12AnnDeltaServe(spark: SparkSession, dir: String): DataFrame = {
+    val stale = annIndex(spark, dir).where(col("vec_id") % 10 =!= 3)
+      .select("vec_id", "v", "nrm", "bucket")
+    val delta = emb(spark, dir).where(col("vec_id") % 10 === 3)
+      .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+      .select("vec_id", "v", "nrm", "bucket")
+    val q = emb(spark, dir)
+      .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+      .where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(expr(probeExprOf(SigBits))).as("bucket"))
+    val scored = stale.unionByName(delta).join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** e04: IVF approximate NN — the scale path for very large corpora.
     *  - coarse quantizer: the k corpus vectors with the smallest
     *    mod-prime hash of vec_id serve as centroids (KMeans‖-style

@@ -83,6 +83,7 @@ class EmptyInputSpec extends SparkSpec {
       "e09" -> (() => graft.sim.Sim.e09FilteredAnn(spark, emptyDir).count()),
       "e10" -> (() => graft.sim.Sim.e10AnnRecall(spark, emptyDir).count()),
       "e11" -> (() => graft.sim.Sim.e11AnnTombstones(spark, emptyDir).count()),
+      "e12" -> (() => graft.sim.Sim.e12AnnDeltaServe(spark, emptyDir).count()),
       "w16" -> (() => graft.sources.Sinks.w16PartitionEvolution(spark, emptyDir).count()),
       "w17" -> (() => graft.sources.Sinks.w17MergeCdc(spark, emptyDir).count()),
       "s14" -> (() => graft.streaming.Streams.s14StreamCdcApply(spark, emptyDir).count()),

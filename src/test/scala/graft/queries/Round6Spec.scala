@@ -365,6 +365,24 @@ class Round6Spec extends SparkSpec {
       "tombstone filter should be a broadcast left-anti join")
   }
 
+  test("e12 delta serving equals the full-index search; fresh vectors really compete") {
+    import graft.sim.Sim
+    val e12 = Sim.e12AnnDeltaServe(spark, sfDir)
+    val got = e12.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Sim.e02AnnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // union-before-probe means the answer is EXACTLY the full search
+    assert(got == want, "delta serving diverged from the full-index search")
+    // non-degenerate: the fresh delta actually lands rows in the top-k
+    // (otherwise this spec would pass with the delta side dropped)
+    assert(got.exists(_._2 % 10 == 3), "no fresh-delta vector was ever served")
+    // the stale cut is pushed into the parquet index scan, not applied
+    // post-read — at 10^11 rows the difference is the whole point
+    val plan = e12.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("vec_id"),
+      "stale-cut predicate should reach the index parquet scan")
+  }
+
   test("e10 recall eval equals a driver-side set intersection; panel recall is real") {
     import graft.sim.Sim
     val got = Sim.e10AnnRecall(spark, sfDir).collect()
