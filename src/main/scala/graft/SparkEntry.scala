@@ -135,6 +135,7 @@ object SparkEntry {
     "w16_partition_evolution" -> graft.sources.Sinks.w16PartitionEvolution _,
     "w17_merge_cdc"       -> graft.sources.Sinks.w17MergeCdc _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
+    "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -729,6 +730,21 @@ object SparkEntry {
     // commits; every key is merged by exactly one batch, so the
     // final table is w17's no matter how the stream was batched.
     "s14_stream_cdc_apply" -> mergeCdcOracleSql,
+    // s15: the watermark arithmetic reproduced in exact integer ms —
+    // wm = epoch_ms(max on-time ts) − 24 h; a straggler (user_id%5=0)
+    // arrives in the second micro-batch and survives iff its hour
+    // window's END is still beyond the watermark
+    "s15_stream_late_data" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 86400000 AS wm_ms
+        |  FROM events WHERE user_id % 5 <> 0),
+        |acc AS (
+        |  SELECT * FROM events
+        |  WHERE user_id % 5 <> 0
+        |     OR epoch_us(date_trunc('hour', ts)) // 1000 + 3600000
+        |        > (SELECT wm_ms FROM wm))
+        |SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n
+        |FROM acc GROUP BY 1, 2""".stripMargin,
     // w15 copy-on-write-deletes the lower-eighth doc_id range and
     // reads back through the new manifest: exactly the surviving rows.
     "w15_row_deletes" ->

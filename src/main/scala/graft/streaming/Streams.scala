@@ -590,6 +590,84 @@ object Streams {
     sess.table(name)
   }
 
+  /** Arrival-ordered staging for s15, replayed as THREE micro-batches
+    * (mtime order; the file source batches files by modification time):
+    * the bulk of the on-time cohort (user_id % 5 != 0) INCLUDING the
+    * timeline tail, then a mid-timeline on-time slice (Jan 5–8 of the
+    * generator's fixed Jan-2024 span), then the straggler cohort.
+    * Three batches, not two, because Spark's default two-watermark
+    * scheme (`statefulOperator.allowMultiple`, SPARK-40925) filters a
+    * batch's LATE rows against the watermark in effect during the
+    * PREVIOUS batch: the stragglers in batch 2 are filtered by batch
+    * 1's watermark, which already advanced to max(on-time) − delay
+    * because batch 0 carried the timeline tail. (A two-file replay
+    * would filter the stragglers against the initial 0 watermark and
+    * drop nothing.) Keyed by (dir, appId) like the ANN index staging
+    * so concurrent sessions never clobber each other; committed via a
+    * `_STAGED` marker through the Hadoop FileSystem API so a failed
+    * half-write never serves.
+    */
+  private[graft] def lateArrivalStage(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = spark.conf.get("spark.graft.stream.stagingDir", "/tmp")
+    val stage = s"$root/graft_stream_late_${Integer.toHexString(dir.hashCode)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    val p = new HPath(stage)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new HPath(p, "_STAGED")
+    if (!fs.exists(marker)) {
+      val ev = graft.Tables.events(spark, dir)
+      val onTime = ev.where(col("user_id") % 5 =!= 0)
+      val midWave = col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-08")
+      onTime.where(!midWave).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/p1")
+      onTime.where(midWave).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/p2")
+      ev.where(col("user_id") % 5 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/p3")
+      val now = System.currentTimeMillis()
+      Seq("p1" -> (now - 120000), "p2" -> (now - 60000), "p3" -> now)
+        .foreach { case (sub, t) =>
+          fs.listStatus(new HPath(p, sub))
+            .filterNot(st => st.getPath.getName.startsWith("_"))
+            .foreach(st => fs.setTimes(st.getPath, t, -1))
+        }
+      fs.create(marker, true).close()
+    }
+    stage
+  }
+
+  /** s15: late-data accounting under a watermark — the streaming
+    * correctness knob every production pipeline has to set: how long
+    * to wait for stragglers before a window closes. The staged replay
+    * arrives as three micro-batches (see [[lateArrivalStage]]) with
+    * the stragglers last, by which point the late-record watermark
+    * has advanced to max(on-time ts) − 24 h: a straggler whose hour
+    * window closed before that is DROPPED by the aggregation (the
+    * same bound that keeps state finite at scale is what drops it);
+    * a straggler whose window is still open folds in normally, on top
+    * of the intact cumulative count. Update mode emits a window's
+    * running count in every batch that touches it; the batch rollup
+    * over the sink keeps the final emission per window (= max —
+    * counts are monotone). The oracle reproduces the watermark
+    * arithmetic in exact integer milliseconds: wm_ms =
+    * epoch_ms(max on-time ts) − 24 h, a straggler survives iff its
+    * window end > wm_ms.
+    */
+  def s15StreamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val stage = lateArrivalStage(ss, dir)
+    val schema = ss.read.parquet(s"$stage/p1").schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val agg = stream.withWatermark("ts", "24 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+    val (sess, name) = runToCompletion(agg, OutputMode.Update())
+    sess.table(name).groupBy("bucket", "event_type").agg(max("n").as("n"))
+  }
+
   // public: encoder-generated code must be able to reach these
   case class BandRow(doc_id: Long, band_id: Int, band_sig: Long)
   case class BucketState(docIds: Array[Long], overflowed: Boolean)

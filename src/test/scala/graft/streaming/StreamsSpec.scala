@@ -280,4 +280,26 @@ class StreamsSpec extends SparkSpec {
 
     assert(got == expected, s"multi-batch sessions diverge: got ${got.size}, expected ${expected.size}")
   }
+
+  test("s15 watermark drops closed-window stragglers and keeps open-window ones") {
+    val got = Streams.s15StreamLateData(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_type").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2)))
+    val wmMs = ev.filter(_._2 % 5 != 0).map(_._1).max - 24L * 3600000
+    def winEnd(ms: Long): Long = ms / 3600000 * 3600000 + 3600000
+    val accepted = ev.filter { case (ms, uid, _) => uid % 5 != 0 || winEnd(ms) > wmMs }
+    val expected = accepted.groupBy(e => (e._1 / 3600000 * 3600000, e._3))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    // equality doubles as the batch-separation pin: if both files landed
+    // in ONE batch nothing would be dropped (watermark still 0), and if
+    // the straggler file ran FIRST the on-time cohort would be filtered
+    // by the stragglers' watermark — either way this diverges
+    assert(got == expected, "s15 diverges from the driver watermark walk")
+    val dropped = ev.count { case (ms, uid, _) => uid % 5 == 0 && winEnd(ms) <= wmMs }
+    val kept = ev.count { case (ms, uid, _) => uid % 5 == 0 && winEnd(ms) > wmMs }
+    assert(dropped > 0, "no straggler was dropped — the watermark never bit")
+    assert(kept > 0, "no straggler survived — the open-window path is untested")
+  }
 }
