@@ -59,6 +59,7 @@ object SparkEntry {
     "q33_funnel"          -> Events.q33Funnel _,
     "q34_retention"       -> Events.q34Retention _,
     "q35_decayed_agg"     -> Relational.q35DecayedAgg _,
+    "q36_kmv_distinct"    -> Relational.q36KmvDistinct _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -604,6 +605,19 @@ object SparkEntry {
         |  CAST(CAST(sum(dm) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(rm) AS BIGINT) AS DOUBLE)
         |    AS freshness
         |FROM d GROUP BY 1""".stripMargin,
+    // q36: the KMV threshold is the 64th-smallest distinct mod-prime
+    // hash per group — deterministic, so the oracle recomputes it
+    // exactly; the estimate is pure integer division
+    "q36_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    (((l_partkey * 1000003 + 17) % 1000000007) * 999983 + 7919)
+        |      % 1000000007 AS hv FROM lineitem),
+        |r AS (SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+        |  FROM h)
+        |SELECT l_returnflag, hv AS kth_min_hash,
+        |  CAST((CAST(63 AS BIGINT) * 1000000007) // hv AS BIGINT) AS est_distinct
+        |FROM r WHERE rn = 64""".stripMargin,
     // Snapshot diff: digest-compare both derived versions; counts are
     // exact integers.
     "d25_corpus_diff" ->

@@ -118,6 +118,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children(0))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv k must be an int literal, got $other")
+        }
+        KmvSketch(children(0), k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (children: Seq[Expression]) => {

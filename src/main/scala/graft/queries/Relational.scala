@@ -420,6 +420,52 @@ object Relational {
     * round trip, and the whole plan is scan → broadcast join →
     * map-side-combined agg: one shuffle of 5 group rows at any scale.
     */
+  /** q36: KMV distinct-count sketch — the bounded-state at-scale twin
+    * of q09's exact countDistinct (the q25↔q25b pattern applied to
+    * cardinality). Exact distinct shuffles every distinct key per
+    * group; the KMV aggregate ([[graft.functions.KmvSketch]]) carries
+    * ≤ K longs of state per group regardless of cardinality, partials
+    * combine map-side in O(K), and the k-th-smallest-distinct-hash
+    * threshold it emits is deterministic — so the estimate
+    * `(K−1)·P div threshold` reproduces bit-for-bit in any engine
+    * (~1/√K ≈ 12.5% relative error at K=64). Hash is the library's
+    * mod-prime convention: every intermediate < 2^63, no wrap-around
+    * semantics for the oracle to replicate. Falls back to the exact
+    * window formulation (identical result, unbounded state) when the
+    * native extension is absent.
+    */
+  def q36KmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    q36KmvDistinct(spark, dir, spark.catalog.functionExists("graft_kmv"))
+
+  private[graft] def q36KmvDistinct(
+      spark: SparkSession, dir: String, native: Boolean): DataFrame = {
+    import spark.implicits._
+    val K = 64
+    val P = 1000000007L
+    // two mod-prime rounds: one round is linear (wrap-free) on small
+    // key ranges and piles every hash into the bottom of [0, P),
+    // biasing the estimate ~5× high; the second round's effective
+    // stride (1000003·999983 mod P) wraps the modulus thousands of
+    // times, spreading consecutive keys uniformly. Every intermediate
+    // stays < 2^63 for the checked-arithmetic oracle.
+    val hashed = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        (((($"l_partkey" * 1000003L + 17L) % P) * 999983L + 7919L) % P).as("hv"))
+    val kth =
+      if (native)
+        hashed.groupBy($"l_returnflag")
+          .agg(call_function("graft_kmv", $"hv", lit(K)).as("kth_min_hash"))
+      else {
+        val w = Window.partitionBy($"l_returnflag").orderBy($"hv")
+        hashed.distinct()
+          .withColumn("rn", row_number().over(w)).where($"rn" === K)
+          .select($"l_returnflag", $"hv".as("kth_min_hash"))
+      }
+    kth.where($"kth_min_hash".isNotNull)
+      .select($"l_returnflag", $"kth_min_hash",
+        expr(s"${(K - 1).toLong * P}L div kth_min_hash").as("est_distinct"))
+  }
+
   def q35DecayedAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir)

@@ -383,6 +383,35 @@ class Round6Spec extends SparkSpec {
       "stale-cut predicate should reach the index parquet scan")
   }
 
+  test("q36 KMV sketch: native agg ≡ exact window fallback; estimate lands near truth") {
+    import graft.queries.Relational
+    // native path (test session registers GraftExtensions)
+    assert(spark.catalog.functionExists("graft_kmv"), "extension not installed in test session")
+    val native = Relational.q36KmvDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // fallback path forced on the same session (the fingerprint pattern)
+    val fallback = Relational.q36KmvDistinct(spark, sfDir, native = false).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(native == fallback, "native KMV diverges from the exact window formulation")
+    assert(native.nonEmpty, "no group saturated the sketch")
+    // the estimate is within the sketch's error envelope of the truth
+    val exact = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((flag, _, est) <- native) {
+      val truth = exact(flag)
+      // KMV error envelope is ~1/√K = 12.5%; allow 3σ
+      assert(math.abs(est - truth).toDouble / truth < 0.4,
+        s"$flag: KMV estimate $est outside the error envelope of exact $truth")
+    }
+    // bounded-state plan shape: the sketch rides ObjectHashAggregate
+    // with a partial_graft_kmv map-side phase (state ≤ K longs/group)
+    val plan = Relational.q36KmvDistinct(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_graft_kmv"),
+      "native KMV should run as a partial-aggregated ObjectHashAggregate")
+  }
+
   test("e10 recall eval equals a driver-side set intersection; panel recall is real") {
     import graft.sim.Sim
     val got = Sim.e10AnnRecall(spark, sfDir).collect()
