@@ -71,6 +71,7 @@ object SparkEntry {
     "d28_containment"     -> Dedup.d28Containment _,
     "d29_bloom_decontam"  -> graft.text.Corpus.d29BloomDecontam _,
     "d31_reference_lm"    -> graft.text.Corpus.d31ReferenceLm _,
+    "d32_cms_termfreq"    -> Text.d32CmsTermfreq _,
     "d09_chunk"           -> Text.d09Chunk _,
     "d11_dup_clusters"    -> Dedup.d11DupClusters _,
     "d12_tfidf"           -> Text.d12TfIdf _,
@@ -1610,6 +1611,44 @@ object SparkEntry {
     // d31 trains the bigram "LM" on the bench slice and scores the
     // crawl — integer counts end to end, no log-probs (libm-safe).
     "d31_reference_lm" -> referenceLmOracleSql,
+    // d32: the whole count-min sketch — token polyhash, 4 affine
+    // bucket maps, counter build, min-over-rows point queries —
+    // reproduced in SQL; everything is integer arithmetic
+    "d32_cms_termfreq" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |th AS (
+        |  SELECT list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(term)+1), i -> CAST(ascii(term[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007) AS th
+        |  FROM toks),
+        |rb AS (
+        |  SELECT r, CASE r
+        |      WHEN 0 THEN ((th * 1000003 + 17) % 1000000007) % 1024
+        |      WHEN 1 THEN ((th * 999983 + 7919) % 1000000007) % 1024
+        |      WHEN 2 THEN ((th * 1000033 + 101) % 1000000007) % 1024
+        |      ELSE ((th * 999979 + 271) % 1000000007) % 1024 END AS bucket
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+        |counters AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+        |panel AS (SELECT DISTINCT term FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 20)),
+        |pth AS (
+        |  SELECT term, list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(term)+1), i -> CAST(ascii(term[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007) AS th
+        |  FROM panel),
+        |prb AS (
+        |  SELECT term, r, CASE r
+        |      WHEN 0 THEN ((th * 1000003 + 17) % 1000000007) % 1024
+        |      WHEN 1 THEN ((th * 999983 + 7919) % 1000000007) % 1024
+        |      WHEN 2 THEN ((th * 1000033 + 101) % 1000000007) % 1024
+        |      ELSE ((th * 999979 + 271) % 1000000007) % 1024 END AS bucket
+        |  FROM pth CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r))
+        |SELECT term, CAST(min(cnt) AS BIGINT) AS est_freq
+        |FROM prb JOIN counters USING (r, bucket)
+        |GROUP BY term ORDER BY est_freq DESC, term LIMIT 50""".stripMargin,
     // s13 is d31 deployed at ingestion: one AvailableNow pass over the
     // document stream must reproduce the batch scores exactly.
     "s13_stream_quality_lm" -> referenceLmOracleSql,

@@ -262,4 +262,61 @@ object Text {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term"))
       .limit(100)
+
+  /** d05's token hash as a standalone column (seed 17, mult 31,
+    * mod 1e9+7): native fused loop when the extension is present,
+    * bit-identical `aggregate` fold otherwise.
+    */
+  private def polyTermHash(t: Column, native: Boolean): Column =
+    if (native) call_function("graft_polyhash", t, lit(17L), lit(31L))
+    else aggregate(split(t, ""), lit(17L), (b, c) => (b * lit(31L) + ascii(c)) % lit(FpMod))
+
+  /** The d32 count-min layout: d=4 hash rows × w=1024 counters. Each
+    * row maps a token hash to a bucket through its own mod-prime
+    * affine map; the per-row maps share nothing, so a collision in one
+    * row is independent of the others and min-over-rows debiases the
+    * estimate.
+    */
+  private val CmsRows = Seq((1000003L, 17L), (999983L, 7919L), (1000033L, 101L), (999979L, 271L))
+  private val CmsWidth = 1024
+
+  private def cmsBuckets(th: Column): Column = array(
+    CmsRows.zipWithIndex.map { case ((a, b), r) =>
+      struct(lit(r).as("r"), (((th * lit(a) + lit(b)) % lit(FpMod)) % lit(CmsWidth)).as("bucket"))
+    }: _*)
+
+  /** d32: count-min term-frequency sketch — the bounded-state at-scale
+    * twin of d10's exact vocabulary (the q09↔q36 pattern for term
+    * counts). An exact vocab build shuffles every distinct term; the
+    * CMS build shuffles at most d·w = 4096 counter rows no matter how
+    * large the vocabulary is (the token stream map-side-combines into
+    * per-partition counter partials — the sketch is mergeable by
+    * construction, the property that lets every shard of a 100 TB
+    * corpus build its own and sum them). Point queries then never
+    * rescan the corpus: a term's estimate is the MIN over its d row
+    * counters (always ≥ the true count, biased only by collisions).
+    * Served here for a fixed panel — the distinct terms of the first
+    * 20 documents — ranked by estimate: everything is exact integer
+    * counts and deterministic bucket arithmetic, so the DuckDB oracle
+    * reproduces the whole sketch bit-for-bit.
+    */
+  def d32CmsTermfreq(spark: SparkSession, dir: String): DataFrame = {
+    val native = spark.catalog.functionExists("graft_polyhash")
+    val docs = Tables.documents(spark, dir)
+    val counters = docs
+      .select(explode(wsTokens(lower(col("text")))).as("term"))
+      .select(polyTermHash(col("term"), native).as("th"))
+      .select(explode(cmsBuckets(col("th"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val panel = docs.where(col("doc_id") < 20)
+      .select(explode(wsTokens(lower(col("text")))).as("term")).distinct()
+      .select(col("term"), polyTermHash(col("term"), native).as("th"))
+      .select(col("term"), explode(cmsBuckets(col("th"))).as("rb"))
+      .select(col("term"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    panel.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy("term").agg(min(col("cnt")).as("est_freq"))
+      .orderBy(col("est_freq").desc, col("term"))
+      .limit(50)
+  }
 }

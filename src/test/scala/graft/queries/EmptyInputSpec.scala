@@ -81,6 +81,7 @@ class EmptyInputSpec extends SparkSpec {
       "w14" -> (() => graft.sources.Sinks.w14ZorderCompact(spark, emptyDir).count()),
       "w15" -> (() => graft.sources.Sinks.w15RowDeletes(spark, emptyDir).count()),
       "d31" -> (() => graft.text.Corpus.d31ReferenceLm(spark, emptyDir).count()),
+      "d32" -> (() => graft.text.Text.d32CmsTermfreq(spark, emptyDir).count()),
       "e09" -> (() => graft.sim.Sim.e09FilteredAnn(spark, emptyDir).count()),
       "e10" -> (() => graft.sim.Sim.e10AnnRecall(spark, emptyDir).count()),
       "e11" -> (() => graft.sim.Sim.e11AnnTombstones(spark, emptyDir).count()),

@@ -412,6 +412,31 @@ class Round6Spec extends SparkSpec {
       "native KMV should run as a partial-aggregated ObjectHashAggregate")
   }
 
+  test("d32 CMS estimates dominate exact counts and serve from a broadcast sketch") {
+    import graft.text.Text
+    val d32 = Text.d32CmsTermfreq(spark, sfDir)
+    val got = d32.collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    // exact corpus frequency per served term (the sketch never sees this)
+    val exact = graft.Tables.documents(spark, sfDir)
+      .select(explode(expr("split(trim(lower(text)), '\\\\s+')")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the CMS invariant: an estimate can only overcount (collisions), never under
+    for ((term, est) <- got) {
+      val truth = exact.getOrElse(term, 0L)
+      assert(est >= truth, s"'$term': CMS estimate $est below exact $truth")
+    }
+    // non-degenerate: most panel estimates are collision-free at 4x1024
+    val exactHits = got.count { case (t, e) => exact.getOrElse(t, 0L) == e }
+    assert(exactHits * 2 > got.length,
+      s"only $exactHits/${got.length} collision-free estimates — sketch too small or hash broken")
+    // the 4096-counter sketch rides a broadcast join; the corpus is
+    // never rescanned at query time
+    val plan = d32.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "counters should broadcast")
+  }
+
   test("e10 recall eval equals a driver-side set intersection; panel recall is real") {
     import graft.sim.Sim
     val got = Sim.e10AnnRecall(spark, sfDir).collect()
