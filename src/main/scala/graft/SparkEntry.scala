@@ -138,6 +138,7 @@ object SparkEntry {
     "w17_merge_cdc"       -> graft.sources.Sinks.w17MergeCdc _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
+    "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -1188,6 +1189,29 @@ object SparkEntry {
         |FROM e JOIN c ON e.user_id = c.user_id
         |  AND c.c_ts >= e.e_ts - INTERVAL 5 MINUTE AND c.c_ts < e.e_ts
         |GROUP BY 1""".stripMargin,
+    // s16: the stream converges to the batch left-outer interval join
+    // EXCEPT inside the final watermark horizon, where an unmatched
+    // error is still undecidable (a matching click could yet arrive)
+    // and stays in state — the horizon is encoded in exact integer ms
+    "s16_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, event_id AS error_id, ts AS e_ts
+        |      FROM events WHERE event_type = 'error'),
+        |wm AS (SELECT least(
+        |    (SELECT epoch_us(max(c_ts)) // 1000 FROM c),
+        |    (SELECT epoch_us(max(e_ts)) // 1000 FROM e)) - 3600000 AS wm_ms),
+        |j AS (
+        |  SELECT e.user_id, e.error_id, c.click_id
+        |  FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |    AND c.c_ts >= e.e_ts - INTERVAL 5 MINUTE AND c.c_ts < e.e_ts
+        |  WHERE c.click_id IS NOT NULL
+        |     OR epoch_us(e.e_ts) // 1000 <= (SELECT wm_ms FROM wm))
+        |SELECT user_id, count(*) AS n_rows,
+        |  count(click_id) AS n_matched,
+        |  count(*) FILTER (WHERE click_id IS NULL) AS n_unmatched,
+        |  count(DISTINCT error_id) AS n_errors
+        |FROM j GROUP BY 1""".stripMargin,
     "relief_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (

@@ -569,6 +569,49 @@ object Streams {
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("error_id")).as("n_errors"))
   }
 
+  /** s16: stream-stream LEFT OUTER interval join — s04's join with the
+    * semantics production alerting actually needs: an error with NO
+    * click in its preceding 5 minutes must still be reported. Outer
+    * stream-stream joins are the hard watermark case: a null-padded
+    * row can only be emitted once the watermark proves no matching
+    * click can still arrive, so unmatched errors sit in state until
+    * their join window expires and are released by the no-data batch
+    * that AvailableNow runs after the sources drain. The one honest
+    * divergence from the batch join: an unmatched error INSIDE the
+    * final watermark horizon (e_ts > min(max click, max error) − 1 h)
+    * is undecidable at end-of-input — a matching click could still
+    * arrive — and stays in state unemitted. The oracle encodes
+    * exactly that horizon in integer milliseconds; matched pairs are
+    * never withheld. Same bounded state as s04: the watermark +
+    * time-range predicate limit both sides' buffers.
+    */
+  def s16StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val clicks = eventsStream(ss, dir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val errors = eventsStream(ss, dir)
+      .where(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("c_ts") < col("e_ts"),
+      "left_outer")
+      .select(col("e_user").as("user_id"), col("error_id"), col("click_id"))
+    val (sess, name) = runToCompletion(joined, OutputMode.Append())
+    sess.table(name)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("click_id")).as("n_matched"),
+        count_if(col("click_id").isNull).as("n_unmatched"),
+        countDistinct(col("error_id")).as("n_errors"))
+  }
+
   /** s06: STREAMING sessionization via the NATIVE session_window
     * operator — the built-in merging-session-window aggregate running
     * in a stream (vs s02's hand-rolled flatMapGroupsWithState and q26's

@@ -90,6 +90,7 @@ class EmptyInputSpec extends SparkSpec {
       "w17" -> (() => graft.sources.Sinks.w17MergeCdc(spark, emptyDir).count()),
       "s14" -> (() => graft.streaming.Streams.s14StreamCdcApply(spark, emptyDir).count()),
       "s15" -> (() => graft.streaming.Streams.s15StreamLateData(spark, emptyDir).count()),
+      "s16" -> (() => graft.streaming.Streams.s16StreamOuterJoin(spark, emptyDir).count()),
       "m06" -> (() => graft.multimodal.Multimodal.m06ImageResize(spark, emptyDir).count()),
       "d28" -> (() => graft.dedup.Dedup.d28Containment(spark, emptyDir).count()),
       "d29" -> (() => graft.text.Corpus.d29BloomDecontam(spark, emptyDir).count()))

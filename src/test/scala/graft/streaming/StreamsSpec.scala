@@ -281,6 +281,35 @@ class StreamsSpec extends SparkSpec {
     assert(got == expected, s"multi-batch sessions diverge: got ${got.size}, expected ${expected.size}")
   }
 
+  test("s16 left-outer stream join converges to batch; nulls released by watermark expiry") {
+    val got = Streams.s16StreamOuterJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).getTime))
+    val clicks = ev.filter(_._3 == "click")
+    val errors = ev.filter(_._3 == "error")
+    // final watermark horizon: an unmatched error beyond it is
+    // undecidable at end-of-input and stays in state (see scaladoc)
+    val wmMs = math.min(clicks.map(_._4).max, errors.map(_._4).max) - 3600000
+    val perError = errors.map { case (u, eid, _, ets) =>
+      val m = clicks.count { case (cu, _, _, cts) =>
+        cu == u && cts >= ets - 300000 && cts < ets }
+      (u, eid, m, ets)
+    }.filter { case (_, _, m, ets) => m > 0 || ets <= wmMs }
+    val expected = perError.groupBy(_._1).map { case (u, xs) =>
+      (u,
+        xs.map(x => math.max(1L, x._3.toLong)).sum,          // n_rows (outer keeps 1)
+        xs.map(_._3.toLong).sum,                              // n_matched
+        xs.count(_._3 == 0).toLong,                           // n_unmatched
+        xs.map(_._2).distinct.length.toLong)                  // n_errors
+    }.toSeq.sortBy(_._1)
+    assert(got == expected, "stream outer join diverges from the driver walk")
+    assert(got.exists(_._4 > 0), "no unmatched error — the null-padding path never ran")
+    assert(got.exists(_._3 > 0), "no matched pair — degenerate join")
+  }
+
   test("s15 watermark drops closed-window stragglers and keeps open-window ones") {
     val got = Streams.s15StreamLateData(spark, sfDir).collect()
       .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
