@@ -60,6 +60,7 @@ object SparkEntry {
     "q34_retention"       -> Events.q34Retention _,
     "q35_decayed_agg"     -> Relational.q35DecayedAgg _,
     "q36_kmv_distinct"    -> Relational.q36KmvDistinct _,
+    "q37_gap_fill"        -> Events.q37GapFill _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -620,6 +621,28 @@ object SparkEntry {
         |SELECT l_returnflag, hv AS kth_min_hash,
         |  CAST((CAST(63 AS BIGINT) * 1000000007) // hv AS BIGINT) AS est_distinct
         |FROM r WHERE rn = 64""".stripMargin,
+    // q37: the dense grid, hourly closing values and the forward fill
+    // are all exact integer / timestamp arithmetic
+    "q37_gap_fill" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm FROM events),
+        |hr AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket, vm,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e),
+        |hc AS (SELECT user_id, bucket, vm FROM hr WHERE rn = 1),
+        |span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |    date_trunc('hour', max(ts)) AS h1 FROM e GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM span),
+        |j AS (SELECT g.user_id, g.bucket, hc.vm FROM grid g
+        |      LEFT JOIN hc ON g.user_id = hc.user_id AND g.bucket = hc.bucket)
+        |SELECT user_id, bucket,
+        |  last_value(vm IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_milli,
+        |  CAST(CASE WHEN vm IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed
+        |FROM j""".stripMargin,
     // Snapshot diff: digest-compare both derived versions; counts are
     // exact integers.
     "d25_corpus_diff" ->

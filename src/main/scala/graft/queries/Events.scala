@@ -14,6 +14,42 @@ import graft.Tables
   */
 object Events {
 
+  /** q37: time-series gap fill — resample each user's event stream
+    * onto a dense hourly grid over their own [first, last] span and
+    * forward-fill the last observed value into silent hours (the
+    * standard prep before any per-entity time-series model; also the
+    * one operator every metrics store runs constantly). Shapes that
+    * survive scale: the grid explodes per-key `sequence()` rows (grid
+    * size ∝ each key's span, never the global timeline), the closing
+    * value per hour is one deduplicating window, the fill is one
+    * `last(ignoreNulls)` running window — every exchange hashes on a
+    * user_id-bearing key and every window is keyed, so nothing ever
+    * funnels through a single partition. Values ride as exact
+    * milli-integers (the q35 convention), so the forward fill
+    * reproduces bit-for-bit in the oracle.
+    */
+  def q37GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 1000).cast("bigint").as("vm"))
+    // the hour's closing value: last event in the hour, ties by id
+    val wClose = Window.partitionBy($"user_id", date_trunc("hour", $"ts"))
+      .orderBy($"ts".desc, $"event_id".desc)
+    val hourClose = e
+      .withColumn("rn", row_number().over(wClose)).where($"rn" === 1)
+      .select($"user_id", date_trunc("hour", $"ts").as("bucket"), $"vm")
+    val grid = e.groupBy($"user_id")
+      .agg(date_trunc("hour", min($"ts")).as("h0"), date_trunc("hour", max($"ts")).as("h1"))
+      .select($"user_id", explode(expr("sequence(h0, h1, interval 1 hour)")).as("bucket"))
+    val wFill = Window.partitionBy($"user_id").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourClose, Seq("user_id", "bucket"), "left")
+      .select($"user_id", $"bucket",
+        last($"vm", ignoreNulls = true).over(wFill).as("filled_milli"),
+        when($"vm".isNull, 0L).otherwise(1L).as("observed"))
+  }
+
   /** q16: tumbling 1-hour bucket aggregation. */
   def q16EventsBucket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -78,6 +78,7 @@ class EmptyInputSpec extends SparkSpec {
       "m05" -> (() => graft.multimodal.Multimodal.m05VideoFrames(spark, emptyDir).count()),
       "q35" -> (() => Relational.q35DecayedAgg(spark, emptyDir).count()),
       "q36" -> (() => Relational.q36KmvDistinct(spark, emptyDir).count()),
+      "q37" -> (() => graft.queries.Events.q37GapFill(spark, emptyDir).count()),
       "w14" -> (() => graft.sources.Sinks.w14ZorderCompact(spark, emptyDir).count()),
       "w15" -> (() => graft.sources.Sinks.w15RowDeletes(spark, emptyDir).count()),
       "d31" -> (() => graft.text.Corpus.d31ReferenceLm(spark, emptyDir).count()),

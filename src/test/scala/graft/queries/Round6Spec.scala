@@ -412,6 +412,37 @@ class Round6Spec extends SparkSpec {
       "native KMV should run as a partial-aggregated ObjectHashAggregate")
   }
 
+  test("q37 gap fill: dense per-user grid, exact forward fill, no global window") {
+    import graft.queries.Events
+    val q37 = Events.q37GapFill(spark, sfDir)
+    val got = q37.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        math.round(r.getDouble(3) * 1000)))
+    def hour(ms: Long): Long = ms / 3600000 * 3600000
+    val expected = ev.groupBy(_._1).flatMap { case (u, xs) =>
+      val close = xs.groupBy(e => hour(e._2))
+        .map { case (h, es) => h -> es.maxBy(e => (e._2, e._3))._4 }
+      val h0 = hour(xs.map(_._2).min)
+      val h1 = hour(xs.map(_._2).max)
+      var lastV = 0L
+      (h0 to h1 by 3600000).map { h =>
+        val obs = close.get(h)
+        obs.foreach(v => lastV = v)
+        (u, h, lastV, if (obs.isDefined) 1L else 0L)
+      }
+    }.toSet
+    assert(got.toSet == expected, "gap fill diverges from the driver walk")
+    // silent hours exist and are filled (the operator's whole point)
+    assert(got.count(_._4 == 0L) > 0, "no gap was ever filled — grid degenerate")
+    // scale shape: every window/exchange is keyed — nothing funnels
+    // through a single partition
+    val plan = q37.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), "a global exchange crept into the plan")
+  }
+
   test("d32 CMS estimates dominate exact counts and serve from a broadcast sketch") {
     import graft.text.Text
     val d32 = Text.d32CmsTermfreq(spark, sfDir)
