@@ -137,6 +137,7 @@ object SparkEntry {
     "w15_row_deletes"     -> graft.sources.Sinks.w15RowDeletes _,
     "w16_partition_evolution" -> graft.sources.Sinks.w16PartitionEvolution _,
     "w17_merge_cdc"       -> graft.sources.Sinks.w17MergeCdc _,
+    "w18_write_audit_publish" -> graft.sources.Sinks.w18WriteAuditPublish _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
@@ -765,6 +766,25 @@ object SparkEntry {
     // under new ids, in-place updates) confined to the lower-eighth
     // doc_id range, then rolls up the merged final state.
     "w17_merge_cdc" -> mergeCdcOracleSql,
+    // w18: the audit ledger over two deterministic candidate batches —
+    // pure integer arithmetic; the published-table state is spec-pinned
+    "w18_write_audit_publish" ->
+      """WITH dirty AS (
+        |  SELECT CASE WHEN doc_id % 14 = 3 THEN NULL ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |clean AS (SELECT text FROM documents WHERE doc_id % 7 = 5),
+        |l AS (
+        |  SELECT 1 AS batch, count(*) AS n_rows,
+        |    count(*) FILTER (WHERE text IS NULL OR length(trim(text)) = 0) AS n_bad
+        |  FROM dirty
+        |  UNION ALL
+        |  SELECT 2, count(*),
+        |    count(*) FILTER (WHERE text IS NULL OR length(trim(text)) = 0)
+        |  FROM clean)
+        |SELECT CAST(batch AS BIGINT) AS batch, n_rows, n_bad,
+        |  CAST(CASE WHEN n_bad = 0 AND n_rows > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS published
+        |FROM l""".stripMargin,
     // s14 applies the SAME changeset through per-micro-batch MERGE
     // commits; every key is merged by exactly one batch, so the
     // final table is w17's no matter how the stream was batched.

@@ -719,6 +719,56 @@ object Sinks {
     * At 100 TB: merge cost ∝ files the changeset touches + new bytes,
     * never table size.
     */
+  /** w18: write-audit-publish — the governance pattern the manifest
+    * family exists to enable (Iceberg/Netflix "WAP"): a batch's data
+    * files land in the staging area, an audit runs ON THE STAGED
+    * FILES (what was actually written, not what the job meant to
+    * write), and only a clean batch gets its manifest commit — the
+    * one-rename publish of w08. A failing batch aborts with NO
+    * manifest: readers keep serving the last good snapshot, and the
+    * orphaned staged files are exactly what w12's GC sweeps. Two
+    * deterministic candidate batches exercise both paths: a metadata
+    * refresh whose extractor nulled half its texts (audit fails,
+    * abort), then a clean append (audit passes, publish). The ledger
+    * the operator returns — per-batch staged rows, audit failures,
+    * published flag — is pure integer arithmetic over deterministic
+    * slices, so DuckDB recomputes it exactly; the published TABLE
+    * state is pinned in the spec (base ∪ clean batch, two manifests,
+    * dirty files orphaned).
+    */
+  def w18WriteAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = stage(spark, dir, "wap")
+    val docs = Tables.documents(spark, dir)
+    val files1 = writeSnapshotData(spark, docs, root, 1)
+    commitManifest(spark, root, 1, files1)
+    val dirty = docs.where(col("doc_id") % 7 === 3)
+      .withColumn("text", when(col("doc_id") % 14 === 3, lit(null).cast("string"))
+        .otherwise(col("text")))
+    val clean = docs.where(col("doc_id") % 7 === 5)
+      .withColumn("doc_id", col("doc_id") + 3000000L)
+    var committed = files1
+    var nextManifest = 2
+    val ledger = Seq((1L, dirty, 2), (2L, clean, 3)).map { case (bid, df, sn) =>
+      val files = writeSnapshotData(spark, df, root, sn)
+      val staged =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docs.schema)
+        else spark.read.schema(docs.schema).parquet(files: _*)
+      val audit = staged.agg(
+        count(lit(1)),
+        count_if(col("text").isNull || length(trim(col("text"))) === 0)).head()
+      val (n, bad) = (audit.getLong(0), audit.getLong(1))
+      if (bad == 0 && n > 0) {
+        committed = committed ++ files
+        commitManifest(spark, root, nextManifest, committed)
+        nextManifest += 1
+      }
+      (bid, n, bad, if (bad == 0 && n > 0) 1L else 0L)
+    }
+    ledger.toDF("batch", "n_rows", "n_bad", "published")
+  }
+
   def w17MergeCdc(spark: SparkSession, dir: String): DataFrame = {
     val root = stage(spark, dir, "merge")
     val docs = Tables.documents(spark, dir)

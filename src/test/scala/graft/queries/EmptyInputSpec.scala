@@ -89,6 +89,7 @@ class EmptyInputSpec extends SparkSpec {
       "e12" -> (() => graft.sim.Sim.e12AnnDeltaServe(spark, emptyDir).count()),
       "w16" -> (() => graft.sources.Sinks.w16PartitionEvolution(spark, emptyDir).count()),
       "w17" -> (() => graft.sources.Sinks.w17MergeCdc(spark, emptyDir).count()),
+      "w18" -> (() => graft.sources.Sinks.w18WriteAuditPublish(spark, emptyDir).count()),
       "s14" -> (() => graft.streaming.Streams.s14StreamCdcApply(spark, emptyDir).count()),
       "s15" -> (() => graft.streaming.Streams.s15StreamLateData(spark, emptyDir).count()),
       "s16" -> (() => graft.streaming.Streams.s16StreamOuterJoin(spark, emptyDir).count()),

@@ -443,6 +443,37 @@ class Round6Spec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), "a global exchange crept into the plan")
   }
 
+  test("w18 WAP: dirty batch aborts without a trace, clean batch publishes atomically") {
+    import graft.sources.Sinks
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ledger = Sinks.w18WriteAuditPublish(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val Array(b1, b2) = ledger
+    assert(b1._3 > 0 && b1._4 == 0, s"dirty batch should fail its audit and abort: $b1")
+    assert(b2._3 == 0 && b2._4 == 1, s"clean batch should pass and publish: $b2")
+    // the published table is base ∪ clean batch — the dirty rows never served
+    val root = s"/tmp/graft_sink_wap_${Integer.toHexString(sfDir.hashCode)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val published = Sinks.readPublished(spark, sfDir, root)
+    assert(published.count() == docs.count() + b2._2, "published state != base + clean batch")
+    assert(published.where(col("text").isNull).count() == 0, "a dirty row leaked into the table")
+    // exactly two committed manifests: the dirty batch left NO commit
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests = fs.globStatus(new HPath(s"$root/manifest-*")).map(_.getPath.getName).sorted
+    assert(manifests.toSeq == Seq("manifest-1", "manifest-2"), manifests.mkString(","))
+    // the dirty batch's staged files are orphans (w12's GC candidates):
+    // present on disk, referenced by no manifest
+    val orphaned = fs.globStatus(new HPath(s"$root/data/snap2/part-*.parquet"))
+    assert(orphaned.nonEmpty, "dirty batch staged nothing")
+    val referenced = Seq(1, 2).flatMap { n =>
+      val in = fs.open(new HPath(root, s"manifest-$n"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList finally in.close()
+    }.toSet
+    assert(orphaned.forall(st => !referenced.contains(st.getPath.toUri.getPath)),
+      "a manifest references the aborted batch's files")
+  }
+
   test("d32 CMS estimates dominate exact counts and serve from a broadcast sketch") {
     import graft.text.Text
     val d32 = Text.d32CmsTermfreq(spark, sfDir)
