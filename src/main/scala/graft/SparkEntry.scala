@@ -101,6 +101,7 @@ object SparkEntry {
     "e10_ann_recall"      -> Sim.e10AnnRecall _,
     "e11_ann_tombstones"  -> Sim.e11AnnTombstones _,
     "e12_ann_delta_serve" -> Sim.e12AnnDeltaServe _,
+    "e13_mmr_rerank"      -> Sim.e13MmrRerank _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -327,6 +328,65 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s) t
       |WHERE rn <= 10""".stripMargin
+
+  /** e13's MMR picks, generated as one CTE layer per step (the e07
+    * generated-SQL precedent): sel_t = everything picked so far, m_t =
+    * remaining candidates scored λ·rel − (1−λ)·max sim-to-selected,
+    * s_t = the argmax with ties by neighbor_id. Cosines are e01's
+    * exact arithmetic; 0.7/0.3 literals and the multiply/subtract
+    * order match the Spark side token-for-token, so every pick hashes
+    * identically.
+    */
+  private val mmrOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS rel
+        |  FROM e q JOIN e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20),
+        |cand AS (SELECT query_id, neighbor_id, rel FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rel DESC, neighbor_id) AS rn FROM sc) t
+        |  WHERE rn <= 10),
+        |sim AS (
+        |  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+        |    list_dot_product(va.v, vb.v)
+        |      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS sim
+        |  FROM cand a JOIN cand b
+        |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+        |  JOIN e va ON va.vec_id = a.neighbor_id
+        |  JOIN e vb ON vb.vec_id = b.neighbor_id),
+        |s1 AS (SELECT query_id, neighbor_id, rel AS mmr_score, 1 AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rel DESC, neighbor_id) AS rn FROM cand) t WHERE rn = 1)""".stripMargin)
+    for (t <- 2 to 5) {
+      val sel = (1 until t).map(i => s"SELECT query_id, neighbor_id FROM s$i")
+        .mkString(" UNION ALL ")
+      sb.append(s""",
+        |sel$t AS ($sel),
+        |m$t AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    c.rel * 0.7 - max(s.sim) * 0.3 AS mmr_score
+        |  FROM cand c
+        |  JOIN sim s ON s.query_id = c.query_id AND s.a_id = c.neighbor_id
+        |  JOIN sel$t x ON x.query_id = s.query_id AND x.neighbor_id = s.b_id
+        |  LEFT JOIN sel$t y ON y.query_id = c.query_id AND y.neighbor_id = c.neighbor_id
+        |  WHERE y.neighbor_id IS NULL
+        |  GROUP BY c.query_id, c.neighbor_id, c.rel),
+        |s$t AS (SELECT query_id, neighbor_id, mmr_score, $t AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY mmr_score DESC, neighbor_id) AS rn FROM m$t) t WHERE rn = 1)""".stripMargin)
+    }
+    sb.append("""
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, mmr_score
+      |FROM (""".stripMargin)
+    sb.append((1 to 5).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL "))
+    sb.append(") u")
+    sb.toString
+  }
 
   /** The hamming-≤2 multi-probe LSH search in DuckDB terms — shared by
     * e02 (in-session signature table) and e06 (persisted index): both
@@ -1029,6 +1089,7 @@ object SparkEntry {
       require(patched != annLshOracleSql, "e11 oracle patch anchor drifted")
       patched
     },
+    "e13_mmr_rerank" -> mmrOracleSql,
     // e12 unions the stale index cut with the fresh delta BEFORE
     // probing, so the answer must equal the full-index search — e02's
     // oracle verbatim is the whole point

@@ -298,6 +298,65 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e13: MMR diversity re-rank — the serving-layer step after any
+    * ANN search: raw top-k is often near-duplicate-heavy (the corpus
+    * contains near-identical vectors; e03 exists for a reason), and
+    * retrieval-augmented pipelines want RELEVANT AND DIVERSE context,
+    * so the industry-standard fix is maximal marginal relevance:
+    * iteratively pick argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s).
+    * MMR is sequential per query but each step is a KEYED agg over the
+    * query's ≤k candidates, so the 5 picks unroll into 5 declarative
+    * DataFrame stages — at 10⁶ concurrent queries every stage is an
+    * embarrassingly parallel shuffle on query_id, and the pairwise sim
+    * matrix (≤ k² rows/query) is computed once and reused across
+    * steps. All double arithmetic is the same left-to-right expression
+    * in both engines (0.7/0.3 literals, cosine exactly as e01), ties
+    * broken by neighbor_id, so the oracle reproduces every pick
+    * bit-for-bit through 5 generated CTE layers.
+    */
+  def e13MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cand = e01KnnCosine(spark, dir).withColumnRenamed("cosine", "rel")
+      .persist(StorageLevel.MEMORY_AND_DISK) // read once per MMR step
+    val vecs = emb(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val cv = cand.select(col("query_id"), col("neighbor_id"))
+      .join(vecs.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    val a = cv.select(col("query_id"), col("neighbor_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = cv.select(col("query_id"), col("neighbor_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val sim = a.join(b, Seq("query_id")).where(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        (dotOf(spark, "av", "bv") / (col("an") * col("bn"))).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // read once per MMR step
+    val wPick = Window.partitionBy("query_id")
+      .orderBy(col("mmr_score").desc, col("neighbor_id"))
+    var selected = cand.withColumn("mmr_score", col("rel"))
+      .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("rank"), col("neighbor_id"), col("mmr_score"))
+    for (t <- 2 to 5) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id").as("b_id"))
+      val rem = cand.join(selected.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val pick = rem
+        .join(sim.join(selIds, Seq("query_id", "b_id"))
+            .select(col("query_id"), col("a_id").as("neighbor_id"), col("sim")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(max(col("rel")).as("rel"), max(col("sim")).as("max_sim"))
+        .select(col("query_id"), col("neighbor_id"),
+          (col("rel") * lit(0.7) - col("max_sim") * lit(0.3)).as("mmr_score"))
+        .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+        .select(col("query_id"), lit(t.toLong).as("rank"),
+          col("neighbor_id"), col("mmr_score"))
+      selected = selected.unionByName(pick)
+    }
+    // eager release (the e05 pattern): the 5-per-query result is tiny
+    val out = selected.localCheckpoint(true)
+    cand.unpersist(); sim.unpersist()
+    out
+  }
+
   /** e04: IVF approximate NN — the scale path for very large corpora.
     *  - coarse quantizer: the k corpus vectors with the smallest
     *    mod-prime hash of vec_id serve as centroids (KMeans‖-style

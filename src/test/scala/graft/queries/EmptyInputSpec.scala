@@ -87,6 +87,7 @@ class EmptyInputSpec extends SparkSpec {
       "e10" -> (() => graft.sim.Sim.e10AnnRecall(spark, emptyDir).count()),
       "e11" -> (() => graft.sim.Sim.e11AnnTombstones(spark, emptyDir).count()),
       "e12" -> (() => graft.sim.Sim.e12AnnDeltaServe(spark, emptyDir).count()),
+      "e13" -> (() => graft.sim.Sim.e13MmrRerank(spark, emptyDir).count()),
       "w16" -> (() => graft.sources.Sinks.w16PartitionEvolution(spark, emptyDir).count()),
       "w17" -> (() => graft.sources.Sinks.w17MergeCdc(spark, emptyDir).count()),
       "w18" -> (() => graft.sources.Sinks.w18WriteAuditPublish(spark, emptyDir).count()),

@@ -365,6 +365,50 @@ class Round6Spec extends SparkSpec {
       "tombstone filter should be a broadcast left-anti join")
   }
 
+  test("e13 MMR picks equal a driver-side MMR walk; diversity actually reorders") {
+    import graft.sim.Sim
+    val got = Sim.e13MmrRerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val cand = Sim.e01KnnCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vmap = Sim.emb(spark, sfDir).select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(x.length, y.length)) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vmap(a), vmap(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    val expected = cand.groupBy(_._1).flatMap { case (q, xs) =>
+      var sel = Vector.empty[(Long, Long, Long, Double)]
+      val first = xs.minBy(x => (-x._3, x._2))
+      sel :+= ((q, 1L, first._2, first._3))
+      for (t <- 2 to 5) {
+        val rem = xs.filterNot(x => sel.exists(_._3 == x._2))
+        val scored = rem.map { x =>
+          val ms = sel.map(s => cos(x._2, s._3)).max
+          (x._2, x._3 * 0.7 - ms * 0.3)
+        }
+        val pick = scored.minBy(p => (-p._2, p._1))
+        sel :+= ((q, t.toLong, pick._1, pick._2))
+      }
+      sel
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(got == expected, "MMR diverges from the driver walk")
+    // diversity must actually bite: some query's MMR set/order differs
+    // from its plain relevance top-5
+    val top5 = cand.groupBy(_._1).map { case (q, xs) =>
+      q -> xs.sortBy(x => (-x._3, x._2)).take(5).map(_._2).toSeq }
+    val mmr5 = got.groupBy(_._1).map { case (q, xs) =>
+      q -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(mmr5.exists { case (q, ids) => ids != top5(q) },
+      "MMR never reordered any query — diversity term is dead weight")
+  }
+
   test("e12 delta serving equals the full-index search; fresh vectors really compete") {
     import graft.sim.Sim
     val e12 = Sim.e12AnnDeltaServe(spark, sfDir)
