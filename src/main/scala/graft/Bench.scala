@@ -60,18 +60,22 @@ object Bench {
       name -> (if (ok.nonEmpty) ok.min else 0.0)
     }
     def jstr(s: String) = "\"" + s + "\""
+    // 3-decimal timings: full-precision doubles ballooned the per-query
+    // line past the driver's end-anchored tail capture at 128 queries
+    // (BENCH_r05/r06 recorded "parsed": null) — ms resolution is plenty
+    def jnum(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) =>
-      if (errors.contains(k)) jstr(k) + ":" + jstr("err") else jstr(k) + ":" + v
+      if (errors.contains(k)) jstr(k) + ":" + jstr("err") else jstr(k) + ":" + jnum(v)
     }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
+    val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m.take(80)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    // headline fields FIRST so even a truncated tail capture of this
-    // line keeps total/n/n_errors; the full per-query map follows
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"sf":"$sfDir","queries":$qs,"errors":$errJson}""")
-    // and a second, short, final summary line that survives ANY tail
-    // capture regardless of how long the per-query line was
-    println(s"""{"metric":"bench_summary","total":$total,"n":${results.size},"n_errors":${errors.size},"unit":"sec","sf":"$sfDir"}""")
+    // short summary FIRST, full per-query line LAST: the driver keeps a
+    // tail of the output, so the line most worth parsing must be the
+    // final one — and headline fields lead it so even a clipped capture
+    // keeps total/n/n_errors
+    println(s"""{"metric":"bench_summary","total":${jnum(total)},"n":${results.size},"n_errors":${errors.size},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"sf":"$sfDir","queries":$qs,"errors":$errJson}""")
     spark.stop()
   }
 }

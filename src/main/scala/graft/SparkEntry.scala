@@ -90,6 +90,8 @@ object SparkEntry {
     "d23_cluster_survivors" -> Dedup.d23ClusterSurvivors _,
     "d24_doc_rarity"      -> Text.d24DocRarity _,
     "d25_corpus_diff"     -> graft.text.Corpus.d25CorpusDiff _,
+    "d26_line_dedup"      -> graft.text.Corpus.d26LineDedup _,
+    "d27_domain_cap"      -> graft.text.Corpus.d27DomainCap _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
@@ -142,6 +144,7 @@ object SparkEntry {
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
+    "s17_stream_line_scrub" -> Streams.s17StreamLineScrub _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -312,6 +315,36 @@ object SparkEntry {
       | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       | count(*) FILTER (WHERE source IN ('cdc_upd','cdc_ins')) AS n_cdc
       |FROM merged GROUP BY 1""".stripMargin
+
+  /** d26/s17: boilerplate line scrub over the near-dup corpus —
+    * 8-token line spans, lines in ≥ 2 distinct docs removed
+    * everywhere, survivors re-joined in order (empty string when a doc
+    * is all boilerplate, matching Spark's concat_ws over an empty
+    * array).
+    */
+  private val lineDedupOracleSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |tr AS (
+      |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+      |  WHERE len(toks) >= 12),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+      |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus),
+      |ln AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS line_idx,
+      |    unnest(list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+      |      i -> array_to_string(toks[i*8+1 : i*8+8], ' '))) AS line_text
+      |  FROM tk),
+      |bp AS (SELECT line_text FROM ln GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      |fl AS (SELECT l.doc_id, l.line_idx, l.line_text, b.line_text IS NOT NULL AS is_bp
+      |       FROM ln l LEFT JOIN bp b USING (line_text))
+      |SELECT doc_id,
+      |  coalesce(string_agg(line_text, ' ' ORDER BY line_idx) FILTER (WHERE NOT is_bp), '')
+      |    AS clean_text,
+      |  count(*) AS n_lines,
+      |  count(*) FILTER (WHERE is_bp) AS n_dropped
+      |FROM fl GROUP BY doc_id""".stripMargin
 
   /** Exact brute-force cosine top-10 for the 20-query panel — e01's
     * oracle, and the ground-truth CTE inside e10's recall eval.
@@ -721,6 +754,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN h_old = h_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM o FULL JOIN n USING (doc_id)
         |GROUP BY 1""".stripMargin,
+    // Line dedup: the near-dup corpus split into 8-token lines; a line
+    // in ≥2 distinct docs is boilerplate and is scrubbed from every
+    // doc; surviving lines re-join in order. Shared by the batch
+    // operator (d26) and its at-ingestion deployment (s17).
+    "d26_line_dedup" -> lineDedupOracleSql,
+    "s17_stream_line_scrub" -> lineDedupOracleSql,
+    // Per-domain cap: the salted two-phase cap must equal the naive
+    // per-source window.
+    "d27_domain_cap" ->
+      """SELECT doc_id, source, lang, n_chars, rnk FROM (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 15""".stripMargin,
     // Schema evolution: the mergeSchema read must reconstruct exactly
     // the generation split the writer produced.
     "w07_schema_evolution" ->

@@ -30,14 +30,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a µs timestamp
-    * (the generator emits whole-µs values, so `div 1000` is lossless).
+  /** `events.ts` arrives in one of several physical layouts: TIMESTAMP
+    * (NANOS) parquet (which Spark's vectorized reader only accepts as
+    * long via nanosAsLong — the ScaleUp replicas use this), a naive µs
+    * timestamp (reads as TIMESTAMP_NTZ — current driver testdata), or a
+    * tz-aware µs timestamp. Normalize all three to TimestampType so
+    * downstream `unix_micros`/watermark/`Row.getTimestamp` code sees one
+    * type: nanos→µs is lossless (generator emits whole µs), and the
+    * NTZ cast is deterministic because every session runs in UTC.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -20,6 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,6 +28,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +46,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Queries that errored produce no parquet and would otherwise vanish
+    // from the driver's compare (the round then reads as all-pass with a
+    // silently shrunken key set). Record them explicitly so a failed
+    // query fails loudly rather than disappearing.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failures.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -66,14 +66,22 @@ object Streams {
     spark.readStream.schema(schema).parquet(stagePath)
   }
 
-  /** Raw events as a stream: TIMESTAMP(NANOS) parquet must be read with
-    * nanosAsLong (same gotcha as the batch path in [[graft.Tables]]),
-    * then converted to a µs timestamp (generator emits whole µs).
+  /** Raw events as a stream. TIMESTAMP(NANOS) parquet (ScaleUp replica
+    * layout) must be read with nanosAsLong and converted to a µs
+    * timestamp (generator emits whole µs); current driver testdata
+    * already carries a µs timestamp, which passes through untouched —
+    * same normalization as the batch path in [[graft.Tables]].
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fileStream(spark, dir, "events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = fileStream(spark, dir, "events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Stateful operators allocate one state store per shuffle partition,
@@ -361,6 +369,65 @@ object Streams {
     sess.table(name).withColumn("coverage",
       (col("n_bigrams") - col("n_unseen")).cast("double") /
         col("n_bigrams").cast("double"))
+  }
+
+  /** s17: d26's boilerplate line scrubber deployed AT INGESTION — the
+    * production shape: the boilerplate dictionary (frequent lines — the
+    * web's template set, small by construction) is built in the nightly
+    * batch pass, and the firehose applies it as a pure PER-ROW
+    * transform: split into lines, drop dictionary hits, re-join. No
+    * explode, no aggregation, no state — the dictionary rides the plan
+    * as a literal digest array (capped by
+    * `spark.graft.linescrub.maxDict`, deterministic top-by-frequency
+    * cut), so each arriving document is scrubbed map-only and the
+    * result is row-identical to the d26 batch output (shared oracle).
+    */
+  def s17StreamLineScrub(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runLineScrub(dir, fileStream(ss, dir, "documents.parquet"))
+  }
+
+  /** The line scrubber on any (streaming) documents frame — exposed
+    * for multi-batch specs. The near-dup corpus twin (d26 runs over
+    * docs + truncated twins) is derived per-row with a stateless
+    * 1-or-2-row explode, keeping the stream agg-free end to end.
+    */
+  private[graft] def runLineScrub(dir: String, docs: DataFrame): DataFrame = {
+    import graft.text.Corpus
+    val ss = docs.sparkSession
+    val maxDict = ss.conf.getOption("spark.graft.linescrub.maxDict")
+      .map(_.toInt).getOrElse(10000)
+    // nightly dictionary build (batch side): d26's boilerplate digests,
+    // deterministic (n_docs DESC, h) cut if it ever exceeds the cap
+    val dict: Array[String] = Corpus.boilerplateLines(
+        graft.dedup.Dedup.nearDupCorpus(graft.Tables.documents(ss, dir)))
+      .orderBy(col("n_docs").desc, col("h"))
+      .limit(maxDict)
+      .select("h").collect().map(_.getString(0))
+    val twins = docs
+      .select(col("doc_id"), col("text"), graft.text.Text.wsTokens(col("text")).as("toks"))
+      .select(explode(expr(
+        """if(size(toks) >= 12,
+          |   array(named_struct('doc_id', doc_id, 'text', text),
+          |         named_struct('doc_id', doc_id + 1000000L,
+          |                      'text', concat_ws(' ', slice(toks, 1, size(toks) - 3)))),
+          |   array(named_struct('doc_id', doc_id, 'text', text)))""".stripMargin)).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+    val lit_dict = lit(dict)
+    val scrubbed = twins
+      .select(col("doc_id"), graft.text.Text.wsTokens(col("text")).as("toks"))
+      .withColumn("lines", Corpus.lineArray)
+      .select(
+        col("doc_id"),
+        concat_ws(" ", transform(
+          filter(col("lines"), l => !array_contains(lit_dict, md5(l.getField("line_text")))),
+          l => l.getField("line_text"))).as("clean_text"),
+        size(col("lines")).cast("long").as("n_lines"),
+        (size(col("lines")) - size(filter(col("lines"),
+          l => !array_contains(lit_dict, md5(l.getField("line_text")))))).cast("long")
+          .as("n_dropped"))
+    val (sess, name) = runToCompletion(scrubbed, OutputMode.Append())
+    sess.table(name)
   }
 
   /** s12: streaming atomic publish — the w06 landing zone upgraded to

@@ -318,6 +318,108 @@ object Corpus {
       .withColumn("target_frac", (srcHash % 3 + 1).cast("double") * 0.25)
   }
 
+  /** Line span width for d26/s17: documents split into consecutive
+    * LineTok-token "lines" (the corpus carries no newlines, so fixed
+    * token spans stand in for the line/sentence granularity a real
+    * boilerplate scrubber works at).
+    */
+  private[graft] val LineTok = 8
+
+  /** The per-document line frame: (doc_id, line_idx, line_text) for
+    * consecutive LineTok-token spans, built as ONE array expression so
+    * the batch operator (d26) and its streaming deployment (s17) derive
+    * bit-identical lines from the same column algebra.
+    */
+  private[graft] def lineArray: Column = expr(
+    s"""transform(sequence(0, cast(ceil(size(toks) / $LineTok.0) as int) - 1),
+       | i -> struct(cast(i as bigint) AS line_idx,
+       |             concat_ws(' ', slice(toks, i*$LineTok + 1, $LineTok)) AS line_text))"""
+      .stripMargin)
+
+  /** d26: corpus-level line dedup / boilerplate stripping (the C4 and
+    * CCNet recipe: a line that recurs across many documents is nav
+    * text, cookie banners, license headers — template, not content —
+    * and is removed from EVERY document it appears in). A line here is
+    * a LineTok-token span; a line is boilerplate when it occurs in ≥ 2
+    * distinct documents (the near-dup corpus's truncated twins
+    * guarantee real positives at every SF). Output per document: the
+    * scrubbed text with surviving lines re-joined in order, plus
+    * line/drop counts — an all-boilerplate document survives with
+    * empty text, it is never silently lost.
+    *
+    * Scale shape: occurrence counting shuffles 16-byte md5 digests
+    * only (line text never leaves the map side); the boilerplate
+    * dictionary — frequent lines, small by construction, the web's
+    * template set — broadcasts back; the only text-bearing exchange is
+    * the per-document reassembly groupBy, ∝ corpus size with no skew
+    * (keys are doc_ids). At 100 TB this is two digest aggregations
+    * plus one broadcast-probe scan.
+    */
+  def d26LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.dedup.Dedup.nearDupCorpus(Tables.documents(spark, dir))
+    val lines = lineFrame(corpus)
+    val boiler = boilerplateLines(corpus).select(col("h"), lit(1).as("bp"))
+    lines.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("bp").isNull,
+            struct(col("line_idx"), col("line_text"))))),
+          x => x.getField("line_text"))).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        count(col("bp")).as("n_dropped"))
+  }
+
+  /** The exploded line frame: (doc_id, line_idx, line_text, h). */
+  private[graft] def lineFrame(corpus: DataFrame): DataFrame = corpus
+    .select(col("doc_id"), Text.wsTokens(col("text")).as("toks"))
+    .select(col("doc_id"), explode(lineArray).as("l"))
+    .select(col("doc_id"), col("l.line_idx"), col("l.line_text"),
+      md5(col("l.line_text")).as("h"))
+
+  /** The boilerplate dictionary: digests of lines occurring in ≥ 2
+    * distinct documents, with their document frequency. Shared by the
+    * batch scrub (d26) and the nightly build of the streaming
+    * scrubber's literal dictionary (s17).
+    */
+  private[graft] def boilerplateLines(corpus: DataFrame): DataFrame =
+    lineFrame(corpus).groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+
+  /** d27: per-domain document caps (the Common-Crawl curation rule:
+    * no single domain may dominate the corpus — keep at most K
+    * documents per source, deterministically the K smallest doc_ids).
+    *
+    * Scale shape: the naive formulation is one row_number window per
+    * source — a hot domain (10⁹ pages of the same news site) then
+    * sorts in a single task. Instead the cap applies twice: stage 1
+    * ranks within (source, doc_id mod S) salt cells — S× smaller than
+    * the hottest domain — and keeps K per cell; stage 2 ranks the
+    * ≤ S·K survivors per source. K-smallest per source is a subset of
+    * the union of per-cell K-smallest, so the result is EXACTLY the
+    * naive window's (spec-pinned); S is the skew knob
+    * (`spark.graft.domaincap.salt`, default 8 — size to hottest-domain
+    * rows / executor memory in production).
+    */
+  def d27DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 15
+    val s = spark.conf.getOption("spark.graft.domaincap.salt").map(_.toInt).getOrElse(8)
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "lang", "n_chars")
+    val stage1 = docs
+      .withColumn("salt", pmod(col("doc_id"), lit(s.toLong)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy("source", "salt").orderBy("doc_id")))
+      .where(col("r1") <= k)
+      .drop("salt", "r1")
+    stage1
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** PII patterns shared by the operator and its oracle — restricted to
     * syntax both Java regex and RE2 (DuckDB) support identically.
     */

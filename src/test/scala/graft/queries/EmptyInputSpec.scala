@@ -90,13 +90,22 @@ class EmptyInputSpec extends SparkSpec {
       "e13" -> (() => graft.sim.Sim.e13MmrRerank(spark, emptyDir).count()),
       "w16" -> (() => graft.sources.Sinks.w16PartitionEvolution(spark, emptyDir).count()),
       "w17" -> (() => graft.sources.Sinks.w17MergeCdc(spark, emptyDir).count()),
-      "w18" -> (() => graft.sources.Sinks.w18WriteAuditPublish(spark, emptyDir).count()),
+      // w18's result is the audit LEDGER (one row per candidate batch,
+      // like s08/q33's fixed-shape summaries): on empty input it must
+      // still report both batches — zero rows staged, zero published
+      "w18" -> (() => {
+        val l = graft.sources.Sinks.w18WriteAuditPublish(spark, emptyDir)
+          .agg(sum("n_rows"), sum("published")).head()
+        l.getLong(0) + l.getLong(1)
+      }),
       "s14" -> (() => graft.streaming.Streams.s14StreamCdcApply(spark, emptyDir).count()),
       "s15" -> (() => graft.streaming.Streams.s15StreamLateData(spark, emptyDir).count()),
       "s16" -> (() => graft.streaming.Streams.s16StreamOuterJoin(spark, emptyDir).count()),
       "m06" -> (() => graft.multimodal.Multimodal.m06ImageResize(spark, emptyDir).count()),
       "d28" -> (() => graft.dedup.Dedup.d28Containment(spark, emptyDir).count()),
-      "d29" -> (() => graft.text.Corpus.d29BloomDecontam(spark, emptyDir).count()))
+      "d29" -> (() => graft.text.Corpus.d29BloomDecontam(spark, emptyDir).count()),
+      "d26" -> (() => graft.text.Corpus.d26LineDedup(spark, emptyDir).count()),
+      "d27" -> (() => graft.text.Corpus.d27DomainCap(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>
       try { assert(run() == 0L, s"$name returned rows on empty input"); None }
       catch {
@@ -121,6 +130,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.streaming.Streams.s11StreamSampler(spark, emptyDir).count() == 0L)
     // the zero-row batch still commits its (empty) manifest
     assert(graft.streaming.Streams.s12StreamPublish(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s17StreamLineScrub(spark, emptyDir).count() == 0L)
   }
 
   test("q33's scalar funnel summary is all-zero (not an error) on empty events") {

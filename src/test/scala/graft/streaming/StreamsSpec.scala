@@ -117,6 +117,16 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("s17 line scrub is batch-boundary invariant (two micro-batches)") {
+    val got = Streams.runLineScrub(sfDir, twoFileStream("documents", "doc_id", "s17"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val batch = graft.text.Corpus.d26LineDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("s11 sampler is batch-boundary invariant (two micro-batches)") {
     val got = Streams.runSampler(twoFileStream("documents", "doc_id", "s11"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq

@@ -68,7 +68,7 @@ def main(sf_dir, out_dir):
     # queries without oracle: rows-only
     import os
     for d in sorted(os.listdir(out_dir)):
-        if d != "oracle_sql.json" and d not in oracle:
+        if os.path.isdir(f"{out_dir}/{d}") and d not in oracle:
             files = glob.glob(f"{out_dir}/{d}/*.parquet")
             n = sum(pd.read_parquet(f).shape[0] for f in files)
             print(f"rows-only {d}: {n} rows")
