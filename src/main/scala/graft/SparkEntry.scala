@@ -104,6 +104,7 @@ object SparkEntry {
     "e11_ann_tombstones"  -> Sim.e11AnnTombstones _,
     "e12_ann_delta_serve" -> Sim.e12AnnDeltaServe _,
     "e13_mmr_rerank"      -> Sim.e13MmrRerank _,
+    "e14_ann_sq8"         -> Sim.e14AnnSq8 _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -112,6 +113,7 @@ object SparkEntry {
     "m04_audio_features"  -> Multimodal.m04AudioFeatures _,
     "m05_video_frames"    -> Multimodal.m05VideoFrames _,
     "m06_image_resize"    -> Multimodal.m06ImageResize _,
+    "m07_image_dedup"     -> Multimodal.m07ImageDedup _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -345,6 +347,55 @@ object SparkEntry {
       |  count(*) AS n_lines,
       |  count(*) FILTER (WHERE is_bp) AS n_dropped
       |FROM fl GROUP BY doc_id""".stripMargin
+
+  /** e14: the SQ8 pipeline replayed in SQL — per-dim (min, range) from
+    * the corpus, byte codes via the same clamp/floor formula, dequant
+    * norms, approximate scores as Σq·mn + Σ(q·scale)·code, top-64 cut,
+    * exact rerank. Every double comes from the identical left-to-right
+    * fold (list_dot_product ≡ the Spark aggregate fold).
+    */
+  private val annSq8OracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |mm AS (SELECT d, min(v[d+1]) AS mn, max(v[d+1]) - min(v[d+1]) AS rg
+      |       FROM e, (SELECT unnest(range(0, 64)) AS d) dims GROUP BY d),
+      |ma AS (SELECT list(mn ORDER BY d) AS mnA, list(rg ORDER BY d) AS rgA FROM mm),
+      |enc AS (
+      |  SELECT vec_id,
+      |    list_transform(range(0, 64), d -> CASE WHEN rgA[d+1] > 0
+      |      THEN CAST(greatest(0, least(255, floor((v[d+1] - mnA[d+1]) * 255 / rgA[d+1]))) AS DOUBLE)
+      |      ELSE 0.0 END) AS cst
+      |  FROM e, ma),
+      |dq AS (
+      |  SELECT vec_id, cst,
+      |    list_transform(range(0, 64), d -> mnA[d+1] + cst[d+1] * (rgA[d+1] / 255)) AS dv
+      |  FROM enc, ma),
+      |cd AS (SELECT vec_id, cst, sqrt(list_dot_product(dv, dv)) AS anrm FROM dq),
+      |qq AS (
+      |  SELECT e.vec_id AS query_id,
+      |    list_dot_product(v, mnA) AS qmin,
+      |    list_transform(range(0, 64), d -> v[d+1] * (rgA[d+1] / 255)) AS qsc,
+      |    sqrt(list_dot_product(v, v)) AS qn
+      |  FROM e, ma WHERE e.vec_id < 20),
+      |cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        (q.qmin + list_dot_product(q.qsc, c.cst)) / (q.qn * c.anrm) DESC, c.vec_id) AS rn
+      |    FROM qq q JOIN cd c ON c.vec_id <> q.query_id)
+      |  WHERE rn <= 64),
+      |x AS (
+      |  SELECT ca.query_id, ca.neighbor_id,
+      |    list_dot_product(q.v, n.v)
+      |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cosine
+      |  FROM cand ca
+      |  JOIN e q ON q.vec_id = ca.query_id
+      |  JOIN e n ON n.vec_id = ca.neighbor_id)
+      |SELECT query_id, neighbor_id, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM x)
+      |WHERE rn <= 10""".stripMargin
 
   /** Exact brute-force cosine top-10 for the 20-query panel — e01's
     * oracle, and the ground-truth CTE inside e10's recall eval.
@@ -1137,6 +1188,7 @@ object SparkEntry {
       patched
     },
     "e13_mmr_rerank" -> mmrOracleSql,
+    "e14_ann_sq8" -> annSq8OracleSql,
     // e12 unions the stale index cut with the fresh delta BEFORE
     // probing, so the answer must equal the full-index search — e02's
     // oracle verbatim is the whole point
@@ -2163,6 +2215,35 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE 299*r + 587*g + 114*b < 64000) AS BIGINT)
         |    AS n_dark
         |FROM chan GROUP BY doc_id""".stripMargin,
+    // m07: the aHash pipeline replayed from the image formulas — gid
+    // picks content, brightness models re-encoding; the mean-threshold
+    // bits pack into (hi, lo) 32-bit halves; clusters group by hash.
+    "m07_image_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id, doc_id % 97 AS gid, (doc_id // 97) % 5 * 3 AS br,
+        |    unnest(flatten(list_transform(range(0, 8), y ->
+        |      list_transform(range(0, 8), x -> y*8 + x)))) AS bit,
+        |    unnest(flatten(list_transform(range(0, 8), y ->
+        |      list_transform(range(0, 8), x -> ((y*12)//8)*16 + 2*x)))) AS p
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, bit,
+        |    299*((gid*5 + p*7) % 200 + br) + 587*((gid*9 + p*5) % 200 + br)
+        |      + 114*((gid*3 + p*13) % 200 + br) AS l
+        |  FROM px),
+        |t AS (SELECT doc_id, bit, l, sum(l) OVER (PARTITION BY doc_id) AS s FROM lum),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN l*64 > s AND bit >= 32
+        |      THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END), 0) AS BIGINT) AS hash_hi,
+        |    CAST(coalesce(sum(CASE WHEN l*64 > s AND bit < 32
+        |      THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END), 0) AS BIGINT) AS hash_lo
+        |  FROM t GROUP BY doc_id),
+        |cl AS (
+        |  SELECT hash_hi, hash_lo, min(doc_id) AS canonical_id, count(*) AS n_members
+        |  FROM hs GROUP BY 1, 2)
+        |SELECT h.doc_id, h.hash_hi, h.hash_lo, cl.canonical_id, cl.n_members
+        |FROM hs h JOIN cl USING (hash_hi, hash_lo)""".stripMargin,
   )
 
   /** d31's reference-LM scoring in DuckDB terms — shared by the batch

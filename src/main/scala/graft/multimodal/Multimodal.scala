@@ -575,6 +575,95 @@ object Multimodal {
     }.toDF()
   }
 
+  /** m07 device: re-posted images. gid = doc_id % 97 picks the image
+    * CONTENT (97 distinct images recur across the corpus — the
+    * web-scale reality that the same meme/product shot is re-hosted
+    * thousands of times); brightness = (doc_id / 97) % 5 · 3 models
+    * per-host re-encoding drift. Channel base is mod-200 so base + 12
+    * never clamps/wraps — the brightness shift is exactly uniform.
+    */
+  private[graft] def synthDupImage(id: Long): Array[Byte] = {
+    val gid = id % 97
+    val bright = (id / 97) % 5 * 3
+    val header = s"P6\n$ImgW $ImgH\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](ImgW * ImgH * 3)
+    var p = 0
+    while (p < ImgW * ImgH) {
+      raster(p * 3) = (((gid * 5 + p.toLong * 7) % 200) + bright).toByte
+      raster(p * 3 + 1) = (((gid * 9 + p.toLong * 5) % 200) + bright).toByte
+      raster(p * 3 + 2) = (((gid * 3 + p.toLong * 13) % 200) + bright).toByte
+      p += 1
+    }
+    header ++ raster
+  }
+
+  /** aHash of a packed RGB raster: nearest-resize to 8×8 (reads only
+    * sampled pixels — m06's kernel), integer luminance per cell, bit p
+    * set iff lum(p)·64 > Σlum (strictly above the mean, in exact
+    * integer arithmetic). Split (hi, lo) 32-bit halves so the packing
+    * stays inside signed-64 range in every engine. A UNIFORM luminance
+    * shift Δ changes lum·64 and Σlum by the same 64Δ, so the hash is
+    * exactly invariant under brightness drift — the property that makes
+    * it a perceptual hash rather than a byte hash.
+    */
+  private[graft] def aHash(raster: Array[Byte], w0: Int, h0: Int): (Long, Long) = {
+    val t = nearestResize(raster, w0, h0, 8, 8)
+    val lum = new Array[Long](64)
+    var s = 0L
+    var p = 0
+    while (p < 64) {
+      lum(p) = 299L * (t(p * 3) & 0xff) + 587L * (t(p * 3 + 1) & 0xff) +
+        114L * (t(p * 3 + 2) & 0xff)
+      s += lum(p)
+      p += 1
+    }
+    var hi = 0L; var lo = 0L
+    p = 0
+    while (p < 64) {
+      if (lum(p) * 64 > s) {
+        if (p < 32) lo |= (1L << p) else hi |= (1L << (p - 32))
+      }
+      p += 1
+    }
+    (hi, lo)
+  }
+
+  /** Typed row for the perceptual-hash stage. */
+  case class AHashRow(doc_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** m07: perceptual image dedup — the image-modality near-dup pass a
+    * multimodal training pipeline runs that BYTE dedup (d01) cannot:
+    * re-hosted copies of the same image differ in encoding (here: a
+    * uniform brightness shift, so every payload is byte-distinct) but
+    * share an aHash — decode with the real P6 codec, 8×8 mean-threshold
+    * average hash, group by hash, keep the smallest doc_id as
+    * canonical. Exactly the shape of production image dedup (aHash /
+    * pHash bucketing, e.g. the LAION pipeline).
+    *
+    * Scale shape: the m01/m04/m05 mapPartitions codec contract —
+    * rasters never shuffle, each doc reduces to 16 bytes of hash on
+    * the map side; the dedup is then d01's digest groupBy + join-back.
+    * At 100 TB the exchange carries (doc_id, hi, lo) rows only.
+    */
+  def m07ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val hashes = ids.mapPartitions { it =>
+      it.map { id =>
+        val ppm = synthDupImage(id)
+        val (w, h, off) = ppmRaster(ppm).getOrElse(
+          throw new IllegalStateException(s"doc $id synth image is not a valid P6"))
+        val (hi, lo) = aHash(java.util.Arrays.copyOfRange(ppm, off, ppm.length), w, h)
+        AHashRow(id, hi, lo)
+      }
+    }.toDF()
+    val clusters = hashes.groupBy("hash_hi", "hash_lo")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_members"))
+    hashes.join(clusters, Seq("hash_hi", "hash_lo"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("canonical_id"), col("n_members"))
+  }
+
   /** m05: video frame sampling — the video modality of the media
     * pipeline: per-document clips in a real indexed container (GVF1 —
     * header + frame index + P6 PPM frames), stride-sampled via the

@@ -675,6 +675,93 @@ object Sim {
   def e08AnnIvfPq(spark: SparkSession, dir: String): DataFrame =
     exactRerank(spark, dir, e07CandidateStage(spark, dir, ivf = true))
 
+  /** Candidate cut width for e14 — same as [[PqCand]]. */
+  val SqCand = 64
+
+  /** The approximate (code-only) phase of e14: per-dimension scalar
+    * quantization (SQ8). The "model" is 2·dim doubles — per-dim
+    * (min, range) from one map-side-combined aggregate — shipped as
+    * plan literals; each vector stores dim byte codes PACKED 8-per-long
+    * (8 longs for dim=64: 8× smaller than the doubles) plus its scalar
+    * dequantized norm. Scoring unpacks codes arithmetically in the scan
+    * projection (shiftright/&255, codegen'd) and reduces immediately to
+    * (query_id, neighbor_id, approx_cos) — the candidate shuffle and
+    * top-[[SqCand]] window carry scalars only (PlanSpec pin, e07's
+    * contract). adot decomposes as Σq·mn + Σ(q·scale)·code, so the
+    * query side pre-computes one scalar + one premultiplied weight
+    * array and the per-candidate cost is one fused dot fold.
+    */
+  private[graft] def e14CandidateStage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val e = emb(spark, dir)
+    val mm = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("d").collect()
+    // empty corpus → nothing to quantize; serve empty, don't throw
+    if (mm.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType), StructField("neighbor_id", LongType))))
+    val dim = mm.length
+    val minArr = mm.map(_.getDouble(1))
+    val rangeArr = mm.map(r => r.getDouble(2) - r.getDouble(1))
+    val nw = (dim + 7) / 8
+    def withModel(df: DataFrame): DataFrame =
+      df.withColumn("mnA", lit(minArr)).withColumn("rgA", lit(rangeArr))
+    // codes as doubles 0..255 (the byte value, exact in a double);
+    // a zero-range dim quantizes to 0 and dequantizes to its min
+    val enc = withModel(e)
+      .withColumn("cst", expr(
+        s"""transform(sequence(0, ${dim - 1}), d ->
+           | if(element_at(rgA, d+1) > 0D,
+           |   cast(greatest(0L, least(255L, floor((element_at(v, d+1) - element_at(mnA, d+1))
+           |     * 255D / element_at(rgA, d+1)))) as double),
+           |   0D))""".stripMargin))
+      .withColumn("dv", expr(
+        s"""zip_with(cst, sequence(0, ${dim - 1}),
+           | (c, d) -> element_at(mnA, d+1) + c * (element_at(rgA, d+1) / 255D))""".stripMargin))
+      .withColumn("anrm",
+        sqrt(expr("aggregate(zip_with(dv, dv, (x, y) -> x*y), 0D, (a, x) -> a + x)")))
+    // the persisted compressed table: packed code words + scalar norm
+    val packed = enc.select(
+      col("vec_id") +:
+        (0 until nw).map(w => expr(
+          s"""aggregate(sequence(0, ${math.min(7, dim - w * 8 - 1)}), 0L,
+             | (a, k) -> a | shiftleft(cast(element_at(cst, k + ${w * 8 + 1}) as bigint), k * 8))"""
+            .stripMargin).as(s"cw$w")) :+
+        col("anrm"): _*)
+    val q = withModel(e).where(col("vec_id") < 20).select(
+      col("vec_id").as("query_id"),
+      expr("aggregate(zip_with(v, mnA, (x, m) -> x*m), 0D, (a, x) -> a + x)").as("qmin"),
+      expr("zip_with(v, rgA, (x, r) -> x * (r / 255D))").as("qsc"),
+      col("nrm").as("qn"))
+    val words = (0 until nw).map(w => s"cw$w").mkString(", ")
+    val cand = packed.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cst2", expr(
+        s"""transform(sequence(0, ${dim - 1}), d ->
+           | cast(shiftright(element_at(array($words), cast(d div 8 as int) + 1), (d % 8) * 8)
+           |   & 255L as double))""".stripMargin))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        ((col("qmin") +
+          expr("aggregate(zip_with(qsc, cst2, (a, b) -> a*b), 0D, (acc, x) -> acc + x)")) /
+          (col("qn") * col("anrm"))).as("approx_cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("neighbor_id"))
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") <= SqCand)
+      .select("query_id", "neighbor_id")
+  }
+
+  /** e14: scalar-quantized (SQ8) ANN — the third compression scheme of
+    * the serving family, between e02's buckets and e07's PQ: per-dim
+    * 8-bit affine codes (FAISS SQ8's shape) give exact-ish per-dim
+    * reconstruction at 8× memory compression with NO codebook fit —
+    * the model is per-dim (min, range), trivially mergeable across
+    * shards at 100 TB. Approximate scores scan packed code words only;
+    * the top-[[SqCand]] survivors rerank exact via the e05/e07
+    * join-back. Same 20-query/top-10 contract as e01/e02/e07.
+    */
+  def e14AnnSq8(spark: SparkSession, dir: String): DataFrame =
+    exactRerank(spark, dir, e14CandidateStage(spark, dir))
+
   /** e05: k-NN JOIN — top-3 neighbors for EVERY vector, not for a
     * broadcastable query batch. This is the retrieval-for-every-
     * training-example shape (kNN-LM / RETRO-style pipelines, embedding-

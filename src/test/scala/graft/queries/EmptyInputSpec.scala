@@ -105,7 +105,9 @@ class EmptyInputSpec extends SparkSpec {
       "d28" -> (() => graft.dedup.Dedup.d28Containment(spark, emptyDir).count()),
       "d29" -> (() => graft.text.Corpus.d29BloomDecontam(spark, emptyDir).count()),
       "d26" -> (() => graft.text.Corpus.d26LineDedup(spark, emptyDir).count()),
-      "d27" -> (() => graft.text.Corpus.d27DomainCap(spark, emptyDir).count()))
+      "d27" -> (() => graft.text.Corpus.d27DomainCap(spark, emptyDir).count()),
+      "e14" -> (() => graft.sim.Sim.e14AnnSq8(spark, emptyDir).count()),
+      "m07" -> (() => graft.multimodal.Multimodal.m07ImageDedup(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>
       try { assert(run() == 0L, s"$name returned rows on empty input"); None }
       catch {

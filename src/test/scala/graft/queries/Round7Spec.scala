@@ -77,6 +77,75 @@ class Round7Spec extends SparkSpec {
     finally spark.conf.unset("spark.graft.domaincap.salt")
   }
 
+  test("m07 equals the formula-walk aHash, finds byte-distinct duplicates") {
+    // independent replay: hash each doc straight from the image
+    // FORMULAS (no codec, no resize kernel — the paths under test)
+    def formulaHash(id: Long): (Long, Long) = {
+      val gid = id % 97; val br = (id / 97) % 5 * 3
+      val lum = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val p = (y * 12 / 8) * 16 + 2 * x
+        299L * ((gid * 5 + p * 7) % 200 + br) +
+          587L * ((gid * 9 + p * 5) % 200 + br) +
+          114L * ((gid * 3 + p * 13) % 200 + br)
+      }
+      val s = lum.sum
+      lum.zipWithIndex.foldLeft((0L, 0L)) { case ((hi, lo), (l, bit)) =>
+        if (l * 64 > s) {
+          if (bit < 32) (hi, lo | (1L << bit)) else (hi | (1L << (bit - 32)), lo)
+        } else (hi, lo)
+      }
+    }
+    val got = graft.multimodal.Multimodal.m07ImageDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val ids = got.map(_._1)
+    val wantHash = ids.map(id => id -> formulaHash(id)).toMap
+    assert(got.forall { case (id, hi, lo, _, _) => wantHash(id) == (hi, lo) })
+    val byHash = ids.groupBy(wantHash)
+    assert(got.forall { case (id, _, _, canon, n) =>
+      val cluster = byHash(wantHash(id))
+      canon == cluster.min && n == cluster.size.toLong
+    })
+    // the operator's reason to exist: byte-DISTINCT payloads (same
+    // content, shifted brightness) collapse to one perceptual hash —
+    // docs 0 and 97 share gid 0 at brightness 0 vs 3
+    assert(got.exists(_._5 >= 2L), "no duplicate images found")
+    val a = graft.multimodal.Multimodal.synthDupImage(0L)
+    val b = graft.multimodal.Multimodal.synthDupImage(97L)
+    assert(!java.util.Arrays.equals(a, b), "payloads should differ in bytes")
+    assert(wantHash(0L) == formulaHash(97L), "hash should survive brightness shift")
+  }
+
+  test("e14 SQ8 recall@10 vs e01 exact — compression keeps the neighborhood") {
+    val exact = graft.sim.Sim.e01KnnCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val sq = graft.sim.Sim.e14AnnSq8(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(sq.nonEmpty)
+    val recalls = exact.map { case (q, ex) =>
+      sq.get(q).map(s => (s intersect ex).size.toDouble / ex.size).getOrElse(0.0)
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    // 8-bit per-dim reconstruction is near-exact: demand well above
+    // the e07 PQ bar (0.5)
+    assert(mean >= 0.8, s"mean recall@10 $mean")
+  }
+
+  test("e14: candidate-phase shuffles carry no array column (codes stay packed)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val stage = graft.sim.Sim.e14CandidateStage(spark, sfDir)
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      stage.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty, "expected shuffles in the candidate stage")
+    exchanges.foreach { x =>
+      assert(!x.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"array column rides a candidate-phase shuffle: ${x.output.mkString(", ")}")
+    }
+  }
+
   test("s17 streaming line scrub equals the d26 batch output") {
     val got = graft.streaming.Streams.s17StreamLineScrub(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
