@@ -42,6 +42,7 @@ object SparkEntry {
     "q21_intersect"       -> Relational.q21Intersect _,
     "q22_except"          -> Relational.q22Except _,
     "q16_events_bucket"   -> Events.q16EventsBucket _,
+    "q38_sketch_setops"   -> Events.q38SketchSetops _,
     "q17_sessionize"      -> Events.q17Sessionize _,
     "q18_events_pivot"    -> Events.q18EventsPivot _,
     "q23_asof_join"       -> Events.q23AsofJoin _,
@@ -805,6 +806,41 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN h_old = h_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM o FULL JOIN n USING (doc_id)
         |GROUP BY 1""".stripMargin,
+    // q38: the theta-sketch set algebra replayed in SQL — same 2-round
+    // mod-prime hash as q36, K smallest distinct per type, combined
+    // threshold, common-below-theta counts, integer div estimates.
+    "q38_sketch_setops" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    (((user_id * 1000003 + 17) % 1000000007) * 999983 + 7919) % 1000000007 AS hv
+        |  FROM events),
+        |sk AS (SELECT event_type, hv FROM (
+        |    SELECT event_type, hv,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h)
+        |  WHERE rn <= 64),
+        |ty AS (SELECT DISTINCT event_type FROM sk),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |      FROM ty a JOIN ty b ON a.event_type < b.event_type),
+        |u AS (SELECT DISTINCT p.type_a, p.type_b, s.hv
+        |      FROM p JOIN sk s ON s.event_type = p.type_a OR s.event_type = p.type_b),
+        |r AS (SELECT type_a, type_b, hv,
+        |        row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn FROM u),
+        |th AS (SELECT type_a, type_b,
+        |        max(CASE WHEN rn <= 64 THEN hv END) AS theta,
+        |        count(*) AS n_u
+        |      FROM r GROUP BY 1, 2),
+        |cm AS (SELECT sa.event_type AS type_a, sb.event_type AS type_b, sa.hv
+        |       FROM sk sa JOIN sk sb ON sa.hv = sb.hv AND sa.event_type < sb.event_type),
+        |cc AS (SELECT c.type_a, c.type_b, count(*) AS n_common
+        |       FROM cm c JOIN th t ON c.type_a = t.type_a AND c.type_b = t.type_b
+        |       WHERE t.n_u < 64 OR c.hv < t.theta
+        |       GROUP BY 1, 2)
+        |SELECT t.type_a, t.type_b, t.theta,
+        |  CASE WHEN t.n_u < 64 THEN t.n_u
+        |       ELSE CAST(63 AS BIGINT) * 1000000007 // t.theta END AS est_union,
+        |  coalesce(cc.n_common, 0) AS n_common,
+        |  CASE WHEN t.n_u < 64 THEN coalesce(cc.n_common, 0)
+        |       ELSE coalesce(cc.n_common, 0) * 1000000007 // t.theta END AS est_inter
+        |FROM th t LEFT JOIN cc ON t.type_a = cc.type_a AND t.type_b = cc.type_b""".stripMargin,
     // Line dedup: the near-dup corpus split into 8-token lines; a line
     // in ≥2 distinct docs is boilerplate and is scrubbed from every
     // doc; surviving lines re-join in order. Shared by the batch

@@ -129,6 +129,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvSketch(children(0), k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_set"),
+      new ExpressionInfo(classOf[KmvSetSketch].getName, "graft_kmv_set"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_set k must be an int literal, got $other")
+        }
+        KmvSetSketch(children(0), k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (children: Seq[Expression]) => {

@@ -50,6 +50,77 @@ object Events {
         when($"vm".isNull, 0L).otherwise(1L).as("observed"))
   }
 
+  /** q38: sketch set operations — the audience-overlap question every
+    * event platform answers from sketches, never from data ("how many
+    * users did BOTH click and purchase?"): per event_type, a KMV
+    * sketch retains the K smallest distinct user-id hashes (the native
+    * [[graft.functions.KmvSetSketch]] aggregate — ≤ K longs of state
+    * per group, O(K) map-side merges, the q36 contract extended from
+    * one threshold to the whole retained set); union and intersection
+    * estimates between types then come from pure SET ALGEBRA on the
+    * ≤ |types|·K sketch rows — the theta-sketch trick (Druid /
+    * DataSketches): θ = K-th smallest of the combined sketch,
+    * est_union = (K−1)·P div θ, est_inter = |common below θ|·P div θ.
+    * The data is scanned ONCE (sketch build); every pairwise question
+    * after that touches sketch rows only — at 100 TB that is the
+    * difference between answering N² audience questions from N²
+    * distinct-count scans and answering them from one pass. Below K
+    * distinct the sketch IS the exact set and the estimates are exact
+    * (the small-group regime, handled explicitly). All integer
+    * arithmetic — the estimates reproduce bit-for-bit cross-engine.
+    * Falls back to the exact window formulation when the native
+    * extension is absent (identical rows, unbounded build state).
+    */
+  def q38SketchSetops(spark: SparkSession, dir: String): DataFrame =
+    q38SketchSetops(spark, dir, spark.catalog.functionExists("graft_kmv_set"))
+
+  private[graft] def q38SketchSetops(
+      spark: SparkSession, dir: String, native: Boolean): DataFrame = {
+    import spark.implicits._
+    val K = 64
+    val P = 1000000007L
+    val hashed = Tables.events(spark, dir)
+      .select($"event_type",
+        (((($"user_id" * 1000003L + 17L) % P) * 999983L + 7919L) % P).as("hv"))
+    val sk =
+      if (native)
+        hashed.groupBy($"event_type")
+          .agg(call_function("graft_kmv_set", $"hv", lit(K)).as("skv"))
+          .select($"event_type", explode($"skv").as("hv"))
+      else {
+        val w = Window.partitionBy($"event_type").orderBy($"hv")
+        hashed.distinct()
+          .withColumn("rn", row_number().over(w)).where($"rn" <= K)
+          .select($"event_type", $"hv")
+      }
+    // everything below operates on ≤ |types|·K sketch rows
+    val types = sk.select($"event_type").distinct()
+    val pairs = types.select($"event_type".as("type_a"))
+      .crossJoin(types.select($"event_type".as("type_b")))
+      .where($"type_a" < $"type_b")
+    val u = pairs
+      .join(sk, $"event_type" === $"type_a" || $"event_type" === $"type_b")
+      .select($"type_a", $"type_b", $"hv").distinct()
+    val wU = Window.partitionBy($"type_a", $"type_b").orderBy($"hv")
+    val theta = u.withColumn("rn", row_number().over(wU))
+      .groupBy($"type_a", $"type_b")
+      .agg(max(when($"rn" <= K, $"hv")).as("theta"), count(lit(1)).as("n_u"))
+    val common = sk.select($"event_type".as("type_a"), $"hv")
+      .join(sk.select($"event_type".as("type_b"), $"hv"), Seq("hv"))
+      .where($"type_a" < $"type_b")
+      .join(theta, Seq("type_a", "type_b"))
+      .where($"n_u" < K || $"hv" < $"theta")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_common"))
+    theta.join(common, Seq("type_a", "type_b"), "left")
+      .select($"type_a", $"type_b", $"theta",
+        when($"n_u" < K, $"n_u")
+          .otherwise(expr(s"${(K - 1).toLong * P}L div theta")).as("est_union"),
+        coalesce($"n_common", lit(0L)).as("n_common"),
+        when($"n_u" < K, coalesce($"n_common", lit(0L)))
+          .otherwise(expr(s"coalesce(n_common, 0L) * ${P}L div theta")).as("est_inter"))
+  }
+
   /** q16: tumbling 1-hour bucket aggregation. */
   def q16EventsBucket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

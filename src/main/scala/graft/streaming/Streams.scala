@@ -371,16 +371,20 @@ object Streams {
         col("n_bigrams").cast("double"))
   }
 
-  /** s17: d26's boilerplate line scrubber deployed AT INGESTION — the
-    * production shape: the boilerplate dictionary (frequent lines — the
-    * web's template set, small by construction) is built in the nightly
-    * batch pass, and the firehose applies it as a pure PER-ROW
-    * transform: split into lines, drop dictionary hits, re-join. No
-    * explode, no aggregation, no state — the dictionary rides the plan
-    * as a literal digest array (capped by
-    * `spark.graft.linescrub.maxDict`, deterministic top-by-frequency
-    * cut), so each arriving document is scrubbed map-only and the
-    * result is row-identical to the d26 batch output (shared oracle).
+  /** s17: d26's boilerplate line scrubber deployed AT INGESTION. The
+    * boilerplate digest TABLE builds in the nightly batch pass and
+    * stays distributed — never collected, never capped, so the scrub
+    * is d26's exact semantics at ANY dictionary size (a literal-array
+    * dictionary was tried and diverged the moment the dictionary
+    * outgrew its cap — the sf1 replica corpus makes nearly every line
+    * boilerplate). Each micro-batch derives its rows' lines, joins the
+    * static digest table (stream-static: the planner picks broadcast
+    * vs shuffled hash per batch — the dictionary's size is a serving-
+    * time fact, not a compile-time promise), and reassembles PER BATCH:
+    * every document is wholly contained in its arrival row, so the
+    * groupBy is batch-local and exact with zero cross-batch state —
+    * the foreachBatch shape s12/s14 use. Row-identical to d26 (shared
+    * oracle); batch boundaries cannot change results.
     */
   def s17StreamLineScrub(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -390,44 +394,48 @@ object Streams {
   /** The line scrubber on any (streaming) documents frame — exposed
     * for multi-batch specs. The near-dup corpus twin (d26 runs over
     * docs + truncated twins) is derived per-row with a stateless
-    * 1-or-2-row explode, keeping the stream agg-free end to end.
+    * 1-or-2-row explode.
     */
   private[graft] def runLineScrub(dir: String, docs: DataFrame): DataFrame = {
     import graft.text.Corpus
     val ss = docs.sparkSession
-    val maxDict = ss.conf.getOption("spark.graft.linescrub.maxDict")
-      .map(_.toInt).getOrElse(10000)
-    // nightly dictionary build (batch side): d26's boilerplate digests,
-    // deterministic (n_docs DESC, h) cut if it ever exceeds the cap
-    val dict: Array[String] = Corpus.boilerplateLines(
+    val dict = Corpus.boilerplateLines(
         graft.dedup.Dedup.nearDupCorpus(graft.Tables.documents(ss, dir)))
-      .orderBy(col("n_docs").desc, col("h"))
-      .limit(maxDict)
-      .select("h").collect().map(_.getString(0))
-    val twins = docs
-      .select(col("doc_id"), col("text"), graft.text.Text.wsTokens(col("text")).as("toks"))
-      .select(explode(expr(
-        """if(size(toks) >= 12,
-          |   array(named_struct('doc_id', doc_id, 'text', text),
-          |         named_struct('doc_id', doc_id + 1000000L,
-          |                      'text', concat_ws(' ', slice(toks, 1, size(toks) - 3)))),
-          |   array(named_struct('doc_id', doc_id, 'text', text)))""".stripMargin)).as("d"))
-      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
-    val lit_dict = lit(dict)
-    val scrubbed = twins
-      .select(col("doc_id"), graft.text.Text.wsTokens(col("text")).as("toks"))
-      .withColumn("lines", Corpus.lineArray)
-      .select(
-        col("doc_id"),
-        concat_ws(" ", transform(
-          filter(col("lines"), l => !array_contains(lit_dict, md5(l.getField("line_text")))),
-          l => l.getField("line_text"))).as("clean_text"),
-        size(col("lines")).cast("long").as("n_lines"),
-        (size(col("lines")) - size(filter(col("lines"),
-          l => !array_contains(lit_dict, md5(l.getField("line_text")))))).cast("long")
-          .as("n_dropped"))
-    val (sess, name) = runToCompletion(scrubbed, OutputMode.Append())
-    sess.table(name)
+      .select(col("h"), lit(1).as("bp"))
+    val key = s"${Integer.toHexString(dir.hashCode)}_" +
+      Integer.toHexString(ss.sparkContext.applicationId.hashCode) + "_" +
+      nameCounter.incrementAndGet()
+    val out = s"/tmp/graft_s17_out_$key"
+    val ckpt = s"/tmp/graft_s17_ckpt_$key"
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val twins = batch
+          .select(col("doc_id"), col("text"), graft.text.Text.wsTokens(col("text")).as("toks"))
+          .select(explode(expr(
+            """if(size(toks) >= 12,
+              |   array(named_struct('doc_id', doc_id, 'text', text),
+              |         named_struct('doc_id', doc_id + 1000000L,
+              |                      'text', concat_ws(' ', slice(toks, 1, size(toks) - 3)))),
+              |   array(named_struct('doc_id', doc_id, 'text', text)))""".stripMargin)).as("d"))
+          .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+        Corpus.scrubAgg(Corpus.lineFrame(twins).join(dict, Seq("h"), "left"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // an empty source can fire zero batches — the contract is an empty
+    // result, not PATH_NOT_FOUND on the never-created sink dir
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(ss.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(out))) ss.read.parquet(out)
+    else {
+      import org.apache.spark.sql.types._
+      ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType), StructField("clean_text", StringType),
+          StructField("n_lines", LongType), StructField("n_dropped", LongType))))
+    }
   }
 
   /** s12: streaming atomic publish — the w06 landing zone upgraded to

@@ -359,8 +359,17 @@ object Corpus {
     val corpus = graft.dedup.Dedup.nearDupCorpus(Tables.documents(spark, dir))
     val lines = lineFrame(corpus)
     val boiler = boilerplateLines(corpus).select(col("h"), lit(1).as("bp"))
-    lines.join(broadcast(boiler), Seq("h"), "left")
-      .groupBy("doc_id")
+    scrubAgg(lines.join(broadcast(boiler), Seq("h"), "left"))
+  }
+
+  /** The per-document reassembly over a flagged line frame
+    * (doc_id, line_idx, line_text, bp∈{1,null}) — shared by d26 and
+    * the per-micro-batch scrub in s17 so both produce bit-identical
+    * rows: surviving lines re-join in order; collect_list skips the
+    * null-ed boilerplate entries.
+    */
+  private[graft] def scrubAgg(flagged: DataFrame): DataFrame =
+    flagged.groupBy("doc_id")
       .agg(
         concat_ws(" ", transform(
           array_sort(collect_list(when(col("bp").isNull,
@@ -368,7 +377,6 @@ object Corpus {
           x => x.getField("line_text"))).as("clean_text"),
         count(lit(1)).as("n_lines"),
         count(col("bp")).as("n_dropped"))
-  }
 
   /** The exploded line frame: (doc_id, line_idx, line_text, h). */
   private[graft] def lineFrame(corpus: DataFrame): DataFrame = corpus

@@ -116,6 +116,48 @@ class Round7Spec extends SparkSpec {
     assert(wantHash(0L) == formulaHash(97L), "hash should survive brightness shift")
   }
 
+  test("q38 sketch set ops: native ≡ fallback; saturated estimates land near truth") {
+    import org.apache.spark.sql.Row
+    assert(spark.catalog.functionExists("graft_kmv_set"), "extension not installed")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map { case Row(a: String, b: String, t: Long, eu: Long, nc: Long, ei: Long) =>
+        (a, b, t, eu, nc, ei) }.sortBy(r => (r._1, r._2)).toSeq
+    // exact regime at sf0.001 (15 distinct users < K): estimates ARE exact
+    val small = rows(Events.q38SketchSetops(spark, sfDir))
+    assert(small == rows(Events.q38SketchSetops(spark, sfDir, native = false)))
+    val exactSmall = exactSetops(sfDir)
+    assert(small.forall { case (a, b, _, eu, _, ei) =>
+      eu == exactSmall((a, b))._1 && ei == exactSmall((a, b))._2 })
+    // saturated regime at sf0.01 (1500 users ≫ K): native ≡ fallback and
+    // estimates within the ~1/√K envelope (measured 3.3% here; allow 3σ)
+    val big = rows(Events.q38SketchSetops(spark, "/root/testdata/sf0.01"))
+    assert(big == rows(Events.q38SketchSetops(spark, "/root/testdata/sf0.01", native = false)))
+    val exactBig = exactSetops("/root/testdata/sf0.01")
+    assert(big.nonEmpty)
+    big.foreach { case (a, b, _, eu, _, ei) =>
+      val (xu, xi) = exactBig((a, b))
+      assert(math.abs(eu - xu).toDouble / xu < 0.4, s"($a,$b) union est $eu vs $xu")
+      assert(math.abs(ei - xi).toDouble / math.max(xi, 1) < 0.4, s"($a,$b) inter est $ei vs $xi")
+    }
+    // bounded-state plan shape: the sketch build is a partial-aggregated
+    // ObjectHashAggregate (state ≤ K longs per group)
+    val plan = Events.q38SketchSetops(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_graft_kmv_set"),
+      "native KMV-set should run as a partial-aggregated ObjectHashAggregate")
+  }
+
+  /** Exact per-pair (union, intersection) distinct-user counts. */
+  private def exactSetops(dir: String): Map[(String, String), (Long, Long)] = {
+    val s = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (for {
+      (a, sa) <- s.toSeq; (b, sb) <- s.toSeq if a < b
+    } yield (a, b) -> (((sa union sb).size.toLong, (sa intersect sb).size.toLong))).toMap
+  }
+
   test("e14 SQ8 recall@10 vs e01 exact — compression keeps the neighborhood") {
     val exact = graft.sim.Sim.e01KnnCosine(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
