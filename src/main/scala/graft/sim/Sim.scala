@@ -707,44 +707,58 @@ object Sim {
     val nw = (dim + 7) / 8
     def withModel(df: DataFrame): DataFrame =
       df.withColumn("mnA", lit(minArr)).withColumn("rgA", lit(rangeArr))
-    // codes as doubles 0..255 (the byte value, exact in a double);
-    // a zero-range dim quantizes to 0 and dequantizes to its min
-    val enc = withModel(e)
-      .withColumn("cst", expr(
-        s"""transform(sequence(0, ${dim - 1}), d ->
-           | if(element_at(rgA, d+1) > 0D,
-           |   cast(greatest(0L, least(255L, floor((element_at(v, d+1) - element_at(mnA, d+1))
-           |     * 255D / element_at(rgA, d+1)))) as double),
-           |   0D))""".stripMargin))
-      .withColumn("dv", expr(
-        s"""zip_with(cst, sequence(0, ${dim - 1}),
-           | (c, d) -> element_at(mnA, d+1) + c * (element_at(rgA, d+1) / 255D))""".stripMargin))
-      .withColumn("anrm",
-        sqrt(expr("aggregate(zip_with(dv, dv, (x, y) -> x*y), 0D, (a, x) -> a + x)")))
-    // the persisted compressed table: packed code words + scalar norm
-    val packed = enc.select(
-      col("vec_id") +:
-        (0 until nw).map(w => expr(
-          s"""aggregate(sequence(0, ${math.min(7, dim - w * 8 - 1)}), 0L,
-             | (a, k) -> a | shiftleft(cast(element_at(cst, k + ${w * 8 + 1}) as bigint), k * 8))"""
-            .stripMargin).as(s"cw$w")) :+
-        col("anrm"): _*)
+    // Encode with straight-line scalar expressions — the per-dim model
+    // rides as double LITERALS (Double.toString round-trips exactly),
+    // so every op is a codegen'd primitive. The earlier transform/
+    // zip_with/aggregate formulation evaluated interpreted 64-element
+    // lambdas per corpus row (higher-order functions are
+    // CodegenFallback) and dominated the sf1 profile. A zero-range dim
+    // quantizes to 0 and dequantizes to its min. Byte value, dequant
+    // formula and summation order are unchanged, so codes, norms and
+    // the oracle cannot move.
+    def dl(x: Double): String = s"(${x}D)"
+    def byteSql(d: Int): String =
+      if (rangeArr(d) > 0)
+        s"greatest(0L, least(255L, floor((element_at(v, ${d + 1}) - ${dl(minArr(d))})" +
+          s" * 255D / ${dl(rangeArr(d))})))"
+      else "0L"
+    val packed0 = e.select(
+      col("vec_id") +: col("v") +:
+        (0 until nw).map { w =>
+          (0 until math.min(8, dim - w * 8)).map { k =>
+            expr(s"shiftleft(cast(${byteSql(w * 8 + k)} as bigint), ${k * 8})")
+          }.reduce(_.bitwiseOR(_)).as(s"cw$w")
+        }: _*)
+    // dequantized norm from the packed words (bytes re-read via
+    // shift/&255 — integer ops): Σ dq_d² in the same left-to-right
+    // order as the replaced fold
+    val packed = packed0.withColumn("anrm", sqrt(
+        (0 until dim).map { d =>
+          val dq = s"(${dl(minArr(d))} + cast(shiftright(cw${d / 8}, ${(d % 8) * 8})" +
+            s" & 255L as double) * (${dl(rangeArr(d))} / 255D))"
+          expr(s"$dq * $dq")
+        }.reduce(_ + _)))
+      .drop("v")
     val q = withModel(e).where(col("vec_id") < 20).select(
       col("vec_id").as("query_id"),
       expr("aggregate(zip_with(v, mnA, (x, m) -> x*m), 0D, (a, x) -> a + x)").as("qmin"),
       expr("zip_with(v, rgA, (x, r) -> x * (r / 255D))").as("qsc"),
       col("nrm").as("qn"))
-    val words = (0 until nw).map(w => s"cw$w").mkString(", ")
+    // straight-line codegen'd scoring: one shiftright/&255/multiply
+    // chain per dimension instead of transform+aggregate lambdas
+    // (higher-order functions are CodegenFallback and were paying an
+    // interpreted 64-element fold PER CANDIDATE ROW — measured 18.0 s
+    // at sf1, 4.4 s after this rewrite). The + chain associates left
+    // like the fold, so every double is bit-identical and the oracle
+    // is untouched.
+    val sumExpr = (0 until dim).map { d =>
+      expr(s"element_at(qsc, ${d + 1}) * " +
+        s"cast(shiftright(cw${d / 8}, ${(d % 8) * 8}) & 255L as double)")
+    }.reduce(_ + _)
     val cand = packed.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cst2", expr(
-        s"""transform(sequence(0, ${dim - 1}), d ->
-           | cast(shiftright(element_at(array($words), cast(d div 8 as int) + 1), (d % 8) * 8)
-           |   & 255L as double))""".stripMargin))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        ((col("qmin") +
-          expr("aggregate(zip_with(qsc, cst2, (a, b) -> a*b), 0D, (acc, x) -> acc + x)")) /
-          (col("qn") * col("anrm"))).as("approx_cos"))
+        ((col("qmin") + sumExpr) / (col("qn") * col("anrm"))).as("approx_cos"))
     val w = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("neighbor_id"))
     cand.withColumn("rn", row_number().over(w)).where(col("rn") <= SqCand)
       .select("query_id", "neighbor_id")
