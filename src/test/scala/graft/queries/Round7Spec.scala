@@ -75,6 +75,11 @@ class Round7Spec extends SparkSpec {
     spark.conf.set("spark.graft.domaincap.salt", "3")
     try assert(capped == want) // salt must not change results
     finally spark.conf.unset("spark.graft.domaincap.salt")
+    // scale shape: both ranking windows are keyed — a hot domain never
+    // funnels through a single partition
+    val plan = graft.text.Corpus.d27DomainCap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), "a global exchange crept into the plan")
   }
 
   test("m07 equals the formula-walk aHash, finds byte-distinct duplicates") {
