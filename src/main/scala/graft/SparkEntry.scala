@@ -106,6 +106,7 @@ object SparkEntry {
     "e12_ann_delta_serve" -> Sim.e12AnnDeltaServe _,
     "e13_mmr_rerank"      -> Sim.e13MmrRerank _,
     "e14_ann_sq8"         -> Sim.e14AnnSq8 _,
+    "e15_ann_ivf_sq8"     -> Sim.e15AnnIvfSq8 _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -349,15 +350,44 @@ object SparkEntry {
       |  count(*) FILTER (WHERE is_bp) AS n_dropped
       |FROM fl GROUP BY doc_id""".stripMargin
 
-  /** e14: the SQ8 pipeline replayed in SQL — per-dim (min, range) from
-    * the corpus, byte codes via the same clamp/floor formula, dequant
-    * norms, approximate scores as Σq·mn + Σ(q·scale)·code, top-64 cut,
-    * exact rerank. Every double comes from the identical left-to-right
-    * fold (list_dot_product ≡ the Spark aggregate fold).
+  /** e14/e15: the SQ8 pipeline replayed in SQL — per-dim (min, range)
+    * from the corpus, byte codes via the same clamp/floor formula,
+    * dequant norms, approximate scores as Σq·mn + Σ(q·scale)·code,
+    * top-64 cut, exact rerank. Every double comes from the identical
+    * left-to-right fold (list_dot_product ≡ the Spark aggregate fold).
+    * With `ivf` the e04 coarse-quantizer CTEs restrict candidates to
+    * each query's nprobe cells (e08's composition device).
     */
-  private val annSq8OracleSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+  private def annSq8OracleSql(ivf: Boolean): String = {
+    val nprobe = graft.sim.Sim.IvfNprobe
+    val ivfCtes = if (!ivf) "" else s"""
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id) - 1 AS cid,
+      |    v AS cv
+      |  FROM e
+      |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
+      |  LIMIT 16),
+      |cc AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cc.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.v, cc.cv) * -2.0 + cc.c2, cc.cid) AS rn
+      |    FROM e CROSS JOIN cc) t
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT e.vec_id AS query_id, cc.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.v, cc.cv) * -2.0 + cc.c2, cc.cid) AS rn
+      |    FROM e CROSS JOIN cc WHERE e.vec_id < 20) t
+      |  WHERE rn <= $nprobe),""".stripMargin
+    val ivfJoins = if (!ivf) "" else
+      """
+        |    JOIN asg ON asg.vec_id = c.vec_id
+        |    JOIN probes p ON p.cid = asg.cid AND p.query_id = q.query_id""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),$ivfCtes
       |mm AS (SELECT d, min(v[d+1]) AS mn, max(v[d+1]) - min(v[d+1]) AS rg
       |       FROM e, (SELECT unnest(range(0, 64)) AS d) dims GROUP BY d),
       |ma AS (SELECT list(mn ORDER BY d) AS mnA, list(rg ORDER BY d) AS rgA FROM mm),
@@ -383,7 +413,7 @@ object SparkEntry {
       |    SELECT q.query_id, c.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
       |        (q.qmin + list_dot_product(q.qsc, c.cst)) / (q.qn * c.anrm) DESC, c.vec_id) AS rn
-      |    FROM qq q JOIN cd c ON c.vec_id <> q.query_id)
+      |    FROM qq q JOIN cd c ON c.vec_id <> q.query_id$ivfJoins)
       |  WHERE rn <= 64),
       |x AS (
       |  SELECT ca.query_id, ca.neighbor_id,
@@ -397,6 +427,7 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
       |  FROM x)
       |WHERE rn <= 10""".stripMargin
+  }
 
   /** Exact brute-force cosine top-10 for the 20-query panel — e01's
     * oracle, and the ground-truth CTE inside e10's recall eval.
@@ -1224,7 +1255,8 @@ object SparkEntry {
       patched
     },
     "e13_mmr_rerank" -> mmrOracleSql,
-    "e14_ann_sq8" -> annSq8OracleSql,
+    "e14_ann_sq8" -> annSq8OracleSql(ivf = false),
+    "e15_ann_ivf_sq8" -> annSq8OracleSql(ivf = true),
     // e12 unions the stale index cut with the fresh delta BEFORE
     // probing, so the answer must equal the full-index search — e02's
     // oracle verbatim is the whole point

@@ -691,8 +691,10 @@ object Sim {
     * query side pre-computes one scalar + one premultiplied weight
     * array and the per-candidate cost is one fused dot fold.
     */
-  private[graft] def e14CandidateStage(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def e14CandidateStage(spark: SparkSession, dir: String,
+      ivf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
+    val P = 1000000007L
     val e = emb(spark, dir)
     val mm = e.select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -744,6 +746,39 @@ object Sim {
       expr("aggregate(zip_with(v, mnA, (x, m) -> x*m), 0D, (a, x) -> a + x)").as("qmin"),
       expr("zip_with(v, rgA, (x, r) -> x * (r / 255D))").as("qsc"),
       col("nrm").as("qn"))
+    // IVF side (e15): e04's deterministic sampled coarse centroids;
+    // the assignment rides the packed code row as one small column —
+    // the classic IVF-SQ layout (FAISS IVF-SQ8) — and the ADC scan
+    // touches only the probed lists, same restriction shape as e08
+    val (codes, probesOpt) =
+      if (!ivf) (packed, None)
+      else {
+        val sampled = e.select(col("vec_id"), col("v"))
+          .withColumn("ch", col("vec_id") % P * IvfHashMul % P)
+          .orderBy(col("ch"), col("vec_id"))
+          .limit(IvfK)
+          .collect()
+          .zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+        val centsDf = spark.createDataFrame(
+            sampled.toSeq.map { case (i, cv) =>
+              (i, cv.toSeq, cv.foldLeft(0.0)((a, x) => a + x * x))
+            })
+          .toDF("cid", "cv", "cc2")
+        def d2full = dotOf(spark, "v", "cv") * lit(-2.0) + col("cc2")
+        val asg = e.crossJoin(broadcast(centsDf))
+          .withColumn("d2", d2full)
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+        val probes = e.where(col("vec_id") < 20)
+          .crossJoin(broadcast(centsDf))
+          .withColumn("d2", d2full)
+          .withColumn("pr", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+          .where(col("pr") <= IvfNprobe)
+          .select(col("vec_id").as("pqid"), col("cid").as("pcid"))
+        (packed.join(asg, Seq("vec_id")), Some(probes))
+      }
     // straight-line codegen'd scoring: one shiftright/&255/multiply
     // chain per dimension instead of transform+aggregate lambdas
     // (higher-order functions are CodegenFallback and were paying an
@@ -755,8 +790,15 @@ object Sim {
       expr(s"element_at(qsc, ${d + 1}) * " +
         s"cast(shiftright(cw${d / 8}, ${(d % 8) * 8}) & 255L as double)")
     }.reduce(_ + _)
-    val cand = packed.crossJoin(broadcast(q))
+    val cand0 = codes.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
+    val restricted = probesOpt match {
+      case Some(p) => cand0.join(broadcast(p),
+          col("cid") === col("pcid") && col("query_id") === col("pqid"))
+        .drop("pcid", "pqid")
+      case None => cand0
+    }
+    val cand = restricted
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         ((col("qmin") + sumExpr) / (col("qn") * col("anrm"))).as("approx_cos"))
     val w = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("neighbor_id"))
@@ -775,6 +817,18 @@ object Sim {
     */
   def e14AnnSq8(spark: SparkSession, dir: String): DataFrame =
     exactRerank(spark, dir, e14CandidateStage(spark, dir))
+
+  /** e15: IVF + SQ8 — the most widely deployed production vector-store
+    * layout (FAISS IVF-SQ8): e04's inverted lists over e14's per-dim
+    * byte codes. Vectors store as (centroid_id, 8 packed code words,
+    * norm) ≈ dim+1 bytes + 8; search probes IvfNprobe coarse cells and
+    * ADC-scores ONLY the probed lists' code rows — corpus/IvfK ×
+    * IvfNprobe rows per query instead of e14's flat scan — then the
+    * top-[[SqCand]] survivors rerank exact via join-back. Completes
+    * the compression matrix: {flat, IVF} × {PQ, SQ} = e07/e08/e14/e15.
+    */
+  def e15AnnIvfSq8(spark: SparkSession, dir: String): DataFrame =
+    exactRerank(spark, dir, e14CandidateStage(spark, dir, ivf = true))
 
   /** e05: k-NN JOIN — top-3 neighbors for EVERY vector, not for a
     * broadcastable query batch. This is the retrieval-for-every-

@@ -107,6 +107,7 @@ class EmptyInputSpec extends SparkSpec {
       "d26" -> (() => graft.text.Corpus.d26LineDedup(spark, emptyDir).count()),
       "d27" -> (() => graft.text.Corpus.d27DomainCap(spark, emptyDir).count()),
       "e14" -> (() => graft.sim.Sim.e14AnnSq8(spark, emptyDir).count()),
+      "e15" -> (() => graft.sim.Sim.e15AnnIvfSq8(spark, emptyDir).count()),
       "m07" -> (() => graft.multimodal.Multimodal.m07ImageDedup(spark, emptyDir).count()),
       "q38" -> (() => Events.q38SketchSetops(spark, emptyDir).count()))
     val failures = ops.flatMap { case (name, run) =>

@@ -181,16 +181,41 @@ class Round7Spec extends SparkSpec {
   test("e14: candidate-phase shuffles carry no array column (codes stay packed)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
-    val stage = graft.sim.Sim.e14CandidateStage(spark, sfDir)
-    val exchanges = try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      stage.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(exchanges.nonEmpty, "expected shuffles in the candidate stage")
-    exchanges.foreach { x =>
-      assert(!x.output.exists(_.dataType.isInstanceOf[ArrayType]),
-        s"array column rides a candidate-phase shuffle: ${x.output.mkString(", ")}")
+    for (ivf <- Seq(false, true)) {
+      val stage = graft.sim.Sim.e14CandidateStage(spark, sfDir, ivf)
+      val exchanges = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        stage.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(exchanges.nonEmpty, "expected shuffles in the candidate stage")
+      exchanges.foreach { x =>
+        assert(!x.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"array column rides a candidate-phase shuffle (ivf=$ivf): ${x.output.mkString(", ")}")
+      }
     }
+  }
+
+  test("e15 IVF+SQ8: ranked exact top-k with honest recall through both cuts") {
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val exact = byQuery(graft.sim.Sim.e01KnnCosine(spark, sfDir))
+    val got = byQuery(graft.sim.Sim.e15AnnIvfSq8(spark, sfDir))
+    assert(got.nonEmpty && got.keySet == exact.keySet)
+    got.values.foreach { ns =>
+      assert(ns.size == 10)
+      val cos = ns.sortBy(t => (-t._2, t._1)).map(_._2)
+      assert(cos == cos.sorted.reverse)
+    }
+    // recall through BOTH approximations (nprobe=4-of-16 coarse filter
+    // + the SQ candidate cut) — the coarse filter is the dominant cost
+    // (e14 alone measures 1.0; measured 0.44 at sf0.01 here)
+    val recalls = exact.map { case (q, ns) =>
+      val truth = ns.map(_._1).toSet
+      got(q).map(_._1).count(truth) / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@10 = $mean")
   }
 
   test("s17 streaming line scrub equals the d26 batch output") {
