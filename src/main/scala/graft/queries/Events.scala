@@ -74,7 +74,12 @@ object Events {
   def q38SketchSetops(spark: SparkSession, dir: String): DataFrame =
     q38SketchSetops(spark, dir, spark.catalog.functionExists("graft_kmv_set"))
 
-  private[graft] def q38SketchSetops(
+  /** The per-type KMV sketch frame (event_type, hv) BEFORE the
+    * materialization barrier — exposed so the bounded-state plan shape
+    * (partial_graft_kmv_set ObjectHashAggregate) stays spec-pinnable;
+    * the operator checkpoints this and never re-runs it.
+    */
+  private[graft] def sketchTable(
       spark: SparkSession, dir: String, native: Boolean): DataFrame = {
     import spark.implicits._
     val K = 64
@@ -82,17 +87,29 @@ object Events {
     val hashed = Tables.events(spark, dir)
       .select($"event_type",
         (((($"user_id" * 1000003L + 17L) % P) * 999983L + 7919L) % P).as("hv"))
-    val sk =
-      if (native)
-        hashed.groupBy($"event_type")
-          .agg(call_function("graft_kmv_set", $"hv", lit(K)).as("skv"))
-          .select($"event_type", explode($"skv").as("hv"))
-      else {
-        val w = Window.partitionBy($"event_type").orderBy($"hv")
-        hashed.distinct()
-          .withColumn("rn", row_number().over(w)).where($"rn" <= K)
-          .select($"event_type", $"hv")
-      }
+    if (native)
+      hashed.groupBy($"event_type")
+        .agg(call_function("graft_kmv_set", $"hv", lit(K)).as("skv"))
+        .select($"event_type", explode($"skv").as("hv"))
+    else {
+      val w = Window.partitionBy($"event_type").orderBy($"hv")
+      hashed.distinct()
+        .withColumn("rn", row_number().over(w)).where($"rn" <= K)
+        .select($"event_type", $"hv")
+    }
+  }
+
+  private[graft] def q38SketchSetops(
+      spark: SparkSession, dir: String, native: Boolean): DataFrame = {
+    import spark.implicits._
+    val K = 64
+    val P = 1000000007L
+    // materialize the sketch ONCE: the pair algebra references it four
+    // times (types, union, both common sides), and without the barrier
+    // each reference re-runs the corpus scan + sketch build — 4 scans
+    // where the operator's whole pitch is ONE. The checkpoint holds
+    // ≤ |types|·K longs (eager, lineage cut — the d06 pattern).
+    val sk = sketchTable(spark, dir, native).localCheckpoint(true)
     // everything below operates on ≤ |types|·K sketch rows
     val types = sk.select($"event_type").distinct()
     val pairs = types.select($"event_type".as("type_a"))

@@ -399,9 +399,14 @@ object Streams {
   private[graft] def runLineScrub(dir: String, docs: DataFrame): DataFrame = {
     import graft.text.Corpus
     val ss = docs.sparkSession
+    // materialize the nightly dictionary ONCE (eager, lineage cut):
+    // the per-batch join references it every micro-batch, and without
+    // the barrier each batch would re-run the whole batch-side
+    // census — corpus scan, line explode, digest agg — per trigger
     val dict = Corpus.boilerplateLines(
         graft.dedup.Dedup.nearDupCorpus(graft.Tables.documents(ss, dir)))
       .select(col("h"), lit(1).as("bp"))
+      .localCheckpoint(true)
     val key = s"${Integer.toHexString(dir.hashCode)}_" +
       Integer.toHexString(ss.sparkContext.applicationId.hashCode) + "_" +
       nameCounter.incrementAndGet()

@@ -144,12 +144,19 @@ class Round7Spec extends SparkSpec {
       assert(math.abs(eu - xu).toDouble / xu < 0.4, s"($a,$b) union est $eu vs $xu")
       assert(math.abs(ei - xi).toDouble / math.max(xi, 1) < 0.4, s"($a,$b) inter est $ei vs $xi")
     }
-    // bounded-state plan shape: the sketch build is a partial-aggregated
+    // bounded-state plan shape: the sketch BUILD is a partial-aggregated
     // ObjectHashAggregate (state ≤ K longs per group)
-    val plan = Events.q38SketchSetops(spark, sfDir)
+    val build = Events.sketchTable(spark, sfDir, native = true)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_graft_kmv_set"),
+    assert(build.contains("ObjectHashAggregate") && build.contains("partial_graft_kmv_set"),
       "native KMV-set should run as a partial-aggregated ObjectHashAggregate")
+    // one-scan claim: the operator checkpoints the sketch, so the pair
+    // algebra's plan reads the materialized rows — the corpus parquet
+    // appears in NO downstream scan
+    val serve = Events.q38SketchSetops(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!serve.contains("Scan parquet"),
+      "the pair algebra should read the checkpointed sketch, not rescan events")
   }
 
   /** Exact per-pair (union, intersection) distinct-user counts. */
