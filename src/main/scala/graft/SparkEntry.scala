@@ -93,6 +93,7 @@ object SparkEntry {
     "d25_corpus_diff"     -> graft.text.Corpus.d25CorpusDiff _,
     "d26_line_dedup"      -> graft.text.Corpus.d26LineDedup _,
     "d27_domain_cap"      -> graft.text.Corpus.d27DomainCap _,
+    "d33_fuzzy_decontam"  -> graft.text.Corpus.d33FuzzyDecontam _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
@@ -182,6 +183,73 @@ object SparkEntry {
       |SELECT g.doc_id, count(*) AS n_contaminated_ngrams
       |FROM g JOIN b USING (gram) WHERE NOT g.is_bench
       |GROUP BY 1""".stripMargin
+
+  /** The shingle → poly-hash → MinHash-signature → band CTE chain in
+    * DuckDB terms, parameterized by source CTE and name suffix so d33
+    * can run it over BOTH the crawl and the bench slice (same
+    * arithmetic as d06's literal oracle).
+    */
+  private def minhashCtes(src: String, tag: String): String =
+    s"""sh$tag AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM $src)
+       |  WHERE len(toks) >= 3),
+       |hs$tag AS (
+       |  SELECT doc_id, shingles, list_transform(shingles, s ->
+       |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+       |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+       |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
+       |  FROM sh$tag),
+       |sg$tag AS (
+       |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
+       |    list_min(list_transform(hv, h ->
+       |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
+       |  FROM hs$tag),
+       |bands$tag AS (
+       |  SELECT doc_id, b.b AS band_id,
+       |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
+       |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+       |  FROM sg$tag, (SELECT unnest(range(0, 16)) AS b) b)""".stripMargin
+
+  /** d33's fuzzy decontamination in DuckDB terms: the bench split, the
+    * planted twin crawl, both MinHash pipelines, the crawl×bench band
+    * join with the bench-side bucket cap, and the exact shingle-set
+    * contamination/Jaccard verify.
+    */
+  private val d33OracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
+       |      < 20000000 AS is_bench
+       |  FROM documents),
+       |tw AS (
+       |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM d WHERE is_bench)
+       |  WHERE len(toks) >= 12),
+       |crawl AS (SELECT doc_id, text FROM d WHERE NOT is_bench
+       |          UNION ALL SELECT doc_id, text FROM tw),
+       |bench AS (SELECT doc_id, text FROM d WHERE is_bench),
+       |${minhashCtes("crawl", "c")},
+       |${minhashCtes("bench", "b")},
+       |benchok AS (
+       |  SELECT band_id, band_sig FROM bandsb GROUP BY 1, 2 HAVING count(*) <= 64),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+       |  FROM bandsc c
+       |  JOIN (SELECT bandsb.* FROM bandsb JOIN benchok USING (band_id, band_sig)) b
+       |    USING (band_id, band_sig))
+       |SELECT doc_id, bench_id, contamination, jaccard FROM (
+       |  SELECT cand.doc_id, cand.bench_id,
+       |    CAST(len(list_intersect(sc.shingles, sb.shingles)) AS DOUBLE)
+       |      / len(sc.shingles) AS contamination,
+       |    CAST(len(list_intersect(sc.shingles, sb.shingles)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sc.shingles, sb.shingles))) AS jaccard
+       |  FROM cand
+       |  JOIN sgc sc ON sc.doc_id = cand.doc_id
+       |  JOIN sgb sb ON sb.doc_id = cand.bench_id) t
+       |WHERE contamination >= 0.8""".stripMargin
 
   /** e07's product-quantized search in DuckDB terms, GENERATED for
     * M=[[graft.sim.Sim.PqM]] subspaces over the 64-dim verification
@@ -1900,6 +1968,10 @@ object SparkEntry {
         |  node AS survivor_id, n_len AS survivor_len
         |FROM rk WHERE rn = 1 AND n_members >= 2""".stripMargin,
     "d14_decontam" -> decontamOracleSql,
+    // d33 is the fuzzy (near-dup) counterpart: both MinHash pipelines,
+    // the crawl×bench band join, and the exact contamination verify
+    // replayed in SQL
+    "d33_fuzzy_decontam" -> d33OracleSql,
     // d29 is d14 with a Bloom pre-filter whose false positives the
     // exact verify join removes — row-identical, same oracle
     "d29_bloom_decontam" -> decontamOracleSql,

@@ -134,6 +134,91 @@ object Corpus {
       .select("doc_id", "gram")
   }
 
+  /** The contaminated crawl for fuzzy decontamination: the non-bench
+    * documents plus a truncated twin (last 3 tokens dropped, offset
+    * ids — the d06 twin formula) of every long-enough BENCH document,
+    * modeling a crawl that ingested lightly-edited copies of benchmark
+    * pages. The edits break d14's exact 5-grams at the cut point, which
+    * is precisely the contamination mode fuzzy matching exists for.
+    */
+  private[graft] def fuzzyCrawl(docs: DataFrame): DataFrame = {
+    val toks = graft.text.Text.wsTokens(col("text"))
+    val twins = docs.where(isBenchCol)
+      .where(size(toks) >= 12)
+      .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 3)))
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    docs.where(!isBenchCol).unionByName(twins)
+  }
+
+  /** d33: FUZZY benchmark decontamination — near-duplicate matching
+    * between the crawl and the held-out benchmark slice (the
+    * Llama/GPT-4-report style complement to d14/d29's exact n-gram
+    * overlap: a benchmark page that was reflowed, retitled, or lightly
+    * edited before the crawler saw it shares few exact 5-grams but
+    * nearly all of its shingle set). Both sides go through the shared
+    * MinHash signature kernel; candidates come from the LSH band join
+    * of crawl bands against BENCH bands; survivors verify with exact
+    * shingle sets and flag on contamination = |S_doc ∩ S_bench| /
+    * |S_doc| ≥ 0.8 — "at least 80% of this crawl document is benchmark
+    * material" (the asymmetric d28 ratio, pointed at the crawl side, so
+    * a benchmark quoted inside a larger page scores by the page, not
+    * the quote).
+    *
+    * Scale shape (100 TB crawl, bounded benchmark): the bench side is
+    * small BY DEFINITION (it is the eval suite), so its band rows
+    * broadcast; each crawl band row meets at most MaxBucket bench rows
+    * (bench-side bucket cap), keeping candidates linear in crawl size;
+    * only candidate pairs pay the exact shingle intersect, and the only
+    * crawl-wide work is the one signature projection every other dedup
+    * operator already pays. Text never shuffles — band rows are 24
+    * bytes; shingle arrays join back only for the surviving candidates.
+    */
+  def d33FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val (pipeline, sigB, sigC) = d33Pipeline(spark, dir)
+    // eager-release (s05 pattern): survivors are tiny; checkpoint them
+    // and drop both persisted signature tables before returning
+    val out = pipeline.localCheckpoint(true)
+    sigB.unpersist(); sigC.unpersist()
+    out
+  }
+
+  /** The un-checkpointed d33 pipeline plus both persisted signature
+    * tables — exposed so the plan spec can pin the join strategy
+    * (a checkpointed frame's plan is just an RDD scan).
+    */
+  private[graft] def d33Pipeline(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.where(isBenchCol)
+    val sigB = Dedup.signatureTable(bench)
+    val sigC = Dedup.signatureTable(fuzzyCrawl(docs))
+    val bb = Dedup.bandRows(sigB)
+      .select(col("doc_id").as("bench_id"), col("band_id"), col("band_sig"))
+    // stop-bucket cap on the BENCH side: a boilerplate band shared by
+    // many bench docs would otherwise multiply every matching crawl row
+    val benchOk = bb.groupBy("band_id", "band_sig").count()
+      .where(col("count") <= Dedup.MaxBucket).select("band_id", "band_sig")
+    val cand = Dedup.bandRows(sigC)
+      .join(broadcast(bb.join(benchOk, Seq("band_id", "band_sig"))),
+        Seq("band_id", "band_sig"))
+      .select("doc_id", "bench_id").distinct()
+    val shC = sigC.select(col("doc_id"), col("shingles").as("sh_c"))
+    val shB = sigB.select(col("doc_id").as("bench_id"), col("shingles").as("sh_b"))
+    val out = cand
+      .join(shC, Seq("doc_id"))
+      .join(broadcast(shB), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"),
+        size(array_intersect(col("sh_c"), col("sh_b"))).cast("double").as("inter"),
+        size(col("sh_c")).as("nc"),
+        size(array_union(col("sh_c"), col("sh_b"))).as("nu"))
+      .select(col("doc_id"), col("bench_id"),
+        (col("inter") / col("nc")).as("contamination"),
+        (col("inter") / col("nu")).as("jaccard"))
+      .where(col("contamination") >= 0.8)
+    (out, sigB, sigC)
+  }
+
   /** d25: corpus snapshot diff — the data-versioning primitive: given
     * two corpus versions, report per source how many documents were
     * added, removed, changed, or untouched. Versions are derived

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-7 second-tranche operators: d33 fuzzy decontamination, d34
+  * sketch-guided heavy hitters, e16 range search, s18 streaming domain
+  * cap, w19 snapshot rollback, q39 transition matrix.
+  */
+class Round8Spec extends SparkSpec {
+
+  test("d33 flags every long planted twin against its bench original at containment 1.0") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val P = 1000000007L
+    def isBench(id: Long) = ((id % P) * 777000037L % P + 4242L) % P < 20000000L
+    // bench docs long enough that the truncated twin's Jaccard vs its
+    // original makes an LSH band collision overwhelmingly certain
+    val longBench = docs.filter { case (id, t) =>
+      isBench(id) && t.trim.split("\\s+").length >= 24
+    }.map(_._1).toSet
+    assert(longBench.nonEmpty, "testdata has no long bench docs")
+
+    val got = graft.text.Corpus.d33FuzzyDecontam(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (b <- longBench) {
+      val hit = got.find(g => g._1 == b + 1000000L && g._2 == b)
+      assert(hit.isDefined, s"planted twin of bench doc $b not flagged")
+      // the twin's shingles are a subset of the original's: exactly 1.0
+      assert(hit.get._3 == 1.0, s"twin of $b contamination ${hit.get._3} != 1.0")
+    }
+    // every flagged row satisfies the threshold
+    assert(got.forall(_._3 >= 0.8))
+  }
+
+  test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
+    val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
+    try {
+      val plan = pipeline.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally { sigB.unpersist(); sigC.unpersist() }
+  }
+}
