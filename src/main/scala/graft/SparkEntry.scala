@@ -94,6 +94,7 @@ object SparkEntry {
     "d26_line_dedup"      -> graft.text.Corpus.d26LineDedup _,
     "d27_domain_cap"      -> graft.text.Corpus.d27DomainCap _,
     "d33_fuzzy_decontam"  -> graft.text.Corpus.d33FuzzyDecontam _,
+    "d34_heavy_hitters"   -> Text.d34HeavyHitters _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
@@ -1972,6 +1973,17 @@ object SparkEntry {
     // the crawl×bench band join, and the exact contamination verify
     // replayed in SQL
     "d33_fuzzy_decontam" -> d33OracleSql,
+    // d34's sketch pruning is exact by the CMS over-estimate guarantee,
+    // so the oracle is simply the naive full groupBy with the same
+    // integer threshold (N div 500 + 1)
+    "d34_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT term, count(*) AS freq
+        |FROM toks GROUP BY term
+        |HAVING count(*) >= (SELECT n // 500 + 1 FROM tot)""".stripMargin,
     // d29 is d14 with a Bloom pre-filter whose false positives the
     // exact verify join removes — row-identical, same oracle
     "d29_bloom_decontam" -> decontamOracleSql,

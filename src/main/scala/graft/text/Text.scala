@@ -319,4 +319,70 @@ object Text {
       .orderBy(col("est_freq").desc, col("term"))
       .limit(50)
   }
+
+  /** Heavy-hitter threshold: a term is heavy when it covers more than
+    * ~0.2% of the token stream (N div 500 + 1 occurrences — strict
+    * integer arithmetic shared with the oracle).
+    */
+  private def hhThreshold(n: Long): Long = n / 500L + 1L
+
+  /** The d34 candidate filter: the CMS counters collected into one
+    * flat (d·w)-long literal and probed per token — exposed separately
+    * so the spec can pin the superset guarantee (candidates ⊇ true
+    * heavy hitters, est ≥ truth) and the strict vocabulary pruning.
+    * Returns (filtered token frame, threshold).
+    */
+  private[graft] def d34Candidates(
+      spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val native = spark.catalog.functionExists("graft_polyhash")
+    val toks = Tables.documents(spark, dir)
+      .select(explode(wsTokens(lower(col("text")))).as("term"))
+    // pass 1: the mergeable counter build (d32's kernel) — at most
+    // d·w = 4096 rows reach the driver no matter the vocabulary size
+    val counters = new Array[Long](CmsRows.length * CmsWidth)
+    toks.select(polyTermHash(col("term"), native).as("th"))
+      .select(explode(cmsBuckets(col("th"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .foreach(r => counters(r.getInt(0) * CmsWidth + r.getLong(1).toInt) = r.getLong(2))
+    // every token lands in exactly one bucket per row: row 0's counter
+    // sum IS the stream length — no separate counting scan
+    val n = counters.take(CmsWidth).sum
+    val t = hhThreshold(n)
+    val cs = typedLit(counters.toSeq)
+    val est = least(CmsRows.zipWithIndex.map { case ((a, b), r) =>
+      element_at(cs,
+        (((polyTermHash(col("term"), native) * lit(a) + lit(b)) % lit(FpMod)) % lit(CmsWidth))
+          .cast("int") + lit(r * CmsWidth + 1))
+    }: _*)
+    (toks.where(est >= lit(t)), t)
+  }
+
+  /** d34: sketch-guided EXACT heavy hitters — "every term above 0.2%
+    * of the token stream, with its exact count" (the d32↔d10 bridge:
+    * d10's exact vocabulary shuffles every distinct term, d32's sketch
+    * never rescans but only estimates; production trending/stopword
+    * detection wants exact counts WITHOUT the vocabulary-sized
+    * shuffle). Two passes: (1) build the CMS counters — mergeable,
+    * bounded at d·w rows, the only full-vocabulary reduction; (2)
+    * rescan the token stream probing the counters as a plan literal
+    * (the d29 Bloom pattern — 32 KB riding the scan, no join) and keep
+    * only tokens whose estimate clears the threshold, then exact-count
+    * the survivors. CMS estimates dominate true counts, so the
+    * candidate set provably contains every true heavy hitter (no false
+    * negatives), and the final exact filter removes collision-inflated
+    * impostors: the result is bit-identical to the naive full groupBy.
+    *
+    * Scale shape (100 TB): the exact-count shuffle carries only
+    * candidate terms — |heavy hitters| + collision false positives
+    * (tunable via sketch width) — instead of the ~10⁹-term web
+    * vocabulary; all occurrences of a term share one estimate, so a
+    * term either survives whole or is pruned whole.
+    */
+  def d34HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val (cand, t) = d34Candidates(spark, dir)
+    cand.groupBy("term").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= lit(t))
+  }
 }

@@ -35,6 +35,35 @@ class Round8Spec extends SparkSpec {
     assert(got.forall(_._3 >= 0.8))
   }
 
+  test("d34 equals the naive exact heavy-hitter groupBy; sketch prunes without false negatives") {
+    import graft.text.Text
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(Text.wsTokens(lower(col("text")))).as("term"))
+    val n = naive.count()
+    val t = n / 500L + 1L
+    val want = naive.groupBy("term").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= t)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(want.nonEmpty, "no heavy hitters in testdata — threshold too high")
+    val got = Text.d34HeavyHitters(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == want)
+
+    // the CMS over-estimate guarantee, observed live: every true heavy
+    // hitter survives the candidate filter, and the filter really
+    // prunes the vocabulary (strictly fewer candidate terms than vocab)
+    val (cand, t2) = Text.d34Candidates(spark, sfDir)
+    assert(t2 == t)
+    val candTerms = cand.select("term").distinct().count()
+    val vocab = naive.select("term").distinct().count()
+    assert(candTerms < vocab, s"no pruning: $candTerms candidates of $vocab vocab")
+    assert(candTerms >= want.length.toLong)
+    // candidate probe is a literal lookup in the scan — no join anywhere
+    // before the exact-count aggregation
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
     val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
     try {
