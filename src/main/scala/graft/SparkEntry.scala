@@ -147,6 +147,7 @@ object SparkEntry {
     "w16_partition_evolution" -> graft.sources.Sinks.w16PartitionEvolution _,
     "w17_merge_cdc"       -> graft.sources.Sinks.w17MergeCdc _,
     "w18_write_audit_publish" -> graft.sources.Sinks.w18WriteAuditPublish _,
+    "w19_snapshot_rollback" -> graft.sources.Sinks.w19SnapshotRollback _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
@@ -1129,6 +1130,13 @@ object SparkEntry {
     // exactly the source table even though a newer committed snapshot
     // supersedes it.
     "w10_time_travel" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // w19 rolls the live table back to snapshot 1 (= the full corpus),
+    // so the live read must roll up to exactly the source table — the
+    // bad snapshot 2 is superseded without rewriting any data
+    "w19_snapshot_rollback" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,

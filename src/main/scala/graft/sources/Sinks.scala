@@ -1042,6 +1042,35 @@ object Sinks {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }
 
+  /** w19: snapshot rollback — revert the table to an earlier snapshot
+    * as a NEW commit (Iceberg `rollback_to_snapshot` semantics): a bad
+    * deploy published snapshot 2 dropping two-thirds of the corpus;
+    * recovery commits manifest-3 whose file list IS manifest-1's. No
+    * data file is written, copied, or deleted — rollback cost is
+    * O(manifest) regardless of table size — readers flip atomically on
+    * the one manifest rename, history stays intact (the as-of-2 read
+    * still serves the bad snapshot for forensics, pinned in the spec),
+    * and the rolled-back files become w12's GC feed once the retention
+    * horizon passes snapshot 2.
+    */
+  def w19SnapshotRollback(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "rollback")
+    val docs = Tables.documents(spark, dir)
+    publishSnapshot(spark, docs, root, 1)
+    publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), root, 2)
+    rollbackTo(spark, root, asOf = 1, next = 3)
+    readPublished(spark, dir, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
+  /** Commit snapshot `asOf`'s exact file list as manifest `next` —
+    * the rollback primitive (metadata-only, one atomic rename).
+    */
+  private[graft] def rollbackTo(
+      spark: SparkSession, root: String, asOf: Int, next: Int): Unit =
+    commitManifest(spark, root, next, manifestFilesAt(spark, root, asOf))
+
   /** File list of committed manifest `n` (bare-path manifest lines). */
   private[graft] def manifestFilesAt(
       spark: SparkSession, root: String, n: Int): Seq[String] = {

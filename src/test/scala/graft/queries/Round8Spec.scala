@@ -64,6 +64,40 @@ class Round8Spec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("w19 rollback is metadata-only: live == snapshot 1, history intact, zero new data files") {
+    import graft.sources.Sinks
+    import graft.Tables
+    import org.apache.hadoop.fs.{Path => HPath}
+    // the operator end-to-end: after the bad snapshot 2 and the
+    // rollback commit, the live read rolls up to the full corpus
+    val live = Sinks.w19SnapshotRollback(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(live == want)
+
+    // the primitives on a private root: manifest history and file reuse
+    val root = "/tmp/graft_w19_spec"
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new HPath(root), true)
+    val docs = Tables.documents(spark, sfDir)
+    Sinks.publishSnapshot(spark, docs, root, 1)
+    Sinks.publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), root, 2)
+    Sinks.rollbackTo(spark, root, asOf = 1, next = 3)
+    val manifests = fs.globStatus(new HPath(s"$root/manifest-*")).map(_.getPath.getName).sorted
+    assert(manifests.toSeq == Seq("manifest-1", "manifest-2", "manifest-3"))
+    // manifest-3's list is byte-identical to manifest-1's and points
+    // only at snap1's directory: the rollback wrote no data of its own
+    assert(Sinks.manifestFilesAt(spark, root, 3) == Sinks.manifestFilesAt(spark, root, 1))
+    assert(Sinks.manifestFilesAt(spark, root, 3).forall(_.contains("/data/snap1/")))
+    // forensics: the bad snapshot is still readable as-of-2
+    val bad = Sinks.readPublished(spark, sfDir, root, asOf = Some(2)).count()
+    val full = Sinks.readPublished(spark, sfDir, root, asOf = Some(1)).count()
+    assert(bad < full && bad > 0)
+    assert(Sinks.readPublished(spark, sfDir, root).count() == full)
+  }
+
   test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
     val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
     try {
