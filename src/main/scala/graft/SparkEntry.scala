@@ -152,6 +152,7 @@ object SparkEntry {
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
     "s17_stream_line_scrub" -> Streams.s17StreamLineScrub _,
+    "s18_stream_domain_cap" -> Streams.s18StreamDomainCap _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -951,6 +952,14 @@ object SparkEntry {
     // Per-domain cap: the salted two-phase cap must equal the naive
     // per-source window.
     "d27_domain_cap" ->
+      """SELECT doc_id, source, lang, n_chars, rnk FROM (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 15""".stripMargin,
+    // s18 is d27's cap as streaming admission control: one AvailableNow
+    // pass over the corpus admits exactly the batch rule's survivors
+    "s18_stream_domain_cap" ->
       """SELECT doc_id, source, lang, n_chars, rnk FROM (
         |  SELECT doc_id, source, lang, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk

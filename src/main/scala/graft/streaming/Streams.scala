@@ -443,6 +443,68 @@ object Streams {
     }
   }
 
+  case class CapDoc(doc_id: Long, source: String, lang: String, n_chars: Long)
+  case class CapState(n: Long)
+  case class CapOut(doc_id: Long, source: String, lang: String, n_chars: Long, rnk: Long)
+
+  /** s18: per-domain document caps AT INGESTION — d27's Common-Crawl
+    * curation rule ("no domain may dominate the corpus") enforced as
+    * admission control on the firehose: a document is admitted only
+    * while its source's admitted count is below K. State is ONE
+    * counter per source — bounded by the number of domains, not the
+    * stream — and each batch's slice of a source is reduced through a
+    * size-K bounded insertion (the iterator is never materialized:
+    * O(K) memory per group no matter how hot the domain runs in a
+    * batch), admitting its K−taken smallest doc_ids in order.
+    *
+    * Semantics, stated honestly: within a batch the admission rule is
+    * deterministic (K-smallest); ACROSS batches it is first-come-
+    * first-served — an id arriving after its source's cap filled is
+    * rejected even if smaller than an admitted one, because admission
+    * at ingestion cannot be retracted. One AvailableNow pass over the
+    * corpus (the driver's layout) therefore equals d27's batch rule
+    * exactly (shared oracle), and any id-ordered arrival equals it at
+    * every batch size (spec-pinned on a two-batch ordered split).
+    */
+  def s18StreamDomainCap(spark: SparkSession, dir: String): DataFrame =
+    runDomainCap(fileStream(streamSession(spark), dir, "documents.parquet"))
+
+  /** The admission-control cap on any (streaming) documents frame —
+    * exposed for multi-batch specs.
+    */
+  private[graft] def runDomainCap(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val K = 15
+    val admitted = docs.select("doc_id", "source", "lang", "n_chars").as[CapDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[CapState, CapOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[CapState]) =>
+          val taken = state.getOption.map(_.n).getOrElse(0L)
+          val room = (K - taken).toInt
+          if (room <= 0) Iterator.empty
+          else {
+            // bounded insertion: keep the `room` smallest doc_ids seen
+            // so far in this batch slice — O(room) memory, one pass
+            val best = new java.util.TreeMap[Long, CapDoc]()
+            for (d <- it) {
+              if (best.size < room) best.put(d.doc_id, d)
+              else if (d.doc_id < best.lastKey()) {
+                best.remove(best.lastKey()); best.put(d.doc_id, d)
+              }
+            }
+            val out = best.values.toArray(new Array[CapDoc](0)).zipWithIndex
+              .map { case (d, i) =>
+                CapOut(d.doc_id, d.source, d.lang, d.n_chars, taken + i + 1) }
+            state.update(CapState(taken + out.length))
+            out.iterator
+          }
+      }
+    val (s, name) = runToCompletion(admitted.toDF(), OutputMode.Append())
+    s.table(name)
+  }
+
   /** s12: streaming atomic publish — the w06 landing zone upgraded to
     * the w08 manifest contract: each micro-batch lands its data files,
     * then ONE manifest rename commits (previous files + the batch's).

@@ -98,6 +98,34 @@ class Round8Spec extends SparkSpec {
     assert(Sinks.readPublished(spark, sfDir, root).count() == full)
   }
 
+  test("s18 streaming cap equals d27 in one batch AND on an id-ordered two-batch split") {
+    import graft.streaming.Streams
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val want = rows(graft.text.Corpus.d27DomainCap(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(rows(Streams.s18StreamDomainCap(spark, sfDir)) == want)
+
+    // two micro-batches split at the median id, low ids first: ordered
+    // arrival must reproduce the batch rule at any batch size
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mid = src.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val stage = "/tmp/graft_stream_s18_split"
+    val d = Paths.get(stage)
+    if (Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.createDirectories(d)
+    src.where(col("doc_id") <= mid).coalesce(1).write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100) // distinct mtimes: the file source orders batches by mtime
+    src.where(col("doc_id") > mid).coalesce(1).write.mode("overwrite").parquet(s"$stage/p2")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    assert(rows(Streams.runDomainCap(stream)) == want)
+  }
+
   test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
     val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
     try {
