@@ -109,6 +109,7 @@ object SparkEntry {
     "e13_mmr_rerank"      -> Sim.e13MmrRerank _,
     "e14_ann_sq8"         -> Sim.e14AnnSq8 _,
     "e15_ann_ivf_sq8"     -> Sim.e15AnnIvfSq8 _,
+    "e16_range_search"    -> Sim.e16RangeSearch _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -1341,6 +1342,30 @@ object SparkEntry {
       patched
     },
     "e13_mmr_rerank" -> mmrOracleSql,
+    // e16: radius membership over the twin-planted corpus — the e03
+    // corpus CTEs with e02's 8-bit buckets/probes, radius not rank
+    "e16_range_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pert AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.0005 + 0.0001) AS v FROM e),
+        |corpus0 AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+        |cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM corpus0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM cn WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT query_id, qv, qn, unnest(list_distinct(list_concat(list_concat(
+        |      [bucket],
+        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
+        |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
+        |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))) AS bucket
+        |  FROM q),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(p.qv, b.v) / (p.qn * b.nrm) AS cosine
+        |  FROM probes p JOIN cn b USING (bucket)
+        |  WHERE b.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, cosine FROM cand WHERE cosine >= 0.99""".stripMargin,
     "e14_ann_sq8" -> annSq8OracleSql(ivf = false),
     "e15_ann_ivf_sq8" -> annSq8OracleSql(ivf = true),
     // e12 unions the stale index cut with the fresh delta BEFORE

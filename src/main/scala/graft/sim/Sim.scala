@@ -155,6 +155,44 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e16: approximate RANGE search (FAISS `range_search`) — "every
+    * corpus vector within cosine ≥ 0.99 of each query", no k: the
+    * radius query that powers near-duplicate lookup, copyright
+    * matching, and dedup-at-serve-time, where the answer SIZE is the
+    * signal (top-k would pad misses with irrelevant neighbors and
+    * truncate dense hits). Corpus = the embeddings plus e03's planted
+    * perturbed twins (byte-distinct, cosine ≈ 1), so radius hits are
+    * real. Candidates come from the e02 bucket join (8-bit hyperplane
+    * signature, hamming-≤2 multi-probe on the tiny query side); every
+    * candidate is scored exactly and the radius predicate — not a
+    * rank — decides membership.
+    *
+    * Scale shape: identical to e02 — the corpus never cross-joins
+    * anything; probes fan out on the query side only; the per-bucket
+    * hash join is the only corpus-wide contact. The radius filter is
+    * applied AFTER exact scoring, so the LSH tier only affects recall
+    * (which the spec measures via the planted twins), never precision.
+    */
+  def e16RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir)
+    val perturbed = base
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(v, x -> x * 1.0005d + 0.0001d)").as("v")) // corpus construction only — not a hot path
+      .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
+    val corpus = base.unionByName(perturbed)
+      .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+    val q = base.where(col("vec_id") < 20)
+      .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(expr(probeExprOf(SigBits))).as("bucket"))
+    corpus.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .where(col("cosine") >= 0.99)
+  }
+
   /** Staging path of the persisted e06 index, keyed by (dir, appId)
     * like [[graft.sources.Sinks.bucketedStagePath]] so concurrent
     * sessions never clobber each other's layout. The root defaults to

@@ -126,6 +126,26 @@ class Round8Spec extends SparkSpec {
     assert(rows(Streams.runDomainCap(stream)) == want)
   }
 
+  test("e16 range search finds every planted twin inside the radius; no cartesian anywhere") {
+    import graft.sim.Sim
+    val out = Sim.e16RangeSearch(spark, sfDir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // radius semantics: every returned neighbor is inside the radius
+    assert(rows.forall(_._3 >= 0.99))
+    // recall on the planted twins: each of the 20 queries' perturbed
+    // copy sits at cosine ≈ 1 and must be found through the multi-probe
+    val nQueries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 20).count()
+    for (q <- 0L until nQueries) {
+      val twin = rows.find(r => r._1 == q && r._2 == q + 100000L)
+      assert(twin.isDefined, s"query $q's planted twin not inside the radius result")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
     val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
     try {
