@@ -62,6 +62,7 @@ object SparkEntry {
     "q35_decayed_agg"     -> Relational.q35DecayedAgg _,
     "q36_kmv_distinct"    -> Relational.q36KmvDistinct _,
     "q37_gap_fill"        -> Events.q37GapFill _,
+    "q39_event_transitions" -> Events.q39EventTransitions _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -832,6 +833,19 @@ object SparkEntry {
         |  CAST(avg(gap_us) AS DOUBLE) AS avg_gap_us,
         |  max(gap_us) AS max_gap_us, min(gap_us) AS min_gap_us
         |FROM x WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+    // q39: per-user lag pairs → exact transition counts → conditional
+    // probability by prev-type total (integer counts, one division)
+    "q39_event_transitions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+        |  FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_trans,
+        |  CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY prev_type) AS p_trans
+        |FROM c""".stripMargin,
     // Day-over-day retention: distinct (day, user) + self-join on
     // (user, day+1) — exact timestamp-bucket equality.
     "q34_retention" ->

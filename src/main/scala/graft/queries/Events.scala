@@ -423,4 +423,32 @@ object Events {
     types.foldLeft(pivoted)((df, t) =>
       df.withColumn(t, coalesce(col(t), lit(0L))))
   }
+
+  /** q39: event-type transition matrix — first-order Markov statistics
+    * over per-user event sequences ("after a click, what happens
+    * next?"), the path-analysis primitive behind funnel discovery and
+    * next-action models. Each user's stream is ordered by (ts,
+    * event_id) and lagged one step; (prev → next) pairs aggregate to
+    * exact counts, and the row-conditional probability divides by the
+    * prev-type total.
+    *
+    * Scale shape: the lag window is KEYED by user (the q30 shape — a
+    * user's history fits a task at any corpus size); the pair
+    * aggregation map-side-combines down to at most |types|² rows; the
+    * probability window runs over that tiny frame only. No global
+    * sort, no join.
+    */
+  def q39EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val counts = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts.withColumn("p_trans",
+      $"n_trans".cast("double") /
+        sum($"n_trans").over(Window.partitionBy($"prev_type")))
+  }
 }

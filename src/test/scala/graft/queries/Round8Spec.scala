@@ -146,6 +146,28 @@ class Round8Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q39 transition matrix equals a driver-side walk; rows are conditional distributions") {
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"), expr("unix_micros(ts)").as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(e => (e._4, e._3)).map(_._2)
+      ordered.zip(ordered.drop(1))
+    }.groupBy(identity).map { case ((a, b), l) => (a, b, l.size.toLong) }.toSeq
+    val totals = want.groupBy(_._1).map { case (a, l) => a -> l.map(_._3).sum }
+    val wantFull = want.map { case (a, b, n) => (a, b, n, n.toDouble / totals(a)) }
+      .sortBy(t => (t._1, t._2))
+    val got = graft.queries.Events.q39EventTransitions(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == wantFull)
+    assert(got.nonEmpty)
+    // each prev-type row of the matrix is a probability distribution
+    got.groupBy(_._1).values.foreach { row =>
+      assert(math.abs(row.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
     val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
     try {
