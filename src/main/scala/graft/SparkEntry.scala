@@ -155,6 +155,7 @@ object SparkEntry {
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
     "s17_stream_line_scrub" -> Streams.s17StreamLineScrub _,
     "s18_stream_domain_cap" -> Streams.s18StreamDomainCap _,
+    "s19_stream_trending" -> Streams.s19StreamTrending _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -1559,6 +1560,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         | count(*) AS n_events, sum(value) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // s19: s01's hourly counts cut to the top 3 types per window,
+    // ties by event_type
+    "s19_stream_trending" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket, event_type, n_events, rnk FROM (
+        |  SELECT bucket, event_type, n_events,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY n_events DESC, event_type) AS rnk
+        |  FROM c)
+        |WHERE rnk <= 3""".stripMargin,
     "s02_stream_stateful" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,

@@ -443,6 +443,31 @@ object Streams {
     }
   }
 
+  /** s19: streaming trending / windowed top-k — "the 3 hottest event
+    * types of every hour", the live-dashboard staple. The STREAM side
+    * is exactly s01's watermarked tumbling-window count (bounded state:
+    * watermark × |types| rows, complete-mode emission); the top-k rank
+    * is applied AT READ TIME over the emitted window counts — ranking
+    * inside the stream would need a second stateful stage re-sorting
+    * every window on every trigger, while the sink-side window rank
+    * runs over the tiny (windows × types) aggregate frame (the s10
+    * read-time-rank shape). Ties break by event_type so the cut is
+    * deterministic cross-engine.
+    */
+  def s19StreamTrending(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = eventsStream(streamSession(spark), dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n_events"))
+    val (s, name) = runToCompletion(agg, OutputMode.Complete())
+    val w = Window.partitionBy("bucket").orderBy(col("n_events").desc, col("event_type"))
+    s.table(name)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+  }
+
   case class CapDoc(doc_id: Long, source: String, lang: String, n_chars: Long)
   case class CapState(n: Long)
   case class CapOut(doc_id: Long, source: String, lang: String, n_chars: Long, rnk: Long)

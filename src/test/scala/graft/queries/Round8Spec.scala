@@ -168,6 +168,25 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("s19 streaming trending equals the batch hourly top-3; every window cut at 3") {
+    import graft.streaming.Streams
+    val got = Streams.s19StreamTrending(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1.getTime, t._4)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("n_events").desc, col("event_type"))
+    val want = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1.getTime, t._4)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    assert(got.groupBy(_._1).values.forall(_.length <= 3))
+  }
+
   test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
     val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
     try {
