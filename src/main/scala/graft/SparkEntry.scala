@@ -150,6 +150,7 @@ object SparkEntry {
     "w17_merge_cdc"       -> graft.sources.Sinks.w17MergeCdc _,
     "w18_write_audit_publish" -> graft.sources.Sinks.w18WriteAuditPublish _,
     "w19_snapshot_rollback" -> graft.sources.Sinks.w19SnapshotRollback _,
+    "w20_analyze_stats"   -> graft.sources.Sinks.w20AnalyzeStats _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
@@ -1165,6 +1166,41 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // w20: per-file KMV merge-exactness means the merged table stats
+    // equal a DIRECT whole-column sketch — which is what the oracle
+    // computes (q36's double affine round; string columns poly-hashed
+    // first), exact below K=64 distinct, (K-1)·P div θ above
+    "w20_analyze_stats" ->
+      """WITH hd AS (SELECT DISTINCT
+        |    (((doc_id * 1000003 + 17) % 1000000007) * 999983 + 7919) % 1000000007 AS hv
+        |  FROM documents),
+        |od AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hd),
+        |hl AS (SELECT DISTINCT
+        |    ((list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |        list_transform(range(1, length(lang)+1), i -> CAST(ascii(lang[i]) AS BIGINT))),
+        |        (b, c) -> (b * 31 + c) % 1000000007)
+        |      * 1000003 + 17) % 1000000007 * 999983 + 7919) % 1000000007 AS hv
+        |  FROM documents),
+        |ol AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hl),
+        |hs AS (SELECT DISTINCT
+        |    ((list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |        list_transform(range(1, length(source)+1), i -> CAST(ascii(source[i]) AS BIGINT))),
+        |        (b, c) -> (b * 31 + c) % 1000000007)
+        |      * 1000003 + 17) % 1000000007 * 999983 + 7919) % 1000000007 AS hv
+        |  FROM documents),
+        |os AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hs)
+        |SELECT 'doc_id' AS col_name,
+        |  (SELECT count(*) FROM documents) AS n_rows,
+        |  CASE WHEN (SELECT count(*) FROM hd) < 64 THEN (SELECT count(*) FROM hd)
+        |       ELSE CAST(63 AS BIGINT) * 1000000007 // (SELECT hv FROM od WHERE rn = 64) END AS est_ndv
+        |UNION ALL
+        |SELECT 'lang', (SELECT count(*) FROM documents),
+        |  CASE WHEN (SELECT count(*) FROM hl) < 64 THEN (SELECT count(*) FROM hl)
+        |       ELSE CAST(63 AS BIGINT) * 1000000007 // (SELECT hv FROM ol WHERE rn = 64) END
+        |UNION ALL
+        |SELECT 'source', (SELECT count(*) FROM documents),
+        |  CASE WHEN (SELECT count(*) FROM hs) < 64 THEN (SELECT count(*) FROM hs)
+        |       ELSE CAST(63 AS BIGINT) * 1000000007 // (SELECT hv FROM os WHERE rn = 64) END""".stripMargin,
     // w09's pruned read answers the id-range predicate from only the
     // manifest-selected files — the rollup must equal the plain
     // filtered scan (integer threshold: min + (max-min)/8, and both

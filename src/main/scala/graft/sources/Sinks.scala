@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1070,6 +1070,103 @@ object Sinks {
   private[graft] def rollbackTo(
       spark: SparkSession, root: String, asOf: Int, next: Int): Unit =
     commitManifest(spark, root, next, manifestFilesAt(spark, root, asOf))
+
+  /** w20: ANALYZE TABLE — table statistics collected per data file and
+    * committed as a stats sidecar next to the manifest (the
+    * Iceberg-puffin shape), then MERGED at read time: row counts add,
+    * and per-column NDV comes from per-file KMV sketches (the q36/q38
+    * kernel — ≤ K retained hashes per file per column) whose union's
+    * K smallest ARE the column's K smallest, so the merged estimate is
+    * bit-identical to a direct whole-column sketch. That merge-
+    * exactness is the whole point at 100 TB: each file (or each
+    * shard's nightly ANALYZE) sketches independently in one scan, and
+    * table-level NDV for the optimizer never needs a global distinct —
+    * re-ANALYZE after appending a file touches ONE file. Below K
+    * distinct the sketch is the exact value set and the NDV is exact
+    * (lang/source land here; doc_id exercises the saturated
+    * estimator). All integer arithmetic — the estimates reproduce
+    * bit-for-bit cross-engine.
+    */
+  def w20AnalyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "analyze")
+    val docs = Tables.documents(spark, dir)
+    publishSnapshot(spark, docs, root, 1)
+    analyzeSnapshot(spark, dir, root, 1)
+    statsMerge(spark, root, 1)
+  }
+
+  private[graft] def statsSidecar(root: String, n: Int): String = s"$root/stats-$n"
+
+  private val StatsK = 64
+  private val StatsP = 1000000007L
+
+  private def statsRound(c: Column): Column =
+    ((c * lit(1000003L) + lit(17L)) % lit(StatsP) * lit(999983L) + lit(7919L)) % lit(StatsP)
+
+  private def statsStrHash(spark: SparkSession, name: String): Column =
+    if (spark.catalog.functionExists("graft_polyhash"))
+      expr(s"graft_polyhash($name, 17, 31)")
+    else
+      expr(s"aggregate(split($name, ''), 17L, (b, c) -> (b * 31 + ascii(c)) % $StatsP)")
+
+  /** One scan of snapshot `n`'s files → per-(file, column) stats rows
+    * (n_rows + the KMV retained-hash set), written as the snapshot's
+    * stats sidecar. Uses the native bounded-state `graft_kmv_set`
+    * aggregate when registered; the exact window formulation otherwise
+    * (identical retained sets).
+    */
+  private[graft] def analyzeSnapshot(
+      spark: SparkSession, dir: String, root: String, n: Int): Unit = {
+    val files = manifestFilesAt(spark, root, n)
+    val df = spark.read.schema(Tables.documents(spark, dir).schema)
+      .parquet(files: _*)
+      .withColumn("file", input_file_name())
+    val rows = df.select(col("file"), explode(array(
+        struct(lit("doc_id").as("col_name"), statsRound(col("doc_id")).as("hv")),
+        struct(lit("lang").as("col_name"),
+          statsRound(statsStrHash(spark, "lang")).as("hv")),
+        struct(lit("source").as("col_name"),
+          statsRound(statsStrHash(spark, "source")).as("hv")))).as("x"))
+      .select(col("file"), col("x.col_name").as("col_name"), col("x.hv").as("hv"))
+    val perFile =
+      if (spark.catalog.functionExists("graft_kmv_set"))
+        rows.groupBy("file", "col_name")
+          .agg(count(lit(1)).as("n_rows"),
+            array_sort(call_function("graft_kmv_set", col("hv"), lit(StatsK))).as("skv"))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("file", "col_name").orderBy("hv")
+        val retained = rows.distinct()
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= StatsK)
+          .groupBy("file", "col_name").agg(array_sort(collect_list("hv")).as("skv"))
+        rows.groupBy("file", "col_name").agg(count(lit(1)).as("n_rows"))
+          .join(retained, Seq("file", "col_name"))
+      }
+    perFile.write.mode("overwrite").parquet(statsSidecar(root, n))
+  }
+
+  /** Merge the committed per-file stats into table-level statistics —
+    * reads ONLY the sidecar (no data file is opened): row counts sum;
+    * the per-file retained sets union, and the K smallest of the union
+    * give θ and the NDV estimate (exact below K distinct).
+    */
+  private[graft] def statsMerge(
+      spark: SparkSession, root: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = spark.read.parquet(statsSidecar(root, n))
+    val totals = st.groupBy("col_name").agg(sum("n_rows").as("n_rows"))
+    val hvs = st.select(col("col_name"), explode(col("skv")).as("hv")).distinct()
+    val w = Window.partitionBy("col_name").orderBy("hv")
+    val agg = hvs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= StatsK)
+      .groupBy("col_name")
+      .agg(max(when(col("rn") === StatsK, col("hv"))).as("theta"),
+        count(lit(1)).as("n_d"))
+    totals.join(agg, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"),
+        when(col("n_d") < StatsK, col("n_d"))
+          .otherwise(expr(s"${(StatsK - 1).toLong * StatsP}L div theta")).as("est_ndv"))
+  }
 
   /** File list of committed manifest `n` (bare-path manifest lines). */
   private[graft] def manifestFilesAt(

@@ -187,6 +187,35 @@ class Round8Spec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.length <= 3))
   }
 
+  test("w20 merged per-file sketches equal a direct whole-column sketch; sidecar has one row per (file, column)") {
+    import graft.sources.Sinks
+    val out = Sinks.w20AnalyzeStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq("doc_id", "lang", "source"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nRows = docs.count()
+    assert(out.forall(_._2 == nRows))
+    // lang/source sit below K=64 distinct → the "estimate" is EXACT
+    val langs = docs.select("lang").distinct().count()
+    val sources = docs.select("source").distinct().count()
+    assert(out.find(_._1 == "lang").get._3 == langs)
+    assert(out.find(_._1 == "source").get._3 == sources)
+    // doc_id saturates the estimator: within the ~1/sqrt(K) envelope
+    val idEst = out.find(_._1 == "doc_id").get._3.toDouble
+    assert(math.abs(idEst - nRows) / nRows < 0.5, s"doc_id NDV est $idEst vs $nRows")
+
+    // the sidecar really carries per-(file, column) rows, and the merge
+    // reads ONLY the sidecar: re-merging without any data scan agrees
+    val root = s"/tmp/graft_sink_analyze_${Integer.toHexString(sfDir.hashCode)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    val st = spark.read.parquet(Sinks.statsSidecar(root, 1))
+    val nFiles = Sinks.manifestFilesAt(spark, root, 1).size
+    assert(st.count() == nFiles.toLong * 3)
+    val remerged = Sinks.statsMerge(spark, root, 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(remerged == out)
+  }
+
   test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
     val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
     try {
