@@ -120,6 +120,7 @@ object SparkEntry {
     "m05_video_frames"    -> Multimodal.m05VideoFrames _,
     "m06_image_resize"    -> Multimodal.m06ImageResize _,
     "m07_image_dedup"     -> Multimodal.m07ImageDedup _,
+    "m08_image_quality_gate" -> Multimodal.m08ImageQualityGate _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -2454,6 +2455,29 @@ object SparkEntry {
     // nearest-neighbor map for 16×12 → 8×6 samples source pixel
     // 32y + 2x for thumb pixel (x, y) — Spark round-trips the same
     // raster through the real P6 codec + resize kernel.
+    // m08: the oracle regenerates every image's dimensions and
+    // luminance sum from the synthesis formulas (the m05/m06 device —
+    // a codec or gate bug breaks the hash), then replays the three
+    // integer gates and the per-source census
+    "m08_image_quality_gate" ->
+      """WITH dims AS (
+        |  SELECT doc_id, source,
+        |    8 + (doc_id % 6) * 8 AS w, 8 + (doc_id % 4) * 8 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, source, w, h, w*h AS px,
+        |    list_sum(list_transform(range(0, w*h), p ->
+        |      299*(((doc_id*5 + p*7) % 120) + (doc_id % 12) * 12)
+        |      + 587*(((doc_id*9 + p*5) % 120) + (doc_id % 12) * 12)
+        |      + 114*(((doc_id*3 + p*13) % 120) + (doc_id % 12) * 12))) AS sum_lum
+        |  FROM dims)
+        |SELECT source, count(*) AS n_images,
+        |  count(*) FILTER (WHERE px < 256) AS n_small,
+        |  count(*) FILTER (WHERE w > 3*h OR h > 3*w) AS n_stretched,
+        |  count(*) FILTER (WHERE sum_lum < 80000*px OR sum_lum > 180000*px) AS n_badlum,
+        |  count(*) FILTER (WHERE px >= 256 AND w <= 3*h AND h <= 3*w
+        |    AND sum_lum BETWEEN 80000*px AND 180000*px) AS n_admitted
+        |FROM lum GROUP BY 1""".stripMargin,
     "m06_image_resize" ->
       """WITH px AS (
         |  SELECT doc_id, unnest(flatten(list_transform(range(0, 6), y ->

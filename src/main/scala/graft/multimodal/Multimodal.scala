@@ -575,6 +575,83 @@ object Multimodal {
     }.toDF()
   }
 
+  /** m08 device: a crawl's image inventory varies in SIZE and
+    * EXPOSURE — dimensions and brightness are per-doc formulas so the
+    * quality gates below have real populations on every side:
+    * w ∈ {8..48}, h ∈ {8..32}, per-image brightness lift
+    * (doc_id % 12)·12 on a mod-120 channel base (max 251 — never
+    * wraps, so the lift shifts mean luminance exactly).
+    */
+  private[graft] def synthQualImage(id: Long): Array[Byte] = {
+    val w = 8 + (id % 6).toInt * 8
+    val h = 8 + (id % 4).toInt * 8
+    val lift = (id % 12) * 12
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      raster(p * 3) = (((id * 5 + p.toLong * 7) % 120) + lift).toByte
+      raster(p * 3 + 1) = (((id * 9 + p.toLong * 5) % 120) + lift).toByte
+      raster(p * 3 + 2) = (((id * 3 + p.toLong * 13) % 120) + lift).toByte
+      p += 1
+    }
+    header ++ raster
+  }
+
+  /** Typed row for the quality stage: dimensions + the exact luminance
+    * sum (1000×-scaled integer — no division anywhere).
+    */
+  case class ImgQual(doc_id: Long, w: Int, h: Int, sum_lum: Long)
+
+  /** m08: image quality gates — the multimodal curation pass (the
+    * LAION recipe) every image corpus runs before training: decode
+    * with the REAL P6 parser, then gate on integer-exact signals —
+    * minimum resolution (w·h ≥ 256), aspect ratio (neither side more
+    * than 3× the other, integer cross-multiply), and exposure (mean
+    * luminance inside [80, 180] of the 0-255.999 scale, compared as
+    * sum_lum vs 1000·lum·px so no division or float ever happens).
+    * Per-source admit/reject census — the d18 funnel shape for the
+    * image modality.
+    *
+    * Scale shape: the m01/m06 mapPartitions codec contract — rasters
+    * decode and reduce partition-locally, 32 bytes/image shuffle to
+    * the source rollup; gates are column predicates AFTER the typed
+    * decode, so the census is one map-side-combined aggregation.
+    */
+  def m08ImageQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val ppm = synthQualImage(id)
+          val (w, h, off) = ppmRaster(ppm).getOrElse(
+            throw new IllegalStateException(s"doc $id synth image is not a valid P6"))
+          var lum = 0L
+          var p = off
+          while (p < ppm.length) {
+            lum += 299L * (ppm(p) & 0xff) + 587L * (ppm(p + 1) & 0xff) +
+              114L * (ppm(p + 2) & 0xff)
+            p += 3
+          }
+          ImgQual(id, w, h, lum)
+        }
+      }.toDF()
+    val px = col("w").cast("long") * col("h")
+    val small = px < 256L
+    val stretched = col("w") > col("h") * 3 || col("h") > col("w") * 3
+    val badlum = col("sum_lum") < px * 80000L || col("sum_lum") > px * 180000L
+    feats.join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), small.as("small"), stretched.as("stretched"),
+        badlum.as("badlum"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_images"),
+        sum(when(col("small"), 1L).otherwise(0L)).as("n_small"),
+        sum(when(col("stretched"), 1L).otherwise(0L)).as("n_stretched"),
+        sum(when(col("badlum"), 1L).otherwise(0L)).as("n_badlum"),
+        sum(when(!col("small") && !col("stretched") && !col("badlum"), 1L)
+          .otherwise(0L)).as("n_admitted"))
+  }
+
   /** m07 device: re-posted images. gid = doc_id % 97 picks the image
     * CONTENT (97 distinct images recur across the corpus — the
     * web-scale reality that the same meme/product shot is re-hosted

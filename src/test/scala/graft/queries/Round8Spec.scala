@@ -216,6 +216,40 @@ class Round8Spec extends SparkSpec {
     assert(remerged == out)
   }
 
+  test("m08 quality census equals a driver formula walk; every gate has a real population") {
+    import graft.multimodal.Multimodal
+    val got = Multimodal.m08ImageQualityGate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    // drive the whole pipeline in plain Scala from the formulas
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, src) =>
+      val w = 8 + (id % 6).toInt * 8; val h = 8 + (id % 4).toInt * 8
+      val lift = (id % 12) * 12
+      val px = w.toLong * h
+      var lum = 0L
+      for (p <- 0L until px)
+        lum += 299L * ((id * 5 + p * 7) % 120 + lift) +
+          587L * ((id * 9 + p * 5) % 120 + lift) +
+          114L * ((id * 3 + p * 13) % 120 + lift)
+      val small = px < 256L
+      val stretched = w > 3 * h || h > 3 * w
+      val badlum = lum < px * 80000L || lum > px * 180000L
+      (src, small, stretched, badlum)
+    }.groupBy(_._1).map { case (src, l) =>
+      (src, l.length.toLong, l.count(_._2).toLong, l.count(_._3).toLong,
+        l.count(_._4).toLong, l.count(t => !t._2 && !t._3 && !t._4).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+    // each gate rejects something, and the funnel still admits: the
+    // thresholds sit inside the synthesized populations
+    assert(got.map(_._3).sum > 0, "resolution gate never fired")
+    assert(got.map(_._4).sum > 0, "aspect gate never fired")
+    assert(got.map(_._5).sum > 0, "exposure gate never fired")
+    assert(got.map(_._6).sum > 0, "nothing admitted")
+  }
+
   test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
     val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
     try {
