@@ -96,6 +96,7 @@ object SparkEntry {
     "d27_domain_cap"      -> graft.text.Corpus.d27DomainCap _,
     "d33_fuzzy_decontam"  -> graft.text.Corpus.d33FuzzyDecontam _,
     "d34_heavy_hitters"   -> Text.d34HeavyHitters _,
+    "d35_quality_mix"     -> graft.text.Corpus.d35QualityMix _,
     "e01_knn_cosine"      -> Sim.e01KnnCosine _,
     "e02_ann_lsh"         -> Sim.e02AnnLsh _,
     "e06_ann_index_serve" -> Sim.e06AnnIndexServe _,
@@ -2097,6 +2098,43 @@ object SparkEntry {
     // d31 trains the bigram "LM" on the bench slice and scores the
     // crawl — integer counts end to end, no log-probs (libm-safe).
     "d31_reference_lm" -> referenceLmOracleSql,
+    // d35: d31's coverage scoring + integer tier cuts + the d13/d20
+    // hash-threshold sampling, replayed end to end
+    "d35_quality_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
+        |      < 20000000 AS is_bench
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_bench,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM d WHERE len(toks) >= 2),
+        |m AS (SELECT gram, count(*) AS ref_freq FROM g WHERE is_bench GROUP BY 1),
+        |s AS (SELECT g.doc_id, m.ref_freq
+        |      FROM g LEFT JOIN m USING (gram) WHERE NOT g.is_bench),
+        |sc AS (SELECT doc_id, count(*) AS nb,
+        |         count(*) FILTER (ref_freq IS NULL) AS nu
+        |       FROM s GROUP BY 1),
+        |t AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    CASE WHEN sc.nb IS NULL THEN 0
+        |         WHEN (sc.nb - sc.nu) * 20 >= sc.nb * 11 THEN 2
+        |         WHEN (sc.nb - sc.nu) * 20 >= sc.nb * 7 THEN 1
+        |         ELSE 0 END AS tier
+        |  FROM d LEFT JOIN sc USING (doc_id) WHERE NOT d.is_bench),
+        |a AS (
+        |  SELECT CAST(tier AS BIGINT) AS tier, n_chars,
+        |    CASE WHEN ((doc_id % 1000000007) * 888000131 % 1000000007 + 99) % 1000000007 * 10
+        |           < CAST(CASE tier WHEN 2 THEN 10 WHEN 1 THEN 5 ELSE 1 END AS BIGINT) * 1000000007
+        |         THEN 1 ELSE 0 END AS adm
+        |  FROM t)
+        |SELECT tier, count(*) AS n_docs,
+        |  CAST(sum(adm) AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(sum(CASE WHEN adm = 1 THEN n_chars ELSE 0 END), 0) AS BIGINT)
+        |    AS sampled_chars
+        |FROM a GROUP BY 1""".stripMargin,
     // d32: the whole count-min sketch — token polyhash, 4 affine
     // bucket maps, counter build, min-over-rows point queries —
     // reproduced in SQL; everything is integer arithmetic

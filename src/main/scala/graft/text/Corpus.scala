@@ -219,6 +219,53 @@ object Corpus {
     (out, sigB, sigC)
   }
 
+  /** d35: quality-stratified corpus mixing — the DCLM/FineWeb recipe
+    * that closes the curation loop: score every crawl document with
+    * the reference-LM fluency signal (d31's bigram coverage), bucket
+    * into quality tiers, and sample each tier at its own rate (keep
+    * all of the best material, thin the middle, keep a trace of the
+    * tail so the model still sees it). Tiers cut at coverage ≥ 0.55 /
+    * ≥ 0.35 by integer cross-multiply (no float compare can flip
+    * cross-engine; docs too short to have bigrams land in the bottom
+    * tier); the sampling predicate is d13/d20's pure (doc_id) hash
+    * threshold — reproducible, layout-invariant, no RNG state. Note
+    * the tiers are measured against the reference model, so a larger
+    * bench slice legitimately lifts the whole corpus into higher
+    * tiers (observed: sf0.1's model covers every doc at ≥ 0.55).
+    *
+    * Scale shape: d31's broadcast model join is the only corpus-wide
+    * work (the model is bench-sized by construction); tier and
+    * admission are pure row predicates; the census map-side-combines
+    * to 3 rows.
+    */
+  def d35QualityMix(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val docs = Tables.documents(spark, dir)
+    val model = tokenBigrams(docs.where(isBenchCol))
+      .groupBy("gram").agg(count(lit(1)).as("ref_freq"))
+    val scored = tokenBigrams(docs.where(!isBenchCol))
+      .join(broadcast(model), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("ref_freq").isNull, 1)).as("n_unseen"))
+    val covered = col("n_bigrams") - col("n_unseen")
+    val tier = when(col("n_bigrams").isNull, 0L)
+      .when(covered * 20L >= col("n_bigrams") * 11L, 2L)
+      .when(covered * 20L >= col("n_bigrams") * 7L, 1L)
+      .otherwise(0L)
+    val keep10 = when(col("tier") === 2L, 10L)
+      .when(col("tier") === 1L, 5L).otherwise(1L)
+    val u = ((col("doc_id") % P) * lit(888000131L) % lit(P) + lit(99L)) % lit(P)
+    docs.where(!isBenchCol).select("doc_id", "n_chars")
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("tier", tier)
+      .withColumn("adm", when(u * lit(10L) < keep10 * lit(P), 1L).otherwise(0L))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("adm")).as("n_sampled"),
+        sum(when(col("adm") === 1L, col("n_chars")).otherwise(0L)).as("sampled_chars"))
+  }
+
   /** d25: corpus snapshot diff — the data-versioning primitive: given
     * two corpus versions, report per source how many documents were
     * added, removed, changed, or untouched. Versions are derived

@@ -250,6 +250,27 @@ class Round8Spec extends SparkSpec {
     assert(got.map(_._6).sum > 0, "nothing admitted")
   }
 
+  test("d35 tier census: all three tiers populated, rates honored, short docs in tier 0") {
+    val got = graft.text.Corpus.d35QualityMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // the 0.55/0.35 cuts sit inside sf0.001's coverage distribution:
+    // every tier has documents, and every tier sampled something
+    assert(got.map(_._1) == Seq(0L, 1L, 2L), got.toString)
+    assert(got.forall(t => t._2 > 0 && t._3 > 0))
+    // rates: tier 2 keeps everything; tier 0 keeps well under half
+    val t2 = got.find(_._1 == 2L).get
+    assert(t2._3 == t2._2, "high tier must keep every doc")
+    val t0 = got.find(_._1 == 0L).get
+    assert(t0._3 * 2 < t0._2, s"low tier kept ${t0._3} of ${t0._2}")
+    // census covers exactly the crawl (non-bench) side
+    val P = 1000000007L
+    val nCrawl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(!(((col("doc_id") % P) * 777000037L % P + 4242L) % P < 20000000L))
+      .count()
+    assert(got.map(_._2).sum == nCrawl)
+  }
+
   test("d33 candidate plan has no cartesian product and broadcasts the bench side") {
     val (pipeline, sigB, sigC) = graft.text.Corpus.d33Pipeline(spark, sfDir)
     try {
