@@ -63,6 +63,7 @@ object SparkEntry {
     "q36_kmv_distinct"    -> Relational.q36KmvDistinct _,
     "q37_gap_fill"        -> Events.q37GapFill _,
     "q39_event_transitions" -> Events.q39EventTransitions _,
+    "q40_peak_concurrency" -> Events.q40PeakConcurrency _,
     "d01_dedup_exact"     -> Dedup.d01DedupExact _,
     "d02_token_count"     -> Text.d02TokenCount _,
     "d03_text_quality"    -> Text.d03TextQuality _,
@@ -94,6 +95,7 @@ object SparkEntry {
     "d25_corpus_diff"     -> graft.text.Corpus.d25CorpusDiff _,
     "d26_line_dedup"      -> graft.text.Corpus.d26LineDedup _,
     "d27_domain_cap"      -> graft.text.Corpus.d27DomainCap _,
+    "d36_span_dedup"      -> graft.text.Corpus.d36SpanDedup _,
     "d33_fuzzy_decontam"  -> graft.text.Corpus.d33FuzzyDecontam _,
     "d34_heavy_hitters"   -> Text.d34HeavyHitters _,
     "d35_quality_mix"     -> graft.text.Corpus.d35QualityMix _,
@@ -112,6 +114,7 @@ object SparkEntry {
     "e14_ann_sq8"         -> Sim.e14AnnSq8 _,
     "e15_ann_ivf_sq8"     -> Sim.e15AnnIvfSq8 _,
     "e16_range_search"    -> Sim.e16RangeSearch _,
+    "e17_hybrid_search"   -> Sim.e17HybridSearch _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -737,6 +740,19 @@ object SparkEntry {
         |EXCEPT
         |SELECT l_partkey FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-02-01' AND l_shipdate < TIMESTAMP '1996-03-01'""".stripMargin,
+    // Peak concurrency: the +1/−1 interval sweep as one naive global
+    // running sum (the two-level distributed version must equal it
+    // exactly); ends order before starts at equal t via the dlt key.
+    "q40_peak_concurrency" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS s FROM events),
+        |d AS (SELECT s AS t, 1 AS dlt FROM iv
+        |      UNION ALL SELECT s + 600000000, -1 FROM iv),
+        |r AS (SELECT t, dlt,
+        |        CAST(sum(dlt) OVER (ORDER BY t, dlt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |      FROM d)
+        |SELECT make_timestamp((t // 3600000000) * 3600000000) AS bucket,
+        |  max(conc) AS max_conc, count(*) AS n_deltas
+        |FROM r GROUP BY 1""".stripMargin,
     "q16_events_bucket" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         | count(*) AS n_events, sum(value) AS sum_value
@@ -968,6 +984,33 @@ object SparkEntry {
     // operator (d26) and its at-ingestion deployment (s17).
     "d26_line_dedup" -> lineDedupOracleSql,
     "s17_stream_line_scrub" -> lineDedupOracleSql,
+    // First-occurrence span dedup: the smallest (doc_id, line_idx)
+    // keeps each repeated span; every later occurrence is scrubbed.
+    // Same span frame as d26; the winner election is a packed-id min.
+    "d36_span_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus),
+        |ln AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS line_idx,
+        |    unnest(list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+        |      i -> array_to_string(toks[i*8+1 : i*8+8], ' '))) AS line_text
+        |  FROM tk),
+        |w AS (SELECT line_text, min(doc_id * 1048576 + line_idx) AS pk FROM ln GROUP BY 1),
+        |fl AS (SELECT l.doc_id, l.line_idx, l.line_text,
+        |         (l.doc_id * 1048576 + l.line_idx) <> w.pk AS is_dup
+        |       FROM ln l JOIN w USING (line_text))
+        |SELECT doc_id,
+        |  coalesce(string_agg(line_text, ' ' ORDER BY line_idx) FILTER (WHERE NOT is_dup), '')
+        |    AS clean_text,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE is_dup) AS n_dropped
+        |FROM fl GROUP BY doc_id""".stripMargin,
     // Per-domain cap: the salted two-phase cap must equal the naive
     // per-source window.
     "d27_domain_cap" ->
@@ -1319,6 +1362,39 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY 1 ORDER BY freq DESC, term LIMIT 100""".stripMargin,
     "e01_knn_cosine" -> knnExactOracleSql,
+    // Hybrid lexical+vector RRF fusion: both top-100 lists replayed,
+    // full-outer fused with 1/(60+rank) in explicit DOUBLE arithmetic
+    // (DuckDB's bare 1.0 literal is DECIMAL — different rounding).
+    "e17_hybrid_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |vs AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS id,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        |  FROM e q JOIN e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20),
+        |vl AS (SELECT query_id, id, rn AS r_vec FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rn
+        |  FROM vs) WHERE rn <= 100),
+        |tm AS (SELECT doc_id,
+        |         unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS term
+        |       FROM documents),
+        |ov AS (SELECT qt.doc_id AS query_id, t.doc_id AS id, count(*) AS n_shared
+        |       FROM tm t JOIN tm qt USING (term)
+        |       WHERE qt.doc_id < 20 AND t.doc_id <> qt.doc_id GROUP BY 1, 2),
+        |ll AS (SELECT query_id, id, rn AS r_lex FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_shared DESC, id) AS rn
+        |  FROM ov) WHERE rn <= 100),
+        |f AS (SELECT coalesce(vl.query_id, ll.query_id) AS query_id,
+        |        coalesce(vl.id, ll.id) AS id, vl.r_vec, ll.r_lex,
+        |        coalesce(CAST(1 AS DOUBLE) / (60 + vl.r_vec), CAST(0 AS DOUBLE))
+        |          + coalesce(CAST(1 AS DOUBLE) / (60 + ll.r_lex), CAST(0 AS DOUBLE)) AS rrf
+        |      FROM vl FULL OUTER JOIN ll ON vl.query_id = ll.query_id AND vl.id = ll.id)
+        |SELECT query_id, id AS neighbor_id, coalesce(r_vec, 0) AS r_vec,
+        |  coalesce(r_lex, 0) AS r_lex, rrf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rn
+        |      FROM f)
+        |WHERE rn <= 10""".stripMargin,
     // e10 joins the exact panel ground truth (e01's SQL) against the
     // index's answers (e02's SQL) — integer hit counts per query.
     "e10_ann_recall" ->

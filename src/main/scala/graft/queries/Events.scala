@@ -451,4 +451,46 @@ object Events {
       $"n_trans".cast("double") /
         sum($"n_trans").over(Window.partitionBy($"prev_type")))
   }
+
+  /** q40: peak concurrency — "how many sessions were open at once, per
+    * hour": every event opens a 10-minute interval, and the classic
+    * +1/−1 sweep (interval stabbing) turns overlap counting into a
+    * running sum over time-ordered boundary deltas. Half-open
+    * [ts, ts+10 min) semantics: at equal timestamps ends order before
+    * starts (the `(t, delta)` sort key), so back-to-back intervals
+    * never double-count. The capacity-planning primitive (Little's
+    * law load profiles, connection-pool sizing).
+    *
+    * Scale shape: the naive sweep is ONE global window over every
+    * boundary — a total order of 2·N rows in a single task. Instead
+    * the d21 two-level distributed prefix sum: deltas bucket by hour,
+    * per-bucket NET sums reduce map-side to one row per hour, the only
+    * globally-ordered window runs over those ~range/3600 s bucket rows
+    * to produce each hour's carried-in offset, and the within-hour
+    * running sum is a window KEYED by bucket. Peak per hour =
+    * max(offset + within-run); bucket width is the skew knob. The
+    * tiny offset table broadcasts back.
+    */
+  def q40PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val HourUs = 3600000000L
+    val ev = Tables.events(spark, dir).select(unix_micros($"ts").as("s"))
+    val deltas = ev.select($"s".as("t"), lit(1L).as("dlt"))
+      .unionAll(ev.select(($"s" + 600000000L).as("t"), lit(-1L).as("dlt")))
+      .withColumn("bucket", expr(s"t div $HourUs"))
+    val totals = deltas.groupBy("bucket")
+      .agg(sum($"dlt").as("net"), count(lit(1)).as("n_deltas"))
+    val offsets = totals.withColumn("offset",
+      coalesce(sum($"net").over(Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset", "n_deltas")
+    val within = deltas.withColumn("run",
+      sum($"dlt").over(Window.partitionBy($"bucket").orderBy($"t", $"dlt")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    within.join(broadcast(offsets), Seq("bucket"))
+      .groupBy($"bucket", $"n_deltas")
+      .agg(max($"offset" + $"run").as("max_conc"))
+      .select(timestamp_micros($"bucket" * HourUs).as("bucket"),
+        $"max_conc", $"n_deltas")
+  }
 }

@@ -193,6 +193,66 @@ object Sim {
       .where(col("cosine") >= 0.99)
   }
 
+  /** e17: HYBRID lexical + vector retrieval with reciprocal-rank
+    * fusion — the production RAG/search serving shape (Elasticsearch
+    * "hybrid query", Vespa, Weaviate): a lexical inverted-index
+    * ranking and a dense-vector ranking each produce a top-100 list
+    * per query, and RRF (`Σ 1/(60+rank)`) fuses them so documents that
+    * score well under EITHER modality surface — rank fusion needs no
+    * score calibration between BM25-scale and cosine-scale numbers,
+    * which is why it is the industry default. Corpus = the documents
+    * table joined 1:1 with its embeddings (doc_id = vec_id); queries
+    * are the id < 20 panel; the lexical score is exact distinct-term
+    * overlap with the query document.
+    *
+    * Scale shape: the lexical list IS an inverted-index join — terms
+    * explode once (the d10 shape), the 20-query term table broadcasts,
+    * exact overlap counts map-side-combine on (query, doc), and the
+    * top-100 cut is a keyed window. The vector list here is e01's
+    * exact kernel (the oracle-able baseline; any e-family ANN plugs
+    * into the same contract). Fusion then touches ≤ 2·100 rows per
+    * query: a full-outer join on (query_id, id) — absent ranks
+    * contribute 0, the standard RRF-over-union rule — and a keyed
+    * top-10 window. All rank arithmetic is integer; the only doubles
+    * are the final `1/(60+r)` terms, bit-reproducible cross-engine.
+    */
+  def e17HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val TopList = 100
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val vecScored = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+    val wV = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    val vecList = vecScored.withColumn("r_vec", row_number().over(wV).cast("long"))
+      .where(col("r_vec") <= TopList).select("query_id", "id", "r_vec")
+
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.text.Text.wsTokens(lower(col("text"))))).as("term"))
+    val qTerms = terms.where(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val overlap = terms.join(broadcast(qTerms), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val wL = Window.partitionBy("query_id").orderBy(col("n_shared").desc, col("id"))
+    val lexList = overlap.withColumn("r_lex", row_number().over(wL).cast("long"))
+      .where(col("r_lex") <= TopList).select("query_id", "id", "r_lex")
+
+    val fused = vecList.join(lexList, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60L) + col("r_vec")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("r_lex")), lit(0.0)))
+    val wF = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rn", row_number().over(wF)).where(col("rn") <= 10)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        coalesce(col("r_vec"), lit(0L)).as("r_vec"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"), col("rrf"))
+  }
+
   /** Staging path of the persisted e06 index, keyed by (dir, appId)
     * like [[graft.sources.Sinks.bucketedStagePath]] so concurrent
     * sessions never clobber each other's layout. The root defaults to

@@ -527,6 +527,56 @@ object Corpus {
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= 2)
 
+  /** d36: first-occurrence span dedup — the "deduplicating training
+    * data" recipe (Lee et al. 2022's ExactSubstr, at span granularity):
+    * any LineTok-token span occurring more than once in the corpus
+    * keeps only its FIRST occurrence (smallest (doc_id, line_idx));
+    * every later occurrence is scrubbed from its document. The
+    * complement of d26: d26 removes template lines from EVERY document
+    * including the first — d36 preserves one canonical copy, the right
+    * rule when the repeated span is content (a quoted paragraph, a
+    * syndicated article) rather than boilerplate.
+    *
+    * Scale shape: the winner election shuffles (digest, packed-id)
+    * pairs only — 24-byte rows, map-side-combined min, no window over
+    * a hot digest anywhere (a span occurring 10⁹ times folds to one
+    * row per map task before the exchange). The drop-list join back to
+    * the election is digest-keyed on the same 24-byte rows; the
+    * per-document drop lists then aggregate on doc_id (no skew — keys
+    * are documents) and join the corpus once. Reassembly is entirely
+    * ROW-LOCAL: each document re-derives its spans from its own text
+    * and filters by its drop list — text never enters a digest-keyed
+    * exchange and there is no text-bearing groupBy at all (one step
+    * leaner than d26's reassembly shape). Packed ids are
+    * doc_id·2²⁰+line_idx — exact while line_idx < 2²⁰; production
+    * corpora with longer documents widen the shift or elect min by
+    * struct ordering.
+    */
+  def d36SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.dedup.Dedup.nearDupCorpus(Tables.documents(spark, dir))
+    val spans = lineFrame(corpus)
+      .select(col("h"), (col("doc_id") * lit(1048576L) + col("line_idx")).as("pk"))
+    val winner = spans.groupBy("h").agg(min(col("pk")).as("w"))
+    val dropIdx = spans.join(winner, Seq("h"))
+      .where(col("pk") =!= col("w"))
+      .select(expr("pk div 1048576").as("doc_id"),
+        pmod(col("pk"), lit(1048576L)).as("line_idx"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("line_idx"))).as("drop_idx"))
+    corpus
+      .select(col("doc_id"), Text.wsTokens(col("text")).as("toks"))
+      .join(dropIdx, Seq("doc_id"), "left")
+      .withColumn("drop_idx", coalesce(col("drop_idx"), array()))
+      .withColumn("lines", lineArray)
+      .select(
+        col("doc_id"),
+        concat_ws(" ", expr(
+          "transform(filter(lines, l -> NOT array_contains(drop_idx, l.line_idx)), l -> l.line_text)"))
+          .as("clean_text"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("drop_idx")).cast("long").as("n_dropped"))
+  }
+
   /** d27: per-domain document caps (the Common-Crawl curation rule:
     * no single domain may dominate the corpus — keep at most K
     * documents per source, deterministically the K smallest doc_ids).

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-7 third-tranche operators: d36 first-occurrence span dedup. */
+class Round9Spec extends SparkSpec {
+
+  test("d36 equals a driver first-occurrence walk; twins lose every complete span to their original") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // nearDupCorpus: originals + truncated twins (≥12 tokens, drop last 3)
+    val corpus = docs ++ docs.collect {
+      case (id, t) if t.trim.split("\\s+").length >= 12 =>
+        (id + 1000000L, t.trim.split("\\s+").dropRight(3).mkString(" "))
+    }
+    val spans = corpus.flatMap { case (id, t) =>
+      t.trim.split("\\s+").grouped(8).zipWithIndex.map {
+        case (g, i) => (id, i.toLong, g.mkString(" "))
+      }
+    }
+    val winner = spans.groupBy(_._3).map { case (txt, occ) =>
+      txt -> occ.map(s => s._1 * 1048576L + s._2).min
+    }
+    val want = spans.groupBy(_._1).map { case (id, sp) =>
+      val ordered = sp.sortBy(_._2)
+      val kept = ordered.filter(s => winner(s._3) == s._1 * 1048576L + s._2)
+      (id, kept.map(_._3).mkString(" "), ordered.length.toLong,
+        (ordered.length - kept.length).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.text.Corpus.d36SpanDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    assert(want.exists(_._4 > 0), "no span was ever dropped — degenerate corpus")
+    // first-occurrence semantics, observed on the planted twins: every
+    // COMPLETE twin span also occurs (earlier) in its original, so a
+    // twin drops at least all but its final (possibly partial) span —
+    // while d26 would have scrubbed the originals too
+    val twins = got.filter(_._1 >= 1000000L)
+    assert(twins.nonEmpty)
+    twins.foreach { t =>
+      assert(t._4 >= t._3 - 1, s"twin ${t._1}: only ${t._4} of ${t._3} spans dropped")
+    }
+    // the complement property vs d26: the span winners keep their text —
+    // some original doc retains a span its twin lost
+    val origWithKept = got.filter(t => t._1 < 1000000L && t._2.nonEmpty)
+    assert(origWithKept.nonEmpty)
+  }
+
+  test("q40 two-level sweep equals the naive global window and a driver walk; no global sort of deltas") {
+    val out = graft.queries.Events.q40PeakConcurrency(spark, sfDir)
+    val got = out.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+    // driver walk: the textbook sweep, ends before starts at equal t
+    val ts = graft.Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts)")).collect().map(_.getLong(0))
+    val deltas = (ts.map(t => (t, 1L)) ++ ts.map(t => (t + 600000000L, -1L)))
+      .sortBy(identity)
+    var conc = 0L
+    val perHour = collection.mutable.Map[Long, (Long, Long)]()
+    deltas.foreach { case (t, d) =>
+      conc += d
+      val b = t / 3600000000L
+      val (m, n) = perHour.getOrElse(b, (Long.MinValue, 0L))
+      perHour(b) = (math.max(m, conc), n + 1)
+    }
+    val want = perHour.toSeq.map { case (b, (m, n)) => (b * 3600L * 1000L, m, n) }
+      .sortBy(_._1)
+    assert(got == want)
+    assert(got.nonEmpty)
+    assert(got.exists(_._2 > 1), "concurrency never exceeded 1 — degenerate")
+    // concurrency is conserved: the final running value returns to 0
+    assert(deltas.map(_._2).sum == 0L)
+
+    // scale pin: the within-bucket window is keyed (hash-partitioned by
+    // bucket), never a single global sort of the full delta frame
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"), plan.take(3000))
+  }
+
+  test("e17 hybrid RRF equals a driver walk; fusion really mixes the two modalities") {
+    val out = graft.sim.Sim.e17HybridSearch(spark, sfDir)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // driver walk of both rankings and the fusion
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (_, v) => math.sqrt(v.map(x => x * x).sum) > 0.0 }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.trim.split("\\s+").distinct.toSet))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = embs.filter(_._1 < 20)
+    val want = queries.flatMap { case (qid, qv) =>
+      val vl = embs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(100).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val qt = docs.find(_._1 == qid).get._2
+      val ll = docs.filter(_._1 != qid)
+        .map { case (id, t) => (id, (t & qt).size.toLong) }
+        .filter(_._2 > 0)
+        .sortBy { case (id, n) => (-n, id) }.take(100).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      (vl.keySet ++ ll.keySet).toSeq.map { id =>
+        val rv = vl.getOrElse(id, 0L); val rl = ll.getOrElse(id, 0L)
+        val rrf = (if (rv > 0) 1.0 / (60 + rv) else 0.0) +
+          (if (rl > 0) 1.0 / (60 + rl) else 0.0)
+        (qid, id, rv, rl, rrf)
+      }.sortBy(t => (-t._5, t._2)).take(10)
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // fusion mixes: some served row came from ONE list only, and some
+    // row was boosted by both modalities
+    assert(got.exists(t => t._3 == 0L || t._4 == 0L), "no single-modality row served")
+    assert(got.exists(t => t._3 > 0L && t._4 > 0L), "no dual-modality row served")
+    // the query-term side broadcasts; the corpus never cross-joins itself
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+}
