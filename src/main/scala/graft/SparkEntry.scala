@@ -156,6 +156,8 @@ object SparkEntry {
     "w18_write_audit_publish" -> graft.sources.Sinks.w18WriteAuditPublish _,
     "w19_snapshot_rollback" -> graft.sources.Sinks.w19SnapshotRollback _,
     "w20_analyze_stats"   -> graft.sources.Sinks.w20AnalyzeStats _,
+    "w21_table_branches"  -> graft.sources.Sinks.w21TableBranches _,
+    "q41_last_touch_attribution" -> Events.q41LastTouchAttribution _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
@@ -740,6 +742,36 @@ object SparkEntry {
         |EXCEPT
         |SELECT l_partkey FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-02-01' AND l_shipdate < TIMESTAMP '1996-03-01'""".stripMargin,
+    // Branch isolation baked into the census: after the staging-only
+    // commit, main still serves the full corpus and staging serves the
+    // filtered snapshot 2.
+    "w21_table_branches" ->
+      """SELECT 'main' AS ref, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+        |UNION ALL
+        |SELECT 'staging' AS ref, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // Last-touch attribution: the strictly-preceding carry-forward
+    // window + the 1-hour cutoff in exact integer µs.
+    "q41_last_touch_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |c AS (SELECT *,
+        |        last_value(CASE WHEN event_type IN ('click','view')
+        |                   THEN {'t': ts_us, 'ty': event_type} END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |      FROM e),
+        |p AS (SELECT CASE WHEN lt IS NOT NULL AND ts_us - lt.t <= 3600000000
+        |             THEN lt.ty ELSE 'none' END AS touch_type,
+        |        value,
+        |        CASE WHEN lt IS NOT NULL AND ts_us - lt.t <= 3600000000
+        |             THEN ts_us - lt.t END AS gap
+        |      FROM c WHERE event_type = 'purchase')
+        |SELECT touch_type, count(*) AS n_purchases, sum(value) AS sum_value,
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap_us
+        |FROM p GROUP BY 1""".stripMargin,
     // Peak concurrency: the +1/−1 interval sweep as one naive global
     // running sum (the two-level distributed version must equal it
     // exactly); ends order before starts at equal t via the dlt key.

@@ -493,4 +493,41 @@ object Events {
       .select(timestamp_micros($"bucket" * HourUs).as("bucket"),
         $"max_conc", $"n_deltas")
   }
+
+  /** q41: last-touch attribution — every purchase is credited to the
+    * user's most recent click or view within the preceding hour, or to
+    * 'none' if no touch qualifies (the marketing-analytics staple; the
+    * q33 funnel's per-conversion complement). One pass: each user's
+    * stream carries forward the last touch as a `(ts, type)` struct
+    * via `last(..., ignoreNulls)` over a strictly-preceding frame,
+    * purchases compare against it in exact integer µs, and the census
+    * folds to ≤ |types|+1 rows. Ties at equal timestamps order by
+    * event_id, so attribution is deterministic.
+    *
+    * Scale shape: the carry-forward window is KEYED by user (the
+    * q30/q39 shape); the census aggregation map-side-combines to three
+    * rows. No join, no global sort. Gap sums are integer µs; the only
+    * double is the purchase-value sum the report needs anyway.
+    */
+  def q41LastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val HourUsL = 3600000000L
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+    val carried = ev.withColumn("lt",
+      last(when($"event_type".isin("click", "view"),
+        struct($"ts_us".as("t"), $"event_type".as("ty"))), ignoreNulls = true)
+        .over(byUser))
+    carried.where($"event_type" === "purchase")
+      .withColumn("touch_type",
+        when($"lt".isNotNull && $"ts_us" - $"lt.t" <= HourUsL, $"lt.ty")
+          .otherwise(lit("none")))
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value").as("sum_value"),
+        sum(when($"touch_type" =!= "none", $"ts_us" - $"lt.t")).as("sum_gap_us"))
+  }
 }

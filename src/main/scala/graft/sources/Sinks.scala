@@ -1168,6 +1168,76 @@ object Sinks {
           .otherwise(expr(s"${(StatsK - 1).toLong * StatsP}L div theta")).as("est_ndv"))
   }
 
+  /** w21: named table BRANCHES and tags over the manifest family (the
+    * Iceberg ref story): a ref is one tiny file `refs/<name>` holding a
+    * committed snapshot number, updated by the same tmp-write + atomic
+    * rename as a manifest commit. Branch writes advance ONLY their own
+    * ref — `main` keeps serving its pinned snapshot through any number
+    * of staging commits (isolation, the WAP pattern generalized to
+    * long-lived lines of development), and promoting a branch is a
+    * FAST-FORWARD: rewrite main's ref file to the branch's number —
+    * O(one rename) regardless of table size, no data or manifest
+    * touched (the w19 economics applied to refs). Tags are refs nobody
+    * advances: a training run pins `tags/run-2026-08` and reads
+    * identical bytes forever.
+    *
+    * The operator publishes snapshot 1, points `main` and `staging` at
+    * it, lands snapshot 2 as a staging-only commit, and returns the
+    * per-ref census — main must still roll up to the FULL corpus while
+    * staging serves the filtered snapshot 2, which is exactly what the
+    * oracle checks. The spec then fast-forwards main and pins the
+    * metadata-only promotion.
+    */
+  def w21TableBranches(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "branches")
+    val docs = Tables.documents(spark, dir)
+    publishSnapshot(spark, docs, root, 1)
+    setRef(spark, root, "main", 1)
+    setRef(spark, root, "staging", 1)
+    // the branch commit: snapshot 2's data + manifest land, and ONLY
+    // the staging ref advances — main is not touched
+    publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), root, 2)
+    setRef(spark, root, "staging", 2)
+    def census(ref: String) =
+      readRef(spark, dir, root, ref)
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(lit(ref).as("ref"), col("n_docs"), col("sum_chars"))
+    census("main").unionByName(census("staging"))
+  }
+
+  /** Point ref `name` at committed snapshot `n` (tmp + atomic rename —
+    * the commitManifest primitive applied to a one-line ref file).
+    */
+  private[graft] def setRef(
+      spark: SparkSession, root: String, name: String, n: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new HPath(root, "refs"))
+    val tmp = new HPath(root, s"refs/_tmp_$name")
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(new HPath(root, s"refs/$name"), false)
+    if (!fs.rename(tmp, new HPath(root, s"refs/$name")))
+      throw new IllegalStateException(s"ref $name update rename failed")
+  }
+
+  /** The snapshot number ref `name` currently points at. */
+  private[graft] def refAt(spark: SparkSession, root: String, name: String): Int = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new HPath(root, s"refs/$name")
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"ref $name does not exist under $root")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Read the table AS OF ref `name`'s snapshot. */
+  private[graft] def readRef(
+      spark: SparkSession, dir: String, root: String, name: String): DataFrame =
+    readPublished(spark, dir, root, asOf = Some(refAt(spark, root, name)))
+
   /** File list of committed manifest `n` (bare-path manifest lines). */
   private[graft] def manifestFilesAt(
       spark: SparkSession, root: String, n: Int): Seq[String] = {

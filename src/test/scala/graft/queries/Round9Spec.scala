@@ -131,4 +131,78 @@ class Round9Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("w21 branch isolation + metadata-only fast-forward; tags pin bytes") {
+    import graft.sources.Sinks
+    import graft.Tables
+    import org.apache.hadoop.fs.{Path => HPath}
+    // operator end-to-end: main full corpus, staging the filtered snap 2
+    val got = Sinks.w21TableBranches(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val full = (docs.count(), docs.agg(sum("n_chars")).head().getLong(0))
+    val filt = docs.where(col("doc_id") % 3 === 0)
+    val sub = (filt.count(), filt.agg(sum("n_chars")).head().getLong(0))
+    assert(got == Seq(("main", full._1, full._2), ("staging", sub._1, sub._2)))
+
+    // primitives on a private root: fast-forward is one ref rewrite —
+    // no new manifest, no new data file
+    val root = "/tmp/graft_w21_spec"
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new HPath(root), true)
+    val d = Tables.documents(spark, sfDir)
+    Sinks.publishSnapshot(spark, d, root, 1)
+    Sinks.setRef(spark, root, "main", 1)
+    Sinks.setRef(spark, root, "tags/run-a", 1)
+    Sinks.publishSnapshot(spark, d.where(col("doc_id") % 3 === 0), root, 2)
+    Sinks.setRef(spark, root, "staging", 2)
+    val manifestsBefore = fs.globStatus(new HPath(s"$root/manifest-*")).length
+    val dataBefore = fs.globStatus(new HPath(s"$root/data/*/part-*.parquet")).length
+    Sinks.setRef(spark, root, "main", Sinks.refAt(spark, root, "staging"))
+    assert(fs.globStatus(new HPath(s"$root/manifest-*")).length == manifestsBefore)
+    assert(fs.globStatus(new HPath(s"$root/data/*/part-*.parquet")).length == dataBefore)
+    // after the fast-forward main serves the branch's snapshot...
+    assert(Sinks.readRef(spark, sfDir, root, "main").count() ==
+      Sinks.readRef(spark, sfDir, root, "staging").count())
+    // ...while the tag still pins snapshot 1's bytes
+    assert(Sinks.refAt(spark, root, "tags/run-a") == 1)
+    assert(Sinks.readRef(spark, sfDir, root, "tags/run-a").count() == d.count())
+  }
+
+  test("q41 attribution equals a driver walk; all three buckets live; gaps inside the hour") {
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(e => (e._5, e._2))
+      var lt: Option[(Long, String)] = None
+      val out = collection.mutable.ArrayBuffer[(String, Double, Option[Long])]()
+      ordered.foreach { e =>
+        if (e._3 == "purchase") {
+          val attr = lt.filter(t => e._5 - t._1 <= 3600000000L)
+          out += ((attr.map(_._2).getOrElse("none"), e._4, attr.map(t => e._5 - t._1)))
+        }
+        if (e._3 == "click" || e._3 == "view") lt = Some((e._5, e._3))
+      }
+      out
+    }.groupBy(_._1).map { case (t, l) =>
+      (t, l.size.toLong, l.map(_._2).sum,
+        if (l.exists(_._3.isDefined)) l.flatMap(_._3).sum else -1L)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.Events.q41LastTouchAttribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._4)) == want.map(t => (t._1, t._2, t._4)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-6 * math.max(1.0, math.abs(w._3)), s"${g._1} sum_value")
+    }
+    // all three buckets exist and attributed gaps are inside the hour
+    assert(got.map(_._1).toSet == Set("click", "view", "none"))
+    got.filter(_._1 != "none").foreach { t =>
+      assert(t._4 >= 0 && t._4 <= t._2 * 3600000000L)
+    }
+  }
 }
