@@ -125,6 +125,7 @@ object SparkEntry {
     "m06_image_resize"    -> Multimodal.m06ImageResize _,
     "m07_image_dedup"     -> Multimodal.m07ImageDedup _,
     "m08_image_quality_gate" -> Multimodal.m08ImageQualityGate _,
+    "m09_scene_change"    -> Multimodal.m09SceneChange _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -164,6 +165,7 @@ object SparkEntry {
     "s17_stream_line_scrub" -> Streams.s17StreamLineScrub _,
     "s18_stream_domain_cap" -> Streams.s18StreamDomainCap _,
     "s19_stream_trending" -> Streams.s19StreamTrending _,
+    "s20_stream_attribution" -> Streams.s20StreamAttribution _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
@@ -742,6 +744,35 @@ object SparkEntry {
         |EXCEPT
         |SELECT l_partkey FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-02-01' AND l_shipdate < TIMESTAMP '1996-03-01'""".stripMargin,
+    // m09: the two-scene clip geometry, luminance sums, lag diffs and
+    // the cut census regenerated entirely from the synthesis formulas —
+    // a codec, sampler, or detector bug breaks the hash.
+    "m09_scene_change" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |geo AS (SELECT id, 6 + id % 7 AS nf,
+        |          CASE WHEN id % 4 = 0 THEN 2147483647 ELSE 2 + id % 3 END AS cut
+        |        FROM ids),
+        |fr AS (SELECT id, nf, cut,
+        |         unnest(range(0, (nf + 2) // 3)) * 3 AS f
+        |       FROM geo),
+        |px AS (SELECT id, nf, cut, f, unnest(range(0, 48)) AS p FROM fr),
+        |lum AS (SELECT id, nf, cut, f,
+        |  sum(299 * ((id*5 + p*7) % 120 + (f % 2) + CASE WHEN f >= cut THEN 128 ELSE 0 END)
+        |    + 587 * ((id*9 + p*5) % 120 + (f % 2) + CASE WHEN f >= cut THEN 128 ELSE 0 END)
+        |    + 114 * ((id*3 + p*13) % 120 + (f % 2) + CASE WHEN f >= cut THEN 128 ELSE 0 END)) AS ls
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |d AS (SELECT id, nf, f, ls,
+        |        lag(ls) OVER (PARTITION BY id ORDER BY f) AS prev
+        |      FROM lum),
+        |c AS (SELECT id, nf, f,
+        |        CASE WHEN prev IS NOT NULL AND abs(ls - prev) > 3072000
+        |             THEN 1 ELSE 0 END AS is_cut
+        |      FROM d)
+        |SELECT id AS doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        |  count(*) AS n_sampled, CAST(sum(is_cut) AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(min(CASE WHEN is_cut = 1 THEN f END), -1) AS BIGINT)
+        |    AS first_cut_frame
+        |FROM c GROUP BY 1""".stripMargin,
     // Branch isolation baked into the census: after the staging-only
     // commit, main still serves the full corpus and staging serves the
     // filtered snapshot 2.
@@ -755,6 +786,26 @@ object SparkEntry {
     // Last-touch attribution: the strictly-preceding carry-forward
     // window + the 1-hour cutoff in exact integer µs.
     "q41_last_touch_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |c AS (SELECT *,
+        |        last_value(CASE WHEN event_type IN ('click','view')
+        |                   THEN {'t': ts_us, 'ty': event_type} END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |      FROM e),
+        |p AS (SELECT CASE WHEN lt IS NOT NULL AND ts_us - lt.t <= 3600000000
+        |             THEN lt.ty ELSE 'none' END AS touch_type,
+        |        value,
+        |        CASE WHEN lt IS NOT NULL AND ts_us - lt.t <= 3600000000
+        |             THEN ts_us - lt.t END AS gap
+        |      FROM c WHERE event_type = 'purchase')
+        |SELECT touch_type, count(*) AS n_purchases, sum(value) AS sum_value,
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap_us
+        |FROM p GROUP BY 1""".stripMargin,
+    // s20 is q41 at ingestion: one AvailableNow pass over the corpus
+    // walks each user's slice in time order, so it shares q41's oracle.
+    "s20_stream_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
         |           FROM events),
         |c AS (SELECT *,

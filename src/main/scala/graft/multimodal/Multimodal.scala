@@ -439,10 +439,43 @@ object Multimodal {
     * P6 PPM frame payloads — the moov-atom idea in miniature: a reader
     * resolves the index and seeks straight to the frames it wants.
     */
-  private[graft] def encodeVideo(id: Long): Array[Byte] = {
+  private[graft] def encodeVideo(id: Long): Array[Byte] =
+    encodeVideoWith(id, synthFrameRaster)
+
+  /** m09 two-scene clip geometry: a clip cuts to its second scene at
+    * frame 2 + id % 3, except every 4th doc which is single-scene.
+    * Channel values stay in [0, 250) by construction (%120 base +
+    * 0/1 parity jitter + 128 scene shift) so NO mod-256 wrap ever
+    * occurs and the scene shift moves every frame's weighted luminance
+    * sum by exactly 128·1000·px — crisply separated from the ±1000·px
+    * parity jitter between same-scene sampled frames.
+    */
+  private[graft] def sceneCutAt(id: Long): Int =
+    if (id % 4 == 0) Int.MaxValue else (2 + id % 3).toInt
+
+  private[graft] def synthSceneRaster(id: Long, f: Int): Array[Byte] = {
+    val shift = if (f >= sceneCutAt(id)) 128 else 0
+    val jit = f % 2
+    val out = new Array[Byte](VideoW * VideoH * 3)
+    var p = 0
+    while (p < VideoW * VideoH) {
+      out(p * 3) = (((id * 5 + p.toLong * 7) % 120) + jit + shift).toByte
+      out(p * 3 + 1) = (((id * 9 + p.toLong * 5) % 120) + jit + shift).toByte
+      out(p * 3 + 2) = (((id * 3 + p.toLong * 13) % 120) + jit + shift).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** Encode doc `id`'s clip into GVF1 from an arbitrary per-frame
+    * raster synthesizer (shared by the m05 smooth clips and the m09
+    * two-scene clips).
+    */
+  private[graft] def encodeVideoWith(
+      id: Long, raster: (Long, Int) => Array[Byte]): Array[Byte] = {
     val nf = videoFrameCount(id)
     val header = s"P6\n$VideoW $VideoH\n255\n".getBytes("US-ASCII")
-    val frames = Array.tabulate(nf)(f => header ++ synthFrameRaster(id, f))
+    val frames = Array.tabulate(nf)(f => header ++ raster(id, f))
     val indexBytes = 12 * nf
     val bb = java.nio.ByteBuffer.allocate(
         20 + indexBytes + frames.map(_.length).sum)
@@ -771,6 +804,63 @@ object Multimodal {
         require(w == VideoW && h == VideoH)
         VideoFrame(id, f.toLong, nf.toLong, sr, sg, sb, nd)
       }
+    }.toDF()
+  }
+
+  /** Typed row for the m09 scene census. */
+  case class SceneRow(doc_id: Long, n_frames: Long, n_sampled: Long,
+      n_cuts: Long, first_cut_frame: Long)
+
+  /** m09: scene-change detection — the shot-boundary pass every
+    * video-curation pipeline runs before captioning/embedding (one
+    * caption per SHOT, not per clip; shot boundaries are also where
+    * frame-sampling should anchor). Clips are two-scene GVF1
+    * containers ([[synthSceneRaster]] — scene B lifts every channel by
+    * exactly +128 with no mod wrap; every 4th doc is single-scene, so
+    * both populations are real). Detection: consecutive STRIDE-SAMPLED
+    * frames' integer weighted-luminance sums are compared — a jump
+    * above 64·1000·px (half the scene shift, far above the ±1000·px
+    * same-scene parity jitter) is a cut. Per clip: cut count and the
+    * first sampled frame AFTER the cut (−1 when single-scene).
+    *
+    * Scale shape: the m05 contract verbatim — the index walk reads
+    * only sampled frames, rasters reduce to one luminance long per
+    * frame INSIDE the codec task (the whole clip's walk is local), and
+    * the cluster only ever sees the 5-long census row per clip. No
+    * shuffle touches pixels; there is no shuffle at all before the
+    * final frame.
+    */
+  def m09SceneChange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val threshold = 64000L * (VideoW * VideoH)
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.map { id =>
+      val frames = sampleFrames(encodeVideoWith(id, synthSceneRaster))
+      var prev = -1L
+      var prevSet = false
+      var nCuts = 0L
+      var firstCut = -1L
+      var nf = 0L
+      frames.foreach { case (f, n, ppm) =>
+        nf = n.toLong
+        val (w, h, off) = ppmRaster(ppm).getOrElse(
+          throw new IllegalStateException(s"frame $f of doc $id is not a valid P6 PPM"))
+        require(w == VideoW && h == VideoH)
+        var ls = 0L
+        var p = off
+        while (p < ppm.length) {
+          ls += 299L * (ppm(p) & 0xff) + 587L * (ppm(p + 1) & 0xff) +
+            114L * (ppm(p + 2) & 0xff)
+          p += 3
+        }
+        if (prevSet && math.abs(ls - prev) > threshold) {
+          nCuts += 1
+          if (firstCut < 0) firstCut = f.toLong
+        }
+        prev = ls
+        prevSet = true
+      }
+      SceneRow(id, nf, frames.length.toLong, nCuts, firstCut)
     }.toDF()
   }
 

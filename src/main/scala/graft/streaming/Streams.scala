@@ -530,6 +530,57 @@ object Streams {
     s.table(name)
   }
 
+  case class AttrEvent(user_id: Long, event_id: Long, event_type: String,
+    value: Double, ts_us: Long)
+  case class AttrState(ts_us: Long, ty: String)
+  case class AttrOut(touch_type: String, value: Double, gap_us: Option[Long])
+
+  /** s20: last-touch attribution AT INGESTION — q41's rule running on
+    * the event firehose: per user, the last click/view carries as ONE
+    * (ts, type) struct of state (bounded by user count, never by
+    * stream volume), and each purchase is credited on arrival. Each
+    * batch slice of a user is walked in (ts, event_id) order, so a
+    * single AvailableNow pass equals the batch q41 exactly (shared
+    * oracle), and any per-user time-ordered arrival — the shape a
+    * partitioned log delivers — reproduces it at every batch size
+    * (spec-pinned on a two-batch split). The census aggregation runs
+    * at READ time over the emitted attribution rows (the s19 shape):
+    * inside the stream it would re-aggregate everything every trigger.
+    */
+  def s20StreamAttribution(spark: SparkSession, dir: String): DataFrame =
+    runAttribution(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runAttribution(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourUs = 3600000000L
+    val per = events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("ts_us")).as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[AttrState]) =>
+          var lt = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[AttrOut]()
+          it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase") {
+              val attr = lt.filter(t => e.ts_us - t.ts_us <= HourUs)
+              out += AttrOut(attr.map(_.ty).getOrElse("none"), e.value,
+                attr.map(t => e.ts_us - t.ts_us))
+            }
+            if (e.event_type == "click" || e.event_type == "view")
+              lt = Some(AttrState(e.ts_us, e.event_type))
+          }
+          lt.foreach(state.update)
+          out.iterator
+      }
+    val (s, name) = runToCompletion(per.toDF(), OutputMode.Append())
+    s.table(name).groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("sum_value"),
+        sum(col("gap_us")).as("sum_gap_us"))
+  }
+
   /** s12: streaming atomic publish — the w06 landing zone upgraded to
     * the w08 manifest contract: each micro-batch lands its data files,
     * then ONE manifest rename commits (previous files + the batch's).

@@ -169,6 +169,83 @@ class Round9Spec extends SparkSpec {
     assert(Sinks.readRef(spark, sfDir, root, "tags/run-a").count() == d.count())
   }
 
+  test("s20 streaming attribution equals q41 in one batch AND on a time-ordered two-batch split") {
+    import graft.streaming.Streams
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val want = rows(graft.queries.Events.q41LastTouchAttribution(spark, sfDir))
+    assert(want.nonEmpty)
+    def close(a: Seq[(String, Long, Double, Long)], b: Seq[(String, Long, Double, Long)]) = {
+      assert(a.map(t => (t._1, t._2, t._4)) == b.map(t => (t._1, t._2, t._4)))
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x._3 - y._3) < 1e-6 * math.max(1.0, math.abs(y._3))) }
+    }
+    close(rows(Streams.s20StreamAttribution(spark, sfDir)), want)
+
+    // two micro-batches split at the median timestamp: per-user
+    // time-ordered arrival must reproduce the batch rule, with the
+    // carried last-touch state crossing the batch boundary
+    val src = graft.Tables.events(spark, sfDir)
+    val mid = src.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    val stage = "/tmp/graft_stream_s20_split"
+    val d = Paths.get(stage)
+    if (Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.createDirectories(d)
+    src.where(expr("unix_micros(ts)") <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100)
+    src.where(expr("unix_micros(ts)") > mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p2")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    close(rows(Streams.runAttribution(stream)), want)
+  }
+
+  test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
+    import graft.multimodal.Multimodal
+    val got = Multimodal.m09SceneChange(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = ids.map { id =>
+      val nf = (6 + id % 7).toInt
+      val cut = if (id % 4 == 0) Int.MaxValue else (2 + id % 3).toInt
+      val sampled = 0 until nf by 3
+      def lum(f: Int): Long = (0 until 48).map { p =>
+        val sh = if (f >= cut) 128L else 0L
+        299L * ((id * 5 + p * 7) % 120 + f % 2 + sh) +
+          587L * ((id * 9 + p * 5) % 120 + f % 2 + sh) +
+          114L * ((id * 3 + p * 13) % 120 + f % 2 + sh)
+      }.sum
+      val cuts = sampled.sliding(2).filter(w => w.length == 2 &&
+        math.abs(lum(w(1)) - lum(w(0))) > 3072000L).map(_(1)).toSeq
+      (id, nf.toLong, sampled.length.toLong, cuts.length.toLong,
+        cuts.headOption.map(_.toLong).getOrElse(-1L))
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+    // the cut law: a sampled frame at or after the cut exists → the cut
+    // is detected exactly at the first such frame (3·⌈cut/3⌉)
+    got.foreach { case (id, nf, _, nCuts, firstCut) =>
+      val cut = if (id % 4 == 0) Int.MaxValue else (2 + id % 3).toInt
+      val expected = (0 until nf.toInt by 3).find(_ >= cut)
+      assert(nCuts == (if (expected.isDefined) 1L else 0L), s"doc $id")
+      assert(firstCut == expected.map(_.toLong).getOrElse(-1L), s"doc $id")
+    }
+    // populations: cuts detected, single-scene clips clean, and the
+    // honest stride trade-off visible — a late cut in a short clip
+    // falls between samples and is missed
+    assert(got.exists(_._4 == 1L))
+    assert(got.filter(t => t._1 % 4 == 0).forall(_._4 == 0L))
+    assert(got.exists(t => t._1 % 4 != 0 && t._4 == 0L),
+      "no missed-late-cut case in the corpus")
+  }
+
   test("q41 attribution equals a driver walk; all three buckets live; gaps inside the hour") {
     val evs = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
