@@ -166,8 +166,10 @@ object SparkEntry {
     "s18_stream_domain_cap" -> Streams.s18StreamDomainCap _,
     "s19_stream_trending" -> Streams.s19StreamTrending _,
     "s20_stream_attribution" -> Streams.s20StreamAttribution _,
+    "s21_stream_funnel"   -> Streams.s21StreamFunnel _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
+    "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_select"       -> ReliefQueries.reliefSelect _,
     "relief_transform"    -> ReliefQueries.reliefTransform _,
@@ -1120,6 +1122,55 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     // Ordered funnel: stage mins chain on the previous stage's time;
     // integer-µs arithmetic keeps stage times and mean gaps exact.
+    // s21 walks the same funnel per user at ingestion; one AvailableNow
+    // pass equals the batch funnel, so it shares q33's oracle verbatim.
+    "s21_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT user_id, min(ts_us) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+        |p AS (SELECT user_id, min(ts_us) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1)
+        |SELECT count(*) AS n_view,
+        |  count(t_click) AS n_click_after_view,
+        |  count(t_purchase) AS n_purchase_after_click,
+        |  CAST(avg(t_click - t_view) AS DOUBLE) AS avg_view_to_click_us,
+        |  CAST(avg(t_purchase - t_click) AS DOUBLE) AS avg_click_to_purchase_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+    // f01: the full χ² pipeline replayed — zipped unnest binarization,
+    // exact contingency counts densified over the observed grid,
+    // integer margins, (n−e)²/e terms, top-10 rank.
+    "f01_chi2_select" ->
+      """WITH e AS (SELECT label::BIGINT AS label,
+        |             unnest(range(0, 64)) AS dim, unnest(embedding) AS x
+        |           FROM embeddings),
+        |cells AS (SELECT dim, CASE WHEN x > 0 THEN 1 ELSE 0 END AS s, label,
+        |            count(*) AS n
+        |          FROM e GROUP BY 1, 2, 3),
+        |grid AS (SELECT d.dim, s.s, l.label
+        |         FROM (SELECT DISTINCT dim FROM cells) d,
+        |              (VALUES (0), (1)) s(s),
+        |              (SELECT DISTINCT label FROM cells) l),
+        |dense AS (SELECT g.dim, g.s, g.label, coalesce(c.n, 0) AS n
+        |          FROM grid g LEFT JOIN cells c
+        |            ON g.dim = c.dim AND g.s = c.s AND g.label = c.label),
+        |m AS (SELECT dim, s, label, n,
+        |        sum(n) OVER (PARTITION BY dim, s) AS row_tot,
+        |        sum(n) OVER (PARTITION BY dim, label) AS col_tot,
+        |        sum(n) OVER (PARTITION BY dim) AS tot
+        |      FROM dense),
+        |chi AS (SELECT dim,
+        |          sum(CASE WHEN row_tot * col_tot > 0
+        |              THEN (n - row_tot * col_tot / tot) * (n - row_tot * col_tot / tot)
+        |                   / (row_tot * col_tot / tot)
+        |              ELSE 0 END) AS chi2
+        |        FROM m GROUP BY 1)
+        |SELECT dim, chi2, rnk FROM (
+        |  SELECT dim, chi2,
+        |    row_number() OVER (ORDER BY chi2 DESC, dim) AS rnk
+        |  FROM chi)
+        |WHERE rnk <= 10""".stripMargin,
     "q33_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS t_view FROM e

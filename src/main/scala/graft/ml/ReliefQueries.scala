@@ -109,6 +109,53 @@ object ReliefQueries {
     }.toSeq.toDF("query_id", "neighbor_id", "dist")
   }
 
+  /** f01: chi-squared feature selection — the classic filter-method
+    * companion to the reference's RELIEF-F (the other standard
+    * univariate selector a feature-selection library ships; cf. Spark
+    * MLlib's ChiSqSelector and the reference's redundancy-removal
+    * discussion at ReliefFRSelector.scala:60-75): each embedding
+    * dimension is binarized by sign, the 2×|labels| contingency table
+    * is counted exactly, and χ² = Σ (n−e)²/e ranks the dimensions.
+    *
+    * Scale shape: ONE pass — the posexplode shuffles (dim, sign,
+    * label) count partials that map-side-combine to ≤ dims·2·|labels|
+    * rows (1 280 here) no matter the corpus size; the table densifies
+    * against the observed (dim × sign × label) grid so absent cells
+    * contribute their expected count (dropping them would bias χ²
+    * down); every margin is a window over the tiny cell frame and the
+    * final rank orders 64 rows. Counts are exact integers; the only
+    * doubles are the (n−e)²/e terms, each computed from integer
+    * margins the same way in both engines.
+    */
+  def f01Chi2Select(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        (col("x") > 0.0f).cast("long").as("s"), col("label"))
+      .groupBy("dim", "s", "label").agg(count(lit(1)).as("n"))
+    // densify: the observed dims × both signs × observed labels
+    val dims = cells.select("dim").distinct()
+    val signs = cells.sparkSession.range(2).select(col("id").as("s"))
+    val labels = cells.select("label").distinct()
+    val dense = dims.crossJoin(signs).crossJoin(labels)
+      .join(cells, Seq("dim", "s", "label"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val withTot = dense
+      .withColumn("row_tot", sum("n").over(Window.partitionBy("dim", "s")))
+      .withColumn("col_tot", sum("n").over(Window.partitionBy("dim", "label")))
+      .withColumn("tot", sum("n").over(Window.partitionBy("dim")))
+    val e = col("row_tot") * col("col_tot") / col("tot")
+    val chi = withTot
+      .withColumn("term",
+        when(e > 0.0, (col("n") - e) * (col("n") - e) / e).otherwise(lit(0.0)))
+      .groupBy("dim").agg(sum("term").as("chi2"))
+    chi.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("chi2").desc, col("dim"))).cast("long"))
+      .where(col("rnk") <= 10)
+  }
+
   /** vector_assemble: the reference's CSV→VectorAssembler input path
     * (reference TestHelper.scala), over the orders table's numerics.
     */

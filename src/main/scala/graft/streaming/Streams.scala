@@ -581,6 +581,73 @@ object Streams {
         sum(col("gap_us")).as("sum_gap_us"))
   }
 
+  case class FunnelEvent(user_id: Long, event_id: Long, event_type: String, ts_us: Long)
+  case class FunnelState(tView: Option[Long], tClick: Option[Long], tPurchase: Option[Long])
+  case class StageOut(user_id: Long, stage: String, ts_us: Long)
+
+  /** s21: the q33 conversion funnel AT INGESTION — per-user funnel
+    * progress (first view → first later click → first later purchase)
+    * tracked live instead of recomputed nightly: state is ONE
+    * three-slot struct per user (bounded by user count), each batch
+    * slice walks in (ts, event_id) order, and a stage row emits AT
+    * MOST ONCE per user per stage — the append stream carries only
+    * stage transitions, never raw traffic. The funnel census (counts +
+    * exact-µs mean gaps) aggregates at read time over ≤ 3·|users|
+    * stage rows (the s19/s20 read-time shape). A single AvailableNow
+    * pass equals batch q33 exactly (shared oracle); per-user
+    * time-ordered arrival reproduces it at any batch size because each
+    * stage's first-qualifying event is decided by a predicate on
+    * already-carried state, never by later data.
+    */
+  def s21StreamFunnel(spark: SparkSession, dir: String): DataFrame =
+    runStreamFunnel(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runStreamFunnel(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stages = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us")).as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = scala.collection.mutable.ArrayBuffer[StageOut]()
+          it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if st.tView.isEmpty =>
+                st = st.copy(tView = Some(e.ts_us))
+                out += StageOut(uid, "view", e.ts_us)
+              case "click" if st.tClick.isEmpty &&
+                  st.tView.exists(e.ts_us > _) =>
+                st = st.copy(tClick = Some(e.ts_us))
+                out += StageOut(uid, "click", e.ts_us)
+              case "purchase" if st.tPurchase.isEmpty &&
+                  st.tClick.exists(e.ts_us > _) =>
+                st = st.copy(tPurchase = Some(e.ts_us))
+                out += StageOut(uid, "purchase", e.ts_us)
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+    val (s, name) = runToCompletion(stages.toDF(), OutputMode.Append())
+    s.table(name)
+      .groupBy("user_id")
+      .agg(min(when(col("stage") === "view", col("ts_us"))).as("t_view"),
+        min(when(col("stage") === "click", col("ts_us"))).as("t_click"),
+        min(when(col("stage") === "purchase", col("ts_us"))).as("t_purchase"))
+      .where(col("t_view").isNotNull)
+      .agg(
+        count(lit(1)).as("n_view"),
+        count(col("t_click")).as("n_click_after_view"),
+        count(col("t_purchase")).as("n_purchase_after_click"),
+        avg(col("t_click") - col("t_view")).as("avg_view_to_click_us"),
+        avg(col("t_purchase") - col("t_click")).as("avg_click_to_purchase_us"))
+  }
+
   /** s12: streaming atomic publish — the w06 landing zone upgraded to
     * the w08 manifest contract: each micro-batch lands its data files,
     * then ONE manifest rename commits (previous files + the batch's).

@@ -206,6 +206,74 @@ class Round9Spec extends SparkSpec {
     close(rows(Streams.runAttribution(stream)), want)
   }
 
+  test("f01 chi2 ranking equals a driver contingency walk; counts exact; selection non-degenerate") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("cast(label as long) as label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dims = rows.head._2.length
+    val labels = rows.map(_._1).distinct.sorted
+    val want = (0 until dims).map { d =>
+      val n = Array.ofDim[Long](2, labels.length)
+      rows.foreach { case (l, v) =>
+        n(if (v(d) > 0.0f) 1 else 0)(labels.indexOf(l)) += 1
+      }
+      val tot = rows.length.toDouble
+      var chi2 = 0.0
+      for (s <- 0 to 1; li <- labels.indices) {
+        val row = n(s).sum.toDouble
+        val col = (n(0)(li) + n(1)(li)).toDouble
+        val e = row * col / tot
+        if (e > 0) chi2 += (n(s)(li) - e) * (n(s)(li) - e) / e
+      }
+      (d.toLong, chi2)
+    }.sortBy { case (d, c) => (-c, d) }.take(10).zipWithIndex
+      .map { case ((d, c), i) => (d, c, i + 1L) }
+    val got = graft.ml.ReliefQueries.f01Chi2Select(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._3).toSeq
+    assert(got.map(t => (t._1, t._3)) == want.map(t => (t._1, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._2 - w._2) < 1e-9 * math.max(1.0, w._2), s"dim ${g._1}")
+    }
+    // non-degenerate: ten distinct dims, strictly ordered scores
+    assert(got.map(_._1).distinct.length == 10)
+    assert(got.map(_._2).zip(got.map(_._2).drop(1)).forall { case (a, b) => a >= b })
+    assert(got.head._2 > 0.0)
+  }
+
+  test("s21 streaming funnel equals batch q33 in one batch AND on a time-ordered two-batch split") {
+    import graft.streaming.Streams
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    val want = rows(graft.queries.Events.q33Funnel(spark, sfDir))
+    assert(want._1 > 0 && want._2 > 0 && want._3 > 0)
+    def close(a: (Long, Long, Long, Double, Double)) = {
+      assert((a._1, a._2, a._3) == ((want._1, want._2, want._3)))
+      assert(math.abs(a._4 - want._4) < 1e-6 * math.max(1.0, math.abs(want._4)))
+      assert(math.abs(a._5 - want._5) < 1e-6 * math.max(1.0, math.abs(want._5)))
+    }
+    close(rows(Streams.s21StreamFunnel(spark, sfDir)))
+
+    val src = graft.Tables.events(spark, sfDir)
+    val mid = src.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    val stage = "/tmp/graft_stream_s21_split"
+    val d = Paths.get(stage)
+    if (Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.createDirectories(d)
+    src.where(expr("unix_micros(ts)") <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100)
+    src.where(expr("unix_micros(ts)") > mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p2")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    close(rows(Streams.runStreamFunnel(stream)))
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
