@@ -158,6 +158,8 @@ object SparkEntry {
     "w19_snapshot_rollback" -> graft.sources.Sinks.w19SnapshotRollback _,
     "w20_analyze_stats"   -> graft.sources.Sinks.w20AnalyzeStats _,
     "w21_table_branches"  -> graft.sources.Sinks.w21TableBranches _,
+    "w22_metadata_tables" -> graft.sources.Sinks.w22MetadataTables _,
+    "f02_variance_select" -> ReliefQueries.f02VarianceSelect _,
     "q41_last_touch_attribution" -> Events.q41LastTouchAttribution _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
@@ -775,6 +777,28 @@ object SparkEntry {
         |  CAST(coalesce(min(CASE WHEN is_cut = 1 THEN f END), -1) AS BIGINT)
         |    AS first_cut_frame
         |FROM c GROUP BY 1""".stripMargin,
+    // w22: both snapshots' censuses from metadata only — file counts
+    // are fixed by the repartition layout, row counts by the corpus.
+    "w22_metadata_tables" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot, CAST(4 AS BIGINT) AS n_files,
+        |  count(*) AS n_rows FROM documents
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(6 AS BIGINT),
+        |  count(*) + (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
+        |FROM documents""".stripMargin,
+    // f02: per-dim moment aggregates and the variance identity replayed
+    // over the zipped unnest.
+    "f02_variance_select" ->
+      """WITH e AS (SELECT unnest(range(0, 64)) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |m AS (SELECT dim, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |      FROM e GROUP BY 1)
+        |SELECT dim, variance, rnk FROM (
+        |  SELECT dim, (sxx - sx * sx / n) / n AS variance,
+        |    row_number() OVER (ORDER BY (sxx - sx * sx / n) / n DESC, dim) AS rnk
+        |  FROM m)
+        |WHERE rnk <= 10""".stripMargin,
     // Branch isolation baked into the census: after the staging-only
     // commit, main still serves the full corpus and staging serves the
     // filtered snapshot 2.

@@ -156,6 +156,35 @@ object ReliefQueries {
       .where(col("rnk") <= 10)
   }
 
+  /** f02: variance-threshold feature selection (Spark MLlib's
+    * VarianceThresholdSelector / sklearn's VarianceThreshold — the
+    * cheapest selector a feature-selection library ships, and the
+    * standard pre-filter BEFORE an expensive RELIEF/χ² pass: a
+    * near-constant dimension carries no signal at any label). Each
+    * dimension's population variance comes from one (Σx, Σx², n)
+    * moment aggregate; the top-10 highest-variance dims rank with ties
+    * to the smaller dim.
+    *
+    * Scale shape: ONE pass, ONE aggregation — posexplode shuffles
+    * per-dim moment partials that map-side-combine to 64 rows
+    * regardless of corpus size (no second pass for the mean: the
+    * Σx²/n − (Σx/n)² identity), and the rank window orders 64 rows.
+    */
+  def f02VarianceSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+    m.withColumn("variance",
+        (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("variance").desc, col("dim"))).cast("long"))
+      .where(col("rnk") <= 10)
+      .select("dim", "variance", "rnk")
+  }
+
   /** vector_assemble: the reference's CSV→VectorAssembler input path
     * (reference TestHelper.scala), over the orders table's numerics.
     */

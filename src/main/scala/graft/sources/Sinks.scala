@@ -1238,6 +1238,47 @@ object Sinks {
       spark: SparkSession, dir: String, root: String, name: String): DataFrame =
     readPublished(spark, dir, root, asOf = Some(refAt(spark, root, name)))
 
+  /** w22: METADATA TABLES — the `table.files` / `table.snapshots`
+    * introspection surface a manifest table gives for free (Iceberg's
+    * metadata tables, Delta's DESCRIBE DETAIL): per snapshot, the file
+    * count from its manifest and the row count from its w20 stats
+    * sidecar — answered WITHOUT opening a single data file, which is
+    * the whole point when the table is 100 TB and the question is "how
+    * big is it / how fragmented is it / what did the last append add".
+    * The operator publishes snapshot 1 as 4 range files, appends a
+    * 2-file batch as snapshot 2 (manifest 2 = manifest 1's files + the
+    * new ones, the w13 append shape), ANALYZEs both, and reads the
+    * census from metadata only (spec-pinned: the same census read from
+    * a root holding ONLY manifests + sidecars — no data directory —
+    * is identical).
+    */
+  def w22MetadataTables(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "metatable")
+    val docs = Tables.documents(spark, dir)
+    publishSnapshot(spark, docs.repartition(4), root, 1)
+    analyzeSnapshot(spark, dir, root, 1)
+    val newFiles = writeSnapshotData(spark,
+      docs.where(col("doc_id") % 3 === 0).repartition(2), root, 2)
+    commitManifest(spark, root, 2, manifestFilesAt(spark, root, 1) ++ newFiles)
+    analyzeSnapshot(spark, dir, root, 2)
+    metadataTable(spark, root, Seq(1, 2))
+  }
+
+  /** The snapshot census from metadata only: manifest line counts and
+    * sidecar row sums — no data file is ever opened.
+    */
+  private[graft] def metadataTable(
+      spark: SparkSession, root: String, snaps: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    snaps.map { n =>
+      val files = manifestFilesAt(spark, root, n)
+      val nRows = spark.read.parquet(statsSidecar(root, n))
+        .where(col("col_name") === "doc_id")
+        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+      (n.toLong, files.size.toLong, nRows)
+    }.toDF("snapshot", "n_files", "n_rows")
+  }
+
   /** File list of committed manifest `n` (bare-path manifest lines). */
   private[graft] def manifestFilesAt(
       spark: SparkSession, root: String, n: Int): Seq[String] = {

@@ -274,6 +274,57 @@ class Round9Spec extends SparkSpec {
     close(rows(Streams.runStreamFunnel(stream)))
   }
 
+  test("f02 variance ranking equals a driver moment walk; near-tie-free ordering") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dims = rows.head.length
+    val want = (0 until dims).map { d =>
+      val xs = rows.map(_(d).toDouble)
+      val n = xs.length.toDouble
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      (d.toLong, (sxx - sx * sx / n) / n)
+    }.sortBy { case (d, v) => (-v, d) }.take(10).zipWithIndex
+      .map { case ((d, v), i) => (d, v, i + 1L) }
+    val got = graft.ml.ReliefQueries.f02VarianceSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._3).toSeq
+    assert(got.map(t => (t._1, t._3)) == want.map(t => (t._1, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._2 - w._2) < 1e-9 * math.max(1e-12, w._2), s"dim ${g._1}")
+    }
+    assert(got.head._2 > 0.0)
+  }
+
+  test("w22 metadata census is exact and readable from metadata alone (no data directory)") {
+    import graft.sources.Sinks
+    import org.apache.hadoop.fs.{Path => HPath, FileUtil}
+    val got = Sinks.w22MetadataTables(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val full = docs.count()
+    val app = docs.where(col("doc_id") % 3 === 0).count()
+    assert(got == Seq((1L, 4L, full), (2L, 6L, full + app)))
+
+    // the pin: copy ONLY manifests + sidecars to a bare root — the same
+    // census must come back without any data directory existing at all
+    val conf = spark.sessionState.newHadoopConf()
+    val srcRoot = s"/tmp/graft_sink_metatable_${Integer.toHexString(sfDir.hashCode)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    val bare = "/tmp/graft_w22_bare"
+    val fs = new HPath(bare).getFileSystem(conf)
+    fs.delete(new HPath(bare), true)
+    fs.mkdirs(new HPath(bare))
+    for (n <- 1 to 2) {
+      FileUtil.copy(fs, new HPath(s"$srcRoot/manifest-$n"),
+        fs, new HPath(s"$bare/manifest-$n"), false, conf)
+      FileUtil.copy(fs, new HPath(Sinks.statsSidecar(srcRoot, n)),
+        fs, new HPath(Sinks.statsSidecar(bare, n)), false, conf)
+    }
+    assert(!fs.exists(new HPath(s"$bare/data")))
+    val bareRows = Sinks.metadataTable(spark, bare, Seq(1, 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(bareRows == got)
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
