@@ -161,6 +161,8 @@ object SparkEntry {
     "w22_metadata_tables" -> graft.sources.Sinks.w22MetadataTables _,
     "f02_variance_select" -> ReliefQueries.f02VarianceSelect _,
     "q41_last_touch_attribution" -> Events.q41LastTouchAttribution _,
+    "q42_scd2_join"       -> Events.q42Scd2Join _,
+    "f03_top_correlations" -> ReliefQueries.f03TopCorrelations _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
@@ -809,6 +811,46 @@ object SparkEntry {
         |SELECT 'staging' AS ref, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // SCD-2: the deterministic versioned dimension rebuilt in SQL and
+    // the as-of validity join replayed; value sums exact milli-integers.
+    "q42_scd2_join" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) + 1 AS t3
+        |           FROM events),
+        |d AS (SELECT et.event_type, CAST(v.k AS BIGINT) AS k,
+        |        t0 + (t3 - t0) * v.k // 3 AS valid_from,
+        |        t0 + (t3 - t0) * (v.k + 1) // 3 AS valid_to,
+        |        CAST(length(et.event_type) + v.k AS BIGINT) AS mult
+        |      FROM (SELECT DISTINCT event_type FROM events) et,
+        |           (VALUES (0), (1), (2)) v(k), b),
+        |j AS (SELECT e.event_type, d.k AS version,
+        |        CAST(round(e.value * 1000) AS BIGINT) * d.mult AS vm
+        |      FROM events e JOIN d ON e.event_type = d.event_type
+        |        AND epoch_us(e.ts) >= d.valid_from AND epoch_us(e.ts) < d.valid_to)
+        |SELECT event_type, version, count(*) AS n_events,
+        |  CAST(sum(vm) AS BIGINT) AS sum_vmil
+        |FROM j GROUP BY 1, 2""".stripMargin,
+    // f03: pairwise Pearson moments from the zipped-unnest self-join,
+    // the same correlation identity, top-10 by |corr|.
+    "f03_top_correlations" ->
+      """WITH e AS (SELECT vec_id, unnest(range(0, 64)) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |p AS (SELECT a.dim AS i, b.dim AS j, count(*) AS n,
+        |        sum(a.x) AS sx, sum(b.x) AS sy, sum(a.x * a.x) AS sxx,
+        |        sum(b.x * b.x) AS syy, sum(a.x * b.x) AS sxy
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        |      GROUP BY 1, 2),
+        |c AS (SELECT i, j,
+        |        CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+        |          THEN (n * sxy - sx * sy)
+        |               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |          ELSE 0 END AS corr
+        |      FROM p)
+        |SELECT i AS dim_i, j AS dim_j, corr, rnk FROM (
+        |  SELECT i, j, corr,
+        |    row_number() OVER (ORDER BY abs(corr) DESC, i, j) AS rnk
+        |  FROM c)
+        |WHERE rnk <= 10""".stripMargin,
     // Last-touch attribution: the strictly-preceding carry-forward
     // window + the 1-hour cutoff in exact integer µs.
     "q41_last_touch_attribution" ->

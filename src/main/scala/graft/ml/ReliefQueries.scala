@@ -185,6 +185,73 @@ object ReliefQueries {
       .select("dim", "variance", "rnk")
   }
 
+  /** f03: top correlated feature pairs — the redundancy DIAGNOSTIC
+    * behind the reference's `redundancyRemoval` flag (two features the
+    * selector both ranks high may carry the same signal; the report a
+    * user inspects before pruning): Pearson correlation for every
+    * dimension pair from one Gramian pass, top-10 pairs by |corr|.
+    *
+    * Scale shape: the textbook distributed GRAMIAN — each partition
+    * accumulates the full (n, Σx[64], Σx·xᵀ upper triangle) moment
+    * block in a dense local array (one row of ~2 145 doubles PER
+    * PARTITION, independent of row count), blocks sum elementwise in
+    * one tiny reduce, and the 2 080 correlations + rank are driver
+    * arithmetic on a constant-size matrix (the e07 codebook-fit
+    * precedent). Nothing row-wise ever shuffles: a 10¹¹-row corpus
+    * moves `partitions × 17 KB` over the network, total.
+    */
+  def f03TopCorrelations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val D = 64
+    val nPairs = D * (D - 1) / 2
+    val blocks = Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>").as("v")).as[Seq[Double]]
+      .mapPartitions { it =>
+        // block layout: [n, sx(64), sxx(64), sxy(2080 upper-triangle)]
+        val acc = new Array[Double](1 + D + D + nPairs)
+        it.foreach { v =>
+          acc(0) += 1.0
+          var i = 0
+          var p = 0
+          while (i < D) {
+            val xi = v(i)
+            acc(1 + i) += xi
+            acc(1 + D + i) += xi * xi
+            var j = i + 1
+            while (j < D) {
+              acc(1 + 2 * D + p) += xi * v(j)
+              j += 1; p += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+    val total = blocks.reduce { (a, b) =>
+      val out = new Array[Double](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
+      out
+    }
+    val n = total(0)
+    val rows = (for {
+      i <- 0 until D
+      j <- (i + 1) until D
+    } yield {
+      val p = (i * (2 * D - i - 1)) / 2 + (j - i - 1)
+      val sx = total(1 + i); val sy = total(1 + j)
+      val sxx = total(1 + D + i); val syy = total(1 + D + j)
+      val sxy = total(1 + 2 * D + p)
+      val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+      val corr = if (den > 0) (n * sxy - sx * sy) / den else 0.0
+      (i.toLong, j.toLong, corr)
+    }).sortBy { case (i, j, c) => (-math.abs(c), i, j) }
+      .take(10).zipWithIndex
+      .map { case ((i, j, c), r) => (i, j, c, r + 1L) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1))
+      .toDF("dim_i", "dim_j", "corr", "rnk")
+  }
+
   /** vector_assemble: the reference's CSV→VectorAssembler input path
     * (reference TestHelper.scala), over the orders table's numerics.
     */

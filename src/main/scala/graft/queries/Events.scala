@@ -494,6 +494,46 @@ object Events {
         $"max_conc", $"n_deltas")
   }
 
+  /** q42: SCD-2 dimension join — facts joined to a slowly-changing
+    * dimension AS OF each fact's own timestamp (the warehouse staple:
+    * "price the order at the rate that was valid WHEN it was placed",
+    * Kimball type-2): every event joins its type's dimension VERSION
+    * whose [valid_from, valid_to) window contains the event, then
+    * rolls up per (type, version). The versioned dimension is derived
+    * deterministically — three versions per type cutting the observed
+    * time range in integer-µs thirds, version multiplier
+    * len(type)+k — so the oracle rebuilds it bit-for-bit. Value sums
+    * are exact integer milli-values (the q32 device).
+    *
+    * Scale shape: THE broadcast range join — dimensions are small by
+    * definition (types × versions), so the as-of lookup is a broadcast
+    * hash join on the type key with the validity predicate as a
+    * residual filter; each fact matches exactly one version by
+    * construction (windows partition the range). No shuffle of facts
+    * beyond the final ≤ types·versions-row rollup. The alternative —
+    * a window over facts ordered by time — would shuffle everything;
+    * the dimension's smallness is what SCD-2 exploits.
+    */
+  def q42Scd2Join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", unix_micros($"ts").as("ts_us"),
+        expr("cast(round(value * 1000) as bigint)").as("vmil"))
+    val bounds = ev.agg(min($"ts_us").as("t0"), (max($"ts_us") + 1L).as("t3"))
+    val dim = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(spark.range(3).select($"id".as("k"))))
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", $"k",
+        expr("t0 + (t3 - t0) * k div 3").as("valid_from"),
+        expr("t0 + (t3 - t0) * (k + 1) div 3").as("valid_to"),
+        (length($"event_type").cast("long") + $"k").as("mult"))
+    ev.join(broadcast(dim), Seq("event_type"))
+      .where($"ts_us" >= $"valid_from" && $"ts_us" < $"valid_to")
+      .groupBy($"event_type", $"k".as("version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"vmil" * $"mult").as("sum_vmil"))
+  }
+
   /** q41: last-touch attribution — every purchase is credited to the
     * user's most recent click or view within the preceding hour, or to
     * 'none' if no touch qualifies (the marketing-analytics staple; the

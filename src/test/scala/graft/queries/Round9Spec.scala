@@ -325,6 +325,59 @@ class Round9Spec extends SparkSpec {
     assert(bareRows == got)
   }
 
+  test("f03 top correlations equal a driver Gramian walk; pairs ordered and in range") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = rows.head.length
+    val n = rows.length.toDouble
+    def mom(i: Int) = (rows.map(_(i)).sum, rows.map(v => v(i) * v(i)).sum)
+    val want = (for { i <- 0 until d; j <- (i + 1) until d } yield {
+      val (sx, sxx) = mom(i); val (sy, syy) = mom(j)
+      val sxy = rows.map(v => v(i) * v(j)).sum
+      val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+      (i.toLong, j.toLong, if (den > 0) (n * sxy - sx * sy) / den else 0.0)
+    }).sortBy { case (i, j, c) => (-math.abs(c), i, j) }.take(10).zipWithIndex
+      .map { case ((i, j, c), r) => (i, j, c, r + 1L) }
+    val got = graft.ml.ReliefQueries.f03TopCorrelations(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._4).toSeq
+    assert(got.map(t => (t._1, t._2, t._4)) == want.map(t => (t._1, t._2, t._4)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-9, s"pair (${g._1},${g._2})")
+    }
+    assert(got.forall(t => t._3.abs <= 1.0 && t._1 < t._2))
+    assert(got.map(_._3.abs).zip(got.map(_._3.abs).drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("q42 SCD-2 join equals a driver version walk; every event matches exactly one version") {
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"),
+        expr("cast(round(value * 1000) as bigint)").as("vmil"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val t0 = evs.map(_._2).min
+    val t3 = evs.map(_._2).max + 1
+    val want = evs.map { case (ty, ts, vm) =>
+      val k = (0 until 3).find { k =>
+        ts >= t0 + (t3 - t0) * k / 3 && ts < t0 + (t3 - t0) * (k + 1) / 3
+      }.get.toLong
+      ((ty, k), vm * (ty.length + k))
+    }.groupBy(_._1).map { case ((ty, k), l) =>
+      (ty, k, l.size.toLong, l.map(_._2).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.queries.Events.q42Scd2Join(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want)
+    // windows partition the range: totals reconcile exactly and more
+    // than one version is live for some type
+    assert(got.map(_._3).sum == evs.length.toLong)
+    assert(got.groupBy(_._1).values.exists(_.size > 1))
+    // the dim side broadcasts; no shuffle of facts beyond the rollup
+    val plan = graft.queries.Events.q42Scd2Join(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
