@@ -126,6 +126,8 @@ object SparkEntry {
     "m07_image_dedup"     -> Multimodal.m07ImageDedup _,
     "m08_image_quality_gate" -> Multimodal.m08ImageQualityGate _,
     "m09_scene_change"    -> Multimodal.m09SceneChange _,
+    "m10_audio_segmentation" -> Multimodal.m10AudioSegmentation _,
+    "s22_stream_scd2"     -> Streams.s22StreamScd2 _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -811,6 +813,46 @@ object SparkEntry {
         |SELECT 'staging' AS ref, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // m10: the span structure, frame flags and gaps-and-islands census
+    // regenerated at formula level — the energy detector recovers the
+    // spans exactly, so codec-level Spark must hash-match.
+    "m10_audio_segmentation" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |g AS (SELECT id, 10 + 2 * (id % 5) AS nframes FROM ids),
+        |f AS (SELECT id, nframes, unnest(range(0, nframes)) AS fr FROM g),
+        |v AS (SELECT id, nframes, fr,
+        |        CASE WHEN (id + fr // 2) % 3 <> 0 THEN 1 ELSE 0 END AS voiced
+        |      FROM f),
+        |seg AS (SELECT id, fr,
+        |          fr - row_number() OVER (PARTITION BY id ORDER BY fr) AS grp
+        |        FROM v WHERE voiced = 1),
+        |runs AS (SELECT id, count(*) AS run_len FROM seg GROUP BY id, grp),
+        |rs AS (SELECT id, count(*) AS n_segments, max(run_len) AS longest
+        |       FROM runs GROUP BY 1)
+        |SELECT v.id AS doc_id, CAST(max(v.nframes) AS BIGINT) AS n_frames,
+        |  CAST(sum(v.voiced) AS BIGINT) AS n_voiced,
+        |  CAST(coalesce(max(rs.n_segments), 0) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(max(rs.longest), 0) AS BIGINT) AS longest_voiced
+        |FROM v LEFT JOIN rs ON v.id = rs.id
+        |GROUP BY v.id""".stripMargin,
+    // s22 enriches the stream against the batch-built dimension; one
+    // AvailableNow pass equals batch q42, so it shares the oracle.
+    "s22_stream_scd2" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) + 1 AS t3
+        |           FROM events),
+        |d AS (SELECT et.event_type, CAST(v.k AS BIGINT) AS k,
+        |        t0 + (t3 - t0) * v.k // 3 AS valid_from,
+        |        t0 + (t3 - t0) * (v.k + 1) // 3 AS valid_to,
+        |        CAST(length(et.event_type) + v.k AS BIGINT) AS mult
+        |      FROM (SELECT DISTINCT event_type FROM events) et,
+        |           (VALUES (0), (1), (2)) v(k), b),
+        |j AS (SELECT e.event_type, d.k AS version,
+        |        CAST(round(e.value * 1000) AS BIGINT) * d.mult AS vm
+        |      FROM events e JOIN d ON e.event_type = d.event_type
+        |        AND epoch_us(e.ts) >= d.valid_from AND epoch_us(e.ts) < d.valid_to)
+        |SELECT event_type, version, count(*) AS n_events,
+        |  CAST(sum(vm) AS BIGINT) AS sum_vmil
+        |FROM j GROUP BY 1, 2""".stripMargin,
     // SCD-2: the deterministic versioned dimension rebuilt in SQL and
     // the as-of validity join replayed; value sums exact milli-integers.
     "q42_scd2_join" ->

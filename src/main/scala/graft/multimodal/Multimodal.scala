@@ -405,6 +405,72 @@ object Multimodal {
     }.toDF()
   }
 
+  /** m10 voice-activity geometry: a clip is 5 + id % 5 spans of 40
+    * samples; span s is VOICED iff (id + s) % 3 ≠ 0. Voiced spans
+    * carry the m04 wideband signal (frame energy ≥ ~25 000 for any
+    * phase — the 20-sample stride-7 run always covers large residues);
+    * silent spans carry |amplitude| ≤ 2 dither (frame energy ≤ 80).
+    * The 2 000-threshold sits orders of magnitude from both, so the
+    * energy detector recovers the span structure EXACTLY — which is
+    * what lets the DuckDB oracle work at the formula level while Spark
+    * works at the decoded-signal level.
+    */
+  private[graft] def synthVoiceSamples(id: Long): Array[Int] = {
+    val nSpans = (5 + id % 5).toInt
+    Array.tabulate(nSpans * 40) { t =>
+      val span = t / 40
+      if ((id + span) % 3 != 0) (((id * 31 + t.toLong * 7) % 256) - 128).toInt
+      else (t % 5) - 2
+    }
+  }
+
+  /** Typed row for the m10 segmentation census. */
+  case class VadRow(doc_id: Long, n_frames: Long, n_voiced: Long,
+      n_segments: Long, longest_voiced: Long)
+
+  /** m10: voice-activity segmentation — the audio-curation pass before
+    * ASR/captioning (silence trimming, per-utterance splitting: the
+    * model sees SEGMENTS, not raw clips): the real WAV round-trip
+    * (m04's RIFF/PCM codec), 20-sample frame energies as exact integer
+    * sums of squares, a 2 000 threshold that cleanly separates the
+    * voiced wideband signal from silence dither, and a gaps-and-islands
+    * walk over the frame flags — per clip: voiced-frame count, segment
+    * count, longest segment.
+    *
+    * Scale shape: the m04 contract — the whole clip decodes and
+    * segments INSIDE the codec task (signal bytes never shuffle), the
+    * cluster sees 5-long census rows. No shuffle before the final
+    * frame.
+    */
+  def m10AudioSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val wav = encodeWav(8000, synthVoiceSamples(id))
+        val (_, s) = decodeWav(wav).getOrElse(
+          throw new IllegalStateException(s"WAV round-trip failed for doc $id"))
+        val nFrames = s.length / 20
+        var nVoiced = 0L; var nSegments = 0L
+        var longest = 0L; var run = 0L
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var i = f * 20
+          while (i < (f + 1) * 20) { e += s(i).toLong * s(i); i += 1 }
+          if (e > 2000L) {
+            nVoiced += 1
+            if (run == 0) nSegments += 1
+            run += 1
+            if (run > longest) longest = run
+          } else run = 0
+          f += 1
+        }
+        VadRow(id, nFrames.toLong, nVoiced, nSegments, longest)
+      }
+    }.toDF()
+  }
+
   /** m05 video container geometry: every frame is an 8×6 binary P6
     * PPM; a document's clip has 6 + id % 7 frames and every 3rd frame
     * is sampled (the standard stride-sampling a vision-language

@@ -519,19 +519,30 @@ object Events {
     val ev = Tables.events(spark, dir)
       .select($"event_type", unix_micros($"ts").as("ts_us"),
         expr("cast(round(value * 1000) as bigint)").as("vmil"))
+    ev.join(broadcast(scd2Dim(ev)), Seq("event_type"))
+      .where($"ts_us" >= $"valid_from" && $"ts_us" < $"valid_to")
+      .groupBy($"event_type", $"k".as("version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"vmil" * $"mult").as("sum_vmil"))
+  }
+
+  /** The deterministic versioned dimension over an (event_type, ts_us)
+    * frame: three versions per type cutting the observed time range in
+    * integer-µs thirds — shared by the batch as-of join (q42) and its
+    * streaming enrichment twin (s22), which builds it ONCE batch-side
+    * (the s17 nightly-build split).
+    */
+  private[graft] def scd2Dim(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
     val bounds = ev.agg(min($"ts_us").as("t0"), (max($"ts_us") + 1L).as("t3"))
-    val dim = ev.select($"event_type").distinct()
+    ev.select($"event_type").distinct()
       .crossJoin(broadcast(spark.range(3).select($"id".as("k"))))
       .crossJoin(broadcast(bounds))
       .select($"event_type", $"k",
         expr("t0 + (t3 - t0) * k div 3").as("valid_from"),
         expr("t0 + (t3 - t0) * (k + 1) div 3").as("valid_to"),
         (length($"event_type").cast("long") + $"k").as("mult"))
-    ev.join(broadcast(dim), Seq("event_type"))
-      .where($"ts_us" >= $"valid_from" && $"ts_us" < $"valid_to")
-      .groupBy($"event_type", $"k".as("version"))
-      .agg(count(lit(1)).as("n_events"),
-        sum($"vmil" * $"mult").as("sum_vmil"))
   }
 
   /** q41: last-touch attribution — every purchase is credited to the

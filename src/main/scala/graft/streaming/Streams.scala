@@ -648,6 +648,38 @@ object Streams {
         avg(col("t_purchase") - col("t_click")).as("avg_click_to_purchase_us"))
   }
 
+  /** s22: streaming SCD-2 enrichment — q42's as-of dimension join at
+    * ingestion (the production split the s17/s13 operators model: the
+    * versioned dimension builds ONCE batch-side from the historical
+    * range, broadcasts into every micro-batch, and each arriving fact
+    * picks its validity version with the residual predicate —
+    * stateless stream-static join, zero streaming state from the join
+    * itself). The per-(type, version) rollup runs complete-mode inside
+    * the stream: the aggregate frame is bounded by types × versions
+    * (15 rows), never by traffic. One AvailableNow pass equals the
+    * batch q42 exactly (shared oracle); the rollup is additive, so any
+    * batch split reproduces it (spec-pinned).
+    */
+  def s22StreamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val dimSource = graft.Tables.events(ss, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"))
+    runStreamScd2(eventsStream(ss, dir), graft.queries.Events.scd2Dim(dimSource))
+  }
+
+  private[graft] def runStreamScd2(events: DataFrame, dim: DataFrame): DataFrame = {
+    val agg = events
+      .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"),
+        expr("cast(round(value * 1000) as bigint)").as("vmil"))
+      .join(broadcast(dim), Seq("event_type"))
+      .where(col("ts_us") >= col("valid_from") && col("ts_us") < col("valid_to"))
+      .groupBy(col("event_type"), col("k").as("version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("vmil") * col("mult")).as("sum_vmil"))
+    val (s, name) = runToCompletion(agg, OutputMode.Complete())
+    s.table(name)
+  }
+
   /** s12: streaming atomic publish — the w06 landing zone upgraded to
     * the w08 manifest contract: each micro-batch lands its data files,
     * then ONE manifest rename commits (previous files + the batch's).

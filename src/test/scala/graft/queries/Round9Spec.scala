@@ -378,6 +378,64 @@ class Round9Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("m10 segmentation equals a driver span walk; detector recovers span structure exactly") {
+    import graft.multimodal.Multimodal
+    val got = Multimodal.m10AudioSegmentation(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = ids.map { id =>
+      val nSpans = (5 + id % 5).toInt
+      val voiced = (0 until nSpans * 2).map(f => (id + f / 2) % 3 != 0)
+      var nSeg = 0L; var longest = 0L; var run = 0L
+      voiced.foreach { v =>
+        if (v) { if (run == 0) nSeg += 1; run += 1; longest = math.max(longest, run) }
+        else run = 0
+      }
+      (id, nSpans * 2L, voiced.count(identity).toLong, nSeg, longest)
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+    // both frame populations and multi-segment clips are real
+    assert(got.forall(t => t._3 > 0 && t._3 < t._2))
+    assert(got.exists(_._4 >= 2))
+    // the energy detector (codec path) never misclassifies a frame:
+    // n_voiced == formula voiced count for every clip, checked above by
+    // equality; additionally the longest run bounds hold
+    got.foreach(t => assert(t._5 <= t._3 && t._4 <= t._3))
+  }
+
+  test("s22 streaming SCD-2 enrichment equals batch q42 in one pass AND on a two-batch split") {
+    import graft.streaming.Streams
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = rows(graft.queries.Events.q42Scd2Join(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(rows(Streams.s22StreamScd2(spark, sfDir)) == want)
+
+    // arbitrary two-batch split: the rollup is additive, so batching
+    // cannot change it — the dimension is static across batches
+    val src = graft.Tables.events(spark, sfDir)
+    val stage = "/tmp/graft_stream_s22_split"
+    val d = Paths.get(stage)
+    if (Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.createDirectories(d)
+    src.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100)
+    src.where(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p2")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val dimSource = src.select(col("event_type"), expr("unix_micros(ts)").as("ts_us"))
+    val dim = graft.queries.Events.scd2Dim(dimSource)
+    assert(rows(Streams.runStreamScd2(stream, dim)) == want)
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
