@@ -96,6 +96,8 @@ object SparkEntry {
     "d26_line_dedup"      -> graft.text.Corpus.d26LineDedup _,
     "d27_domain_cap"      -> graft.text.Corpus.d27DomainCap _,
     "d36_span_dedup"      -> graft.text.Corpus.d36SpanDedup _,
+    "d37_template_mining" -> graft.text.Corpus.d37TemplateMining _,
+    "e18_embedding_drift" -> Sim.e18EmbeddingDrift _,
     "d33_fuzzy_decontam"  -> graft.text.Corpus.d33FuzzyDecontam _,
     "d34_heavy_hitters"   -> Text.d34HeavyHitters _,
     "d35_quality_mix"     -> graft.text.Corpus.d35QualityMix _,
@@ -1177,6 +1179,48 @@ object SparkEntry {
     // operator (d26) and its at-ingestion deployment (s17).
     "d26_line_dedup" -> lineDedupOracleSql,
     "s17_stream_line_scrub" -> lineDedupOracleSql,
+    // d37: the d26 dictionary ranked — tie order on the md5 digest is
+    // the same hex-string comparison in both engines.
+    "d37_template_mining" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus),
+        |ln AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS line_idx,
+        |    unnest(list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+        |      i -> array_to_string(toks[i*8+1 : i*8+8], ' '))) AS line_text
+        |  FROM tk),
+        |tot AS (SELECT count(*) AS n FROM corpus),
+        |bp AS (SELECT line_text, count(DISTINCT doc_id) AS n_docs FROM ln
+        |       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |top AS (SELECT line_text, n_docs,
+        |          row_number() OVER (ORDER BY n_docs DESC, md5(line_text)) AS rnk
+        |        FROM bp)
+        |SELECT line_text AS template, n_docs, rnk,
+        |  CAST(n_docs AS DOUBLE) / (SELECT n FROM tot) AS doc_share
+        |FROM top WHERE rnk <= 20""".stripMargin,
+    // e18: parity-split halves, per-(half, label, dim) sums, centroid
+    // displacement — each mean is one division of a full-precision sum.
+    "e18_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, label::BIGINT AS label,
+        |             vec_id % 2 AS is_new,
+        |             unnest(range(0, 64)) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |s AS (SELECT is_new, label, dim, count(*) AS n, sum(x) AS sx
+        |      FROM e GROUP BY 1, 2, 3),
+        |o AS (SELECT label, dim, sx / n AS m_old, n AS n_old FROM s WHERE is_new = 0),
+        |nn AS (SELECT label, dim, sx / n AS m_new, n AS n_new FROM s WHERE is_new = 1)
+        |SELECT label, CAST(max(n_old) AS BIGINT) AS n_old,
+        |  CAST(max(n_new) AS BIGINT) AS n_new,
+        |  sum((m_old - m_new) * (m_old - m_new)) AS drift_sq
+        |FROM o JOIN nn USING (label, dim)
+        |GROUP BY 1""".stripMargin,
     // First-occurrence span dedup: the smallest (doc_id, line_idx)
     // keeps each repeated span; every later occurrence is scrubbed.
     // Same span frame as d26; the winner election is a packed-id min.

@@ -253,6 +253,44 @@ object Sim {
         coalesce(col("r_lex"), lit(0L)).as("r_lex"), col("rrf"))
   }
 
+  /** e18: embedding DRIFT monitoring — the ML-ops check between corpus
+    * generations ("did the upstream encoder / data mix shift?"): the
+    * corpus splits into an OLD and NEW half by vec_id parity
+    * (standing in for two nightly snapshots), per-label centroids are
+    * computed on each half, and the per-label report carries both
+    * populations and the squared L2 centroid displacement. Rising
+    * drift on a stable label is the retrain/re-embed alarm; a label
+    * whose population collapses is a data-mix regression.
+    *
+    * Scale shape: ONE pass — per-(half, label) vector sums via a
+    * single `aggregate`-free posexplode + groupBy that map-side-
+    * combines to ≤ 2·|labels|·dims rows; centroids and displacement
+    * are arithmetic over that constant frame. Nothing row-wise
+    * shuffles except the per-dim partial sums.
+    */
+  def e18EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+    val half = e.withColumn("is_new",
+      (col("vec_id") % 2 === 1).cast("long"))
+    val sums = half
+      .select(col("is_new"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("is_new", "label", "dim")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .withColumn("mean", col("sx") / col("n"))
+    val old = sums.where(col("is_new") === 0)
+      .select(col("label"), col("dim"), col("mean").as("m_old"), col("n").as("n_old"))
+    val neu = sums.where(col("is_new") === 1)
+      .select(col("label"), col("dim"), col("mean").as("m_new"), col("n").as("n_new"))
+    old.join(neu, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(first(col("n_old")).as("n_old"), first(col("n_new")).as("n_new"),
+        sum((col("m_old") - col("m_new")) * (col("m_old") - col("m_new")))
+          .as("drift_sq"))
+  }
+
   /** Staging path of the persisted e06 index, keyed by (dir, appId)
     * like [[graft.sources.Sinks.bucketedStagePath]] so concurrent
     * sessions never clobber each other's layout. The root defaults to

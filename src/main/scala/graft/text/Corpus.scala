@@ -577,6 +577,34 @@ object Corpus {
         size(col("drop_idx")).cast("long").as("n_dropped"))
   }
 
+  /** d37: template MINING — the d26 boilerplate dictionary promoted to
+    * a deliverable (what a curation engineer actually reviews before
+    * turning the scrubber on: WHICH nav bars / cookie banners / license
+    * headers dominate the crawl, and how much of the corpus they
+    * touch): the top-20 template lines by document frequency, with
+    * their corpus share. Rank ties cut on the line DIGEST so the
+    * boundary is deterministic cross-engine.
+    *
+    * Scale shape: the dictionary build is d26's digest-only count
+    * shuffle; the rank window orders the DICTIONARY (small by
+    * construction — it IS the template set), never the corpus; line
+    * text joins back against the broadcast top-20 only.
+    */
+  def d37TemplateMining(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = graft.dedup.Dedup.nearDupCorpus(Tables.documents(spark, dir))
+    val total = corpus.count()
+    val top = boilerplateLines(corpus)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("n_docs").desc, col("h"))).cast("long"))
+      .where(col("rnk") <= 20)
+    lineFrame(corpus).join(broadcast(top), Seq("h"))
+      .groupBy("h", "n_docs", "rnk")
+      .agg(min(col("line_text")).as("template"))
+      .select(col("template"), col("n_docs"), col("rnk"),
+        (col("n_docs").cast("double") / lit(total.toDouble)).as("doc_share"))
+  }
+
   /** d27: per-domain document caps (the Common-Crawl curation rule:
     * no single domain may dominate the corpus — keep at most K
     * documents per source, deterministically the K smallest doc_ids).

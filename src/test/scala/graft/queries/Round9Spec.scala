@@ -436,6 +436,58 @@ class Round9Spec extends SparkSpec {
     assert(rows(Streams.runStreamScd2(stream, dim)) == want)
   }
 
+  test("e18 drift report equals a driver centroid walk; populations and drift all live") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(label as long) as label",
+        "cast(embedding as array<double>) as v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val want = rows.groupBy(_._2).map { case (label, l) =>
+      val old = l.filter(_._1 % 2 == 0); val neu = l.filter(_._1 % 2 == 1)
+      val d = l.head._3.length
+      def centroid(xs: Array[(Long, Long, Array[Double])]) =
+        (0 until d).map(i => xs.map(_._3(i)).sum / xs.length).toArray
+      val co = centroid(old); val cn = centroid(neu)
+      val drift = (0 until d).map(i => (co(i) - cn(i)) * (co(i) - cn(i))).sum
+      (label, old.length.toLong, neu.length.toLong, drift)
+    }.toSeq.sortBy(_._1)
+    val got = graft.sim.Sim.e18EmbeddingDrift(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-9 * math.max(1e-12, w._4), s"label ${g._1}")
+    }
+    assert(got.forall(t => t._2 > 0 && t._3 > 0 && t._4 > 0.0))
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
+  test("d37 template mining equals a driver dictionary walk; shares and ranks consistent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = docs ++ docs.collect {
+      case (id, t) if t.trim.split("\\s+").length >= 12 =>
+        (id + 1000000L, t.trim.split("\\s+").dropRight(3).mkString(" "))
+    }
+    val lines = corpus.flatMap { case (id, t) =>
+      t.trim.split("\\s+").grouped(8).map(g => (id, g.mkString(" ")))
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = lines.groupBy(_._2)
+      .map { case (t, l) => (t, l.map(_._1).distinct.length.toLong) }
+      .filter(_._2 >= 2).toSeq
+      .sortBy { case (t, n) => (-n, md5hex(t)) }.take(20).zipWithIndex
+      .map { case ((t, n), i) =>
+        (t, n, i + 1L, n.toDouble / corpus.length) }
+    val got = graft.text.Corpus.d37TemplateMining(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._3).toSeq
+    assert(got == want.toSeq)
+    assert(got.nonEmpty)
+    assert(got.map(_._2).zip(got.map(_._2).drop(1)).forall { case (a, b) => a >= b })
+    assert(got.forall(t => t._4 > 0.0 && t._4 <= 1.0))
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
