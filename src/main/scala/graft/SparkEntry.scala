@@ -98,6 +98,8 @@ object SparkEntry {
     "d36_span_dedup"      -> graft.text.Corpus.d36SpanDedup _,
     "d37_template_mining" -> graft.text.Corpus.d37TemplateMining _,
     "e18_embedding_drift" -> Sim.e18EmbeddingDrift _,
+    "e19_ivf_tuning"      -> Sim.e19IvfTuningCurve _,
+    "q43_period_growth"   -> Events.q43PeriodGrowth _,
     "d33_fuzzy_decontam"  -> graft.text.Corpus.d33FuzzyDecontam _,
     "d34_heavy_hitters"   -> Text.d34HeavyHitters _,
     "d35_quality_mix"     -> graft.text.Corpus.d35QualityMix _,
@@ -526,6 +528,43 @@ object SparkEntry {
   /** Exact brute-force cosine top-10 for the 20-query panel — e01's
     * oracle, and the ground-truth CTE inside e10's recall eval.
     */
+  /** e04's IVF reproduction, parameterized by nprobe — shared by the
+    * e04 oracle (nprobe = 4) and the e19 tuning-curve sweep.
+    */
+  private def ivfOracleSql(np: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id) - 1 AS cid,
+       |    v AS cv
+       |  FROM e
+       |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
+       |  LIMIT 16),
+       |cc AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents),
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cid AS centroid_id FROM (
+       |    SELECT en.vec_id, en.v, en.nrm, cc.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+       |    FROM en CROSS JOIN cc) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qv, qn, cid AS centroid_id FROM (
+       |    SELECT en.vec_id AS query_id, en.v AS qv, en.nrm AS qn, cc.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+       |    FROM en CROSS JOIN cc WHERE en.vec_id < 20) t
+       |  WHERE rn <= $np),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS cosine
+       |  FROM probes p JOIN asg a USING (centroid_id)
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM cand) t
+       |WHERE rn <= 10""".stripMargin
+
   private val knnExactOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |s AS (
@@ -1849,39 +1888,31 @@ object SparkEntry {
     // Full IVF reproduction: sampled-medoid centroids (smallest mod-prime
     // vec_id hash), argmin assignment on -2*dot+|c|^2 (the |v|^2 term drops
     // out), nprobe=4 probing, exact cosine rank.
-    "e04_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id) - 1 AS cid,
-        |    v AS cv
-        |  FROM e
-        |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
-        |  LIMIT 16),
-        |cc AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents),
-        |asg AS (
-        |  SELECT vec_id, v, nrm, cid AS centroid_id FROM (
-        |    SELECT en.vec_id, en.v, en.nrm, cc.cid,
-        |      row_number() OVER (PARTITION BY en.vec_id
-        |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
-        |    FROM en CROSS JOIN cc) t
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT query_id, qv, qn, cid AS centroid_id FROM (
-        |    SELECT en.vec_id AS query_id, en.v AS qv, en.nrm AS qn, cc.cid,
-        |      row_number() OVER (PARTITION BY en.vec_id
-        |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
-        |    FROM en CROSS JOIN cc WHERE en.vec_id < 20) t
-        |  WHERE rn <= 4),
-        |cand AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-        |    list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS cosine
-        |  FROM probes p JOIN asg a USING (centroid_id)
-        |  WHERE a.vec_id <> p.query_id)
-        |SELECT query_id, neighbor_id, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-        |  FROM cand) t
-        |WHERE rn <= 10""".stripMargin,
+    "e04_ann_ivf" -> ivfOracleSql(4),
+    // e19: the same IVF SQL swept over nprobe, each setting left-joined
+    // against the e01 exact panel — integer hit counts per setting.
+    "e19_ivf_tuning" -> Seq(1, 2, 4).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, count(*) AS n_exact,
+         |  count(a.neighbor_id) AS n_hit
+         |FROM (
+         |$knnExactOracleSql
+         |) exact LEFT JOIN (
+         |${ivfOracleSql(np)}
+         |) a ON exact.query_id = a.query_id AND exact.neighbor_id = a.neighbor_id"""
+        .stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
+    // q43: daily rollup + the lag/growth window over the daily frame.
+    "q43_period_growth" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+        |             CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_vmil
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT day, n_events, sum_vmil,
+        |        lag(n_events) OVER (ORDER BY day) AS prev_events
+        |      FROM d)
+        |SELECT day, n_events, sum_vmil, prev_events,
+        |  CASE WHEN prev_events IS NOT NULL
+        |       THEN CAST(n_events - prev_events AS DOUBLE) / prev_events END AS growth_pct
+        |FROM g""".stripMargin,
     // Product-quantization reproduction (generated for M=8 subspaces
     // over the 64-dim verification embeddings): e04's sampled fit split
     // into M sub-codebooks, per-subspace argmin codes, ADC lookup

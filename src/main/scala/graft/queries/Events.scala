@@ -545,6 +545,29 @@ object Events {
         (length($"event_type").cast("long") + $"k").as("mult"))
   }
 
+  /** q43: period-over-period growth — the daily KPI report (DAU-style
+    * counts + revenue, each day's delta against the previous day):
+    * counts aggregate map-side to one row per day, and the lag/growth
+    * window runs over THAT frame only (≤ |days| rows at any corpus
+    * size — days are bounded by the calendar, not the data). The first
+    * day's growth is NULL, not 0 — "no prior period" and "flat" must
+    * not collide. Growth is one integer subtraction and one double
+    * division, deterministic cross-engine; revenue stays exact
+    * milli-integer.
+    */
+  def q43PeriodGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 1000) as bigint)")).as("sum_vmil"))
+    daily
+      .withColumn("prev_events", lag($"n_events", 1).over(Window.orderBy($"day")))
+      .withColumn("growth_pct",
+        when($"prev_events".isNotNull,
+          ($"n_events" - $"prev_events").cast("double") / $"prev_events"))
+  }
+
   /** q41: last-touch attribution — every purchase is credited to the
     * user's most recent click or view within the preceding hour, or to
     * 'none' if no touch qualifies (the marketing-analytics staple; the

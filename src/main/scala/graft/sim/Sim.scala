@@ -580,7 +580,14 @@ object Sim {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
   }
 
-  def e04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def e04AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    e04Search(spark, dir, IvfNprobe)
+
+  /** e04's search parameterized by `nprobe` — shared by the operator
+    * (at [[IvfNprobe]]) and the e19 tuning curve (which sweeps it).
+    */
+  private[graft] def e04Search(
+      spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = emb(spark, dir)
     val centsDf = centroidsDf(spark, fitCentroids(e))
     val d2 = dotOf(spark, "v", "cv") * lit(-2.0) + col("c2")
@@ -592,7 +599,7 @@ object Sim {
       .withColumn("d2", d2)
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d2"), col("centroid_id"))))
-      .where(col("pr") <= IvfNprobe)
+      .where(col("pr") <= nprobe)
       .select(col("query_id"), col("v").as("qv"), col("qn"), col("centroid_id"))
     val scored = assigned.join(q, Seq("centroid_id"))
       .where(col("vec_id") =!= col("query_id"))
@@ -601,6 +608,29 @@ object Sim {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
       .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** e19: the IVF TUNING CURVE — recall@10 vs nprobe (the artifact an
+    * index operator actually reads before picking the serving config;
+    * FAISS's `nprobe` sweep): e04's search at nprobe ∈ {1, 2, 4}
+    * left-joined against the e01 exact panel (the e10 device, swept),
+    * reduced to integer hit counts per setting. More probed cells →
+    * monotonically more candidates → recall can only rise (spec-pinned
+    * along with nprobe=IvfNprobe agreeing with e04 exactly).
+    *
+    * Scale shape: e10's — ground truth costs panel × corpus once; each
+    * sweep point re-probes with a different cell budget; the join and
+    * rollup touch 200-row frames.
+    */
+  def e19IvfTuningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val exact = e01KnnCosine(spark, dir).select("query_id", "neighbor_id")
+    Seq(1, 2, 4).map { np =>
+      val approx = e04Search(spark, dir, np)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("n_exact"), col("n_hit"))
+    }.reduce(_.unionByName(_))
   }
 
   /** e07: product-quantized ANN with asymmetric distance (ADC) — the

@@ -488,6 +488,54 @@ class Round9Spec extends SparkSpec {
     assert(got.forall(t => t._4 > 0.0 && t._4 <= 1.0))
   }
 
+  test("e19 tuning curve: recall monotone in nprobe; top setting reproduces e04; bounds hold") {
+    import graft.sim.Sim
+    val got = Sim.e19IvfTuningCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 4L))
+    // same exact-panel denominator everywhere; hits within bounds
+    assert(got.map(_._2).distinct.length == 1)
+    got.foreach(t => assert(t._3 >= 0 && t._3 <= t._2))
+    // more probed cells can only add candidates: recall is monotone
+    assert(got(0)._3 <= got(1)._3 && got(1)._3 <= got(2)._3)
+    // the sweep's top setting IS e04: recompute its hits from the
+    // operator outputs directly
+    val exact = Sim.e01KnnCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e04 = Sim.e04AnnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got(2)._3 == exact.count(e04.contains).toLong)
+    assert(got(2)._2 == exact.size.toLong)
+    // the curve is non-degenerate: nprobe=1 misses something nprobe=4 finds
+    assert(got(0)._3 < got(2)._3, "sweep is flat — tuning curve degenerate")
+  }
+
+  test("q43 growth equals a driver walk; first day NULL; days contiguous frame") {
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        expr("cast(round(value * 1000) as bigint)").as("vmil"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    val daily = evs.groupBy(_._1).map { case (d, l) =>
+      (d, l.size.toLong, l.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val want = daily.zipWithIndex.map { case ((d, n, s), i) =>
+      val prev = if (i == 0) -1L else daily(i - 1)._2
+      val g = if (i == 0) Double.NaN else (n - prev).toDouble / prev
+      (d, n, s, prev, g)
+    }
+    val got = graft.queries.Events.q43PeriodGrowth(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == want.map(t => (t._1, t._2, t._3, t._4)))
+    got.zip(want).foreach { case (g, w) =>
+      assert((g._5.isNaN && w._5.isNaN) || math.abs(g._5 - w._5) < 1e-12)
+    }
+    assert(got.head._4 == -1L && got.head._5.isNaN)
+    assert(got.drop(1).forall(t => t._4 >= 0))
+    assert(got.length > 2)
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
