@@ -227,13 +227,23 @@ object ReliefQueries {
         }
         Iterator.single(acc)
       }
-    val total = blocks.reduce { (a, b) =>
+    // rdd.fold (not Dataset.reduce): distributed tree-combine that is
+    // total on an EMPTY corpus — an empty shard folds to the zero block
+    val total = blocks.rdd.fold(new Array[Double](1 + D + D + nPairs)) { (a, b) =>
       val out = new Array[Double](a.length)
       var i = 0
       while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
       out
     }
     val n = total(0)
+    if (n == 0.0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("dim_i", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dim_j", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("corr", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType))))
     val rows = (for {
       i <- 0 until D
       j <- (i + 1) until D

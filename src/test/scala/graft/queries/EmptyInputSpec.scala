@@ -109,7 +109,41 @@ class EmptyInputSpec extends SparkSpec {
       "e14" -> (() => graft.sim.Sim.e14AnnSq8(spark, emptyDir).count()),
       "e15" -> (() => graft.sim.Sim.e15AnnIvfSq8(spark, emptyDir).count()),
       "m07" -> (() => graft.multimodal.Multimodal.m07ImageDedup(spark, emptyDir).count()),
-      "q38" -> (() => Events.q38SketchSetops(spark, emptyDir).count()))
+      "q38" -> (() => Events.q38SketchSetops(spark, emptyDir).count()),
+      "d33" -> (() => graft.text.Corpus.d33FuzzyDecontam(spark, emptyDir).count()),
+      "d34" -> (() => graft.text.Text.d34HeavyHitters(spark, emptyDir).count()),
+      "d35" -> (() => graft.text.Corpus.d35QualityMix(spark, emptyDir).count()),
+      "d36" -> (() => graft.text.Corpus.d36SpanDedup(spark, emptyDir).count()),
+      "d37" -> (() => graft.text.Corpus.d37TemplateMining(spark, emptyDir).count()),
+      "q39" -> (() => Events.q39EventTransitions(spark, emptyDir).count()),
+      "q40" -> (() => Events.q40PeakConcurrency(spark, emptyDir).count()),
+      "q41" -> (() => Events.q41LastTouchAttribution(spark, emptyDir).count()),
+      "q42" -> (() => Events.q42Scd2Join(spark, emptyDir).count()),
+      "q43" -> (() => Events.q43PeriodGrowth(spark, emptyDir).count()),
+      "e16" -> (() => graft.sim.Sim.e16RangeSearch(spark, emptyDir).count()),
+      "e17" -> (() => graft.sim.Sim.e17HybridSearch(spark, emptyDir).count()),
+      "e18" -> (() => graft.sim.Sim.e18EmbeddingDrift(spark, emptyDir).count()),
+      // e19's report is the sweep LEDGER (one row per nprobe setting,
+      // the w18 fixed-shape contract): its counts must be zero
+      "e19" -> (() => {
+        val r = graft.sim.Sim.e19IvfTuningCurve(spark, emptyDir)
+          .agg(sum("n_exact"), sum("n_hit")).head()
+        r.getLong(0) + r.getLong(1)
+      }),
+      "f01" -> (() => graft.ml.ReliefQueries.f01Chi2Select(spark, emptyDir).count()),
+      "f02" -> (() => graft.ml.ReliefQueries.f02VarianceSelect(spark, emptyDir).count()),
+      "f03" -> (() => graft.ml.ReliefQueries.f03TopCorrelations(spark, emptyDir).count()),
+      "m08" -> (() => graft.multimodal.Multimodal.m08ImageQualityGate(spark, emptyDir).count()),
+      "m09" -> (() => graft.multimodal.Multimodal.m09SceneChange(spark, emptyDir).count()),
+      "m10" -> (() => graft.multimodal.Multimodal.m10AudioSegmentation(spark, emptyDir).count()),
+      "w19" -> (() => graft.sources.Sinks.w19SnapshotRollback(spark, emptyDir).count()),
+      "w20" -> (() => graft.sources.Sinks.w20AnalyzeStats(spark, emptyDir).count()),
+      // w21/w22 report per-ref / per-snapshot censuses (fixed shape):
+      // the populations must be zero
+      "w21" -> (() => graft.sources.Sinks.w21TableBranches(spark, emptyDir)
+        .agg(sum("n_docs")).head().getLong(0)),
+      "w22" -> (() => graft.sources.Sinks.w22MetadataTables(spark, emptyDir)
+        .agg(sum("n_rows")).head().getLong(0)))
     val failures = ops.flatMap { case (name, run) =>
       try { assert(run() == 0L, s"$name returned rows on empty input"); None }
       catch {
@@ -135,6 +169,13 @@ class EmptyInputSpec extends SparkSpec {
     // the zero-row batch still commits its (empty) manifest
     assert(graft.streaming.Streams.s12StreamPublish(spark, emptyDir).count() == 0L)
     assert(graft.streaming.Streams.s17StreamLineScrub(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s18StreamDomainCap(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s19StreamTrending(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s20StreamAttribution(spark, emptyDir).count() == 0L)
+    // s21 keeps q33's one-row all-zero summary contract
+    val s21 = graft.streaming.Streams.s21StreamFunnel(spark, emptyDir).head()
+    assert(s21.getLong(0) == 0L && s21.getLong(1) == 0L && s21.getLong(2) == 0L)
+    assert(graft.streaming.Streams.s22StreamScd2(spark, emptyDir).count() == 0L)
   }
 
   test("q33's scalar funnel summary is all-zero (not an error) on empty events") {
