@@ -100,6 +100,8 @@ object SparkEntry {
     "e18_embedding_drift" -> Sim.e18EmbeddingDrift _,
     "e19_ivf_tuning"      -> Sim.e19IvfTuningCurve _,
     "q43_period_growth"   -> Events.q43PeriodGrowth _,
+    "q44_equiwidth_histogram" -> Relational.q44EquiwidthHistogram _,
+    "d38_priority_dedup"  -> graft.text.Corpus.d38PriorityDedup _,
     "d33_fuzzy_decontam"  -> graft.text.Corpus.d33FuzzyDecontam _,
     "d34_heavy_hitters"   -> Text.d34HeavyHitters _,
     "d35_quality_mix"     -> graft.text.Corpus.d35QualityMix _,
@@ -1901,6 +1903,30 @@ object SparkEntry {
          |) a ON exact.query_id = a.query_id AND exact.neighbor_id = a.neighbor_id"""
         .stripMargin
     }.mkString("", "\nUNION ALL\n", ""),
+    // q44: integer equi-width bucketing — the same (v−lo)·20 div span
+    // arithmetic, so no float boundary can differ.
+    "q44_equiwidth_histogram" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 1000) AS BIGINT) AS vm
+        |           FROM lineitem),
+        |b AS (SELECT min(vm) AS lo, max(vm) AS hi FROM v)
+        |SELECT (vm - lo) * 20 // (hi - lo + 1) AS bucket,
+        |  count(*) AS n_rows, CAST(sum(vm) AS BIGINT) AS sum_vmil
+        |FROM v, b GROUP BY 1""".stripMargin,
+    // d38: the digest election replayed with a packed (prio, doc_id)
+    // min; the polynomial source-priority fold is the d13/d20 device.
+    "d38_priority_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(coalesce(text, '')) AS h,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(1, length(source)+1),
+        |        i -> CAST(ascii(source[i]) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 5 AS prio
+        |  FROM documents),
+        |e AS (SELECT h, min(prio * 1099511627776 + doc_id) AS pk,
+        |        count(*) AS n_copies
+        |      FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.prio, e.n_copies
+        |FROM e JOIN d ON d.doc_id = e.pk % 1099511627776""".stripMargin,
     // q43: daily rollup + the lag/growth window over the daily frame.
     "q43_period_growth" ->
       """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_events,

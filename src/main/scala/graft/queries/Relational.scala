@@ -482,4 +482,30 @@ object Relational {
       .withColumn("freshness",
         $"decayed_milli".cast("double") / $"raw_milli".cast("double"))
   }
+
+  /** q44: equi-WIDTH histogram — the optimizer-statistics primitive
+    * (ANALYZE ... COMPUTE HISTOGRAM, monitoring dashboards): 20
+    * equal-width buckets over `l_extendedprice`, per bucket the row
+    * count and exact value mass. The equi-DEPTH complement of q31's
+    * deciles: fixed boundaries, varying population — the shape
+    * selectivity estimation wants. Values bucket as exact
+    * milli-integers ((v − min)·20 div (max − min + 1) — pure integer
+    * arithmetic, no float boundary can misplace a row; the max value
+    * lands in bucket 19 by the +1). Bucket bounds are derived from one
+    * (min, max) aggregate broadcast back.
+    *
+    * Scale shape: two scans (bounds, then bucketing — or one with a
+    * cached frame), everything map-side-combines to 20 rows; no sort,
+    * no window, no shuffle beyond the 20-group aggregate.
+    */
+  def q44EquiwidthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select(expr("cast(round(l_extendedprice * 1000) as bigint)").as("vm"))
+    val bounds = li.agg(min($"vm").as("lo"), max($"vm").as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("(vm - lo) * 20 div (hi - lo + 1)"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"), sum($"vm").as("sum_vmil"))
+  }
 }

@@ -605,6 +605,38 @@ object Corpus {
         (col("n_docs").cast("double") / lit(total.toDouble)).as("doc_share"))
   }
 
+  /** d38: PRIORITY cross-corpus dedup — the multi-source union rule
+    * every pre-training mix applies (The Pile / Dolma recipe): when the
+    * same document appears in several sources, keep ONE copy from the
+    * most trusted source (curated beats crawled), ties to the smaller
+    * doc_id. Sources rank by a deterministic priority = the source
+    * name's polynomial hash mod 5 (standing in for the curator's
+    * wiki > books > crawl ordering — the mechanism, not the taxonomy,
+    * is the operator). Output: every kept document with its source,
+    * priority and the duplicate count it absorbed.
+    *
+    * Scale shape: text reduces to a 16-byte digest map-side; the
+    * election is ONE digest-keyed min_by over a packed
+    * (priority, doc_id) key — map-side-combined, no window over hot
+    * digests (the d36 lesson); the winner set joins back by doc_id.
+    * Document text never shuffles.
+    */
+  def d38PriorityDedup(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    def srcPrio(name: String) =
+      expr(s"aggregate(split($name, ''), 7L, (a, c) -> (a * 31 + ascii(c)) % $P) % 5")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(coalesce(col("text"), lit(""))).as("h"),
+        srcPrio("source").as("prio"))
+    val elected = docs
+      .groupBy("h")
+      .agg(min_by(col("doc_id"), struct(col("prio"), col("doc_id"))).as("doc_id"),
+        count(lit(1)).as("n_copies"))
+    elected.join(docs.select("doc_id", "source", "prio"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("prio"), col("n_copies"))
+  }
+
   /** d27: per-domain document caps (the Common-Crawl curation rule:
     * no single domain may dominate the corpus — keep at most K
     * documents per source, deterministically the K smallest doc_ids).

@@ -536,6 +536,47 @@ class Round9Spec extends SparkSpec {
     assert(got.length > 2)
   }
 
+  test("d38 priority election equals a driver walk; winners always have the group's best priority") {
+    val P = 1000000007L
+    def prio(s: String) = s.foldLeft(7L)((a, c) => (a * 31 + c.toInt) % P) % 5
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+    val want = docs.groupBy(_._3).map { case (_, grp) =>
+      val w = grp.minBy(d => (prio(d._2), d._1))
+      (w._1, w._2, prio(w._2), grp.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.text.Corpus.d38PriorityDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.map(_._3).distinct.length > 1,
+      "only one priority class — election untested")
+    // every winner's priority is minimal within its duplicate group
+    val byText = docs.groupBy(_._3)
+    got.foreach { case (id, _, p, n) =>
+      val grp = byText(docs.find(_._1 == id).get._3)
+      assert(n == grp.size.toLong)
+      assert(p == grp.map(d => prio(d._2)).min, s"doc $id not best-priority")
+    }
+  }
+
+  test("q44 histogram equals a driver bucket walk; buckets partition the range exactly") {
+    val vms = graft.Tables.lineitem(spark, sfDir)
+      .select(expr("cast(round(l_extendedprice * 1000) as bigint)")).collect()
+      .map(_.getLong(0))
+    val lo = vms.min; val hi = vms.max
+    val want = vms.groupBy(v => (v - lo) * 20 / (hi - lo + 1))
+      .map { case (b, l) => (b, l.size.toLong, l.sum) }.toSeq.sortBy(_._1)
+    val got = graft.queries.Relational.q44EquiwidthHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want)
+    // totals conserve; all buckets in [0, 19]; min and max land at the ends
+    assert(got.map(_._2).sum == vms.length.toLong)
+    assert(got.forall(t => t._1 >= 0 && t._1 <= 19))
+    assert(got.head._1 == 0L && got.last._1 == 19L)
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
