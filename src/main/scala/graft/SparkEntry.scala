@@ -101,7 +101,9 @@ object SparkEntry {
     "e19_ivf_tuning"      -> Sim.e19IvfTuningCurve _,
     "q43_period_growth"   -> Events.q43PeriodGrowth _,
     "q44_equiwidth_histogram" -> Relational.q44EquiwidthHistogram _,
+    "q45_sql_order_priority" -> Relational.q45SqlOrderPriority _,
     "d38_priority_dedup"  -> graft.text.Corpus.d38PriorityDedup _,
+    "d39_contamination_pressure" -> graft.text.Corpus.d39ContaminationPressure _,
     "d33_fuzzy_decontam"  -> graft.text.Corpus.d33FuzzyDecontam _,
     "d34_heavy_hitters"   -> Text.d34HeavyHitters _,
     "d35_quality_mix"     -> graft.text.Corpus.d35QualityMix _,
@@ -2496,6 +2498,33 @@ object SparkEntry {
         |  node AS survivor_id, n_len AS survivor_len
         |FROM rk WHERE rn = 1 AND n_members >= 2""".stripMargin,
     "d14_decontam" -> decontamOracleSql,
+    // d39 aggregates the same gram join from the benchmark's side:
+    // distinct crawl docs per bench doc + the raw hit volume.
+    "d39_contamination_pressure" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
+        |      < 20000000 AS is_bench
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_bench,
+        |    unnest(list_distinct(list_transform(range(1, len(toks)-3),
+        |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM d WHERE len(toks) >= 5),
+        |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE is_bench),
+        |c AS (SELECT doc_id AS crawl_id, gram FROM g WHERE NOT is_bench)
+        |SELECT b.bench_id, count(DISTINCT c.crawl_id) AS n_crawl_docs,
+        |  count(*) AS n_gram_hits
+        |FROM c JOIN b USING (gram)
+        |GROUP BY 1""".stripMargin,
+    // q45: the same EXISTS in DuckDB SQL — both engines decorrelate it.
+    "q45_sql_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
     // d33 is the fuzzy (near-dup) counterpart: both MinHash pipelines,
     // the crawl×bench band join, and the exact contamination verify
     // replayed in SQL

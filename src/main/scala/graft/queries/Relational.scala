@@ -498,6 +498,27 @@ object Relational {
     * cached frame), everything map-side-combines to 20 rows; no sort,
     * no window, no shuffle beyond the 20-group aggregate.
     */
+  /** q45: TPC-H Q4's shape authored in PURE SQL over registered views —
+    * the `spark.sql` parity path (everything else in the pack uses the
+    * DataFrame API; a reference user coming from SQL runs exactly
+    * this): late-shipped-order counts per priority via a correlated
+    * EXISTS. Catalyst decorrelates the subquery into a left-semi join
+    * and the plan is identical to the q04 DataFrame formulation — the
+    * point of the operator: SQL text and DataFrame code meet in the
+    * same optimizer, so neither pays a penalty.
+    */
+  def q45SqlOrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q45_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q45_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM graft_q45_orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM graft_q45_lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   def q44EquiwidthHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)

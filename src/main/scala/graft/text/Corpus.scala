@@ -71,6 +71,34 @@ object Corpus {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** d39: contamination PRESSURE — d14's join aggregated from the
+    * BENCHMARK's point of view (the report the eval team reads: "which
+    * of our held-out documents leak most into the training corpus, and
+    * how widely?"): per bench document, how many distinct crawl
+    * documents share at least one 5-gram with it, and the total
+    * (crawl doc, shared gram) hit volume. A bench doc with high
+    * pressure invalidates its eval rows regardless of which crawl docs
+    * get filtered — the decision d14/d29/d33 feed operates per crawl
+    * doc; this one decides which EVAL rows survive.
+    *
+    * Scale shape: d14's exact join (benchmark grams broadcast — the
+    * small side by definition), then the pair frame reduces by
+    * bench_id: count_distinct over crawl ids and an exact hit count,
+    * both map-side-combinable. Nothing new shuffles at scale beyond
+    * d14's own probe.
+    */
+  def d39ContaminationPressure(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = fiveGrams(docs.where(isBenchCol))
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val crawl = fiveGrams(docs.where(!isBenchCol))
+      .select(col("doc_id").as("crawl_id"), col("gram"))
+    crawl.join(broadcast(bench), Seq("gram"))
+      .groupBy("bench_id")
+      .agg(count_distinct(col("crawl_id")).as("n_crawl_docs"),
+        count(lit(1)).as("n_gram_hits"))
+  }
+
   /** d29: Bloom-pre-filtered decontamination — d14's exact semantics
     * with the at-scale candidate path: the benchmark gram set (the
     * SMALL side by definition — it's the held-out eval data) is folded

@@ -577,6 +577,55 @@ class Round9Spec extends SparkSpec {
     assert(got.head._1 == 0L && got.last._1 == 19L)
   }
 
+  test("q45 SQL formulation equals a driver walk; the EXISTS is decorrelated to a semi join") {
+    // dates are TIMESTAMP_NTZ in the testdata: ISO strings compare
+    // chronologically, so the walk stays type-agnostic
+    val orders = graft.Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "cast(o_orderdate as string) as od").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val late = graft.Tables.lineitem(spark, sfDir)
+      .selectExpr("l_orderkey", "cast(l_shipdate as string) as sd").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = orders
+      .filter { case (ok, _, od) => late.get(ok).exists(_ > od) }
+      .groupBy(_._2).map { case (p, l) => (p, l.size.toLong) }.toSeq.sortBy(_._1)
+    val out = graft.queries.Relational.q45SqlOrderPriority(spark, sfDir)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
+  test("d39 pressure report equals a driver walk and reconciles with d14's crawl-side view") {
+    val P = 1000000007L
+    def isBench(id: Long) = ((id % P) * 777000037L % P + 4242L) % P < 20000000L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+")
+      if (toks.length < 5) Set.empty
+      else (0 to toks.length - 5).map(i => toks.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val bench = docs.filter(d => isBench(d._1)).map(d => (d._1, grams(d._2)))
+    val crawl = docs.filter(d => !isBench(d._1)).map(d => (d._1, grams(d._2)))
+    val want = bench.flatMap { case (bid, bg) =>
+      val hits = crawl.map { case (cid, cg) => (cid, (bg & cg).size.toLong) }
+        .filter(_._2 > 0)
+      if (hits.isEmpty) None
+      else Some((bid, hits.length.toLong, hits.map(_._2).sum))
+    }.sortBy(_._1).toSeq
+    val got = graft.text.Corpus.d39ContaminationPressure(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "no contamination pressure — degenerate corpus")
+    // hit volume dominates doc count; the report is bench-side only
+    got.foreach(t => assert(t._3 >= t._2 && isBench(t._1)))
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
