@@ -136,6 +136,7 @@ object SparkEntry {
     "m09_scene_change"    -> Multimodal.m09SceneChange _,
     "m10_audio_segmentation" -> Multimodal.m10AudioSegmentation _,
     "s22_stream_scd2"     -> Streams.s22StreamScd2 _,
+    "s23_stream_histogram" -> Streams.s23StreamHistogram _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
@@ -173,6 +174,7 @@ object SparkEntry {
     "q41_last_touch_attribution" -> Events.q41LastTouchAttribution _,
     "q42_scd2_join"       -> Events.q42Scd2Join _,
     "f03_top_correlations" -> ReliefQueries.f03TopCorrelations _,
+    "f04_mrmr_select"     -> ReliefQueries.f04MrmrSelect _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
@@ -569,6 +571,70 @@ object SparkEntry {
        |  FROM cand) t
        |WHERE rn <= 10""".stripMargin
 
+  /** f04's greedy mRMR replayed as unrolled CTE layers (the e13
+    * device): the f01 χ² CTEs + the f03 pairwise-correlation CTEs feed
+    * five selection layers, each picking the argmax of
+    * χ² − mean |corr(·, selected)| over the remaining dims.
+    */
+  private val f04OracleSql: String = {
+    val base =
+      """WITH e AS (SELECT label::BIGINT AS label,
+        |             unnest(range(0, 64)) AS dim, unnest(embedding) AS x
+        |           FROM embeddings),
+        |cells AS (SELECT dim, CASE WHEN x > 0 THEN 1 ELSE 0 END AS s, label,
+        |            count(*) AS n
+        |          FROM e GROUP BY 1, 2, 3),
+        |grid AS (SELECT d.dim, s.s, l.label
+        |         FROM (SELECT DISTINCT dim FROM cells) d,
+        |              (VALUES (0), (1)) s(s),
+        |              (SELECT DISTINCT label FROM cells) l),
+        |dense AS (SELECT g.dim, g.s, g.label, coalesce(c.n, 0) AS n
+        |          FROM grid g LEFT JOIN cells c
+        |            ON g.dim = c.dim AND g.s = c.s AND g.label = c.label),
+        |mm AS (SELECT dim, s, label, n,
+        |        sum(n) OVER (PARTITION BY dim, s) AS row_tot,
+        |        sum(n) OVER (PARTITION BY dim, label) AS col_tot,
+        |        sum(n) OVER (PARTITION BY dim) AS tot
+        |      FROM dense),
+        |chi AS (SELECT dim,
+        |          sum(CASE WHEN row_tot * col_tot > 0
+        |              THEN (n - row_tot * col_tot / tot) * (n - row_tot * col_tot / tot)
+        |                   / (row_tot * col_tot / tot)
+        |              ELSE 0 END) AS chi2
+        |        FROM mm GROUP BY 1),
+        |e2 AS (SELECT vec_id, unnest(range(0, 64)) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |       FROM embeddings),
+        |p2 AS (SELECT a.dim AS i, b.dim AS j, count(*) AS n,
+        |        sum(a.x) AS sx, sum(b.x) AS sy, sum(a.x * a.x) AS sxx,
+        |        sum(b.x * b.x) AS syy, sum(a.x * b.x) AS sxy
+        |      FROM e2 a JOIN e2 b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        |      GROUP BY 1, 2),
+        |c2 AS (SELECT i, j,
+        |        CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+        |          THEN (n * sxy - sx * sy)
+        |               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |          ELSE 0 END AS corr
+        |      FROM p2),
+        |cr AS (SELECT i, j, corr FROM c2
+        |       UNION ALL SELECT j AS i, i AS j, corr FROM c2),
+        |s1 AS (SELECT dim, chi2 AS score FROM chi ORDER BY chi2 DESC, dim LIMIT 1),
+        |sel1 AS (SELECT dim FROM s1)""".stripMargin
+    val layers = (2 to 5).map { k =>
+      s"""m$k AS (SELECT ch.dim,
+         |  ch.chi2 - (SELECT avg(abs(cr.corr)) FROM cr
+         |             JOIN sel${k - 1} sl ON cr.i = ch.dim AND cr.j = sl.dim) AS score
+         |  FROM chi ch WHERE ch.dim NOT IN (SELECT dim FROM sel${k - 1})),
+         |s$k AS (SELECT dim, score FROM m$k ORDER BY score DESC, dim LIMIT 1),
+         |sel$k AS (SELECT dim FROM sel${k - 1} UNION ALL SELECT dim FROM s$k)"""
+        .stripMargin
+    }.mkString(",\n", ",\n", "")
+    val out = (1 to 5)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, dim, score FROM s$k")
+      .mkString("\n", "\nUNION ALL\n", "")
+    base + layers + out
+  }
+
   private val knnExactOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |s AS (
@@ -916,6 +982,8 @@ object SparkEntry {
         |SELECT event_type, version, count(*) AS n_events,
         |  CAST(sum(vm) AS BIGINT) AS sum_vmil
         |FROM j GROUP BY 1, 2""".stripMargin,
+    // f04: the greedy mRMR selection unrolled into five CTE layers.
+    "f04_mrmr_select" -> f04OracleSql,
     // f03: pairwise Pearson moments from the zipped-unnest self-join,
     // the same correlation identity, top-10 by |corr|.
     "f03_top_correlations" ->
@@ -1905,6 +1973,15 @@ object SparkEntry {
          |) a ON exact.query_id = a.query_id AND exact.neighbor_id = a.neighbor_id"""
         .stripMargin
     }.mkString("", "\nUNION ALL\n", ""),
+    // s23 maintains q44's histogram on the stream with batch-derived
+    // literal bounds; one AvailableNow pass equals q44's oracle.
+    "s23_stream_histogram" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 1000) AS BIGINT) AS vm
+        |           FROM lineitem),
+        |b AS (SELECT min(vm) AS lo, max(vm) AS hi FROM v)
+        |SELECT (vm - lo) * 20 // (hi - lo + 1) AS bucket,
+        |  count(*) AS n_rows, CAST(sum(vm) AS BIGINT) AS sum_vmil
+        |FROM v, b GROUP BY 1""".stripMargin,
     // q44: integer equi-width bucketing — the same (v−lo)·20 div span
     // arithmetic, so no float boundary can differ.
     "q44_equiwidth_histogram" ->

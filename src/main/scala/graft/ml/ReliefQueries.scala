@@ -129,6 +129,17 @@ object ReliefQueries {
     */
   def f01Chi2Select(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    chi2Frame(spark, dir)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("chi2").desc, col("dim"))).cast("long"))
+      .where(col("rnk") <= 10)
+  }
+
+  /** The per-dimension χ² frame (dim, chi2) — f01's kernel, shared
+    * with the f04 mRMR relevance term.
+    */
+  private[graft] def chi2Frame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cells = Tables.embeddings(spark, dir)
       .select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -147,13 +158,10 @@ object ReliefQueries {
       .withColumn("col_tot", sum("n").over(Window.partitionBy("dim", "label")))
       .withColumn("tot", sum("n").over(Window.partitionBy("dim")))
     val e = col("row_tot") * col("col_tot") / col("tot")
-    val chi = withTot
+    withTot
       .withColumn("term",
         when(e > 0.0, (col("n") - e) * (col("n") - e) / e).otherwise(lit(0.0)))
       .groupBy("dim").agg(sum("term").as("chi2"))
-    chi.withColumn("rnk", row_number()
-        .over(Window.orderBy(col("chi2").desc, col("dim"))).cast("long"))
-      .where(col("rnk") <= 10)
   }
 
   /** f02: variance-threshold feature selection (Spark MLlib's
@@ -201,6 +209,29 @@ object ReliefQueries {
     * moves `partitions × 17 KB` over the network, total.
     */
   def f03TopCorrelations(spark: SparkSession, dir: String): DataFrame = {
+    val rows = corrPairs(spark, dir)
+      .sortBy { case (i, j, c) => (-math.abs(c), i, j) }
+      .take(10).zipWithIndex
+      .map { case ((i, j, c), r) => (i, j, c, r + 1L) }
+    if (rows.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("dim_i", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dim_j", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("corr", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType))))
+    else
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1))
+        .toDF("dim_i", "dim_j", "corr", "rnk")
+  }
+
+  /** All 2 080 pairwise Pearson correlations via the distributed
+    * Gramian — f03's kernel, shared with the f04 mRMR redundancy term.
+    * Empty corpus → empty seq.
+    */
+  private[graft] def corrPairs(
+      spark: SparkSession, dir: String): Seq[(Long, Long, Double)] = {
     import spark.implicits._
     val D = 64
     val nPairs = D * (D - 1) / 2
@@ -236,15 +267,8 @@ object ReliefQueries {
       out
     }
     val n = total(0)
-    if (n == 0.0)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("dim_i", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("dim_j", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("corr", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType))))
-    val rows = (for {
+    if (n == 0.0) return Seq.empty
+    (for {
       i <- 0 until D
       j <- (i + 1) until D
     } yield {
@@ -255,11 +279,44 @@ object ReliefQueries {
       val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
       val corr = if (den > 0) (n * sxy - sx * sy) / den else 0.0
       (i.toLong, j.toLong, corr)
-    }).sortBy { case (i, j, c) => (-math.abs(c), i, j) }
-      .take(10).zipWithIndex
-      .map { case ((i, j, c), r) => (i, j, c, r + 1L) }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1))
-      .toDF("dim_i", "dim_j", "corr", "rnk")
+    }).toSeq
+  }
+
+  /** f04: greedy mRMR selection — max-Relevance-min-Redundancy (Peng
+    * et al. 2005), the principled version of the reference's
+    * `redundancyRemoval` flag (ReliefFRSelector's greedy
+    * relevance-vs-redundancy loop, re-based on the f01/f03 kernels):
+    * pick 1 = the highest-χ² dimension; each further pick maximizes
+    * χ²(f) − mean |corr(f, s)| over the already-selected set s ∈ S.
+    * A top-χ² dimension that duplicates an earlier pick's signal is
+    * passed over for a slightly-less-relevant but INDEPENDENT one —
+    * the whole point of redundancy-aware selection.
+    *
+    * Scale shape: both kernels are the already-scale-safe aggregates
+    * (f01's constant cell frame, f03's Gramian blocks); the greedy
+    * loop itself is driver arithmetic over 64 scores × 5 steps — the
+    * e13 unrolled-stages precedent, constant work at any corpus size.
+    */
+  def f04MrmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val chi = chi2Frame(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val corr = corrPairs(spark, dir)
+      .flatMap { case (i, j, c) => Seq((i, j) -> c, (j, i) -> c) }.toMap
+    val dims = chi.keys.toSeq.sorted
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val selected = scala.collection.mutable.ArrayBuffer[Long]()
+    for (step <- 1 to 5) {
+      val best = dims.filterNot(selected.contains).map { d =>
+        val red =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => math.abs(corr((d, s)))).sum / selected.length
+        (d, chi(d) - red)
+      }.minBy { case (d, score) => (-score, d) }
+      picks += ((step.toLong, best._1, best._2))
+      selected += best._1
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(picks.toSeq, 1))
+      .toDF("step", "dim", "score")
   }
 
   /** vector_assemble: the reference's CSV→VectorAssembler input path

@@ -680,6 +680,32 @@ object Streams {
     s.table(name)
   }
 
+  /** s23: streaming equi-width histogram — q44's optimizer/monitoring
+    * statistic maintained live over the ingest stream: bucket BOUNDS
+    * come from one batch-side (min, max) aggregate and ride the stream
+    * plan as two literal longs (bounds are config-sized — the
+    * collect-into-the-plan move that was WRONG for s17's unbounded
+    * dictionary is exactly right here); each arriving value buckets by
+    * the same pure-integer cross-multiply, and the complete-mode
+    * rollup frame is bounded at 20 rows regardless of traffic. One
+    * AvailableNow pass equals batch q44 (shared oracle); counts are
+    * additive so any batch split reproduces it.
+    */
+  def s23StreamHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val b = graft.Tables.lineitem(ss, dir)
+      .select(expr("cast(round(l_extendedprice * 1000) as bigint)").as("vm"))
+      .agg(min(col("vm")).as("lo"), max(col("vm")).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val agg = fileStream(ss, dir, "lineitem.parquet")
+      .select(expr("cast(round(l_extendedprice * 1000) as bigint)").as("vm"))
+      .withColumn("bucket", expr(s"(vm - ${lo}L) * 20 div (${hi}L - ${lo}L + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("vm")).as("sum_vmil"))
+    val (s, name) = runToCompletion(agg, OutputMode.Complete())
+    s.table(name)
+  }
+
   /** s12: streaming atomic publish — the w06 landing zone upgraded to
     * the w08 manifest contract: each micro-batch lands its data files,
     * then ONE manifest rename commits (previous files + the batch's).

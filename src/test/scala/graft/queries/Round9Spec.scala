@@ -626,6 +626,44 @@ class Round9Spec extends SparkSpec {
     got.foreach(t => assert(t._3 >= t._2 && isBench(t._1)))
   }
 
+  test("f04 mRMR picks equal an independent greedy walk; redundancy really reorders pure relevance") {
+    import graft.ml.ReliefQueries
+    val got = ReliefQueries.f04MrmrSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.map(_._2).distinct.length == 5, "a dim was picked twice")
+    // independent walk straight from the kernels
+    val chi = ReliefQueries.chi2Frame(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val corr = ReliefQueries.corrPairs(spark, sfDir)
+      .flatMap { case (i, j, c) => Seq((i, j) -> c, (j, i) -> c) }.toMap
+    var sel = List.empty[Long]
+    val want = (1 to 5).map { step =>
+      val (d, s) = chi.keys.toSeq.filterNot(sel.contains).map { d =>
+        val red = if (sel.isEmpty) 0.0
+          else sel.map(x => math.abs(corr((d, x)))).sum / sel.length
+        (d, chi(d) - red)
+      }.minBy { case (d, s) => (-s, d) }
+      sel = sel :+ d
+      (step.toLong, d, s)
+    }
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-9) }
+    // step 1 is the pure-relevance champion; scores carry the penalty
+    val topChi = chi.toSeq.minBy { case (d, c) => (-c, d) }._1
+    assert(got.head._2 == topChi)
+    assert(got.tail.forall(t => t._3 <= chi(t._2)), "no redundancy penalty applied")
+  }
+
+  test("s23 streaming histogram equals batch q44 on an AvailableNow pass") {
+    import graft.streaming.Streams
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = rows(graft.queries.Relational.q44EquiwidthHistogram(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(rows(Streams.s23StreamHistogram(spark, sfDir)) == want)
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
