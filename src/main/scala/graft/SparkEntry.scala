@@ -135,6 +135,7 @@ object SparkEntry {
     "m08_image_quality_gate" -> Multimodal.m08ImageQualityGate _,
     "m09_scene_change"    -> Multimodal.m09SceneChange _,
     "m10_audio_segmentation" -> Multimodal.m10AudioSegmentation _,
+    "m11_image_near_dup"  -> Multimodal.m11ImageNearDup _,
     "s22_stream_scd2"     -> Streams.s22StreamScd2 _,
     "s23_stream_histogram" -> Streams.s23StreamHistogram _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
@@ -175,6 +176,7 @@ object SparkEntry {
     "q42_scd2_join"       -> Events.q42Scd2Join _,
     "f03_top_correlations" -> ReliefQueries.f03TopCorrelations _,
     "f04_mrmr_select"     -> ReliefQueries.f04MrmrSelect _,
+    "f05_histogram_drift" -> ReliefQueries.f05HistogramDrift _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
@@ -982,6 +984,37 @@ object SparkEntry {
         |SELECT event_type, version, count(*) AS n_events,
         |  CAST(sum(vm) AS BIGINT) AS sum_vmil
         |FROM j GROUP BY 1, 2""".stripMargin,
+    // f05: per-dim parity-half histograms on the OLD half's bounds,
+    // cross-multiplied integer L1 — bit-reproducible, no PSI log().
+    "f05_histogram_drift" ->
+      """WITH v AS (SELECT vec_id % 2 AS is_new,
+        |             unnest(range(0, 64)) AS dim,
+        |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xm
+        |           FROM embeddings),
+        |b AS (SELECT dim, min(xm) AS lo, max(xm) AS hi FROM v
+        |      WHERE is_new = 0 GROUP BY 1),
+        |bk AS (SELECT v.dim, v.is_new,
+        |         greatest(0, least(7, (xm - lo) * 8 // (hi - lo + 1))) AS bucket,
+        |         count(*) AS n
+        |       FROM v JOIN b ON v.dim = b.dim GROUP BY 1, 2, 3),
+        |t AS (SELECT dim, is_new, sum(n) AS tn FROM bk GROUP BY 1, 2),
+        |o AS (SELECT dim, bucket, n AS n_old FROM bk WHERE is_new = 0),
+        |nn AS (SELECT dim, bucket, n AS n_new FROM bk WHERE is_new = 1),
+        |f AS (SELECT coalesce(o.dim, nn.dim) AS dim,
+        |        coalesce(o.bucket, nn.bucket) AS bucket,
+        |        coalesce(o.n_old, 0) AS n_old, coalesce(nn.n_new, 0) AS n_new
+        |      FROM o FULL OUTER JOIN nn ON o.dim = nn.dim AND o.bucket = nn.bucket),
+        |dr AS (SELECT f.dim,
+        |         CAST(sum(abs(f.n_old * tn2.tn - f.n_new * tn1.tn)) AS BIGINT) AS drift_l1
+        |       FROM f
+        |       JOIN t tn1 ON tn1.dim = f.dim AND tn1.is_new = 0
+        |       JOIN t tn2 ON tn2.dim = f.dim AND tn2.is_new = 1
+        |       GROUP BY 1)
+        |SELECT dim, drift_l1, rnk FROM (
+        |  SELECT dim, drift_l1,
+        |    row_number() OVER (ORDER BY drift_l1 DESC, dim) AS rnk
+        |  FROM dr)
+        |WHERE rnk <= 10""".stripMargin,
     // f04: the greedy mRMR selection unrolled into five CTE layers.
     "f04_mrmr_select" -> f04OracleSql,
     // f03: pairwise Pearson moments from the zipped-unnest self-join,
@@ -3063,6 +3096,62 @@ object SparkEntry {
     // m07: the aHash pipeline replayed from the image formulas — gid
     // picks content, brightness models re-encoding; the mean-threshold
     // bits pack into (hi, lo) 32-bit halves; clusters group by hash.
+    // m11: the full near-dup pipeline at formula level — unique base
+    // hashes, whited sampled pixels behind two bits of every 3rd doc's
+    // twin, 16-bit bands with the stop cap, popcount hamming ≤ 7.
+    "m11_image_near_dup" ->
+      """WITH base AS (SELECT doc_id, doc_id AS img, FALSE AS noisy FROM documents),
+        |tw AS (SELECT doc_id + 1000000 AS doc_id, doc_id AS img, TRUE AS noisy
+        |       FROM documents WHERE doc_id % 3 = 0),
+        |corpus AS (
+        |  SELECT doc_id, img, noisy,
+        |    img % 1000000007 * 616318177 % 1000000007 AS m1,
+        |    img % 1000000007 * 777000037 % 1000000007 AS m2,
+        |    img % 1000000007 * 888000131 % 1000000007 AS m3
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM tw)),
+        |px AS (
+        |  SELECT doc_id, img, noisy, m1, m2, m3,
+        |    1 + m1 % 97 AS k1, 1 + m2 % 89 AS k2, 1 + m3 % 83 AS k3,
+        |    unnest(flatten(list_transform(range(0, 8), y ->
+        |      list_transform(range(0, 8), x -> y*8 + x)))) AS bit,
+        |    unnest(flatten(list_transform(range(0, 8), y ->
+        |      list_transform(range(0, 8), x -> ((y*12)//8)*16 + 2*x)))) AS p
+        |  FROM corpus),
+        |lum AS (
+        |  SELECT doc_id, bit,
+        |    CASE WHEN noisy AND (bit = img % 64 OR bit = (img*7 + 13) % 64)
+        |         THEN 255000
+        |         ELSE 299*((m1 + p*k1) % 200) + 587*((m2 + p*k2) % 200)
+        |              + 114*((m3 + p*k3) % 200) END AS l
+        |  FROM px),
+        |t AS (SELECT doc_id, bit, l, sum(l) OVER (PARTITION BY doc_id) AS s FROM lum),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN l*64 > s AND bit >= 32
+        |      THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(sum(CASE WHEN l*64 > s AND bit < 32
+        |      THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END), 0) AS BIGINT) AS lo
+        |  FROM t GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, hi, lo, unnest([0, 1, 2, 3]) AS bi,
+        |    unnest([lo & 65535, (lo >> 16) & 65535,
+        |            hi & 65535, (hi >> 16) & 65535]) AS bv
+        |  FROM hs),
+        |hot AS (SELECT bi, bv FROM bands GROUP BY 1, 2 HAVING count(*) > 64),
+        |ok AS (SELECT b.* FROM bands b ANTI JOIN hot USING (bi, bv)),
+        |pr0 AS (SELECT doc_id, hi, lo, bi,
+        |          unnest(list_append(list_transform(range(0, 16),
+        |            k -> xor(bv, CAST(1 AS BIGINT) << k)), bv)) AS bv
+        |        FROM ok),
+        |pr AS (SELECT p.* FROM pr0 p ANTI JOIN hot USING (bi, bv)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |           a.hi AS ah, a.lo AS al, b.hi AS bh, b.lo AS bl
+        |         FROM pr a JOIN ok b
+        |           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |  CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) <= 7""".stripMargin,
     "m07_image_dedup" ->
       """WITH px AS (
         |  SELECT doc_id, doc_id % 97 AS gid, (doc_id // 97) % 5 * 3 AS br,

@@ -319,6 +319,57 @@ object ReliefQueries {
       .toDF("step", "dim", "score")
   }
 
+  /** f05: per-FEATURE distribution drift — e18's generation check at
+    * feature granularity (the monitoring column of a feature store:
+    * which input features shifted between snapshots, not just whether
+    * the centroid moved): each dimension histograms both parity halves
+    * into 8 equi-width buckets on the OLD half's bounds (out-of-range
+    * new values clamp to the edge buckets — appearing mass at the
+    * edges IS drift signal), and the drift score is the cross-
+    * multiplied L1 distance Σ_b |n_old·N_new − n_new·N_old| — exact
+    * integer arithmetic end to end (values quantized to milli units
+    * first), so the ranking reproduces bit-for-bit cross-engine, with
+    * none of PSI's log() libm hazard. Top-10 drifting dims.
+    *
+    * Scale shape: one posexplode pass; per-(dim, half, bucket) counts
+    * map-side-combine to ≤ dims·2·8 rows; bounds are a per-dim
+    * aggregate over the same constant frame; the rank orders 64 rows.
+    */
+  def f05HistogramDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 2 === 1).cast("long").as("is_new"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("is_new"), col("dim").cast("long").as("dim"),
+        // float → double is exact; the ×1000 then happens in double on
+        // both engines, so the rounded milli-units agree bit-for-bit
+        expr("cast(round(cast(x as double) * 1000) as bigint)").as("xm"))
+    val bounds = vals.where(col("is_new") === 0)
+      .groupBy("dim").agg(min("xm").as("lo"), max("xm").as("hi"))
+    val bucketed = vals.join(bounds, Seq("dim"))
+      .withColumn("bucket",
+        greatest(lit(0L), least(lit(7L),
+          expr("(xm - lo) * 8 div (hi - lo + 1)"))))
+      .groupBy("dim", "is_new", "bucket").agg(count(lit(1)).as("n"))
+    val tot = bucketed.groupBy("dim", "is_new").agg(sum("n").as("tn"))
+    val old = bucketed.where(col("is_new") === 0)
+      .select(col("dim"), col("bucket"), col("n").as("n_old"))
+    val neu = bucketed.where(col("is_new") === 1)
+      .select(col("dim"), col("bucket"), col("n").as("n_new"))
+    val totO = tot.where(col("is_new") === 0).select(col("dim"), col("tn").as("t_old"))
+    val totN = tot.where(col("is_new") === 1).select(col("dim"), col("tn").as("t_new"))
+    val drift = old.join(neu, Seq("dim", "bucket"), "full_outer")
+      .withColumn("n_old", coalesce(col("n_old"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .join(totO, Seq("dim")).join(totN, Seq("dim"))
+      .groupBy("dim")
+      .agg(sum(abs(col("n_old") * col("t_new") - col("n_new") * col("t_old")))
+        .as("drift_l1"))
+    drift.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("drift_l1").desc, col("dim"))).cast("long"))
+      .where(col("rnk") <= 10)
+  }
+
   /** vector_assemble: the reference's CSV→VectorAssembler input path
     * (reference TestHelper.scala), over the orders table's numerics.
     */

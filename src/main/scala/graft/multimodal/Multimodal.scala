@@ -930,6 +930,121 @@ object Multimodal {
     }.toDF()
   }
 
+  /** m11 near-dup geometry: every document gets a UNIQUE base image
+    * (channel formulas keyed by the raw doc_id — no shared-gid classes,
+    * so distinct documents hash apart and the pair space stays linear);
+    * every 3rd document also yields a NOISY twin (id + 1 000 000) whose
+    * raster whites out the two sampled source pixels behind hash bits
+    * (id % 64) and ((id·7 + 13) % 64) — a localized edit that moves a
+    * few aHash bits, the thing m07's exact-equality dedup cannot see.
+    */
+  private[graft] def m11WhiteBits(id: Long): Seq[Int] =
+    Seq((id % 64).toInt, ((id * 7 + 13) % 64).toInt).distinct
+
+  /** The 16×12 source pixel the 8×8 aHash cell `b` samples (the m06
+    * nearest-resize map: sy = (y·12)/8, sx = 2x).
+    */
+  private[graft] def m11BitToSrcPixel(b: Int): Int =
+    ((b / 8) * ImgH / 8) * ImgW + 2 * (b % 8)
+
+  /** Unique base raster for doc `id`: per-image mod-prime phase AND
+    * stride per channel — a fixed stride would give every image the
+    * same per-cell bias and park ~1% of arbitrary pairs inside the
+    * hamming radius; varying both decorrelates backgrounds so the
+    * near-dup structure (planted twins) dominates the pair space.
+    */
+  private[graft] def synthUniqueImage(id: Long, white: Set[Int]): Array[Byte] = {
+    val P = 1000000007L
+    val m1 = id % P * 616318177L % P
+    val m2 = id % P * 777000037L % P
+    val m3 = id % P * 888000131L % P
+    val k1 = 1 + m1 % 97; val k2 = 1 + m2 % 89; val k3 = 1 + m3 % 83
+    val header = s"P6\n$ImgW $ImgH\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](ImgW * ImgH * 3)
+    var p = 0
+    while (p < ImgW * ImgH) {
+      if (white.contains(p)) {
+        raster(p * 3) = 255.toByte; raster(p * 3 + 1) = 255.toByte
+        raster(p * 3 + 2) = 255.toByte
+      } else {
+        raster(p * 3) = ((m1 + p * k1) % 200).toByte
+        raster(p * 3 + 1) = ((m2 + p * k2) % 200).toByte
+        raster(p * 3 + 2) = ((m3 + p * k3) % 200).toByte
+      }
+      p += 1
+    }
+    header ++ raster
+  }
+
+  /** m11: hamming-tolerant perceptual image NEAR-dup — the d07 SimHash
+    * recipe applied to m07's aHash (m07 groups EXACT hash equality;
+    * real re-hosted images differ by crops/watermarks/noise that move
+    * a FEW bits, which equality can never catch): the 64-bit aHash
+    * splits into 4×16-bit bands, and the smaller-id side probes each
+    * band value plus its 16 one-bit flips (the e03 hamming-1
+    * multi-probe) — by pigeonhole a pair within hamming 7 < 2·4 has
+    * SOME band differing in ≤ 1 bit, so candidate recall is GUARANTEED
+    * at the radius, not probabilistic. Degenerate band values above
+    * the stop cap drop out of both sides (the d06 MaxBucket device),
+    * and exact popcount hamming ≤ 7 decides membership — the band tier
+    * affects cost only.
+    *
+    * Scale shape: rasters reduce to 16 hash bytes inside the codec
+    * task; the band join shuffles 24-byte rows; the cap bounds any
+    * bucket's pair space; popcount runs codegen'd (`bit_count`).
+    */
+  def m11ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val HamMax = 7
+    val BandCap = 64
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val hashes = ids.flatMap { id =>
+      def row(docId: Long, white: Set[Int]) = {
+        val ppm = synthUniqueImage(id, white)
+        val (w, h, off) = ppmRaster(ppm).getOrElse(
+          throw new IllegalStateException(s"doc $docId synth image is not a valid P6"))
+        val (hi, lo) = aHash(java.util.Arrays.copyOfRange(ppm, off, ppm.length), w, h)
+        AHashRow(docId, hi, lo)
+      }
+      val base = row(id, Set.empty)
+      if (id % 3 == 0)
+        Seq(base, row(id + 1000000L,
+          m11WhiteBits(id).map(m11BitToSrcPixel).toSet))
+      else Seq(base)
+    }.toDF()
+    val bands = hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+      explode(expr(
+        """array(
+          |  struct(0 AS bi, hash_lo & 65535 AS bv),
+          |  struct(1 AS bi, shiftright(hash_lo, 16) & 65535 AS bv),
+          |  struct(2 AS bi, hash_hi & 65535 AS bv),
+          |  struct(3 AS bi, shiftright(hash_hi, 16) & 65535 AS bv))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val hot = bands.groupBy("bi", "bv")
+      .agg(count(lit(1)).as("c")).where(col("c") > BandCap)
+      .select("bi", "bv")
+    val ok = bands.join(hot, Seq("bi", "bv"), "left_anti")
+    // hamming-1 multi-probe on the probing side: the band value itself
+    // plus its 16 one-bit flips (17 probes per band, 68 per document)
+    val probes = ok
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"), col("bi"),
+        explode(expr(
+          "array_union(array(bv), transform(sequence(0, 15), k -> bv ^ shiftleft(1L, k)))"))
+          .as("bv"))
+      .join(hot, Seq("bi", "bv"), "left_anti")
+    val pairs = probes.as("a").join(ok.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (expr("bit_count(a.hash_hi ^ b.hash_hi)") +
+          expr("bit_count(a.hash_lo ^ b.hash_lo)")).cast("long").as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .where(col("hamming") <= HamMax)
+    pairs
+  }
+
   /** The `documents` table re-shaped as a media table: text bytes stand
     * in for an encoded image; metadata struct alongside.
     */

@@ -664,6 +664,81 @@ class Round9Spec extends SparkSpec {
     assert(rows(Streams.s23StreamHistogram(spark, sfDir)) == want)
   }
 
+  test("f05 drift ranking equals a driver histogram walk; all-integer scores") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) as xm")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dims = rows.head._2.length
+    val want = (0 until dims).map { d =>
+      val old = rows.filter(_._1 % 2 == 0).map(_._2(d))
+      val neu = rows.filter(_._1 % 2 == 1).map(_._2(d))
+      val lo = old.min; val hi = old.max
+      def bucket(x: Long) = math.max(0L, math.min(7L, (x - lo) * 8 / (hi - lo + 1)))
+      val no = old.groupBy(bucket).view.mapValues(_.length.toLong).toMap
+      val nn = neu.groupBy(bucket).view.mapValues(_.length.toLong).toMap
+      val drift = (no.keySet ++ nn.keySet).toSeq.map { b =>
+        math.abs(no.getOrElse(b, 0L) * neu.length - nn.getOrElse(b, 0L) * old.length)
+      }.sum
+      (d.toLong, drift)
+    }.sortBy { case (d, v) => (-v, d) }.take(10).zipWithIndex
+      .map { case ((d, v), i) => (d, v, i + 1L) }
+    val got = graft.ml.ReliefQueries.f05HistogramDrift(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    assert(got == want)
+    assert(got.head._2 > 0L)
+  }
+
+  test("m11 near-dup pairs: every in-radius twin found with exact hamming; precision total") {
+    import graft.multimodal.Multimodal
+    val got = Multimodal.m11ImageNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = ids.filter(_ % 3 == 0)
+    assert(planted.nonEmpty)
+    // driver replica of the aHash formula for expected twin hammings
+    def hashBits(img: Long, noisy: Boolean): Set[Int] = {
+      val P = 1000000007L
+      val m1 = img % P * 616318177L % P
+      val m2 = img % P * 777000037L % P
+      val m3 = img % P * 888000131L % P
+      val k1 = 1 + m1 % 97; val k2 = 1 + m2 % 89; val k3 = 1 + m3 % 83
+      val lums = (0 until 64).map { bit =>
+        val p = ((bit / 8) * 12 / 8) * 16 + 2 * (bit % 8)
+        val l =
+          if (noisy && (bit == (img % 64).toInt || bit == ((img * 7 + 13) % 64).toInt))
+            255000L
+          else 299L * ((m1 + p * k1) % 200) + 587L * ((m2 + p * k2) % 200) +
+            114L * ((m3 + p * k3) % 200)
+        bit -> l
+      }.toMap
+      val s = lums.values.sum
+      (0 until 64).filter(b => lums(b) * 64 > s).toSet
+    }
+    var inRadius = 0
+    planted.foreach { id =>
+      val whites = Multimodal.m11WhiteBits(id).map(Multimodal.m11BitToSrcPixel).toSet
+      assert(!java.util.Arrays.equals(
+        Multimodal.synthUniqueImage(id, Set.empty),
+        Multimodal.synthUniqueImage(id, whites)), s"doc $id twin not byte-distinct")
+      val expected = (hashBits(id, noisy = false) -- hashBits(id, noisy = true)).size +
+        (hashBits(id, noisy = true) -- hashBits(id, noisy = false)).size
+      val pair = got.find(t => t._1 == id && t._2 == id + 1000000L)
+      if (expected <= 7) {
+        inRadius += 1
+        assert(pair.isDefined, s"in-radius twin of $id (hamming $expected) not found")
+        assert(pair.get._3 == expected.toLong, s"doc $id hamming ${pair.get._3} != $expected")
+      } else assert(pair.isEmpty, s"out-of-radius twin of $id served")
+    }
+    assert(inRadius > 0, "no twin inside the radius — degenerate synthesis")
+    // the near-dup tier does real work: some found pair is byte-distinct
+    // AND hash-distinct (m07's exact equality would have missed it)
+    assert(got.exists(_._3 > 0), "every pair at hamming 0 — equality would suffice")
+    // precision: radius bound holds; pair space stayed linear
+    assert(got.forall(t => t._3 <= 7))
+    assert(got.length < ids.length * 3)
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
