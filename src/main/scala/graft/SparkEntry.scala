@@ -104,6 +104,8 @@ object SparkEntry {
     "q45_sql_order_priority" -> Relational.q45SqlOrderPriority _,
     "d38_priority_dedup"  -> graft.text.Corpus.d38PriorityDedup _,
     "d39_contamination_pressure" -> graft.text.Corpus.d39ContaminationPressure _,
+    "d40_dedup_eval"      -> graft.dedup.Dedup.d40DedupEval _,
+    "s24_stream_pressure" -> Streams.s24StreamPressure _,
     "d33_fuzzy_decontam"  -> graft.text.Corpus.d33FuzzyDecontam _,
     "d34_heavy_hitters"   -> Text.d34HeavyHitters _,
     "d35_quality_mix"     -> graft.text.Corpus.d35QualityMix _,
@@ -2391,6 +2393,70 @@ object SparkEntry {
         |  WHERE a.doc_id < b.doc_id) t
         |WHERE hamming <= 6""".stripMargin,
     // Exact shingle-set Jaccard over the SAME LSH candidate pairs as d06.
+    // d40: exact panel ground truth vs d08's LSH+verify output —
+    // the dedup tier's e10-style recall harness.
+    "d40_dedup_eval" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 12),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id, shingles, list_transform(shingles, s ->
+        |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
+        |    list_min(list_transform(hv, h ->
+        |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_id,
+        |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
+        |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+        |  FROM sg, (SELECT unnest(range(0, 16)) AS b) b),
+        |useful AS (
+        |  SELECT band_id, band_sig FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) a
+        |  JOIN (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) b
+        |    USING (band_id, band_sig)
+        |  WHERE a.doc_id < b.doc_id),
+        |found AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT p.doc_a, p.doc_b,
+        |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        |    FROM pairs p
+        |    JOIN sg sa ON sa.doc_id = p.doc_a
+        |    JOIN sg sb ON sb.doc_id = p.doc_b) t
+        |  WHERE jaccard >= 0.6),
+        |fb AS (SELECT doc_a AS panel_id, doc_b AS other_id FROM found
+        |       UNION ALL SELECT doc_b, doc_a FROM found),
+        |truth AS (
+        |  SELECT p.doc_id AS panel_id, c.doc_id AS other_id
+        |  FROM sh p JOIN sh c ON c.doc_id <> p.doc_id
+        |  WHERE p.doc_id < 50
+        |    AND CAST(len(list_intersect(p.shingles, c.shingles)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(p.shingles, c.shingles))) >= 0.6),
+        |hits AS (SELECT t.panel_id, count(*) AS n_found FROM truth t
+        |         WHERE EXISTS (SELECT 1 FROM fb
+        |           WHERE fb.panel_id = t.panel_id AND fb.other_id = t.other_id)
+        |         GROUP BY 1)
+        |SELECT t.panel_id, count(*) AS n_true,
+        |  CAST(coalesce(max(h.n_found), 0) AS BIGINT) AS n_found
+        |FROM truth t LEFT JOIN hits h ON h.panel_id = t.panel_id
+        |GROUP BY 1""".stripMargin,
     "d08_ngram_jaccard" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
         |tr AS (
@@ -2608,6 +2674,25 @@ object SparkEntry {
         |  node AS survivor_id, n_len AS survivor_len
         |FROM rk WHERE rn = 1 AND n_members >= 2""".stripMargin,
     "d14_decontam" -> decontamOracleSql,
+    // s24 is d39 at ingestion: pair-keyed streaming state folds to the
+    // same census, so it shares d39's oracle.
+    "s24_stream_pressure" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    ((doc_id % 1000000007) * 777000037 % 1000000007 + 4242) % 1000000007
+        |      < 20000000 AS is_bench
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_bench,
+        |    unnest(list_distinct(list_transform(range(1, len(toks)-3),
+        |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM d WHERE len(toks) >= 5),
+        |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE is_bench),
+        |c AS (SELECT doc_id AS crawl_id, gram FROM g WHERE NOT is_bench)
+        |SELECT b.bench_id, count(DISTINCT c.crawl_id) AS n_crawl_docs,
+        |  count(*) AS n_gram_hits
+        |FROM c JOIN b USING (gram)
+        |GROUP BY 1""".stripMargin,
     // d39 aggregates the same gram join from the benchmark's side:
     // distinct crawl docs per bench doc + the raw hit volume.
     "d39_contamination_pressure" ->

@@ -191,6 +191,41 @@ object Dedup {
     out
   }
 
+  /** d40: near-dup RECALL evaluation — e10's index-quality harness
+    * applied to the dedup tier (the QA a curation team runs before
+    * trusting a new LSH config: how many TRUE near-dup partners does
+    * the banding actually surface?): ground truth is EXACT Jaccard
+    * ≥ 0.6 for a FIXED 50-doc panel against the whole corpus (cost ∝
+    * panel × corpus, one broadcast scan — never all-pairs), compared
+    * per panel doc against d08's LSH-candidate + exact-verify output.
+    * n_found < n_true on a panel doc means the band tier dropped a
+    * real duplicate (a cap eviction or an unlucky signature) — the
+    * drift signal that triggers re-banding, exactly like e10's recall
+    * number triggers re-indexing.
+    */
+  def d40DedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(Tables.documents(spark, dir))
+    val sh = shingled(corpus).select(col("doc_id"), col("shingles"))
+    val panel = sh.where(col("doc_id") < 50)
+      .select(col("doc_id").as("panel_id"), col("shingles").as("sh_p"))
+    val truth = sh.crossJoin(broadcast(panel))
+      .where(col("doc_id") =!= col("panel_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_p"), col("shingles"))).cast("double") /
+          size(array_union(col("sh_p"), col("shingles"))).cast("double"))
+      .where(col("jaccard") >= 0.6)
+      .select(col("panel_id"), col("doc_id").as("other_id"))
+    val found = d08NgramJaccard(spark, dir)
+    val foundBoth = found.select(col("doc_a").as("panel_id"), col("doc_b").as("other_id"))
+      .unionByName(found.select(col("doc_b").as("panel_id"), col("doc_a").as("other_id")))
+    val hits = truth.join(foundBoth, Seq("panel_id", "other_id"), "left_semi")
+      .groupBy("panel_id").agg(count(lit(1)).as("n_found"))
+    truth.groupBy("panel_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("panel_id"), "left")
+      .select(col("panel_id"), col("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 vote sums packed
     * into one long. Codegen'd fold — no UDF, no explode.
     *

@@ -706,6 +706,38 @@ object Streams {
     s.table(name)
   }
 
+  /** s24: contamination pressure AT INGESTION — d39's bench-side
+    * report maintained live as the crawl streams in (the eval team
+    * watches WHICH held-out docs are accumulating leakage without
+    * waiting for the nightly batch): the benchmark gram set builds
+    * batch-side and broadcasts into every micro-batch (the s09
+    * stream-static shape); the stateful stage aggregates per
+    * (bench_id, crawl_id) HIT PAIR — streaming aggregation cannot do
+    * exact DISTINCT counts, and it doesn't need to: the pair frame IS
+    * the distinct set, its state bounded by the contamination volume
+    * the report exists to surface, not by traffic — and the read-time
+    * rollup folds pairs to d39's exact census. One AvailableNow pass
+    * equals the batch report (shared oracle).
+    */
+  def s24StreamPressure(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val bench = graft.text.Corpus.fiveGrams(
+        graft.Tables.documents(ss, dir).where(graft.text.Corpus.isBenchCol))
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val crawlGrams = graft.text.Corpus.fiveGrams(
+        fileStream(ss, dir, "documents.parquet")
+          .where(!graft.text.Corpus.isBenchCol))
+      .select(col("doc_id").as("crawl_id"), col("gram"))
+    val pairCounts = crawlGrams
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("bench_id"), col("crawl_id"))
+      .agg(count(lit(1)).as("n"))
+    val (s, name) = runToCompletion(pairCounts, OutputMode.Complete())
+    s.table(name)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_crawl_docs"), sum(col("n")).as("n_gram_hits"))
+  }
+
   /** s12: streaming atomic publish — the w06 landing zone upgraded to
     * the w08 manifest contract: each micro-batch lands its data files,
     * then ONE manifest rename commits (previous files + the batch's).

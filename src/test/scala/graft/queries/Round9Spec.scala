@@ -739,6 +739,47 @@ class Round9Spec extends SparkSpec {
     assert(got.length < ids.length * 3)
   }
 
+  test("d40 recall harness: truth from a driver shingle walk; found never exceeds true; twins measured") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = docs ++ docs.collect {
+      case (id, t) if t.trim.split("\\s+").length >= 12 =>
+        (id + 1000000L, t.trim.split("\\s+").dropRight(3).mkString(" "))
+    }
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+")
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sh = corpus.map { case (id, t) => (id, shingles(t)) }.filter(_._2.nonEmpty)
+    val wantTruth = sh.filter(_._1 < 50).map { case (pid, ps) =>
+      val partners = sh.filter { case (oid, os) =>
+        oid != pid && {
+          val j = (ps & os).size.toDouble / (ps | os).size
+          j >= 0.6
+        }
+      }
+      (pid, partners.length.toLong)
+    }.filter(_._2 > 0).sortBy(_._1).toSeq
+    val got = graft.dedup.Dedup.d40DedupEval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2)) == wantTruth)
+    assert(got.nonEmpty)
+    // found is a subset of truth, and the harness measures something
+    // real: at least one panel doc's truncated twin is surfaced
+    got.foreach(t => assert(t._3 >= 0 && t._3 <= t._2))
+    assert(got.map(_._3).sum > 0, "the LSH tier surfaced nothing — recall 0 everywhere")
+  }
+
+  test("s24 streaming pressure equals batch d39 on an AvailableNow pass") {
+    import graft.streaming.Streams
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = rows(graft.text.Corpus.d39ContaminationPressure(spark, sfDir))
+    assert(want.nonEmpty)
+    assert(rows(Streams.s24StreamPressure(spark, sfDir)) == want)
+  }
+
   test("m09 scene census equals a driver formula walk; cut law holds; stride really gates detection") {
     import graft.multimodal.Multimodal
     val got = Multimodal.m09SceneChange(spark, sfDir).collect()
