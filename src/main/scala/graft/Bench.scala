@@ -70,12 +70,28 @@ object Bench {
     val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m.take(80)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    // short summary FIRST, full per-query line LAST: the driver keeps a
-    // tail of the output, so the line most worth parsing must be the
-    // final one — and headline fields lead it so even a clipped capture
-    // keeps total/n/n_errors
-    println(s"""{"metric":"bench_summary","total":${jnum(total)},"n":${results.size},"n_errors":${errors.size},"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"sf":"$sfDir","queries":$qs,"errors":$errJson}""")
+    val fullLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"sf":"$sfDir","queries":$qs,"errors":$errJson}"""
+    // The full per-query line is ~4 KB at 174 queries — larger than the
+    // driver's ~2000-char END-anchored tail capture, so it can never be
+    // the parse target. Persist it to a file (default bench_results.json
+    // in the cwd, i.e. the repo root), print it first for humans, and
+    // print a SHORT summary line LAST so the tail capture always ends on
+    // a complete, parseable JSON object. The summary carries the headline
+    // numbers plus the 10 slowest per-query timings (regression hot spots)
+    // and the path to the full results file.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: ${e.getMessage}") }
+    val slowest = results.toSeq.filterNot { case (k, _) => errors.contains(k) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    // summary errors capped at 5 entries so a mass failure can't push the
+    // summary line itself past the tail capture (full detail is in the file)
+    val errHead = errors.take(5).map { case (k, m) => jstr(k) + ":" + jstr(m.take(60)) }
+      .mkString("{", ",", "}")
+    println(fullLine)
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"sf":"$sfDir","results_file":"$outPath","slowest":$slowest,"errors":$errHead}""")
     spark.stop()
   }
 }

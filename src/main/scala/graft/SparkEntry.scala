@@ -179,6 +179,8 @@ object SparkEntry {
     "f03_top_correlations" -> ReliefQueries.f03TopCorrelations _,
     "f04_mrmr_select"     -> ReliefQueries.f04MrmrSelect _,
     "f05_histogram_drift" -> ReliefQueries.f05HistogramDrift _,
+    "f06_anova_f"         -> ReliefQueries.f06AnovaF _,
+    "f07_info_gain"       -> ReliefQueries.f07InfoGain _,
     "s14_stream_cdc_apply" -> Streams.s14StreamCdcApply _,
     "s15_stream_late_data" -> Streams.s15StreamLateData _,
     "s16_stream_outer_join" -> Streams.s16StreamOuterJoin _,
@@ -191,11 +193,13 @@ object SparkEntry {
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
+    "relief_weights_content" -> ReliefQueries.reliefWeightsContent _,
     "relief_select"       -> ReliefQueries.reliefSelect _,
     "relief_transform"    -> ReliefQueries.reliefTransform _,
     "relief_knn"          -> ReliefQueries.reliefKnn _,
     "relief_persist"      -> ReliefQueries.reliefPersist _,
     "vector_assemble"     -> ReliefQueries.vectorAssemble _,
+    "vector_assemble_nominal" -> ReliefQueries.vectorAssembleNominal _,
   )
 
   /** DuckDB-dialect oracle for each SQL-expressible query (same column
@@ -897,12 +901,19 @@ object SparkEntry {
         |    AS first_cut_frame
         |FROM c GROUP BY 1""".stripMargin,
     // w22: both snapshots' censuses from metadata only — file counts
-    // are fixed by the repartition layout, row counts by the corpus.
+    // follow the repartition layout, but an empty round-robin partition
+    // writes NO file, so the expected counts are least(n_rows, 4) and
+    // least(n_filtered, 2), not the literal partition counts (a corpus
+    // with < 4 rows would otherwise break the pin).
     "w22_metadata_tables" ->
-      """SELECT CAST(1 AS BIGINT) AS snapshot, CAST(4 AS BIGINT) AS n_files,
+      """SELECT CAST(1 AS BIGINT) AS snapshot,
+        |  CAST(least(count(*), 4) AS BIGINT) AS n_files,
         |  count(*) AS n_rows FROM documents
         |UNION ALL
-        |SELECT CAST(2 AS BIGINT), CAST(6 AS BIGINT),
+        |SELECT CAST(2 AS BIGINT),
+        |  (SELECT CAST(least(count(*), 4) AS BIGINT) FROM documents)
+        |    + (SELECT CAST(least(count(*), 2) AS BIGINT)
+        |       FROM documents WHERE doc_id % 3 = 0),
         |  count(*) + (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
         |FROM documents""".stripMargin,
     // f02: per-dim moment aggregates and the variance identity replayed
@@ -917,6 +928,43 @@ object SparkEntry {
         |  SELECT dim, (sxx - sx * sx / n) / n AS variance,
         |    row_number() OVER (ORDER BY (sxx - sx * sx / n) / n DESC, dim) AS rnk
         |  FROM m)
+        |WHERE rnk <= 10""".stripMargin,
+    // f06: the same (dim, class) moment sums and F identity replayed.
+    "f06_anova_f" ->
+      """WITH e AS (SELECT label::BIGINT AS lbl, unnest(range(0, 64)) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |g AS (SELECT dim, lbl, count(*)::DOUBLE AS n, sum(x) AS sx,
+        |        sum(x * x) AS sxx
+        |      FROM e GROUP BY 1, 2),
+        |d AS (SELECT dim, count(*)::DOUBLE AS k, sum(n) AS nn, sum(sx) AS s,
+        |        sum(sx * sx / n) AS sb, sum(sxx) AS q
+        |      FROM g GROUP BY 1)
+        |SELECT dim, f_stat, rnk FROM (
+        |  SELECT dim,
+        |    ((sb - s * s / nn) / (k - 1)) / ((q - sb) / (nn - k)) AS f_stat,
+        |    row_number() OVER (ORDER BY
+        |      ((sb - s * s / nn) / (k - 1)) / ((q - sb) / (nn - k)) DESC, dim) AS rnk
+        |  FROM d)
+        |WHERE rnk <= 10""".stripMargin,
+    // f07: sign-binarized mutual information from exact integer counts.
+    "f07_info_gain" ->
+      """WITH e AS (SELECT label::BIGINT AS lbl, unnest(range(0, 64)) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |c AS (SELECT dim, (x > 0)::BIGINT AS bit, lbl, count(*)::DOUBLE AS nbl
+        |      FROM e GROUP BY 1, 2, 3),
+        |t AS (SELECT dim, nbl,
+        |        sum(nbl) OVER (PARTITION BY dim) AS nn,
+        |        sum(nbl) OVER (PARTITION BY dim, bit) AS nb,
+        |        sum(nbl) OVER (PARTITION BY dim, lbl) AS ny
+        |      FROM c),
+        |ig AS (SELECT dim,
+        |         sum((nbl / nn) * (ln(nbl * nn / (nb * ny)) / ln(2))) AS info_gain
+        |       FROM t GROUP BY 1)
+        |SELECT dim, info_gain, rnk FROM (
+        |  SELECT dim, info_gain,
+        |    row_number() OVER (ORDER BY info_gain DESC, dim) AS rnk FROM ig)
         |WHERE rnk <= 10""".stripMargin,
     // Branch isolation baked into the census: after the staging-only
     // commit, main still serves the full corpus and staging serves the
@@ -2207,11 +2255,36 @@ object SparkEntry {
     "vector_assemble" ->
       """SELECT o_orderkey, CAST(2 AS INTEGER) AS dim, o_totalprice AS f0
         |FROM orders""".stripMargin,
-    // Frozen-expected-value oracles for the RELIEF surface: the fit is
-    // bit-reproducible by design (content-hash row identity — see
-    // ReliefFRSelector), so the sf0.01 outputs are pinned as literal
-    // VALUES. Valid for the driver's sf0.01 verify data only.
-    "relief_weights" ->
+    // vector_assemble_nominal: StringIndexer's frequencyDesc order
+    // recomputed as a rank over (count DESC, value ASC) per nominal
+    // column — Spark's documented tie-break is alphabetical.
+    "vector_assemble_nominal" ->
+      """WITH sti AS (
+        |  SELECT v, (row_number() OVER (ORDER BY n DESC, v) - 1)::DOUBLE AS idx
+        |  FROM (SELECT o_orderstatus AS v, count(*) AS n FROM orders GROUP BY 1)),
+        |pri AS (
+        |  SELECT v, (row_number() OVER (ORDER BY n DESC, v) - 1)::DOUBLE AS idx
+        |  FROM (SELECT o_orderpriority AS v, count(*) AS n FROM orders GROUP BY 1))
+        |SELECT o.o_orderkey, CAST(3 AS INTEGER) AS dim,
+        |  s.idx AS f0, p.idx AS f1, o.o_totalprice AS f2
+        |FROM orders o JOIN sti s ON s.v = o.o_orderstatus
+        |              JOIN pri p ON p.v = o.o_orderpriority""".stripMargin,
+    // relief_weights / relief_select / relief_persist / relief_transform
+    // are checked by FULL RECOMPUTATION: graft.ml.ReliefOracle generates
+    // DuckDB SQL that independently re-runs the deterministic fit
+    // (splitmix64 sampling/batching via HUGEINT 64-bit emulation, exact
+    // per-class kNN, prior-weighted hit/miss relevance, collision
+    // marginals/joints, MI redundancy, unrolled greedy) from the raw
+    // parquet — no expected value is copied from the Scala output.
+    "relief_weights" -> graft.ml.ReliefOracle.weightsSql,
+    "relief_select" -> graft.ml.ReliefOracle.selectSql,
+    "relief_persist" -> graft.ml.ReliefOracle.selectSql,
+    "relief_transform" -> graft.ml.ReliefOracle.transformSql,
+    // The content-hash-identity fit (no instanceIdCol) hashes IEEE-754
+    // bits of the whole vector — not externally recomputable — so it
+    // keeps a frozen-expected-value pin from the bit-reproducible fit
+    // (regression check only; valid for the driver's sf0.01 data).
+    "relief_weights_content" ->
       """SELECT feature, weight FROM (VALUES
         |  (0, 0.30520744093549024),
         |  (1, 0.49816740214793465),
@@ -2277,35 +2350,6 @@ object SparkEntry {
         |  (61, 0.4358327025853918),
         |  (62, 0.31728436239088864),
         |  (63, 0.3325622794793312)) AS t(feature, weight)""".stripMargin,
-    "relief_select" ->
-      """SELECT rank, std_feature, redundancy_feature FROM (VALUES
-        |  (1, 24, 24),
-        |  (2, 26, 5),
-        |  (3, 40, 53),
-        |  (4, 16, 26),
-        |  (5, 35, 9),
-        |  (6, 49, 11),
-        |  (7, 42, 40),
-        |  (8, 47, 46),
-        |  (9, 21, 16),
-        |  (10, 48, 15)) AS t(rank, std_feature, redundancy_feature)""".stripMargin,
-    "relief_persist" ->
-      """SELECT rank, std_feature, redundancy_feature FROM (VALUES
-        |  (1, 24, 24),
-        |  (2, 26, 5),
-        |  (3, 40, 53),
-        |  (4, 16, 26),
-        |  (5, 35, 9),
-        |  (6, 49, 11),
-        |  (7, 42, 40),
-        |  (8, 47, 46),
-        |  (9, 21, 16),
-        |  (10, 48, 15)) AS t(rank, std_feature, redundancy_feature)""".stripMargin,
-    // transform: selection {16,21,24,26,35,40,42,47,48,49} frozen from the
-    // same fit; ascending-index sum matches compress() + the left-to-right
-    // aggregate fold exactly (float->double casts are exact).
-    "relief_transform" ->
-      "SELECT vec_id, CAST(10 AS INTEGER) AS n_selected, round(CAST(embedding[17] AS DOUBLE) + CAST(embedding[22] AS DOUBLE) + CAST(embedding[25] AS DOUBLE) + CAST(embedding[27] AS DOUBLE) + CAST(embedding[36] AS DOUBLE) + CAST(embedding[41] AS DOUBLE) + CAST(embedding[43] AS DOUBLE) + CAST(embedding[48] AS DOUBLE) + CAST(embedding[49] AS DOUBLE) + CAST(embedding[50] AS DOUBLE), 6) AS sum_selected FROM embeddings",
     // Full MinHash+LSH reproduction: poly-hashed shingles, universal-hash
     // permutation minima, banded buckets with the 2..64 census cap —
     // identical mod-1e9+7 arithmetic to Dedup.withSignature/lshCandidates.

@@ -143,10 +143,10 @@ object Dedup {
           s"1009L, (acc, x) -> (acc * 1000003L + x) % $P) AS band_sig))")).as("b"): _*)
       .select((col("doc_id") +: extra.map(col)) :+ col("b.band_id") :+ col("b.band_sig"): _*)
 
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  def lshCandidates(sigs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     val bd = bandRows(sigs)
     val useful = bd.groupBy("band_id", "band_sig").count()
-      .where(col("count").between(2, MaxBucket))
+      .where(col("count").between(2, maxBucket))
       .select("band_id", "band_sig")
     val in = bd.join(useful, Seq("band_id", "band_sig"))
     val a = in.select(col("band_id"), col("band_sig"), col("doc_id").as("doc_a"))
@@ -208,8 +208,19 @@ object Dedup {
     val sh = shingled(corpus).select(col("doc_id"), col("shingles"))
     val panel = sh.where(col("doc_id") < 50)
       .select(col("doc_id").as("panel_id"), col("shingles").as("sh_p"))
+    // size-ratio prefilter BEFORE any set intersection: J(A,B) ≤
+    // min(|A|,|B|)/max(|A|,|B|), so a pair whose shingle-count ratio is
+    // below the 0.6 threshold cannot pass — exact pruning, no recall
+    // loss. The intersect/union (the expensive per-pair work: O(|A|+|B|)
+    // over hundreds of tokens) then runs only on the few
+    // length-compatible survivors instead of all panel × corpus pairs —
+    // this took d40 from 10.4 s to the pack's normal range at sf0.1,
+    // and at 100 TB it is the difference between a panel scan and a
+    // panel scan times the corpus' full length spread.
     val truth = sh.crossJoin(broadcast(panel))
       .where(col("doc_id") =!= col("panel_id"))
+      .where(least(size(col("sh_p")), size(col("shingles"))).cast("double") >=
+        lit(0.6) * greatest(size(col("sh_p")), size(col("shingles"))).cast("double"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_p"), col("shingles"))).cast("double") /
           size(array_union(col("sh_p"), col("shingles"))).cast("double"))

@@ -29,6 +29,19 @@ trait ReliefFRParams extends Params {
   final val seed = new LongParam(this, "seed", "random seed")
   setDefault(seed -> 123456789L)
 
+  /** Optional user-supplied row-identity column (long). When empty
+    * (default), identity is the content hash of (label, vector) —
+    * layout-invariant with no user wiring. When set, sampling, batch
+    * assignment, neighbor tie-breaks and collision thresholds all key
+    * off this column instead: the fit becomes reproducible by an
+    * EXTERNAL reimplementation that only knows the ids (the
+    * recomputation oracle path), and exact-duplicate rows with
+    * distinct ids stay distinct instances.
+    */
+  final val instanceIdCol = new Param[String](this, "instanceIdCol",
+    "row identity column (long); empty = content hash of (label, vector)")
+  setDefault(instanceIdCol -> "")
+
   /** Number of features the selector keeps, by score descending. */
   final val numTopFeatures = new IntParam(this, "numTopFeatures",
     "number of features to select", ParamValidators.gtEq(1))
@@ -146,6 +159,7 @@ final class ReliefFRSelector(override val uid: String)
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setSeed(v: Long): this.type = set(seed, v)
   def setNumTopFeatures(v: Int): this.type = set(numTopFeatures, v)
+  def setInstanceIdCol(v: String): this.type = set(instanceIdCol, v)
   def setNumNeighbors(v: Int): this.type = set(numNeighbors, v)
   def setEstimationRatio(v: Double): this.type = set(estimationRatio, v)
   def setBatchSize(v: Double): this.type = set(batchSize, v)
@@ -173,12 +187,21 @@ final class ReliefFRSelector(override val uid: String)
     // its sample/randomSplit/localIndex all shift with partitioning).
     // Exact-duplicate rows share an identity and are treated as one
     // instance with multiplicity — the natural semantics for kNN.
-    val data: RDD[(Long, Vector, Double)] = dataset.toDF()
-      .select(col($(inputCol)), col($(labelCol)).cast("double"))
-      .rdd.map { case Row(v: Vector, l: Double) =>
-        (ReliefFRSelector.contentHash(v, l), v, l)
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // With instanceIdCol set, the user's ids take over — equally
+    // layout-invariant, and externally recomputable.
+    val data: RDD[(Long, Vector, Double)] =
+      (if ($(instanceIdCol).isEmpty) {
+        dataset.toDF()
+          .select(col($(inputCol)), col($(labelCol)).cast("double"))
+          .rdd.map { case Row(v: Vector, l: Double) =>
+            (ReliefFRSelector.contentHash(v, l), v, l)
+          }
+      } else {
+        dataset.toDF()
+          .select(col($(instanceIdCol)).cast("long"), col($(inputCol)),
+            col($(labelCol)).cast("double"))
+          .rdd.map { case Row(id: Long, v: Vector, l: Double) => (id, v, l) }
+      }).persist(StorageLevel.MEMORY_AND_DISK)
 
     val nElems = data.count()
     require(nElems > 0, "empty dataset")

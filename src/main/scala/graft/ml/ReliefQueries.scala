@@ -23,12 +23,17 @@ object ReliefQueries {
       array_to_vector(col("embedding")).as("features"))
 
   private def fitSelector(spark: SparkSession, dir: String,
-      redundancy: Boolean): ReliefFRSelectorModel = {
+      redundancy: Boolean, contentIdentity: Boolean = false): ReliefFRSelectorModel = {
     val sel = new ReliefFRSelector()
       .setInputCol("features").setLabelCol("label").setOutputCol("selected")
       .setNumTopFeatures(10).setNumNeighbors(3)
       .setEstimationRatio(0.25).setBatchSize(0.5)
       .setRedundancyRemoval(redundancy).setSeed(20260812L)
+    // default: vec_id row identity, so the driver oracle can RECOMPUTE
+    // the whole fit in DuckDB (sampling, batching and collision hashes
+    // key off small longs an external engine can reproduce); the
+    // content-hash path keeps its own frozen-pin query below
+    if (!contentIdentity) sel.setInstanceIdCol("vec_id")
     // estimationRatio grows the query set WITH the corpus, making the
     // kNN pass quadratic in corpus size at a fixed ratio; this conf
     // pins an ABSOLUTE query budget instead (ratio = budget/n) — the
@@ -43,9 +48,31 @@ object ReliefQueries {
     sel.fit(data)
   }
 
-  /** relief_weights: normalized RELIEF-F relevance per feature. */
+  /** relief_weights: normalized RELIEF-F relevance per feature,
+    * rounded to 6 decimals — the oracle recomputes the same weights
+    * independently in DuckDB, and the two engines' per-pair |q−n|
+    * sums differ in the last ulps (different summation order), which
+    * the rounding absorbs.
+    */
   def reliefWeights(spark: SparkSession, dir: String): DataFrame = {
     val m = fitSelector(spark, dir, redundancy = false)
+    import spark.implicits._
+    m.featureWeights.zipWithIndex
+      .map { case (w, f) => (f, w) }.toSeq.toDF("feature", "weight")
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+  }
+
+  /** relief_weights_content: the same fit under CONTENT-HASH identity
+    * (no instanceIdCol — the zero-wiring production default, invariant
+    * under layout AND under any id renumbering). No external engine
+    * can recompute the IEEE-754-bit content hashes without emulating
+    * them bit-for-bit, so this path is pinned by frozen expected
+    * values from the bit-reproducible fit instead — a regression
+    * check, while relief_weights above carries the independent
+    * recomputation check.
+    */
+  def reliefWeightsContent(spark: SparkSession, dir: String): DataFrame = {
+    val m = fitSelector(spark, dir, redundancy = false, contentIdentity = true)
     import spark.implicits._
     m.featureWeights.zipWithIndex
       .map { case (w, f) => (f, w) }.toSeq.toDF("feature", "weight")
@@ -305,7 +332,10 @@ object ReliefQueries {
     val dims = chi.keys.toSeq.sorted
     val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
     val selected = scala.collection.mutable.ArrayBuffer[Long]()
-    for (step <- 1 to 5) {
+    // an empty corpus yields zero candidate dims (and a tiny one fewer
+    // than 5): the greedy loop stops when no candidate remains instead
+    // of minBy-ing an empty list — zero picks is the empty-input answer
+    for (step <- 1 to math.min(5, dims.length)) {
       val best = dims.filterNot(selected.contains).map { d =>
         val red =
           if (selected.isEmpty) 0.0
@@ -384,5 +414,130 @@ object ReliefQueries {
       .select(col("o_orderkey"), vector_to_array(col("features")).as("features"))
       .select(col("o_orderkey"), expr("size(features)").as("dim"),
         expr("features[0]").as("f0"))
+  }
+
+  /** vector_assemble_nominal: categorical-column ingestion — the
+    * reference's nominal-CSV path (TestHelper.scala:106-113
+    * string-indexes string columns with StringIndexer before
+    * VectorAssembler; kddcup/covtype ship with nominal columns). Each
+    * nominal column maps to its StringIndexer index (frequencyDesc
+    * order: most frequent value → 0, frequency ties broken
+    * alphabetically — Spark's documented default) and assembles with
+    * the numeric columns; the oracle recomputes the same indices as a
+    * rank over (count DESC, value ASC). The kddcup fixture itself is
+    * exercised end-to-end (index → assemble → fit) in
+    * ReferenceDataSpec.
+    *
+    * Scale shape: StringIndexer's fit is one count-distinct aggregate
+    * per nominal column (tiny result — the dictionary); transform is a
+    * broadcast-map lookup. No shuffle of the data itself.
+    */
+  def vectorAssembleNominal(spark: SparkSession, dir: String): DataFrame = {
+    val df = assembleNominal(
+      Tables.orders(spark, dir),
+      numericCols = Array("o_totalprice"),
+      nominalCols = Array("o_orderstatus", "o_orderpriority"))
+    df.select(col("o_orderkey"), vector_to_array(col("features")).as("f"))
+      .select(col("o_orderkey"), expr("size(f)").as("dim"),
+        expr("f[0]").as("f0"), expr("f[1]").as("f1"), expr("f[2]").as("f2"))
+  }
+
+  /** f06: ANOVA F-statistic feature selection (sklearn's `f_classif` —
+    * the third classic univariate filter alongside χ² (f01) and
+    * variance (f02)): per dimension, the ratio of between-class to
+    * within-class variance across the label groups,
+    * F = (SSB/(k−1)) / (SSW/(N−k)) with SSB = Σ_g s_g²/n_g − S²/N and
+    * SSW = Σ_g (q_g − s_g²/n_g) from per-(dim, class) moment sums
+    * (n, Σx, Σx²). Top-10 dimensions by F.
+    *
+    * Scale shape: ONE posexplode pass; (dim, label) moments map-side-
+    * combine to ≤ 64·|classes| rows at any corpus size; the F ratio
+    * and rank are arithmetic over that constant frame. Identical
+    * moment identities on the oracle side.
+    */
+  def f06AnovaF(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("lbl"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("lbl"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+      .groupBy("dim", "lbl")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+    g.groupBy("dim")
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum("n").as("nn"), sum("sx").as("s"),
+        sum(col("sx") * col("sx") / col("n")).as("sb"),
+        sum(col("sxx")).as("q"))
+      .withColumn("ssb", col("sb") - col("s") * col("s") / col("nn"))
+      .withColumn("ssw", col("q") - col("sb"))
+      .withColumn("f_stat",
+        (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("nn") - col("k"))))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("f_stat").desc, col("dim"))).cast("long"))
+      .where(col("rnk") <= 10)
+      .select("dim", "f_stat", "rnk")
+  }
+
+  /** f07: information-gain feature selection (the ID3/C4.5 split
+    * criterion as a filter method — the fourth classic univariate
+    * selector): dimensions binarize by sign (the f01 convention),
+    * IG(dim) = H(Y) − H(Y | bit) from exact integer counts,
+    * entropies in log2. Absent (bit, label) cells contribute 0
+    * (0·log 0 = 0), so no grid densification is needed — the opposite
+    * of f01's χ², where absent cells carry expected mass.
+    *
+    * Scale shape: ONE posexplode pass; (dim, bit, label) counts
+    * map-side-combine to ≤ 64·2·|classes| rows; margins are windows
+    * over that constant frame; the rank orders 64 rows.
+    */
+  def f07InfoGain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("lbl"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("lbl"),
+        (col("x") > 0).cast("long").as("bit"))
+      .groupBy("dim", "bit", "lbl")
+      .agg(count(lit(1)).cast("double").as("nbl"))
+    val wDim = Window.partitionBy("dim")
+    val wBit = Window.partitionBy("dim", "bit")
+    val wLbl = Window.partitionBy("dim", "lbl")
+    val terms = cells
+      .withColumn("nn", sum("nbl").over(wDim))
+      .withColumn("nb", sum("nbl").over(wBit))
+      .withColumn("ny", sum("nbl").over(wLbl))
+      // H(Y) − H(Y|bit) via the mutual-information identity:
+      // IG = Σ_cells p(b,y)·log2(p(b,y) / (p(b)·p(y))) — one SUM over
+      // the present cells, absent cells contribute exactly 0
+      .withColumn("ig_term",
+        (col("nbl") / col("nn")) * (
+          log(col("nbl") * col("nn") / (col("nb") * col("ny"))) / log(lit(2.0))))
+    terms.groupBy("dim")
+      .agg(sum("ig_term").as("info_gain"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("info_gain").desc, col("dim"))).cast("long"))
+      .where(col("rnk") <= 10)
+      .select("dim", "info_gain", "rnk")
+  }
+
+  /** StringIndexer-based nominal ingestion: index each nominal column
+    * (frequencyDesc), then assemble nominal indices + numeric columns
+    * into `features` — the user-side wiring a categorical dataset
+    * (kddcup, covtype) needs before [[ReliefFRSelector]].
+    */
+  def assembleNominal(df: DataFrame, numericCols: Array[String],
+      nominalCols: Array[String]): DataFrame = {
+    import org.apache.spark.ml.feature.StringIndexer
+    var cur = df
+    for (c <- nominalCols) {
+      cur = new StringIndexer().setInputCol(c).setOutputCol(c + "_idx")
+        .setStringOrderType("frequencyDesc").fit(cur).transform(cur)
+    }
+    new VectorAssembler()
+      .setInputCols(nominalCols.map(_ + "_idx") ++ numericCols)
+      .setOutputCol("features")
+      .transform(cur)
   }
 }

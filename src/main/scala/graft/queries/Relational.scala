@@ -483,21 +483,6 @@ object Relational {
         $"decayed_milli".cast("double") / $"raw_milli".cast("double"))
   }
 
-  /** q44: equi-WIDTH histogram — the optimizer-statistics primitive
-    * (ANALYZE ... COMPUTE HISTOGRAM, monitoring dashboards): 20
-    * equal-width buckets over `l_extendedprice`, per bucket the row
-    * count and exact value mass. The equi-DEPTH complement of q31's
-    * deciles: fixed boundaries, varying population — the shape
-    * selectivity estimation wants. Values bucket as exact
-    * milli-integers ((v − min)·20 div (max − min + 1) — pure integer
-    * arithmetic, no float boundary can misplace a row; the max value
-    * lands in bucket 19 by the +1). Bucket bounds are derived from one
-    * (min, max) aggregate broadcast back.
-    *
-    * Scale shape: two scans (bounds, then bucketing — or one with a
-    * cached frame), everything map-side-combines to 20 rows; no sort,
-    * no window, no shuffle beyond the 20-group aggregate.
-    */
   /** q45: TPC-H Q4's shape authored in PURE SQL over registered views —
     * the `spark.sql` parity path (everything else in the pack uses the
     * DataFrame API; a reference user coming from SQL runs exactly
@@ -519,6 +504,21 @@ object Relational {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** q44: equi-WIDTH histogram — the optimizer-statistics primitive
+    * (ANALYZE ... COMPUTE HISTOGRAM, monitoring dashboards): 20
+    * equal-width buckets over `l_extendedprice`, per bucket the row
+    * count and exact value mass. The equi-DEPTH complement of q31's
+    * deciles: fixed boundaries, varying population — the shape
+    * selectivity estimation wants. Values bucket as exact
+    * milli-integers ((v − min)·20 div (max − min + 1) — pure integer
+    * arithmetic, no float boundary can misplace a row; the max value
+    * lands in bucket 19 by the +1). Bucket bounds are derived from one
+    * (min, max) aggregate broadcast back.
+    *
+    * Scale shape: two scans (bounds, then bucketing — or one with a
+    * cached frame), everything map-side-combines to 20 rows; no sort,
+    * no window, no shuffle beyond the 20-group aggregate.
+    */
   def q44EquiwidthHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)

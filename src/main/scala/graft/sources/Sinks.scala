@@ -1205,20 +1205,29 @@ object Sinks {
     census("main").unionByName(census("staging"))
   }
 
-  /** Point ref `name` at committed snapshot `n` (tmp + atomic rename —
-    * the commitManifest primitive applied to a one-line ref file).
+  /** Point ref `name` at committed snapshot `n` (tmp + atomic
+    * rename-with-OVERWRITE — the commitManifest primitive applied to a
+    * one-line ref file). `FileSystem.rename` refuses an existing
+    * destination on most implementations, and delete-then-rename opens
+    * a window where a concurrent `refAt` sees "ref does not exist", so
+    * the overwrite goes through `FileContext.rename(..., OVERWRITE)`:
+    * POSIX-atomic on local/HDFS — a reader sees the old snapshot number
+    * or the new one, never an absent ref.
     */
   private[graft] def setRef(
       spark: SparkSession, root: String, name: String, n: Int): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(new HPath(root, "refs"))
-    val tmp = new HPath(root, s"refs/_tmp_$name")
+    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new HPath(root).getFileSystem(conf)
+    val tmp = new HPath(root, s"refs/_tmp_${name.replace('/', '_')}")
     val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(new HPath(root, s"refs/$name"), false)
-    if (!fs.rename(tmp, new HPath(root, s"refs/$name")))
-      throw new IllegalStateException(s"ref $name update rename failed")
+    val dst = new HPath(root, s"refs/$name")
+    // FileContext.rename (unlike FileSystem.rename) does not create the
+    // destination's parent — ref names may be nested ("tags/x")
+    fs.mkdirs(dst.getParent)
+    val fc = FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(dst), Options.Rename.OVERWRITE)
   }
 
   /** The snapshot number ref `name` currently points at. */

@@ -696,6 +696,14 @@ object Streams {
     val b = graft.Tables.lineitem(ss, dir)
       .select(expr("cast(round(l_extendedprice * 1000) as bigint)").as("vm"))
       .agg(min(col("vm")).as("lo"), max(col("vm")).as("hi")).head()
+    // an empty table has null min/max: no bounds means no histogram —
+    // return the 0-row frame with the query's schema rather than
+    // streaming against NaN bucket math
+    if (b.isNullAt(0)) {
+      return ss.range(0)
+        .select(col("id").as("bucket"), col("id").as("n_rows"),
+          col("id").as("sum_vmil"))
+    }
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val agg = fileStream(ss, dir, "lineitem.parquet")
       .select(expr("cast(round(l_extendedprice * 1000) as bigint)").as("vm"))

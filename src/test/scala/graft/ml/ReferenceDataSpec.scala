@@ -57,6 +57,23 @@ class ReferenceDataSpec extends SparkSpec {
     assert(m2.stdSelection.toSeq == m.stdSelection.toSeq)
     val m3 = fit(df.coalesce(1))
     assert(m3.stdSelection.toSeq == m.stdSelection.toSeq)
+    // the EXPLAINED delta (SURVEY §13.3): the 5 reference picks we
+    // don't select are not "lost" — they sit just below our top-10
+    // boundary. Under per-class neighborhoods (the documented
+    // semantics; the reference's single global top-(k·nClasses) queue
+    // starves miss groups when classes separate well) the miss-group
+    // contributions differ, which nudges near-boundary features across
+    // the cut. Pin the quantified claim: every reference-published
+    // feature ranks within our top 12% (top 40 of 325) — ordering
+    // noise at the boundary, not disagreement about what is relevant.
+    val rankOf = m.featureWeights.zipWithIndex
+      .sortBy { case (w, f) => (-w, f) }.zipWithIndex
+      .map { case ((_, f), r) => f -> (r + 1) }.toMap
+    val refPublished = Seq(29, 223, 10, 19, 172, 55, 183, 23, 35, 56)
+    val ranks = refPublished.map(f => f -> rankOf(f))
+    info(s"reference lung picks → our ranks: ${ranks.mkString(", ")}")
+    assert(ranks.forall(_._2 <= 40),
+      s"a reference pick fell far outside our ranking: ${ranks.mkString(", ")}")
   }
 
   test("libsvm input path: the reference's sparse-data entry point works end-to-end") {
@@ -122,6 +139,38 @@ class ReferenceDataSpec extends SparkSpec {
       val m2 = fit(df.repartition(3))
       assert(m2.stdSelection.toSeq == exp, s"$name not partition-invariant")
     }
+  }
+
+  test("kddcup: nominal-column ingestion (StringIndexer wiring) fits deterministically") {
+    // the one reference ingestion path previously uncovered: a CSV with
+    // CATEGORICAL feature columns (kddcup protocol/service/flag —
+    // TestHelper's StringIndexer convention). assembleNominal
+    // string-indexes the nominals (frequencyDesc) and assembles them
+    // with the numerics; the fit must be deterministic and
+    // partition-invariant like every other path.
+    import org.apache.spark.ml.feature.StringIndexer
+    val raw = spark.read.option("inferSchema", "true")
+      .csv("/root/reference/src/test/resources/data/kddcup_100.csv")
+    val cols = raw.columns
+    val nominal = Array(cols(1), cols(2), cols(3))
+    val numeric = cols.dropRight(1).filterNot(nominal.contains)
+    val withLabel = new StringIndexer().setInputCol(cols.last).setOutputCol("label")
+      .setStringOrderType("frequencyDesc").fit(raw).transform(raw)
+    val assembled = ReliefQueries
+      .assembleNominal(withLabel, numeric, nominal)
+      .select(col("label"), col("features"))
+    def fitK(df: DataFrame) = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(10).setNumNeighbors(10)
+      .setEstimationRatio(1.0).setBatchSize(0.25)
+      .setDiscreteData(true).setSeed(123456789L)
+      .fit(df)
+    val m = fitK(assembled)
+    assert(m.stdSelection.toSeq ==
+      Seq(5, 22, 23, 4, 32, 31, 3, 1, 11, 2),
+      s"kddcup selection drifted: ${m.stdSelection.mkString(",")}")
+    assert(fitK(assembled.repartition(3)).stdSelection.toSeq == m.stdSelection.toSeq,
+      "kddcup fit not partition-invariant")
   }
 
   test("colon: reference-params run selects the shared feature core, invariant to partitioning") {

@@ -133,6 +133,11 @@ class EmptyInputSpec extends SparkSpec {
       "f01" -> (() => graft.ml.ReliefQueries.f01Chi2Select(spark, emptyDir).count()),
       "f02" -> (() => graft.ml.ReliefQueries.f02VarianceSelect(spark, emptyDir).count()),
       "f03" -> (() => graft.ml.ReliefQueries.f03TopCorrelations(spark, emptyDir).count()),
+      "f04" -> (() => graft.ml.ReliefQueries.f04MrmrSelect(spark, emptyDir).count()),
+      "f05" -> (() => graft.ml.ReliefQueries.f05HistogramDrift(spark, emptyDir).count()),
+      "f06" -> (() => graft.ml.ReliefQueries.f06AnovaF(spark, emptyDir).count()),
+      "f07" -> (() => graft.ml.ReliefQueries.f07InfoGain(spark, emptyDir).count()),
+      "van" -> (() => graft.ml.ReliefQueries.vectorAssembleNominal(spark, emptyDir).count()),
       "m08" -> (() => graft.multimodal.Multimodal.m08ImageQualityGate(spark, emptyDir).count()),
       "m09" -> (() => graft.multimodal.Multimodal.m09SceneChange(spark, emptyDir).count()),
       "m10" -> (() => graft.multimodal.Multimodal.m10AudioSegmentation(spark, emptyDir).count()),
@@ -176,6 +181,10 @@ class EmptyInputSpec extends SparkSpec {
     val s21 = graft.streaming.Streams.s21StreamFunnel(spark, emptyDir).head()
     assert(s21.getLong(0) == 0L && s21.getLong(1) == 0L && s21.getLong(2) == 0L)
     assert(graft.streaming.Streams.s22StreamScd2(spark, emptyDir).count() == 0L)
+    // s23's batch-side bounds are null on an empty table — must return
+    // the 0-row histogram, not NPE on getLong
+    assert(graft.streaming.Streams.s23StreamHistogram(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s24StreamPressure(spark, emptyDir).count() == 0L)
   }
 
   test("q33's scalar funnel summary is all-zero (not an error) on empty events") {

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-8 additions: LSH cap behavior under boilerplate skew, the
+  * nominal-assembly operator, and empty/edge coverage for the new
+  * relief recomputation surface.
+  */
+class Round10Spec extends SparkSpec {
+
+  /** Synthetic skew corpus: `nFam` documents sharing one long
+    * boilerplate template (50 tokens) with a 5-token unique tail —
+    * every family pair is a true near-dup and every family doc lands
+    * in the same LSH buckets — plus `nSolo` unrelated documents with
+    * no near-dup partner. Deterministic (pure function of the counts).
+    */
+  private def skewCorpus(nFam: Int, nSolo: Int): DataFrame = {
+    val fam = spark.range(nFam.toLong).selectExpr(
+      "id AS doc_id",
+      // 50 shared tokens then 5 unique ones: Jaccard between any two
+      // family docs ≈ 48/(48+2·7) ≈ 0.77 on 3-gram shingles — all true
+      // near-dups at the 0.6 bar
+      "concat(concat_ws(' ', transform(sequence(1, 50), i -> concat('boiler', i))), " +
+        " ' ', concat_ws(' ', transform(sequence(1, 5), j -> concat('tail', id, 'x', j)))) AS text")
+    val solo = spark.range(nSolo.toLong).selectExpr(
+      s"id + 500000 AS doc_id",
+      // every token depends on the doc id: no shared shingles at all
+      "concat_ws(' ', transform(sequence(1, 40), i -> concat('solo', id, 'w', i))) AS text")
+    fam.unionByName(solo)
+  }
+
+  test("LSH MaxBucket cap under boilerplate skew: drops only degenerate-bucket recall, at quadratic-cost savings") {
+    import graft.dedup.Dedup
+    val corpus = skewCorpus(nFam = 150, nSolo = 100)
+    val sigs = Dedup.signatureTable(corpus)
+    try {
+      val capped = Dedup.lshCandidates(sigs).select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = Dedup.lshCandidates(sigs, Int.MaxValue)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val famPairs = (for {
+        a <- 0L until 150L; b <- (a + 1) until 150L
+      } yield (a, b)).toSet
+
+      // ground truth: every family pair is a true near-dup; no solo
+      // pair is. Banding is probabilistic — for this geometry a pair
+      // agrees on a band iff both docs drew all 4 minima from the
+      // shared boilerplate (≈0.57² per band), so P(miss all 16 bands)
+      // ≈ 0.2%. Uncapped recall must clear 99%.
+      val uncappedFam = uncapped.intersect(famPairs)
+      assert(uncappedFam.size >= famPairs.size * 99 / 100,
+        s"uncapped LSH recall ${uncappedFam.size}/${famPairs.size} below 99%")
+      // the pure-boilerplate bucket in each band holds ~57% of the 150
+      // docs (~86 > MaxBucket=64) and is capped; pairs survive only
+      // through the smaller mixed buckets. THIS is the recall the cap
+      // costs under degenerate skew — measured, not asserted away:
+      val cappedFam = capped.intersect(famPairs)
+      assert(cappedFam.size < uncappedFam.size,
+        "cap dropped nothing under 150-doc boilerplate skew — not exercising the cap")
+      info(s"family recall: uncapped ${uncappedFam.size}/${famPairs.size}, " +
+        s"capped ${cappedFam.size}/${famPairs.size}; " +
+        s"candidate pairs: uncapped ${uncapped.size}, capped ${capped.size}")
+      // the cap is SURGICAL: outside the family's degenerate buckets
+      // the candidate sets are identical
+      assert(capped -- famPairs == uncapped -- famPairs,
+        "cap changed candidates outside the degenerate buckets")
+      // no false candidates among solo docs either way (distinct tokens
+      // ⇒ distinct band signatures, mod-P collisions aside)
+      assert(capped.forall { case (a, b) => a < 150L && b < 150L || a >= 500000L == b >= 500000L })
+    } finally sigs.unpersist()
+  }
+
+  test("d38-style priority survives: template family handled by span/template tier, not LSH") {
+    // the documented mitigation for what the cap drops: boilerplate
+    // families are exactly what d37_template_mining exists to find —
+    // its (template signature → census) pass has no per-pair cost and
+    // flags the 150-doc family as ONE template cluster.
+    import graft.text.Corpus
+    val corpus = skewCorpus(nFam = 150, nSolo = 100)
+    val templates = Corpus.boilerplateLines(corpus)
+      .where(col("n_docs") >= 100)
+    assert(templates.count() >= 1L,
+      "template tier failed to surface the boilerplate family the LSH cap dropped")
+  }
+
+  test("vector_assemble_nominal: StringIndexer indices follow frequencyDesc with alphabetic ties") {
+    val got = graft.ml.ReliefQueries.vectorAssembleNominal(spark, sfDir)
+    assert(got.count() > 0)
+    // recompute the expected index for o_orderstatus on the same data
+    val orders = graft.Tables.orders(spark, sfDir)
+    val expIdx = orders.groupBy("o_orderstatus").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (v, n) => (-n, v) }.map(_._1).zipWithIndex.toMap
+    val joined = got.join(orders, "o_orderkey")
+      .select(col("o_orderstatus"), col("f0")).collect()
+    assert(joined.forall(r => r.getDouble(1) == expIdx(r.getString(0)).toDouble),
+      "f0 does not match frequencyDesc StringIndexer semantics")
+  }
+
+  test("f06 ANOVA F equals a driver moment walk; ranking strict") {
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = rows.head._2.length
+    val exp = (0 until dims).map { d =>
+      val byClass = rows.groupBy(_._1).values.map(_.map(_._2(d)))
+      val n = rows.length.toDouble; val k = byClass.size.toDouble
+      val s = rows.map(_._2(d)).sum
+      val sb = byClass.map(g => math.pow(g.sum, 2) / g.length).sum
+      val q = rows.map(v => v._2(d) * v._2(d)).sum
+      val ssb = sb - s * s / n; val ssw = q - sb
+      d.toLong -> (ssb / (k - 1)) / (ssw / (n - k))
+    }.sortBy { case (d, f) => (-f, d) }.take(10)
+    val got = graft.ml.ReliefQueries.f06AnovaF(spark, sfDir)
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == exp.map(_._1).toSeq,
+      s"F ranking differs: got ${got.map(_._1).mkString(",")} want ${exp.map(_._1).mkString(",")}")
+    got.zip(exp).foreach { case ((_, gf), (_, ef)) =>
+      assert(math.abs(gf - ef) <= 1e-9 * math.max(1.0, math.abs(ef))) }
+  }
+
+  test("f07 info gain equals a driver entropy walk; IG within [0, log2(classes)]") {
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = rows.head._2.length
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val exp = (0 until dims).map { d =>
+      val cells = rows.groupBy(r => (r._2(d) > 0, r._1)).map { case (k, v) => k -> v.length.toDouble }
+      val n = rows.length.toDouble
+      val nb = cells.groupBy(_._1._1).map { case (b, m) => b -> m.values.sum }
+      val ny = cells.groupBy(_._1._2).map { case (y, m) => y -> m.values.sum }
+      val ig = cells.map { case ((b, y), c) => (c / n) * log2(c * n / (nb(b) * ny(y))) }.sum
+      d.toLong -> ig
+    }.sortBy { case (d, g) => (-g, d) }.take(10)
+    val got = graft.ml.ReliefQueries.f07InfoGain(spark, sfDir)
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == exp.map(_._1).toSeq,
+      s"IG ranking differs: got ${got.map(_._1).mkString(",")} want ${exp.map(_._1).mkString(",")}")
+    val nClasses = rows.map(_._1).distinct.length
+    got.foreach { case (_, ig) =>
+      assert(ig >= -1e-12 && ig <= log2(nClasses.toDouble) + 1e-12) }
+  }
+
+  test("relief instanceIdCol fit: partition-invariant and id-keyed") {
+    import graft.ml.ReliefFRSelector
+    val base = graft.ml.ReliefQueries.assembled(spark, sfDir)
+    def fit(df: DataFrame) = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setInstanceIdCol("vec_id")
+      .setNumTopFeatures(10).setNumNeighbors(3)
+      .setEstimationRatio(0.25).setBatchSize(0.5).setSeed(20260812L)
+      .fit(df)
+    val m1 = fit(base)
+    val m2 = fit(base.repartition(7))
+    assert(m1.stdSelection.toSeq == m2.stdSelection.toSeq,
+      "idCol fit not partition-invariant")
+    // renumbering the ids changes the sample ⇒ (almost surely) the fit:
+    // identity really is keyed off the id column, not content
+    val m3 = fit(base.withColumn("vec_id", col("vec_id") + lit(1L)))
+    assert(m3.featureWeights.toSeq != m1.featureWeights.toSeq,
+      "id renumbering did not affect the id-keyed sample (suspicious)")
+  }
+}

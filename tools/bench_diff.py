@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Compare a bench_results.json run against the committed per-query baseline.
+
+Usage:
+    python3 tools/bench_diff.py [current.json] [baseline.json]
+
+Defaults: current = bench_results.json (written by graft.Bench), baseline =
+BENCH_BASELINE.json (committed per-query sf0.1 timings). Exit code is non-zero
+when any query regresses by more than REGRESSION_FACTOR, errors, or is missing
+from the current run — so `sbt "runMain graft.Bench" && python3
+tools/bench_diff.py` fails loudly on the kind of silent break that hit the
+events family in round 6 (20 queries vanished from the run without any gate
+noticing). New queries (present now, absent from baseline) are informational.
+
+Timings at sf0.1 on local[32] jitter ±30% run-to-run, so the regression
+threshold is 1.5x AND an absolute floor of +0.3 s — a 0.05 s query drifting to
+0.09 s is noise, not a regression.
+"""
+import json
+import sys
+
+REGRESSION_FACTOR = 1.5
+ABS_FLOOR_SEC = 0.3
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else "bench_results.json"
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
+    cur, base = load(cur_path), load(base_path)
+    cur_q, base_q = cur["queries"], base["queries"]
+
+    failures, regressions, news = [], [], []
+    for name, b in sorted(base_q.items()):
+        c = cur_q.get(name)
+        if c is None:
+            failures.append(f"MISSING  {name}: in baseline, absent from current run")
+            continue
+        if c == "err" or name in cur.get("errors", {}):
+            failures.append(f"ERROR    {name}: {cur.get('errors', {}).get(name, 'err')}")
+            continue
+        if b == "err":
+            continue  # baseline itself was broken for this query; can only improve
+        c, b = float(c), float(b)
+        if c > b * REGRESSION_FACTOR and c > b + ABS_FLOOR_SEC:
+            regressions.append(f"SLOWER   {name}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x)")
+    for name in sorted(set(cur_q) - set(base_q)):
+        news.append(f"NEW      {name}: {cur_q[name]}s (not in baseline)")
+
+    for line in failures + regressions + news:
+        print(line)
+    n_base_ok = sum(1 for v in base_q.values() if v != "err")
+    print(
+        f"bench_diff: {len(cur_q)} current vs {len(base_q)} baseline "
+        f"({n_base_ok} comparable) | {len(failures)} missing/error, "
+        f"{len(regressions)} regressed (> {REGRESSION_FACTOR}x and > +{ABS_FLOOR_SEC}s), "
+        f"{len(news)} new"
+    )
+    ct, bt = cur.get("value"), base.get("value")
+    if ct is not None and bt is not None:
+        print(f"bench_diff: total {bt}s -> {ct}s")
+    sys.exit(1 if (failures or regressions) else 0)
+
+
+if __name__ == "__main__":
+    main()
