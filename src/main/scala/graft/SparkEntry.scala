@@ -191,6 +191,8 @@ object SparkEntry {
     "s21_stream_funnel"   -> Streams.s21StreamFunnel _,
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
+    "w23_orphan_cleanup"  -> graft.sources.Sinks.w23OrphanCleanup _,
+    "d41_quality_votes"   -> graft.text.Corpus.d41QualityVotes _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_weights_content" -> ReliefQueries.reliefWeightsContent _,
@@ -929,6 +931,53 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY (sxx - sx * sx / n) / n DESC, dim) AS rnk
         |  FROM m)
         |WHERE rnk <= 10""".stripMargin,
+    // d41: weak labels, Laplace class counts, cross-multiplied NB votes
+    // and the confusion census replayed in exact integer SQL.
+    "d41_quality_votes" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, toks, len(toks)::BIGINT AS n_toks,
+        |    len(list_filter(toks,
+        |      x -> x IN ('spark', 'query', 'table', 'join')))::BIGINT AS n_jargon
+        |  FROM t),
+        |w AS (SELECT doc_id, unnest(toks) AS token,
+        |        (20 * n_jargon >= 3 * n_toks AND n_toks >= 20) AS weak_good
+        |      FROM d),
+        |vocab AS (
+        |  SELECT token,
+        |    count(*) FILTER (WHERE weak_good) AS c_good,
+        |    count(*) FILTER (WHERE NOT weak_good) AS c_bad
+        |  FROM w WHERE doc_id % 2 = 0 GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(c_good), 0) AS n_good,
+        |          coalesce(sum(c_bad), 0) AS n_bad, count(*) AS v FROM vocab),
+        |votes AS (
+        |  SELECT w.doc_id, w.weak_good,
+        |    CAST(sum(
+        |      length(bin(((coalesce(c_good, 0) + 1) * (SELECT n_bad + v FROM tot))::BIGINT))
+        |      - length(bin(((coalesce(c_bad, 0) + 1) * (SELECT n_good + v FROM tot))::BIGINT))
+        |    ) AS BIGINT) AS score
+        |  FROM w LEFT JOIN vocab USING (token)
+        |  WHERE w.doc_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT weak_good, score > 0 AS pred_good,
+        |  count(*) AS n_docs, CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM votes GROUP BY 1, 2""".stripMargin,
+    // w23: live = manifests 1+2 (repartition layouts, least()-guarded
+    // like w22); orphans = the crashed snapshot-3 parts + the stray
+    // _tmp_ upload; the post-sweep read serves snapshot 2.
+    "w23_orphan_cleanup" ->
+      """SELECT 'n_live_files' AS metric,
+        |  (SELECT CAST(least(count(*), 3) AS BIGINT) FROM documents)
+        |    + (SELECT CAST(least(count(*), 2) AS BIGINT)
+        |       FROM documents WHERE doc_id % 3 = 0) AS n
+        |UNION ALL
+        |SELECT 'n_orphans_removed',
+        |  (SELECT CAST(least(count(*), 2) AS BIGINT)
+        |   FROM documents WHERE doc_id % 5 = 0) + 1
+        |UNION ALL
+        |SELECT 'n_rows_after',
+        |  (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
     // f06: the same (dim, class) moment sums and F identity replayed.
     "f06_anova_f" ->
       """WITH e AS (SELECT label::BIGINT AS lbl, unnest(range(0, 64)) AS dim,

@@ -208,15 +208,20 @@ object Dedup {
     val sh = shingled(corpus).select(col("doc_id"), col("shingles"))
     val panel = sh.where(col("doc_id") < 50)
       .select(col("doc_id").as("panel_id"), col("shingles").as("sh_p"))
-    // size-ratio prefilter BEFORE any set intersection: J(A,B) ≤
-    // min(|A|,|B|)/max(|A|,|B|), so a pair whose shingle-count ratio is
-    // below the 0.6 threshold cannot pass — exact pruning, no recall
-    // loss. The intersect/union (the expensive per-pair work: O(|A|+|B|)
-    // over hundreds of tokens) then runs only on the few
-    // length-compatible survivors instead of all panel × corpus pairs —
-    // this took d40 from 10.4 s to the pack's normal range at sf0.1,
-    // and at 100 TB it is the difference between a panel scan and a
-    // panel scan times the corpus' full length spread.
+    // exact truth: corpus × broadcast(50-doc panel) with a size-ratio
+    // prefilter (J ≤ min(|A|,|B|)/max(|A|,|B|) — exact pruning, no
+    // recall loss) before the per-pair intersect. MEASURED alternative
+    // at sf0.1: the decontamination-shaped formulation (explode both
+    // sides, broadcast-probe corpus shingles against the panel shingle
+    // set, count matches per pair, integer 8·|A∩B| ≥ 3·(|A|+|B|) test)
+    // produces the identical 60 truth pairs but takes 28.9 s vs this
+    // plan's 10.5 s unfiltered / 6.9 s prefiltered: at panel = 50 the
+    // pair space is only corpus×50, so per-pair array_intersect beats
+    // paying a full-corpus shingle explode. The crossover is panel
+    // size — the probe plan's cost is flat in the panel while this one
+    // grows linearly, so an eval-suite-sized panel (thousands of docs)
+    // should switch to the probe shape (it is d14's, already in the
+    // pack). Plans this shape-dependent get measured, not assumed.
     val truth = sh.crossJoin(broadcast(panel))
       .where(col("doc_id") =!= col("panel_id"))
       .where(least(size(col("sh_p")), size(col("shingles"))).cast("double") >=

@@ -84,16 +84,25 @@ q AS (SELECT *, (${mix64(s"xor(${Seed2}::UBIGINT, id::UBIGINT)")})::UBIGINT % 2 
       FROM e
       WHERE ((${mix64(s"xor(${Seed}::UBIGINT, id::UBIGINT)")})::UBIGINT >> 11) < $P51),
 cand AS (
-  SELECT q.batch, q.id AS qid, q.lbl AS qlbl, q.v AS qv,
-         e.id AS nid, e.lbl AS nlbl, e.v AS nv,
-         row_number() OVER (PARTITION BY q.id, e.lbl
-                            ORDER BY list_distance(q.v, e.v), e.id) AS rn
-  FROM q JOIN e ON e.id <> q.id),
+  -- rank on SLIM rows: the inner subquery projects the distance and
+  -- DROPS both 64-double vectors BEFORE the window sort (expressed
+  -- inline, the optimizer carried the vectors into the q×n sort —
+  -- ~100 GB materialized at 10× data); vectors join back below for
+  -- the ≤ |q|·3·|classes| surviving pairs only
+  SELECT batch, qid, qlbl, nid, nlbl,
+         row_number() OVER (PARTITION BY qid, nlbl
+                            ORDER BY dist, nid) AS rn
+  FROM (SELECT q.batch, q.id AS qid, q.lbl AS qlbl,
+               e.id AS nid, e.lbl AS nlbl,
+               list_distance(q.v, e.v) AS dist
+        FROM q JOIN e ON e.id <> q.id) s),
 pairs AS MATERIALIZED (
-  SELECT batch, qid, qlbl, qv, nid, nlbl, nv,
+  SELECT batch, qid, qlbl, eq.v AS qv, nid, nlbl, en.v AS nv,
          c.cidx + CASE WHEN nlbl = qlbl THEN 0 ELSE (SELECT nc FROM ncls) END AS g,
          6.0 * (1.0 - (0.8 + ${pairRand("cand.qid", "cand.nid")} * 0.8)) AS thr
   FROM cand JOIN cls c ON c.lbl = cand.nlbl
+       JOIN e eq ON eq.id = cand.qid
+       JOIN e en ON en.id = cand.nid
   WHERE rn <= 3),
 cc AS (SELECT batch, g, count(*)::DOUBLE AS n FROM pairs GROUP BY 1, 2),
 feat AS MATERIALIZED (

@@ -27,7 +27,7 @@ object Sinks {
     * files mid-read (mergeSchema reads of w07's generations are the
     * sharpest case).
     */
-  private def stage(spark: SparkSession, dir: String, name: String): String =
+  private[graft] def stage(spark: SparkSession, dir: String, name: String): String =
     s"/tmp/graft_sink_${name}_${hex(dir)}_${hex(spark.sparkContext.applicationId)}"
 
   /** w01: partitioned parquet sink — documents written partitioned by
@@ -1271,6 +1271,63 @@ object Sinks {
     commitManifest(spark, root, 2, manifestFilesAt(spark, root, 1) ++ newFiles)
     analyzeSnapshot(spark, dir, root, 2)
     metadataTable(spark, root, Seq(1, 2))
+  }
+
+  /** w23: ORPHAN-file cleanup — Iceberg's `remove_orphan_files` /
+    * Delta VACUUM for the manifest table: data files that NO committed
+    * manifest references (a writer that crashed after landing its
+    * parquet but before its manifest rename, an abandoned `_tmp_`
+    * upload) are dead weight a directory listing can't distinguish
+    * from live data — except through the manifests, which are the only
+    * source of truth. The operator commits snapshots 1 and 2, plants a
+    * crashed snapshot-3 write (data files, no manifest) plus a stray
+    * `_tmp_` upload, then sweeps: every `part-*.parquet` under the
+    * data root that no committed manifest references, and every
+    * `_tmp_*` file, is deleted; `_SUCCESS` markers and hidden files
+    * are left alone. Readers are untouched by construction — the sweep
+    * removes only what no manifest can resolve (spec-pinned: the
+    * published read returns identical rows before and after). In
+    * production the sweep would also age-gate candidates against a
+    * retention window so an in-flight commit's files survive the race;
+    * with no concurrent writers here, retention is zero.
+    *
+    * Scale shape: the candidate list is a file LISTING (namespace
+    * metadata, never data bytes) diffed against the manifest union —
+    * at 100 TB that is millions of names vs a few manifest reads, a
+    * driver-side set difference on strings exactly like the
+    * manifest-commit machinery itself; no data file is ever opened.
+    */
+  def w23OrphanCleanup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = stage(spark, dir, "orphans")
+    val docs = Tables.documents(spark, dir)
+    publishSnapshot(spark, docs.repartition(3), root, 1)
+    publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0).repartition(2), root, 2)
+    // the crashed writer: snapshot 3's data landed, manifest never did
+    writeSnapshotData(spark, docs.where(col("doc_id") % 5 === 0).repartition(2), root, 3)
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val stray = new HPath(root, "data/snap1/_tmp_crashed_upload.parquet")
+    val out = fs.create(stray, true)
+    try out.write("junk".getBytes("UTF-8")) finally out.close()
+
+    val live: Set[String] = fs.globStatus(new HPath(s"$root/manifest-*"))
+      .map(_.getPath.getName.stripPrefix("manifest-").toInt).toSeq
+      .flatMap(n => manifestFilesAt(spark, root, n)).toSet
+    val listed = fs.globStatus(new HPath(s"$root/data/*/*"))
+      .map(_.getPath).filterNot(_.getName.startsWith("."))
+    val orphans = listed.filter { p =>
+      (p.getName.startsWith("part-") && p.getName.endsWith(".parquet") &&
+        !live.contains(p.toUri.getPath)) || p.getName.startsWith("_tmp_")
+    }
+    orphans.foreach(p => fs.delete(p, false))
+
+    val after = readPublished(spark, dir, root).count()
+    import spark.implicits._
+    Seq(
+      ("n_live_files", live.size.toLong),
+      ("n_orphans_removed", orphans.length.toLong),
+      ("n_rows_after", after)
+    ).toDF("metric", "n")
   }
 
   /** The snapshot census from metadata only: manifest line counts and

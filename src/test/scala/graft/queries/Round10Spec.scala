@@ -101,6 +101,70 @@ class Round10Spec extends SparkSpec {
       "f0 does not match frequencyDesc StringIndexer semantics")
   }
 
+  test("d41 token-vote quality classifier equals a driver NB walk; all-integer decisions") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val toked = docs.map { case (id, text) =>
+      (id, text.trim.toLowerCase.split("\\s+").toSeq)
+    }
+    val jargon = Set("spark", "query", "table", "join")
+    def weak(toks: Seq[String]) = {
+      val n = toks.length.toLong
+      20L * toks.count(jargon).toLong >= 3L * n && n >= 20
+    }
+    def bitLen(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val train = toked.filter(_._1 % 2 == 0)
+    val vocab = train.flatMap { case (id, ts) => ts.map(t => (t, weak(ts))) }
+      .groupBy(_._1).map { case (t, vs) =>
+        t -> (vs.count(_._2).toLong, vs.count(!_._2).toLong) }
+    val nGood = vocab.values.map(_._1).sum
+    val nBad = vocab.values.map(_._2).sum
+    val v = vocab.size.toLong
+    val exp = toked.filter(_._1 % 2 == 1).map { case (id, ts) =>
+      val wk = weak(ts)
+      val score = ts.map { t =>
+        val (cg, cb) = vocab.getOrElse(t, (0L, 0L))
+        bitLen((cg + 1) * (nBad + v)) - bitLen((cb + 1) * (nGood + v))
+      }.sum
+      (wk, score > 0, score)
+    }.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      k -> (rows.size.toLong, rows.map(_._3).sum) }
+    val got = graft.text.Corpus.d41QualityVotes(spark, sfDir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == exp, s"census differs:\n got $got\n exp $exp")
+    // the classifier must actually learn the weak signal: agreement on
+    // the scored half beats coin flip
+    val agree = exp.collect { case ((w, p), (n, _)) if w == p => n }.sum
+    val total = exp.values.map(_._1).sum
+    assert(agree * 2 > total, s"classifier no better than chance: $agree/$total")
+  }
+
+  test("w23 orphan cleanup: sweeps exactly the unreferenced files, readers untouched") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val out = graft.sources.Sinks.w23OrphanCleanup(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // after the sweep the filesystem holds EXACTLY the referenced
+    // files: no unreferenced part file, no _tmp_ upload anywhere
+    val root = graft.sources.Sinks.stage(spark, sfDir, "orphans")
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val listed = fs.globStatus(new HPath(s"$root/data/*/*")).map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+    assert(!listed.exists(_.startsWith("_tmp_")), "stray _tmp_ upload survived the sweep")
+    val live = fs.globStatus(new HPath(s"$root/manifest-*"))
+      .map(_.getPath.getName.stripPrefix("manifest-").toInt).toSeq
+      .flatMap(n => graft.sources.Sinks.manifestFilesAt(spark, root, n))
+      .map(p => new HPath(p).getName).toSet
+    val strayParts = listed.filter(n => n.startsWith("part-") && !live.contains(n))
+    assert(strayParts.isEmpty, s"unreferenced parts survived: ${strayParts.mkString(",")}")
+    // the published read still serves snapshot 2 exactly
+    val expect = graft.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 3 === 0).count()
+    assert(out("n_rows_after") == expect)
+    assert(out("n_orphans_removed") >= 1L) // at least the planted _tmp_
+  }
+
   test("f06 ANOVA F equals a driver moment walk; ranking strict") {
     val rows = graft.Tables.embeddings(spark, sfDir)
       .select("label", "embedding").collect()

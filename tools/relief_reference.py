@@ -10,10 +10,20 @@ the Scala implementation.
 Usage: python3 tools/relief_reference.py [sf_dir] [compare_dir]
   sf_dir:      parquet dir (default /root/testdata/sf0.01)
   compare_dir: optional Verify dump dir; if given, diffs weights/selections.
+
+Mutation check (does the oracle have teeth?): pass --mutate=<name> to run a
+deliberately-wrong variant and confirm it DIVERGES from the Scala output —
+evidence the recomputation detects real algorithmic deviations, not just
+row-count changes. Mutations: no-self-exclusion (a query becomes its own
+nearest neighbor), no-prior (class priors dropped from the weight fold),
+global-knn (one global top-(k*nclasses) queue instead of per-class heaps —
+the reference's own documented deviation).
 """
 import sys
 
 import duckdb
+
+MUTATION = None
 
 MASK = (1 << 64) - 1
 C1 = 0x9E3779B97F4A7C15
@@ -74,14 +84,20 @@ def fit(rows):
         for q in queries:
             byclass = {l: [] for l in labels}
             for r in rows:
-                if r[0] == q[0]:
+                if r[0] == q[0] and MUTATION != "no-self-exclusion":
                     continue
                 d = sum((a - c) ** 2 for a, c in zip(q[2], r[2])) ** 0.5
                 byclass[r[1]].append((d, r[0], r))
-            for l in labels:
-                byclass[l].sort(key=lambda t: (t[0], t[1]))
-                for d, _, r in byclass[l][:K_PER_CLASS]:
+            if MUTATION == "global-knn":
+                allc = sorted([t for l in labels for t in byclass[l]],
+                              key=lambda t: (t[0], t[1]))
+                for d, _, r in allc[:K_PER_CLASS * len(labels)]:
                     pairs.append((q, r))
+            else:
+                for l in labels:
+                    byclass[l].sort(key=lambda t: (t[0], t[1]))
+                    for d, _, r in byclass[l][:K_PER_CLASS]:
+                        pairs.append((q, r))
 
         cc = [0.0] * ngroups
         rel = [[0.0] * ngroups for _ in range(nfeat)]
@@ -112,7 +128,8 @@ def fit(rows):
             for g in range(ngroups):
                 if cc[g] > 0:
                     sign = -1.0 if g < ncls else 1.0
-                    w += sign * priors[labels[g % ncls]] * rel[f][g] / cc[g]
+                    pr = 1.0 if MUTATION == "no-prior" else priors[labels[g % ncls]]
+                    w += sign * pr * rel[f][g] / cc[g]
             total_rel[f] += w
         top_features = sorted(range(nfeat), key=lambda f: (-total_rel[f], f))[:LOWER_FEAT]
 
@@ -169,6 +186,13 @@ def fit(rows):
 
 
 def main():
+    global MUTATION
+    args = [a for a in sys.argv[1:] if not a.startswith("--mutate=")]
+    muts = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--mutate=")]
+    if muts:
+        MUTATION = muts[0]
+        print(f"MUTATION ACTIVE: {MUTATION} (output should now DIVERGE)")
+    sys.argv = [sys.argv[0]] + args
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     rows = duckdb.sql(
         f"SELECT vec_id, label::DOUBLE, embedding::DOUBLE[] "
