@@ -130,6 +130,7 @@ object SparkEntry {
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
     "m03_container_source" -> Multimodal.m03ContainerSource _,
+    "m12_container_random_access" -> Multimodal.m12ContainerRandomAccess _,
     "m04_audio_features"  -> Multimodal.m04AudioFeatures _,
     "m05_video_frames"    -> Multimodal.m05VideoFrames _,
     "m06_image_resize"    -> Multimodal.m06ImageResize _,
@@ -141,6 +142,7 @@ object SparkEntry {
     "s22_stream_scd2"     -> Streams.s22StreamScd2 _,
     "s23_stream_histogram" -> Streams.s23StreamHistogram _,
     "s01_stream_tumbling" -> Streams.s01StreamTumbling _,
+    "s25_stream_backfill" -> Streams.s25StreamBackfill _,
     "s02_stream_stateful" -> Streams.s02StreamStateful _,
     "s03_stream_dedup"    -> Streams.s03StreamDedup _,
     "s04_stream_join"     -> Streams.s04StreamJoin _,
@@ -2228,6 +2230,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         | count(*) AS n_events, sum(value) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // s25: the stitched backfill+live view must equal the pure-batch
+    // hourly rollup over ALL history — the seam partition (ts < / ≥
+    // cutover) is exact, so the cutover never appears in the oracle.
+    "s25_stream_backfill" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        | count(*) AS n_events, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // s19: s01's hourly counts cut to the top 3 types per window,
     // ties by event_type
     "s19_stream_trending" ->
@@ -3185,6 +3194,9 @@ object SparkEntry {
     // parquet-of-binaries container (the w03 mechanics) — decode is
     // byte-identical to m01 again, same SQL.
     "m03_container_source" -> multimodalOracleSql,
+    // m12: the same decode surface, restricted to the point-read slice.
+    "m12_container_random_access" ->
+      (multimodalOracleSql + "\nWHERE doc_id % 7 = 0"),
     // m04 regenerates the deterministic PCM signal from its formula and
     // aggregates integer-exact features; Spark round-trips the SAME
     // signal through a real WAV encode → decode, so a header mis-parse

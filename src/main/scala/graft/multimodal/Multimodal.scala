@@ -1194,6 +1194,116 @@ object Multimodal {
       .parquet(out))
   }
 
+  /** Packed-shard root for m12, keyed like the other media stages. */
+  private[graft] def packedShardDir(spark: SparkSession, dir: String): String =
+    mediaStageDir(spark, dir) + "_packed"
+
+  /** Build the packed shards: payloads concatenated into one raw
+    * `shard_<p>.bin` per doc_id range partition (executor-parallel —
+    * each task streams ITS shard through the Hadoop FS and emits the
+    * (doc_id, shard, offset, len, mime) index rows as its output, so
+    * packing and indexing are ONE distributed job, no driver bytes),
+    * plus an `index/` parquet. Idempotent via `_STAGED`; a retried
+    * task rewrites its shard with identical bytes (deterministic
+    * content, create-overwrite).
+    */
+  private def stagePackedShards(spark: SparkSession, dir: String, root: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new HPath(root, "_STAGED")
+    if (fs.exists(marker)) return
+    fs.mkdirs(new HPath(root))
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val packed = mediaTable(spark, dir)
+      .repartitionByRange(ContainerFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .select("doc_id", "payload", "mime", "n_bytes")
+    val idxRdd = packed.rdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val pfs = new HPath(root).getFileSystem(serConf.value)
+        val shard = s"shard_$pid.bin"
+        val out = pfs.create(new HPath(root, shard), true)
+        var off = 0L
+        val recs = rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          out.write(payload)
+          val rec = org.apache.spark.sql.Row(
+            r.getLong(0), shard, off, payload.length.toLong, r.getString(2))
+          off += payload.length
+          rec
+        }.toVector
+        out.close()
+        recs.iterator
+      }
+    }
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("len", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mime", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(idxRdd, idxSchema)
+      .write.mode("overwrite").parquet(s"$root/index")
+    fs.create(marker, true).close()
+  }
+
+  /** Read ONLY the requested members from the packed shards:
+    * positioned `readFully(offset, …)` per index row, one shard open
+    * per task (rows route to their shard first, sorted by offset so
+    * reads are sequential within the file).
+    */
+  private[graft] def rangeReadMembers(
+      spark: SparkSession, root: String, want: DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val rdd = want.repartition(col("shard")).rdd.mapPartitions { rows =>
+      rows.toVector.groupBy(_.getString(1)).iterator.flatMap { case (shard, rs) =>
+        val pfs = new HPath(root).getFileSystem(serConf.value)
+        val in = pfs.open(new HPath(root, shard))
+        val out = rs.sortBy(_.getLong(2)).map { r =>
+          val len = r.getLong(3).toInt
+          val b = new Array[Byte](len)
+          in.readFully(r.getLong(2), b, 0, len)
+          org.apache.spark.sql.Row(r.getLong(0), b, r.getString(4), r.getLong(3))
+        }
+        in.close()
+        out.iterator
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("mime", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_bytes", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** m12: RANDOM-ACCESS container reads — the WebDataset/tar-index
+    * serving pattern m03 deliberately does not cover: m03's columnar
+    * container is the right layout for FULL scans, but a training-data
+    * service is constantly asked for a SUBSET ("these 10k doc_ids for
+    * the eval slice") and must not pay a container scan for it. The
+    * corpus packs into a few raw byte shards with a parquet offset
+    * index (build is one distributed job — each task writes its shard
+    * and emits its index rows); a point read resolves the index
+    * (columnar, doc_id-prunable), routes to shards, and positioned-
+    * reads exactly the requested byte ranges. The operator reads the
+    * doc_id % 7 slice and decodes it through the same dispatch as
+    * m01/m03 — identical features, shared (filtered) oracle; the spec
+    * pins the byte economy: bytes read = the subset's payload bytes,
+    * ~1/7 of the container, never the whole file.
+    */
+  def m12ContainerRandomAccess(spark: SparkSession, dir: String): DataFrame = {
+    val root = packedShardDir(spark, dir)
+    stagePackedShards(spark, dir, root)
+    val want = spark.read.parquet(s"$root/index").where(col("doc_id") % 7 === 0)
+    decodeFrame(rangeReadMembers(spark, root, want))
+  }
+
   /** The decode stage on any media-shaped frame (doc_id, payload, mime,
     * n_bytes): partition-local batched decode, scalar features out.
     */

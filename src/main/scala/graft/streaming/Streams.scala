@@ -148,6 +148,62 @@ object Streams {
     s.table(name)
   }
 
+  /** s25: BACKFILL STITCH — the lambda→kappa migration pattern every
+    * production stream eventually needs: history that predates the
+    * stream's checkpoint is aggregated by a BATCH leg, everything from
+    * the cutover instant on by the STREAMING leg, and the read stitches
+    * the two into one view that must equal a pure-batch aggregate over
+    * all of history. Exactly-once at the seam is by PARTITION, not by
+    * dedup: the cutover is one timestamp literal (the corpus midpoint,
+    * truncated to the hour so every (bucket, type) key belongs to
+    * exactly ONE leg — spec-pinned disjointness), the batch leg takes
+    * ts < cutover, the stream takes ts ≥ cutover, and the merged
+    * roll-up sums additively. No event can be double-counted or lost
+    * because no event can satisfy both predicates. Shares s01's oracle
+    * shape: the stitched view equals the full-history hourly rollup.
+    *
+    * Scale shape: the batch leg is a plain hourly aggregate over the
+    * archive; the stream leg is s01's bounded-state windowed count;
+    * the stitch is a union + re-aggregate over two ALREADY-AGGREGATED
+    * frames (bucket-count rows, not events).
+    */
+  def s25StreamBackfill(spark: SparkSession, dir: String): DataFrame =
+    s25Legs(spark, dir)
+      .groupBy("bucket", "event_type")
+      .agg(sum("n_events").as("n_events"), sum("sum_value").as("sum_value"))
+
+  /** The two legs pre-merge, tagged — exposed so the spec can pin seam
+    * disjointness (no (bucket, type) key appears in both legs).
+    */
+  private[graft] def s25Legs(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val ev = graft.Tables.events(ss, dir)
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+    val emptyLegs = ev.where(lit(false))
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .withColumn("leg", lit("backfill"))
+    // empty archive: no cutover exists — the stitched view is empty
+    if (bounds.isNullAt(0)) return emptyLegs
+    val midMicros = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val cutover = expr(
+      s"date_trunc('hour', timestamp_micros(${midMicros}L))")
+    val hist = ev.where(col("ts") < cutover)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .withColumn("leg", lit("backfill"))
+    val liveAgg = eventsStream(ss, dir)
+      .where(col("ts") >= cutover)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val (s, name) = runToCompletion(liveAgg, OutputMode.Complete())
+    hist.unionByName(s.table(name).withColumn("leg", lit("live")))
+  }
+
   /** s07: streaming curation gate — d18's scalar quality gates (token
     * bounds, stopword density, uppercase ratio, PII) applied AT
     * INGESTION: the document stream is projected through the gates

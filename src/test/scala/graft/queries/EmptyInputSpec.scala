@@ -65,6 +65,7 @@ class EmptyInputSpec extends SparkSpec {
       "m03" -> (() => graft.multimodal.Multimodal.m03ContainerSource(spark, emptyDir).count()),
       "m02" -> (() => graft.multimodal.Multimodal.m02BinarySource(spark, emptyDir).count()),
       "m04" -> (() => graft.multimodal.Multimodal.m04AudioFeatures(spark, emptyDir).count()),
+      "m12" -> (() => graft.multimodal.Multimodal.m12ContainerRandomAccess(spark, emptyDir).count()),
       "q34" -> (() => Events.q34Retention(spark, emptyDir).count()),
       "d25" -> (() => graft.text.Corpus.d25CorpusDiff(spark, emptyDir).count()),
       "w07" -> (() => graft.sources.Sinks.w07SchemaEvolution(spark, emptyDir).count()),
@@ -197,6 +198,9 @@ class EmptyInputSpec extends SparkSpec {
     // the 0-row histogram, not NPE on getLong
     assert(graft.streaming.Streams.s23StreamHistogram(spark, emptyDir).count() == 0L)
     assert(graft.streaming.Streams.s24StreamPressure(spark, emptyDir).count() == 0L)
+    // s25: an empty archive has no cutover — the stitched view is the
+    // empty frame, not a bounds NPE
+    assert(graft.streaming.Streams.s25StreamBackfill(spark, emptyDir).count() == 0L)
   }
 
   test("q33's scalar funnel summary is all-zero (not an error) on empty events") {

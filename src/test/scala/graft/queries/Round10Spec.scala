@@ -101,6 +101,65 @@ class Round10Spec extends SparkSpec {
       "f0 does not match frequencyDesc StringIndexer semantics")
   }
 
+  test("m12 random-access container: point reads equal m01 on the slice; bytes read ~ slice only") {
+    import graft.multimodal.Multimodal
+    val got = Multimodal.m12ContainerRandomAccess(spark, sfDir)
+      .orderBy("doc_id").collect()
+    val exp = Multimodal.m01Multimodal(spark, sfDir)
+      .where(col("doc_id") % 7 === 0).orderBy("doc_id").collect()
+    assert(got.length == exp.length && got.length > 0)
+    got.zip(exp).foreach { case (g, e) => assert(g == e, s"row differs: $g vs $e") }
+    // byte economy: the point reads touch the slice's payload bytes
+    // (sum of index len over the slice), a small fraction of the
+    // packed container — never a full scan
+    val idx = spark.read.parquet(
+      s"${Multimodal.packedShardDir(spark, sfDir)}/index")
+    val total = idx.agg(sum("len")).head().getLong(0)
+    val slice = idx.where(col("doc_id") % 7 === 0).agg(sum("len")).head().getLong(0)
+    assert(slice * 3 < total, s"slice $slice not a small fraction of $total")
+    // the index must resolve every member exactly once, contiguously
+    // within each shard (offsets partition the shard's byte range)
+    val byShard = idx.collect().groupBy(_.getString(1))
+    byShard.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(2) + a.getLong(3) == b.getLong(2),
+            "shard offsets are not contiguous")
+        case _ =>
+      }
+    }
+  }
+
+  test("s25 backfill stitch: legs are key-disjoint at the seam and merge to the batch rollup") {
+    val legs = graft.streaming.Streams.s25Legs(spark, sfDir).collect()
+    val byLeg = legs.groupBy(_.getString(4))
+    val backKeys = byLeg.getOrElse("backfill", Array.empty)
+      .map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    val liveKeys = byLeg.getOrElse("live", Array.empty)
+      .map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    // exactly-once by PARTITION: the hour-aligned cutover means no
+    // (bucket, type) key can come from both legs
+    assert(backKeys.intersect(liveKeys).isEmpty,
+      s"seam overlap: ${backKeys.intersect(liveKeys).take(3)}")
+    assert(backKeys.nonEmpty && liveKeys.nonEmpty,
+      "both legs must carry data at this corpus (cutover is the midpoint)")
+    // the stitched view equals the pure-batch hourly rollup
+    val got = graft.streaming.Streams.s25StreamBackfill(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val exp = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (n, sv)) =>
+      assert(n == exp(k)._1, s"$k count differs")
+      assert(math.abs(sv - exp(k)._2) <= 1e-6 * math.max(1.0, math.abs(exp(k)._2)))
+    }
+  }
+
   test("d41 token-vote quality classifier equals a driver NB walk; all-integer decisions") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
