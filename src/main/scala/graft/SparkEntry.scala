@@ -194,7 +194,11 @@ object SparkEntry {
     "w06_sink_streamed"   -> Streams.w06SinkStreamed _,
     "w07_schema_evolution" -> graft.sources.Sinks.w07SchemaEvolution _,
     "w23_orphan_cleanup"  -> graft.sources.Sinks.w23OrphanCleanup _,
+    "w24_shallow_clone"   -> graft.sources.Sinks.w24ShallowClone _,
     "d41_quality_votes"   -> graft.text.Corpus.d41QualityVotes _,
+    "d42_bpe_pairs"       -> Text.d42BpePairs _,
+    "d43_temperature_mix" -> graft.text.Corpus.d43TemperatureMix _,
+    "e20_cluster_sample"  -> Sim.e20ClusterSample _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_weights_content" -> ReliefQueries.reliefWeightsContent _,
@@ -549,23 +553,30 @@ object SparkEntry {
   /** e04's IVF reproduction, parameterized by nprobe — shared by the
     * e04 oracle (nprobe = 4) and the e19 tuning-curve sweep.
     */
+  /** The deterministic IVF codebook + nearest-centroid assignment CTEs
+    * (through `asg`) — shared prefix of the e04/e19 search oracles and
+    * the e20 cluster-sampler oracle.
+    */
+  private val ivfAsgCte: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id) - 1 AS cid,
+      |    v AS cv
+      |  FROM e
+      |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
+      |  LIMIT 16),
+      |cc AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents),
+      |asg AS (
+      |  SELECT vec_id, v, nrm, cid AS centroid_id FROM (
+      |    SELECT en.vec_id, en.v, en.nrm, cc.cid,
+      |      row_number() OVER (PARTITION BY en.vec_id
+      |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+      |    FROM en CROSS JOIN cc) t
+      |  WHERE rn = 1)""".stripMargin
+
   private def ivfOracleSql(np: Int): String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-       |cents AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id) - 1 AS cid,
-       |    v AS cv
-       |  FROM e
-       |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
-       |  LIMIT 16),
-       |cc AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents),
-       |asg AS (
-       |  SELECT vec_id, v, nrm, cid AS centroid_id FROM (
-       |    SELECT en.vec_id, en.v, en.nrm, cc.cid,
-       |      row_number() OVER (PARTITION BY en.vec_id
-       |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
-       |    FROM en CROSS JOIN cc) t
-       |  WHERE rn = 1),
+    s"""$ivfAsgCte,
        |probes AS (
        |  SELECT query_id, qv, qn, cid AS centroid_id FROM (
        |    SELECT en.vec_id AS query_id, en.v AS qv, en.nrm AS qn, cc.cid,
@@ -980,6 +991,41 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'n_rows_after',
         |  (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+    // w24: the shallow clone serves the source's files at clone time,
+    // then diverges — source census = full corpus, clone = the rewrite.
+    "w24_shallow_clone" ->
+      """SELECT 'source' AS table_ref, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+        |UNION ALL
+        |SELECT 'clone' AS table_ref, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // d42: every word occurrence emits its adjacent char pairs; exact
+    // corpus-wide counts, top 20, ties broken on the pair string.
+    "d42_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT w, unnest(range(1, length(w))) AS i
+        |  FROM words WHERE length(w) >= 2),
+        |agg AS (
+        |  SELECT substr(w, i, 2) AS pair, count(*) AS n_pair
+        |  FROM pos GROUP BY 1)
+        |SELECT pair, n_pair,
+        |  CAST(row_number() OVER (ORDER BY n_pair DESC, pair) AS BIGINT) AS rank
+        |FROM agg QUALIFY rank <= 20""".stripMargin,
+    // d43: per-lang counts, the p^0.7 temperature rule, same operation
+    // order as the Spark projection (floats are outputs, never ranks).
+    "d43_temperature_mix" ->
+      """WITH l AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+        |        sum(pow(n_docs, 0.7)) AS z FROM l)
+        |SELECT lang, n_docs,
+        |  n_docs / total AS p_raw,
+        |  pow(n_docs, 0.7) / z AS p_temp,
+        |  pow(n_docs, 0.7) / z * total / n_docs AS boost
+        |FROM l, t""".stripMargin,
     // f06: the same (dim, class) moment sums and F identity replayed.
     "f06_anova_f" ->
       """WITH e AS (SELECT label::BIGINT AS lbl, unnest(range(0, 64)) AS dim,
@@ -2095,6 +2141,18 @@ object SparkEntry {
     // vec_id hash), argmin assignment on -2*dot+|c|^2 (the |v|^2 term drops
     // out), nprobe=4 probing, exact cosine rank.
     "e04_ann_ivf" -> ivfOracleSql(4),
+    // e20: the shared assignment CTEs + per-cluster cap-lowest election
+    // over the same mod-prime permutation the Spark sampler ranks on.
+    "e20_cluster_sample" ->
+      s"""$ivfAsgCte
+         |SELECT CAST(centroid_id AS BIGINT) AS centroid_id, vec_id,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM (
+         |  SELECT centroid_id, vec_id,
+         |    row_number() OVER (PARTITION BY centroid_id
+         |      ORDER BY vec_id % 1000000007 * 888000131 % 1000000007, vec_id) AS rk
+         |  FROM asg) t
+         |WHERE rk <= 24""".stripMargin,
     // e19: the same IVF SQL swept over nprobe, each setting left-joined
     // against the e01 exact panel — integer hit counts per setting.
     "e19_ivf_tuning" -> Seq(1, 2, 4).map { np =>

@@ -633,6 +633,50 @@ object Sim {
     }.reduce(_.unionByName(_))
   }
 
+  /** e20: cluster-balanced panel sampling — draw an equal-budget sample
+    * from every coarse cluster (the DataComp/SemDeDup curation draw,
+    * and exactly how IVF/PQ codebook-training and eval panels are taken
+    * at scale: per-cell, never uniform — a uniform draw over a skewed
+    * corpus hands the head cluster the whole budget and the tail
+    * nothing). Clusters are e04's deterministic coarse quantizer;
+    * admission per cluster is "the [[SampleCap]] lowest by a mod-prime
+    * permutation of vec_id" — a deterministic, layout-invariant stand-in
+    * for a uniform draw (d13/d20's device), reproducible on any engine.
+    *
+    * Scale shape (100 TB): the cap is CONSTANT, so the d27 salted
+    * two-phase election applies verbatim — stage 1 keeps the cap-lowest
+    * per (cluster, salt) shard (map-heavy, each window sees ~1/s of a
+    * cluster), stage 2 re-elects over ≤ salt·cap ≈ 200 survivors per
+    * cluster. The global cap-lowest provably survive stage 1 (the
+    * permutation is a total order), so the result is bit-identical to
+    * the naive single-window sort this device replaces — no hot-cluster
+    * task ever sorts corpus/k rows. Output ≤ k·cap rows, bounded at any
+    * corpus size.
+    */
+  val SampleCap = 24
+
+  def e20ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centsDf = centroidsDf(spark, fitCentroids(e))
+    val assigned = assignToNearest(spark, e, centsDf)
+      .select(col("vec_id"), col("centroid_id"))
+    val P = 1000000007L
+    val s = 8
+    val stage1 = assigned
+      .withColumn("u", col("vec_id") % P * lit(888000131L) % P)
+      .withColumn("salt", pmod(col("vec_id"), lit(s.toLong)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy("centroid_id", "salt").orderBy("u", "vec_id")))
+      .where(col("r1") <= SampleCap)
+      .drop("salt", "r1")
+    stage1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("centroid_id").orderBy("u", "vec_id")).cast("long"))
+      .where(col("rk") <= SampleCap)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("vec_id"), col("rk"))
+  }
+
   /** e07: product-quantized ANN with asymmetric distance (ADC) — the
     * memory-compression path of the family: at 10¹¹ vectors the floats
     * (256 B each) do not fit anywhere, so every vector is stored as

@@ -1205,6 +1205,42 @@ object Sinks {
     census("main").unionByName(census("staging"))
   }
 
+  /** w24: SHALLOW CLONE — zero-copy table forking (Delta `CLONE`,
+    * Iceberg snapshot-ref forks): because manifests reference immutable
+    * data files by absolute path and files are never rewritten in
+    * place, cloning a 100 TB table is ONE metadata write — commit the
+    * source's current file list as the clone's manifest-1 — after which
+    * the two tables evolve independently: the clone's next snapshot
+    * lands new files under the CLONE's root and only the clone's
+    * manifest advances; the source never observes it. The dev/staging
+    * workflow this enables at scale (fork prod, run the risky rewrite,
+    * diff, throw away) costs bytes proportional to the DIVERGENCE, not
+    * the table.
+    *
+    * The operator publishes the corpus as the source table, clones it
+    * (spec-pinned: zero data files under the clone root at clone time —
+    * the clone read is served entirely by source-owned files), then
+    * commits a filtered rewrite to the clone only, and returns both
+    * tables' censuses: source must still roll up to the full corpus,
+    * the clone to the rewrite.
+    */
+  def w24ShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = stage(spark, dir, "clonesrc")
+    val dst = stage(spark, dir, "clonedst")
+    val docs = Tables.documents(spark, dir)
+    publishSnapshot(spark, docs, src, 1)
+    // the clone: the source's file list committed under the clone root
+    // — no data bytes move
+    commitManifest(spark, dst, 1, manifestLines(spark, src))
+    // diverge the CLONE only
+    publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), dst, 2)
+    def census(label: String, root: String) =
+      readPublished(spark, dir, root)
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(lit(label).as("table_ref"), col("n_docs"), col("sum_chars"))
+    census("source", src).unionByName(census("clone", dst))
+  }
+
   /** Point ref `name` at committed snapshot `n` (tmp + atomic
     * rename-with-OVERWRITE — the commitManifest primitive applied to a
     * one-line ref file). `FileSystem.rename` refuses an existing

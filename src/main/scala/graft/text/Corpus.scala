@@ -478,6 +478,35 @@ object Corpus {
       .withColumn("target_frac", (srcHash % 3 + 1).cast("double") * 0.25)
   }
 
+  /** d43: temperature-scaled sampling weights — the multilingual mixing
+    * rule (mBERT/XLM-R/mT5: p_l^α / Σ p^α with α < 1) that up-samples
+    * tail languages and down-samples the head so low-resource languages
+    * are not drowned by English. Output per language: the raw corpus
+    * share p_raw, the temperature-scaled target share p_temp, and the
+    * boost ratio p_temp/p_raw an epoch sampler multiplies into its
+    * admission rate (tail langs get boost > 1, the head < 1).
+    *
+    * Scale shape: one |langs|-row groupBy count (map-side combine to a
+    * handful of rows), a 1-row global sum broadcast back — the weight
+    * table is O(|languages|) at any corpus size and rides into the
+    * admission scan (d20's threshold device) as a broadcast literal.
+    * No float enters any ranking — weights are OUTPUT, so cross-engine
+    * pow() ulp noise lands inside the compare tolerance instead of
+    * flipping a selection.
+    */
+  def d43TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7
+    val l = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val t = l.agg(sum("n_docs").cast("double").as("total"),
+      sum(pow(col("n_docs"), alpha)).as("z"))
+    l.crossJoin(broadcast(t)).select(
+      col("lang"), col("n_docs"),
+      (col("n_docs") / col("total")).as("p_raw"),
+      (pow(col("n_docs"), alpha) / col("z")).as("p_temp"),
+      ((pow(col("n_docs"), alpha) / col("z")) * col("total") / col("n_docs")).as("boost"))
+  }
+
   /** Line span width for d26/s17: documents split into consecutive
     * LineTok-token "lines" (the corpus carries no newlines, so fixed
     * token spans stand in for the line/sentence granularity a real

@@ -385,4 +385,40 @@ object Text {
     cand.groupBy("term").agg(count(lit(1)).as("freq"))
       .where(col("freq") >= lit(t))
   }
+
+  /** d42: BPE merge-candidate mining — the distributed heart of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016): the
+    * corpus-wide frequency of every adjacent symbol pair, ranked, is
+    * exactly what one BPE merge round consumes (the top pair becomes
+    * the next merge rule). Counting pairs over word OCCURRENCES equals
+    * the textbook sum over word TYPES weighted by type frequency, so
+    * the whole round is one codegen'd explode (each word emits its
+    * len−1 adjacent char pairs) + one map-side-combined count — no
+    * word-type table, no second shuffle. Output: the top-20 merge
+    * candidates with exact counts and a dense rank (ties break on the
+    * pair string, so the ranking is total and engine-independent).
+    *
+    * Scale shape (100 TB): the only exchange carries (pair, partial
+    * count) — the key space is bounded by the ALPHABET squared (a few
+    * thousand rows for any corpus, any size), so map-side combine
+    * collapses each task's stream to a constant-size frame before the
+    * shuffle, and the final rank sorts a table whose size is
+    * independent of corpus size. Subsequent merge rounds re-run the
+    * same plan over re-segmented symbols; the per-round cost never
+    * grows past alphabet'² where alphabet' = chars + learned merges.
+    */
+  def d42BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, dir)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+    val pairs = words.select(explode(expr(
+      "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("n_pair"))
+      // global window over the aggregated pair table: bounded by
+      // |alphabet|² rows at ANY corpus size — never a data-sized sort
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_pair").desc, col("pair"))).cast("long"))
+      .where(col("rank") <= 20)
+  }
 }

@@ -161,7 +161,13 @@ class EmptyInputSpec extends SparkSpec {
         m("n_rows_after")
       }),
       "w22" -> (() => graft.sources.Sinks.w22MetadataTables(spark, emptyDir)
-        .agg(sum("n_rows")).head().getLong(0)))
+        .agg(sum("n_rows")).head().getLong(0)),
+      "d42" -> (() => graft.text.Text.d42BpePairs(spark, emptyDir).count()),
+      "d43" -> (() => graft.text.Corpus.d43TemperatureMix(spark, emptyDir).count()),
+      "e20" -> (() => graft.sim.Sim.e20ClusterSample(spark, emptyDir).count()),
+      // w24 reports a fixed two-row census; the populations must be zero
+      "w24" -> (() => graft.sources.Sinks.w24ShallowClone(spark, emptyDir)
+        .agg(sum("n_docs")).head().getLong(0)))
     val failures = ops.flatMap { case (name, run) =>
       try { assert(run() == 0L, s"$name returned rows on empty input"); None }
       catch {

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-8 final tranche: BPE merge mining (d42), temperature-scaled
+  * sampling weights (d43), cluster-balanced panel sampling (e20), and
+  * the zero-copy shallow clone (w24). Each operator is pinned against
+  * an INDEPENDENT driver-side recomputation (not its own plan), plus
+  * the structural invariants that must survive any scale.
+  */
+class Round11Spec extends SparkSpec {
+
+  // ---------------------------------------------------------------- d42
+
+  test("d42: top-20 BPE pairs equal a pure-Scala recomputation") {
+    val got = graft.text.Text.d42BpePairs(spark, sfDir)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // independent recomputation: whitespace words, adjacent char pairs,
+    // exact counts, (count desc, pair asc) rank
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.HashMap[String, Long]()
+    for (t <- texts; w <- t.trim.split("\\s+") if w.length >= 2;
+         i <- 0 until w.length - 1)
+      counts(w.substring(i, i + 2)) = counts.getOrElse(w.substring(i, i + 2), 0L) + 1
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, (i + 1).toLong) }
+
+    assert(got.toSeq == want,
+      s"spark=${got.take(5).mkString(",")} scala=${want.take(5).mkString(",")}")
+  }
+
+  test("d42: rank is dense 1..20 and counts are non-increasing") {
+    val rows = graft.text.Text.d42BpePairs(spark, sfDir)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getLong(2)).toSeq == (1L to 20L))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getString(0).length == 2))
+  }
+
+  // ---------------------------------------------------------------- d43
+
+  test("d43: shares sum to 1, boost is monotone-decreasing in corpus share and crosses 1") {
+    val rows = graft.text.Corpus.d43TemperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "p_raw must sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "p_temp must sum to 1")
+    // temperature flattening: smaller corpus share → strictly larger boost
+    val byN = rows.sortBy(_._2)
+    byN.map(_._5).zip(byN.tail.map(_._5)).zip(byN.zip(byN.tail)).foreach {
+      case ((b1, b2), ((_, n1, _, _, _), (_, n2, _, _, _))) =>
+        if (n1 < n2) assert(b1 > b2, s"boost must decrease with n: $n1->$b1 vs $n2->$b2")
+    }
+    // α < 1 up-samples the tail and down-samples the head
+    assert(byN.head._5 > 1.0, "smallest lang must be boosted above parity")
+    assert(byN.last._5 < 1.0, "largest lang must be damped below parity")
+    // independent recomputation of the weights from raw counts
+    val n = rows.map(_._2.toDouble)
+    val total = n.sum
+    val z = n.map(math.pow(_, 0.7)).sum
+    rows.foreach { case (_, nd, pRaw, pTemp, boost) =>
+      assert(math.abs(pRaw - nd / total) < 1e-12)
+      assert(math.abs(pTemp - math.pow(nd.toDouble, 0.7) / z) < 1e-12)
+      assert(math.abs(boost - pTemp / pRaw) < 1e-9)
+    }
+  }
+
+  // ---------------------------------------------------------------- e20
+
+  /** Driver-side reference: the same deterministic codebook (16 lowest
+    * by mod-prime vec_id hash), nearest-centroid assignment on
+    * −2·v·c + |c|² with ties on centroid id, then per cluster the
+    * cap-lowest by the mod-prime permutation of vec_id.
+    */
+  private def e20Reference(): Set[(Long, Long, Long)] = {
+    val P = 1000000007L
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = rows.sortBy { case (id, _) => (id % P * 616318177L % P, id) }
+      .take(16).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    def d2(v: Array[Double], c: Array[Double]): Double =
+      -2.0 * v.zip(c).map { case (a, b) => a * b }.sum +
+        c.map(x => x * x).sum
+    val assigned = rows.map { case (id, v) =>
+      val cid = cents.map { case (ci, cv) => (d2(v, cv), ci) }.min._2
+      (cid, id)
+    }
+    assigned.groupBy(_._1).toSeq.flatMap { case (cid, members) =>
+      members.map(_._2).sortBy(id => (id % P * 888000131L % P, id))
+        .take(graft.sim.Sim.SampleCap)
+        .zipWithIndex.map { case (id, i) => (cid, id, (i + 1).toLong) }
+    }.toSet
+  }
+
+  test("e20: salted two-phase panel equals the naive driver-side reference exactly") {
+    val got = graft.sim.Sim.e20ClusterSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = e20Reference()
+    assert(got == want,
+      s"got ${got.size} rows, want ${want.size}; diff=${(got diff want).take(3)} / ${(want diff got).take(3)}")
+  }
+
+  test("e20: no cluster exceeds the cap and ranks are dense from 1") {
+    val rows = graft.sim.Sim.e20ClusterSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (cid, rs) =>
+      val rks = rs.map(_._2).sorted.toSeq
+      assert(rks.size <= graft.sim.Sim.SampleCap, s"cluster $cid over cap")
+      assert(rks == (1L to rks.size.toLong), s"cluster $cid ranks not dense: $rks")
+    }
+  }
+
+  // ---------------------------------------------------------------- w24
+
+  test("w24: clone is zero-copy at clone time and tables diverge independently") {
+    import graft.sources.Sinks
+    import org.apache.hadoop.fs.{Path => HPath}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val nAll = docs.count()
+    val root = s"/tmp/graft_w24_spec_${System.nanoTime()}"
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    try {
+      Sinks.publishSnapshot(spark, docs, src, 1)
+      Sinks.commitManifest(spark, dst, 1, Sinks.manifestLines(spark, src))
+      val fs = new HPath(dst).getFileSystem(spark.sessionState.newHadoopConf())
+      // zero-copy: the clone owns NO data files — its read is served
+      // entirely by source-owned files
+      assert(!fs.exists(new HPath(s"$dst/data")),
+        "clone must not copy any data bytes")
+      assert(Sinks.readPublished(spark, sfDir, dst).count() == nAll)
+      // diverge the clone; the source must not observe it
+      Sinks.publishSnapshot(spark, docs.where(col("doc_id") % 3 === 0), dst, 2)
+      val nFiltered = docs.where(col("doc_id") % 3 === 0).count()
+      assert(Sinks.readPublished(spark, sfDir, dst).count() == nFiltered)
+      assert(Sinks.readPublished(spark, sfDir, src).count() == nAll,
+        "source table must be unaffected by clone commits")
+      // and the clone's PAST is still served: time travel to the
+      // clone's snapshot 1 reads the full corpus through shared files
+      assert(Sinks.readPublished(spark, sfDir, dst, asOf = Some(1)).count() == nAll)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("w24: operator census matches the corpus and its rewrite") {
+    val rows = graft.sources.Sinks.w24ShallowClone(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(rows("source") == docs.count())
+    assert(rows("clone") == docs.where(col("doc_id") % 3 === 0).count())
+  }
+}
