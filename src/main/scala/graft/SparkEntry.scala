@@ -198,7 +198,10 @@ object SparkEntry {
     "d41_quality_votes"   -> graft.text.Corpus.d41QualityVotes _,
     "d42_bpe_pairs"       -> Text.d42BpePairs _,
     "d43_temperature_mix" -> graft.text.Corpus.d43TemperatureMix _,
+    "d44_split_leakage"   -> Dedup.d44SplitLeakage _,
     "e20_cluster_sample"  -> Sim.e20ClusterSample _,
+    "f08_selection_stability" -> ReliefQueries.f08SelectionStability _,
+    "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_weights_content" -> ReliefQueries.reliefWeightsContent _,
@@ -574,6 +577,53 @@ object SparkEntry {
       |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
       |    FROM en CROSS JOIN cc) t
       |  WHERE rn = 1)""".stripMargin
+
+  /** d06's full banded-MinHash pair reproduction — also the evidence
+    * CTE inside d44's split-leakage audit.
+    */
+  private val d06PairsSql: String =
+    """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+      |tr AS (
+      |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
+      |  WHERE len(toks) >= 12),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus)
+      |  WHERE len(toks) >= 3),
+      |hs AS (
+      |  SELECT doc_id, shingles, list_transform(shingles, s ->
+      |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+      |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+      |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
+      |  FROM sh),
+      |sg AS (
+      |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
+      |    list_min(list_transform(hv, h ->
+      |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_id,
+      |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
+      |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+      |  FROM sg, (SELECT unnest(range(0, 16)) AS b) b),
+      |useful AS (
+      |  SELECT band_id, band_sig FROM bands GROUP BY 1, 2
+      |  HAVING count(*) BETWEEN 2 AND 64),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) a
+      |  JOIN (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) b
+      |    USING (band_id, band_sig)
+      |  WHERE a.doc_id < b.doc_id)
+      |SELECT p.doc_a, p.doc_b,
+      |  len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est_jaccard
+      |FROM pairs p
+      |JOIN sg sa ON sa.doc_id = p.doc_a
+      |JOIN sg sb ON sb.doc_id = p.doc_b
+      |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 >= 0.5""".stripMargin
 
   private def ivfOracleSql(np: Int): String =
     s"""$ivfAsgCte,
@@ -1026,6 +1076,38 @@ object SparkEntry {
         |  pow(n_docs, 0.7) / z AS p_temp,
         |  pow(n_docs, 0.7) / z * total / n_docs AS boost
         |FROM l, t""".stripMargin,
+    // s26 maintains d43's weight table live; one AvailableNow pass over
+    // the staged corpus must equal the batch projection exactly.
+    "s26_stream_temperature_mix" ->
+      """WITH l AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+        |        sum(pow(n_docs, 0.7)) AS z FROM l)
+        |SELECT lang, n_docs,
+        |  n_docs / total AS p_raw,
+        |  pow(n_docs, 0.7) / z AS p_temp,
+        |  pow(n_docs, 0.7) / z * total / n_docs AS boost
+        |FROM l, t""".stripMargin,
+    // f08: the f02 variance ranking replayed per corpus half, joined,
+    // swept over k — integer overlap counts plus the Jaccard ratio.
+    "f08_selection_stability" ->
+      """WITH e AS (SELECT vec_id, unnest(range(0, 64)) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |ma AS (SELECT dim, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |       FROM e WHERE vec_id % 2 = 0 GROUP BY 1),
+        |mb AS (SELECT dim, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |       FROM e WHERE vec_id % 2 = 1 GROUP BY 1),
+        |va AS (SELECT dim, row_number() OVER (
+        |         ORDER BY (sxx - sx * sx / n) / n DESC, dim) AS rnk_a FROM ma),
+        |vb AS (SELECT dim, row_number() OVER (
+        |         ORDER BY (sxx - sx * sx / n) / n DESC, dim) AS rnk_b FROM mb),
+        |j AS (SELECT va.dim, rnk_a, rnk_b FROM va JOIN vb USING (dim)),
+        |ks AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS k)
+        |SELECT k,
+        |  CAST(count(*) FILTER (WHERE rnk_a <= k AND rnk_b <= k) AS BIGINT) AS n_common,
+        |  count(*) FILTER (WHERE rnk_a <= k AND rnk_b <= k)
+        |    / (2.0 * k - count(*) FILTER (WHERE rnk_a <= k AND rnk_b <= k)) AS jaccard
+        |FROM ks CROSS JOIN j GROUP BY k""".stripMargin,
     // f06: the same (dim, class) moment sums and F identity replayed.
     "f06_anova_f" ->
       """WITH e AS (SELECT label::BIGINT AS lbl, unnest(range(0, 64)) AS dim,
@@ -2469,49 +2551,26 @@ object SparkEntry {
     // Full MinHash+LSH reproduction: poly-hashed shingles, universal-hash
     // permutation minima, banded buckets with the 2..64 census cap —
     // identical mod-1e9+7 arithmetic to Dedup.withSignature/lshCandidates.
-    "d06_minhash_lsh" ->
-      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
-        |tr AS (
-        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base)
-        |  WHERE len(toks) >= 12),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corpus)
-        |  WHERE len(toks) >= 3),
-        |hs AS (
-        |  SELECT doc_id, shingles, list_transform(shingles, s ->
-        |    list_reduce(list_prepend(CAST(17 AS BIGINT),
-        |      list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
-        |      (b, c) -> (b * 31 + c) % 1000000007)) AS hv
-        |  FROM sh),
-        |sg AS (
-        |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
-        |    list_min(list_transform(hv, h ->
-        |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
-        |  FROM hs),
-        |bands AS (
-        |  SELECT doc_id, b.b AS band_id,
-        |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
-        |      (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
-        |  FROM sg, (SELECT unnest(range(0, 16)) AS b) b),
-        |useful AS (
-        |  SELECT band_id, band_sig FROM bands GROUP BY 1, 2
-        |  HAVING count(*) BETWEEN 2 AND 64),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) a
-        |  JOIN (SELECT bands.* FROM bands JOIN useful USING (band_id, band_sig)) b
-        |    USING (band_id, band_sig)
-        |  WHERE a.doc_id < b.doc_id)
-        |SELECT p.doc_a, p.doc_b,
-        |  len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est_jaccard
-        |FROM pairs p
-        |JOIN sg sa ON sa.doc_id = p.doc_a
-        |JOIN sg sb ON sb.doc_id = p.doc_b
-        |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 >= 0.5""".stripMargin,
+    "d06_minhash_lsh" -> d06PairsSql,
+    // d44: the d06 pair evidence + the deterministic split tag — pair
+    // census by split kind plus the count of leaked val docs.
+    "d44_split_leakage" ->
+      s"""WITH p AS (
+         |$d06PairsSql
+         |),
+         |sp AS (SELECT doc_a, doc_b,
+         |  CASE WHEN doc_a % 1000000007 * 888000131 % 1000000007 % 5 = 0
+         |       THEN 'val' ELSE 'train' END AS sa,
+         |  CASE WHEN doc_b % 1000000007 * 888000131 % 1000000007 % 5 = 0
+         |       THEN 'val' ELSE 'train' END AS sb
+         |  FROM p)
+         |SELECT 'pairs_' || least(sa, sb) || '_' || greatest(sa, sb) AS metric,
+         |  count(*) AS n
+         |FROM sp GROUP BY 1
+         |UNION ALL
+         |SELECT 'val_docs_leaked',
+         |  count(DISTINCT CASE WHEN sa = 'val' THEN doc_a ELSE doc_b END)
+         |FROM sp WHERE sa <> sb""".stripMargin,
     // SimHash reproduction: packed dual poly token hashes, per-bit vote
     // packing (bits 60-63 are provably 0), 16-bit chunk buckets + cap.
     "d07_simhash" ->

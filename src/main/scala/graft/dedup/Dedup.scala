@@ -191,6 +191,41 @@ object Dedup {
     out
   }
 
+  /** d44: SPLIT-LEAKAGE audit — near-dup contamination ACROSS a
+    * train/validation split (the self-decontamination run every corpus
+    * release needs: an eval doc whose near-duplicate sits in train is
+    * a leaked answer, and doc-level random splitting guarantees such
+    * pairs exist whenever the corpus has near-dups at all). Split
+    * assignment is a pure deterministic function of doc_id (mod-prime
+    * permutation, ~20% val — layout-invariant, so twins land
+    * independently); the pair evidence is exactly d06's verified LSH
+    * output. Reported: the pair census by split kind plus the
+    * actionable number — how many VAL documents have at least one
+    * train-side near-dup partner and must be dropped or re-split.
+    *
+    * Scale shape: d06's (banded LSH, capped buckets); the audit on top
+    * touches only the pair list — split tags are computed per pair
+    * row, no join back to the corpus.
+    */
+  def d44SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def isVal(c: Column): Column = c % P * 888000131L % P % 5 === 0
+    def split(c: Column): Column = when(isVal(c), "val").otherwise("train")
+    val pairs = d06MinHashLsh(spark, dir)
+      .withColumn("sa", split(col("doc_a")))
+      .withColumn("sb", split(col("doc_b")))
+      .localCheckpoint(true)
+    val census = pairs
+      .groupBy(concat(lit("pairs_"), least(col("sa"), col("sb")),
+        lit("_"), greatest(col("sa"), col("sb"))).as("metric"))
+      .agg(count(lit(1)).as("n"))
+    val leakedVal = pairs.where(col("sa") =!= col("sb"))
+      .select(when(col("sa") === "val", col("doc_a"))
+        .otherwise(col("doc_b")).as("val_doc"))
+      .agg(count_distinct(col("val_doc")).as("n"))
+      .select(lit("val_docs_leaked").as("metric"), col("n"))
+    census.unionByName(leakedVal)
+  }
+
   /** d40: near-dup RECALL evaluation — e10's index-quality harness
     * applied to the dedup tier (the QA a curation team runs before
     * trusting a new LSH config: how many TRUE near-dup partners does

@@ -522,6 +522,44 @@ object ReliefQueries {
       .select("dim", "info_gain", "rnk")
   }
 
+  /** f08: SELECTION STABILITY — the robustness QA run before trusting
+    * any filter selector (Nogueira/Kuncheva stability indices): rank
+    * features independently on two disjoint deterministic halves of the
+    * corpus (vec_id parity — layout-invariant, no RNG) and report, for
+    * every panel size k = 1..10, how many features the two half-corpus
+    * top-k sets share plus the Jaccard overlap. A selector whose top-k
+    * churns between halves is fitting noise, not signal — the curve is
+    * what decides whether f02's output is trustworthy at all.
+    *
+    * Scale shape: two f02 moment passes (each map-side-combines to 64
+    * rows regardless of corpus size), a 64-row join, a broadcast of the
+    * 10-row k frame — every post-scan frame is constant-size.
+    */
+  def f08SelectionStability(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(half: Int, out: String): DataFrame =
+      Tables.embeddings(spark, dir)
+        .where(col("vec_id") % 2 === half)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("variance",
+          (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+        .withColumn(out, row_number()
+          .over(Window.orderBy(col("variance").desc, col("dim"))).cast("long"))
+        .select("dim", out)
+    val ks = spark.range(1, 11).select(col("id").as("k"))
+    ranked(0, "rnk_a").join(ranked(1, "rnk_b"), "dim")
+      .crossJoin(broadcast(ks))
+      .groupBy("k")
+      .agg(sum(when(col("rnk_a") <= col("k") && col("rnk_b") <= col("k"), 1L)
+        .otherwise(0L)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (lit(2.0) * col("k") - col("n_common")))
+  }
+
   /** StringIndexer-based nominal ingestion: index each nominal column
     * (frequencyDesc), then assemble nominal indices + numeric columns
     * into `features` — the user-side wiring a categorical dataset

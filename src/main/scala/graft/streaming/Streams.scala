@@ -204,6 +204,24 @@ object Streams {
     hist.unionByName(s.table(name).withColumn("leg", lit("live")))
   }
 
+  /** s26: d43's temperature-scaled sampling weights maintained LIVE as
+    * the corpus streams in — the weight table an epoch sampler reads is
+    * recomputed every trigger from the running language census, so the
+    * mixing policy tracks ingestion instead of waiting for a nightly
+    * batch. Stream state is ONE count per language (complete-mode
+    * census bounded by |languages| at any corpus size — the s07
+    * device); the temperature projection itself is d43's EXACT column
+    * algebra applied batch-side to the census table each trigger, so
+    * the live weights are bit-identical to what the batch operator
+    * would publish over the same prefix (oracle: d43's).
+    */
+  def s26StreamTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val l = fileStream(streamSession(spark), dir, "documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val (s, name) = runToCompletion(l, OutputMode.Complete())
+    graft.text.Corpus.temperatureProject(s.table(name))
+  }
+
   /** s07: streaming curation gate — d18's scalar quality gates (token
     * bounds, stopword density, uppercase ratio, PII) applied AT
     * INGESTION: the document stream is projected through the gates

@@ -494,10 +494,17 @@ object Corpus {
     * pow() ulp noise lands inside the compare tolerance instead of
     * flipping a selection.
     */
-  def d43TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+  def d43TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureProject(Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs")))
+
+  /** The temperature projection over a (lang, n_docs) census — shared
+    * by d43 (batch) and s26 (the same weights maintained live on the
+    * ingest stream), so both derive bit-identical weights from the
+    * same column algebra.
+    */
+  private[graft] def temperatureProject(l: DataFrame): DataFrame = {
     val alpha = 0.7
-    val l = Tables.documents(spark, dir)
-      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val t = l.agg(sum("n_docs").cast("double").as("total"),
       sum(pow(col("n_docs"), alpha)).as("z"))
     l.crossJoin(broadcast(t)).select(

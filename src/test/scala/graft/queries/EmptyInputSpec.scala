@@ -165,6 +165,14 @@ class EmptyInputSpec extends SparkSpec {
       "d42" -> (() => graft.text.Text.d42BpePairs(spark, emptyDir).count()),
       "d43" -> (() => graft.text.Corpus.d43TemperatureMix(spark, emptyDir).count()),
       "e20" -> (() => graft.sim.Sim.e20ClusterSample(spark, emptyDir).count()),
+      // d44 keeps its one fixed metric row; the population must be zero
+      "d44" -> (() => graft.dedup.Dedup.d44SplitLeakage(spark, emptyDir)
+        .agg(sum("n")).head().getLong(0)),
+      "f08" -> (() => {
+        // no corpus → both halves empty → the k sweep has nothing to
+        // join: zero rows, never a throw
+        graft.ml.ReliefQueries.f08SelectionStability(spark, emptyDir).count()
+      }),
       // w24 reports a fixed two-row census; the populations must be zero
       "w24" -> (() => graft.sources.Sinks.w24ShallowClone(spark, emptyDir)
         .agg(sum("n_docs")).head().getLong(0)))
@@ -204,6 +212,7 @@ class EmptyInputSpec extends SparkSpec {
     // the 0-row histogram, not NPE on getLong
     assert(graft.streaming.Streams.s23StreamHistogram(spark, emptyDir).count() == 0L)
     assert(graft.streaming.Streams.s24StreamPressure(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s26StreamTemperatureMix(spark, emptyDir).count() == 0L)
     // s25: an empty archive has no cutover — the stitched view is the
     // empty frame, not a bounds NPE
     assert(graft.streaming.Streams.s25StreamBackfill(spark, emptyDir).count() == 0L)

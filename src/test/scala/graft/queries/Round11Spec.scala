@@ -151,6 +151,82 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- s26
+
+  test("s26: live weight table equals d43's batch projection exactly") {
+    val live = graft.streaming.Streams.s26StreamTemperatureMix(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    val batch = graft.text.Corpus.d43TemperatureMix(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(live.length == batch.length && live.nonEmpty)
+    live.zip(batch).foreach { case ((ll, ln, lp, lt, lb), (bl, bn, bp, bt, bb)) =>
+      assert(ll == bl && ln == bn)
+      assert(math.abs(lp - bp) < 1e-12 && math.abs(lt - bt) < 1e-12 &&
+        math.abs(lb - bb) < 1e-12, s"weights diverge for $ll")
+    }
+  }
+
+  // ---------------------------------------------------------------- f08
+
+  test("f08: stability curve matches a driver-side recomputation and its invariants") {
+    val got = graft.ml.ReliefQueries.f08SelectionStability(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    got.foreach { case (k, n, j) =>
+      assert(n >= 0 && n <= k, s"overlap $n out of range at k=$k")
+      assert(j >= 0.0 && j <= 1.0 + 1e-12, s"jaccard $j out of range at k=$k")
+    }
+    // independent recomputation: variance ranking per vec_id-parity half
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def top(half: Int): Array[Long] = {
+      val vs = rows.filter(_._1 % 2 == half).map(_._2)
+      val dims = vs.head.indices.map { d =>
+        val xs = vs.map(_(d))
+        val n = xs.length.toDouble
+        val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+        (d.toLong, (sxx - sx * sx / n) / n)
+      }
+      dims.sortBy { case (d, v) => (-v, d) }.map(_._1).toArray
+    }
+    val (a, b) = (top(0), top(1))
+    got.foreach { case (k, n, _) =>
+      val want = a.take(k.toInt).toSet.intersect(b.take(k.toInt).toSet).size
+      assert(n == want, s"k=$k: spark overlap $n != driver $want")
+    }
+  }
+
+  // ---------------------------------------------------------------- d44
+
+  test("d44: leakage census matches a recomputation from the d06 pair list") {
+    val P = 1000000007L
+    def split(id: Long): String =
+      if (id % P * 888000131L % P % 5 == 0) "val" else "train"
+    val pairs = graft.dedup.Dedup.d06MinHashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "near-dup corpus must produce pairs")
+    val wantCensus = pairs.groupBy { case (x, y) =>
+      val Seq(lo, hi) = Seq(split(x), split(y)).sorted
+      s"pairs_${lo}_$hi"
+    }.view.mapValues(_.length.toLong).toMap
+    val wantLeaked = pairs.filter { case (x, y) => split(x) != split(y) }
+      .map { case (x, y) => if (split(x) == "val") x else y }.distinct.length.toLong
+    val got = graft.dedup.Dedup.d44SplitLeakage(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._1.startsWith("pairs_")) == wantCensus,
+      s"census mismatch: got $got want $wantCensus")
+    assert(got("val_docs_leaked") == wantLeaked)
+    // the audit must find real leakage on this corpus (the split is
+    // independent of twin construction, so cross pairs must exist)
+    assert(got.getOrElse("pairs_train_val", 0L) > 0, "no cross-split pairs found")
+    assert(wantLeaked > 0)
+  }
+
   test("w24: operator census matches the corpus and its rewrite") {
     val rows = graft.sources.Sinks.w24ShallowClone(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
