@@ -199,6 +199,8 @@ object SparkEntry {
     "d42_bpe_pairs"       -> Text.d42BpePairs _,
     "d43_temperature_mix" -> graft.text.Corpus.d43TemperatureMix _,
     "d44_split_leakage"   -> Dedup.d44SplitLeakage _,
+    "d45_novelty_curve"   -> Dedup.d45NoveltyCurve _,
+    "w25_manifest_diff"   -> graft.sources.Sinks.w25ManifestDiff _,
     "e20_cluster_sample"  -> Sim.e20ClusterSample _,
     "f08_selection_stability" -> ReliefQueries.f08SelectionStability _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
@@ -1108,6 +1110,44 @@ object SparkEntry {
         |  count(*) FILTER (WHERE rnk_a <= k AND rnk_b <= k)
         |    / (2.0 * k - count(*) FILTER (WHERE rnk_a <= k AND rnk_b <= k)) AS jaccard
         |FROM ks CROSS JOIN j GROUP BY k""".stripMargin,
+    // w25: the append then the rewrite, reported as pure file-count set
+    // differences — least()-guarded like w22/w23.
+    "w25_manifest_diff" ->
+      """WITH c AS (SELECT
+        |  (SELECT CAST(least(count(*), 3) AS BIGINT)
+        |   FROM documents WHERE doc_id % 3 <> 0) AS m1,
+        |  (SELECT CAST(least(count(*), 2) AS BIGINT)
+        |   FROM documents WHERE doc_id % 3 = 0) AS extra,
+        |  (SELECT CAST(least(count(*), 1) AS BIGINT)
+        |   FROM documents WHERE doc_id % 5 = 0) AS m3)
+        |SELECT '1_to_2' AS step, extra AS n_added,
+        |  CAST(0 AS BIGINT) AS n_removed, m1 AS n_kept FROM c
+        |UNION ALL
+        |SELECT '2_to_3', m3, m1 + extra, CAST(0 AS BIGINT) FROM c""".stripMargin,
+    // d45: shingle first-seen deciles — the same trigram + poly hash
+    // the d06 oracle uses, decile bounds from the 1-row min/max agg.
+    "d45_novelty_curve" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |       FROM d WHERE len(toks) >= 3),
+        |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |g AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |h AS (SELECT (doc_id - lo) * 10 // (hi - lo + 1) AS decile,
+        |        list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |          list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |          (b, c) -> (b * 31 + c) % 1000000007) AS hv
+        |      FROM g, b),
+        |g1 AS (SELECT hv, decile, count(*) AS n FROM h GROUP BY 1, 2),
+        |occ AS (SELECT decile, CAST(sum(n) AS BIGINT) AS n_occurrences,
+        |          count(*) AS n_distinct FROM g1 GROUP BY 1),
+        |nov AS (SELECT decile, count(*) AS n_novel FROM (
+        |          SELECT hv, min(decile) AS decile FROM g1 GROUP BY 1)
+        |        GROUP BY 1)
+        |SELECT occ.decile, n_occurrences, n_distinct,
+        |  coalesce(n_novel, 0) AS n_novel
+        |FROM occ LEFT JOIN nov ON occ.decile = nov.decile""".stripMargin,
     // f06: the same (dim, class) moment sums and F identity replayed.
     "f06_anova_f" ->
       """WITH e AS (SELECT label::BIGINT AS lbl, unnest(range(0, 64)) AS dim,

@@ -191,6 +191,42 @@ object Dedup {
     out
   }
 
+  /** d45: corpus NOVELTY curve — the diminishing-returns census behind
+    * every "is more crawl worth ingesting?" decision: bucket the corpus
+    * into ten doc_id-range deciles (value-based bounds from one 1-row
+    * broadcast agg — q44's device, NO global sort) and report, per
+    * decile, the shingle occurrence count, the distinct shingles
+    * present, and the shingles whose GLOBAL first occurrence lands in
+    * that decile. A flattening n_novel curve is the saturation signal:
+    * late data re-states early data (and dedup will delete most of it);
+    * a flat-high curve says the corpus is still growing in content.
+    *
+    * Scale shape: shingles leave the map side as mod-prime longs (the
+    * d06 polynomial — never strings); ONE gram-keyed shuffle builds the
+    * (hash, decile, n) frame, from which the occurrence census, the
+    * distinct census and the first-seen census are all tiny rollups —
+    * no second pass over the token stream, output exactly 10 rows.
+    */
+  def d45NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val grams = shingled(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", expr(
+        s"aggregate(split(s, ''), 17L, (b, c) -> (b * 31 + ascii(c)) % $P)"))
+    val g1 = grams.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        ((col("doc_id") - col("lo")) * 10 / (col("hi") - col("lo") + 1)).cast("long"))
+      .groupBy("h", "decile").agg(count(lit(1)).as("n"))
+    val occ = g1.groupBy("decile")
+      .agg(sum("n").as("n_occurrences"), count(lit(1)).as("n_distinct"))
+    val novel = g1.groupBy("h").agg(min("decile").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_novel"))
+    occ.join(novel, Seq("decile"), "left")
+      .select(col("decile"), col("n_occurrences"), col("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
   /** d44: SPLIT-LEAKAGE audit — near-dup contamination ACROSS a
     * train/validation split (the self-decontamination run every corpus
     * release needs: an eval doc whose near-duplicate sits in train is

@@ -1224,6 +1224,59 @@ object Sinks {
     * tables' censuses: source must still roll up to the full corpus,
     * the clone to the rewrite.
     */
+  /** Read the file list of a SPECIFIC committed manifest (manifestLines
+    * resolves the latest) — the w25 diff primitive.
+    */
+  private[graft] def manifestLinesAt(
+      spark: SparkSession, root: String, n: Int): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new HPath(root, s"manifest-$n")
+    require(fs.exists(p), s"manifest-$n was never committed under $root")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** w25: SNAPSHOT DIFF — "what did this commit change", answered from
+    * manifests alone (Iceberg's snapshot summary / Delta's commit info,
+    * the audit primitive behind incremental consumers and debugging
+    * "who rewrote my table"): for each consecutive snapshot pair, the
+    * files added, removed and kept, computed as set differences of the
+    * two file lists — no data file is ever opened. The operator commits
+    * an APPEND (snapshot 2 = snapshot 1's files + a new batch: added
+    * grows, nothing removed — w13's shape) and then a REWRITE (snapshot
+    * 3 = fresh files only: everything prior removed — w11's shape), and
+    * must report exactly those shapes from metadata.
+    *
+    * Scale note: the diff is ∝ manifest length (file count, not bytes)
+    * — the same planning cost every table format pays per commit; at
+    * millions of files the lists partition by path prefix and the diff
+    * becomes an anti-join, same semantics.
+    */
+  def w25ManifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = stage(spark, dir, "snapdiff")
+    val docs = Tables.documents(spark, dir)
+    val m1 = writeSnapshotData(spark,
+      docs.where(col("doc_id") % 3 =!= 0).repartition(3), root, 1)
+    commitManifest(spark, root, 1, m1)
+    val extra = writeSnapshotData(spark,
+      docs.where(col("doc_id") % 3 === 0).repartition(2), root, 2)
+    commitManifest(spark, root, 2, m1 ++ extra)
+    val m3 = writeSnapshotData(spark,
+      docs.where(col("doc_id") % 5 === 0).repartition(1), root, 3)
+    commitManifest(spark, root, 3, m3)
+    val diffs = (1 to 2).map { n =>
+      val a = manifestLinesAt(spark, root, n).toSet
+      val b = manifestLinesAt(spark, root, n + 1).toSet
+      (s"${n}_to_${n + 1}", (b diff a).size.toLong,
+        (a diff b).size.toLong, (a intersect b).size.toLong)
+    }
+    diffs.toDF("step", "n_added", "n_removed", "n_kept")
+  }
+
   def w24ShallowClone(spark: SparkSession, dir: String): DataFrame = {
     val src = stage(spark, dir, "clonesrc")
     val dst = stage(spark, dir, "clonedst")

@@ -168,6 +168,10 @@ class EmptyInputSpec extends SparkSpec {
       // d44 keeps its one fixed metric row; the population must be zero
       "d44" -> (() => graft.dedup.Dedup.d44SplitLeakage(spark, emptyDir)
         .agg(sum("n")).head().getLong(0)),
+      "d45" -> (() => graft.dedup.Dedup.d45NoveltyCurve(spark, emptyDir).count()),
+      // w25's diff report is fixed two-row shape even on an empty corpus
+      // (each empty snapshot write still lands one schema-bearing file)
+      "w25" -> (() => graft.sources.Sinks.w25ManifestDiff(spark, emptyDir).count() - 2),
       "f08" -> (() => {
         // no corpus → both halves empty → the k sweep has nothing to
         // join: zero rows, never a throw

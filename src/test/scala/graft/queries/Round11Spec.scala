@@ -151,6 +151,61 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- d45
+
+  test("d45: novelty curve matches a driver-side recomputation") {
+    val P = 1000000007L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lo = docs.map(_._1).min; val hi = docs.map(_._1).max
+    def decile(id: Long): Long = (id - lo) * 10 / (hi - lo + 1)
+    def hash(s: String): Long =
+      s.foldLeft(17L)((b, c) => (b * 31 + c.toLong) % P)
+    val g1 = scala.collection.mutable.HashMap[(Long, Long), Long]()
+    for ((id, text) <- docs) {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      if (toks.length >= 3) {
+        val shingles = (0 to toks.length - 3)
+          .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+        for (s <- shingles) {
+          val k = (hash(s), decile(id))
+          g1(k) = g1.getOrElse(k, 0L) + 1
+        }
+      }
+    }
+    val occ = g1.groupBy(_._1._2).map { case (d, m) =>
+      d -> (m.values.sum, m.size.toLong)
+    }
+    val novel = g1.keys.groupBy(_._1).map { case (_, ks) => ks.map(_._2).min }
+      .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val want = occ.map { case (d, (nOcc, nDist)) =>
+      (d, nOcc, nDist, novel.getOrElse(d, 0L))
+    }.toSet
+    val got = graft.dedup.Dedup.d45NoveltyCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"diff: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    // structural: the earliest populated decile introduces everything it holds
+    val first = got.minBy(_._1)
+    assert(first._4 == first._3, "first decile must be 100% novel")
+    assert(got.toSeq.map(_._4).sum == g1.keys.map(_._1).toSeq.distinct.size,
+      "novel counts must partition the global distinct-gram set")
+  }
+
+  // ---------------------------------------------------------------- w25
+
+  test("w25: append adds without removing; rewrite removes everything prior") {
+    val m = graft.sources.Sinks.w25ManifestDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (a12, r12, k12) = m("1_to_2")
+    val (a23, r23, k23) = m("2_to_3")
+    assert(r12 == 0L, "an append must remove nothing")
+    assert(a12 > 0L && k12 > 0L)
+    assert(k23 == 0L, "a full rewrite keeps nothing")
+    assert(r23 == a12 + k12, "the rewrite must remove exactly what snapshot 2 served")
+    assert(a23 > 0L)
+  }
+
   // ---------------------------------------------------------------- s26
 
   test("s26: live weight table equals d43's batch projection exactly") {
