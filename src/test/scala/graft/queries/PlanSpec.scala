@@ -177,4 +177,30 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     }
   }
+
+  test("d42: scan prunes to text, count is map-side partial, rank runs as a group limit") {
+    val plan = explain(graft.text.Text.d42BpePairs(spark, sfDir))
+    val schemaLine = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(schemaLine.contains("text") && !schemaLine.contains("doc_id"), schemaLine)
+    assert(plan.contains("partial_count"), plan)
+    // the global top-20 must NOT plan as a full single-partition window
+    // sort of the aggregate: Spark rewrites rank-filter to a limit
+    assert(plan.contains("TakeOrderedAndProject") ||
+      plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("e20: centroid table is broadcast and the per-cluster cap plans as WindowGroupLimit") {
+    val plan = explain(graft.sim.Sim.e20ClusterSample(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"), plan)
+    // rank <= cap pushes into the window as a (partial) group limit, so
+    // stage-1 windows never buffer more than cap rows per group
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("d45: gram censuses are partial-aggregated and the novel join is broadcast") {
+    val plan = explain(graft.dedup.Dedup.d45NoveltyCurve(spark, sfDir))
+    assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
