@@ -202,6 +202,7 @@ object SparkEntry {
     "d45_novelty_curve"   -> Dedup.d45NoveltyCurve _,
     "w25_manifest_diff"   -> graft.sources.Sinks.w25ManifestDiff _,
     "e20_cluster_sample"  -> Sim.e20ClusterSample _,
+    "e21_sharded_knn"     -> Sim.e21ShardedKnn _,
     "f08_selection_stability" -> ReliefQueries.f08SelectionStability _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
@@ -2061,6 +2062,9 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY 1 ORDER BY freq DESC, term LIMIT 100""".stripMargin,
     "e01_knn_cosine" -> knnExactOracleSql,
+    // e21: the shard-and-merge topology must return EXACTLY the
+    // unsharded answer — its oracle is e01's brute force, unchanged.
+    "e21_sharded_knn" -> knnExactOracleSql,
     // Hybrid lexical+vector RRF fusion: both top-100 lists replayed,
     // full-outer fused with 1/(60+rank) in explicit DOUBLE arithmetic
     // (DuckDB's bare 1.0 literal is DECIMAL — different rounding).

@@ -83,6 +83,44 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e21: SHARDED kNN serving — the scale-OUT topology every
+    * production vector store runs (FAISS/Milvus shard-and-merge): the
+    * corpus is hash-sharded, every query fans out to all shards, each
+    * shard answers its LOCAL exact top-k over corpus/S vectors, and the
+    * coordinator merges S small top-k lists. Because every shard
+    * returns its full local top-k, the merged top-k provably equals the
+    * unsharded answer (any global top-k member is top-k within its own
+    * shard) — spec-pinned equal to e01, and the oracle IS e01's.
+    *
+    * Scale shape: the per-shard window buffers only k rows per (query,
+    * shard) group (WindowGroupLimit); the merge ranks S·k ≈ 40 rows per
+    * query regardless of corpus size. The brute-force local scan stands
+    * in for each shard's index (e04/e07 plug in per shard unchanged);
+    * what this operator adds is the routing + merge contract.
+    */
+  val KnnShards = 4
+
+  def e21ShardedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("shard", pmod(col("vec_id"), lit(KnnShards.toLong)))
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("shard"), col("vec_id").as("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+    // each shard's LOCAL top-k: the only window that sees corpus-sized
+    // input, group-limited to k rows per (query, shard)
+    val local = Window.partitionBy("query_id", "shard")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val perShard = scored.withColumn("rn", row_number().over(local))
+      .where(col("rn") <= 10).drop("rn")
+    // coordinator merge: S·k rows per query, constant at any corpus size
+    val merge = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    perShard.withColumn("rn", row_number().over(merge)).where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** Random-hyperplane signature: bit j = sign(v · h_j) where
     * h_j[d] = ±1 from the parity of ((a_j·(d+1) + b_j) mod P)² mod P
     * (a_j, b_j from the same universal-hash family as the MinHash

@@ -197,6 +197,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("e21: both the shard top-k and the merge plan as group limits") {
+    val plan = explain(graft.sim.Sim.e21ShardedKnn(spark, sfDir))
+    // per-(query, shard) and per-query rank filters both push into the
+    // windows: no window ever buffers more than k rows per group
+    assert(plan.split("WindowGroupLimit").length >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("d45: gram censuses are partial-aggregated and the novel join is broadcast") {
     val plan = explain(graft.dedup.Dedup.d45NoveltyCurve(spark, sfDir))
     assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)

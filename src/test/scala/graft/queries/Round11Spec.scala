@@ -118,6 +118,18 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- e21
+
+  test("e21: shard-and-merge equals the unsharded exact answer row for row") {
+    val got = graft.sim.Sim.e21ShardedKnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.sim.Sim.e01KnnCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"sharded serving diverged: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   // ---------------------------------------------------------------- w24
 
   test("w24: clone is zero-copy at clone time and tables diverge independently") {
