@@ -210,14 +210,32 @@ object Dedup {
   def d45NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-    val grams = shingled(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", expr(
-        s"aggregate(split(s, ''), 17L, (b, c) -> (b * 31 + ascii(c)) % $P)"))
+    // hash WITHIN the array (one higher-order eval per document) and
+    // materialize the long arrays before exploding: Generate over an
+    // inline higher-order generator re-evaluates the whole shingle
+    // expression pathologically (measured 8.1 s vs 0.2 s exploding a
+    // materialized attribute at sf0.1 — the d06 signatureTable lesson),
+    // and hashing pre-explode means gram STRINGS never leave their doc
+    // row; the checkpoint holds 8 bytes per gram instance.
+    val hashArr =
+      if (spark.catalog.functionExists("graft_polyhash"))
+        "transform(shingles, s -> graft_polyhash(s, 17, 31))"
+      else
+        s"transform(shingles, s -> aggregate(split(s, ''), 17L, (b, c) -> (b * 31 + ascii(c)) % $P))"
+    val hv = shingled(docs)
+      .select(col("doc_id"), expr(hashArr).as("hv"))
+      .localCheckpoint(true)
+    val grams = hv.select(col("doc_id"), explode(col("hv")).as("h"))
+    // materialize the (hash, decile, n) frame ONCE: without it Catalyst
+    // re-plans the whole explode+hash+aggregate pipeline under BOTH
+    // census branches (measured 2× the operator's cost at sf0.1); the
+    // frame is 3 longs × |distinct grams|·10 — vocabulary-sized, far
+    // below the token stream, and released eagerly (the d06 discipline)
     val g1 = grams.crossJoin(broadcast(bounds))
       .withColumn("decile",
         ((col("doc_id") - col("lo")) * 10 / (col("hi") - col("lo") + 1)).cast("long"))
       .groupBy("h", "decile").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val occ = g1.groupBy("decile")
       .agg(sum("n").as("n_occurrences"), count(lit(1)).as("n_distinct"))
     val novel = g1.groupBy("h").agg(min("decile").as("decile"))
