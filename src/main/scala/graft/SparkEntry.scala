@@ -102,6 +102,7 @@ object SparkEntry {
     "q43_period_growth"   -> Events.q43PeriodGrowth _,
     "q44_equiwidth_histogram" -> Relational.q44EquiwidthHistogram _,
     "q45_sql_order_priority" -> Relational.q45SqlOrderPriority _,
+    "q46_group_mode"      -> Relational.q46GroupMode _,
     "d38_priority_dedup"  -> graft.text.Corpus.d38PriorityDedup _,
     "d39_contamination_pressure" -> graft.text.Corpus.d39ContaminationPressure _,
     "d40_dedup_eval"      -> graft.dedup.Dedup.d40DedupEval _,
@@ -1111,6 +1112,22 @@ object SparkEntry {
         |  count(*) FILTER (WHERE rnk_a <= k AND rnk_b <= k)
         |    / (2.0 * k - count(*) FILTER (WHERE rnk_a <= k AND rnk_b <= k)) AS jaccard
         |FROM ks CROSS JOIN j GROUP BY k""".stripMargin,
+    // q46: exact counts, total-order tie-break (count desc, mode asc) —
+    // engine-independent mode, unlike SQL mode()'s arbitrary ties.
+    "q46_group_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, l_returnflag, count(*) AS n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderpriority, l_returnflag, n,
+        |    sum(n) OVER (PARTITION BY o_orderpriority) AS n_group,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY n DESC, l_returnflag) AS rnk
+        |  FROM c)
+        |SELECT o_orderpriority, l_returnflag AS mode_returnflag,
+        |  n AS n_mode, n / CAST(n_group AS DOUBLE) AS mode_share
+        |FROM r WHERE rnk = 1""".stripMargin,
     // w25: the append then the rewrite, reported as pure file-count set
     // differences — least()-guarded like w22/w23.
     "w25_manifest_diff" ->

@@ -529,4 +529,37 @@ object Relational {
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_rows"), sum($"vm").as("sum_vmil"))
   }
+
+  /** q46: grouped MODE / deterministic argmax — the "most frequent
+    * value per group" idiom (top product per region, dominant carrier
+    * per lane) done RIGHT for a distributed engine: SQL `mode()` is
+    * tie-nondeterministic (DuckDB returns an arbitrary tied value, and
+    * any order-dependent tie-break changes with partitioning), so the
+    * operator ranks exact (group, value) counts with a TOTAL order —
+    * count desc, then value asc — making the answer a pure function of
+    * the data. Per order priority: the modal ship mode of its
+    * lineitems' return flags, with count and share.
+    *
+    * Scale shape: one map-side-combined count to \|priorities × modes\|
+    * rows (bounded by the value domains, not the fact table), then a
+    * rank over that tiny frame — the join to orders is broadcast-free
+    * fact-to-fact on l_orderkey, aggregated BEFORE ranking.
+    */
+  def q46GroupMode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy("o_orderpriority")
+    counts
+      .withColumn("n_group", sum("n").over(tot))
+      .withColumn("rnk", row_number().over(
+        tot.orderBy(col("n").desc, col("l_returnflag"))))
+      .where(col("rnk") === 1)
+      .select(col("o_orderpriority"), col("l_returnflag").as("mode_returnflag"),
+        col("n").as("n_mode"),
+        (col("n").cast("double") / col("n_group")).as("mode_share"))
+  }
 }

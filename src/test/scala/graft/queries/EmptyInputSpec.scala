@@ -53,6 +53,7 @@ class EmptyInputSpec extends SparkSpec {
       "w01" -> (() => graft.sources.Sinks.w01SinkPartitioned(spark, emptyDir).count()),
       "w05" -> (() => graft.sources.Sinks.w05SinkUpsert(spark, emptyDir).count()),
       "q31b" -> (() => Relational.q31bDecileCuts(spark, emptyDir).count()),
+      "q46" -> (() => Relational.q46GroupMode(spark, emptyDir).count()),
       "e06" -> (() => graft.sim.Sim.e06AnnIndexServe(spark, emptyDir).count()),
       "w06" -> (() => graft.streaming.Streams.w06SinkStreamed(spark, emptyDir).count()),
       "q32" -> (() => Events.q32TrailingWindow(spark, emptyDir).count()),
