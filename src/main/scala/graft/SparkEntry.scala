@@ -204,6 +204,7 @@ object SparkEntry {
     "w25_manifest_diff"   -> graft.sources.Sinks.w25ManifestDiff _,
     "e20_cluster_sample"  -> Sim.e20ClusterSample _,
     "e21_sharded_knn"     -> Sim.e21ShardedKnn _,
+    "e22_ivf_skew_audit"  -> Sim.e22IvfSkewAudit _,
     "f08_selection_stability" -> ReliefQueries.f08SelectionStability _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
@@ -2082,6 +2083,18 @@ object SparkEntry {
     // e21: the shard-and-merge topology must return EXACTLY the
     // unsharded answer — its oracle is e01's brute force, unchanged.
     "e21_sharded_knn" -> knnExactOracleSql,
+    // e22: the shared assignment CTEs reduced to a per-list census with
+    // the balanced-mean ratio and the split flag.
+    "e22_ivf_skew_audit" ->
+      s"""$ivfAsgCte,
+         |census AS (SELECT centroid_id, count(*) AS n_vecs FROM asg GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS total,
+         |          CAST(count(*) AS DOUBLE) AS k FROM census)
+         |SELECT CAST(centroid_id AS BIGINT) AS centroid_id, n_vecs,
+         |  n_vecs / total AS list_share,
+         |  n_vecs * k / total AS skew_ratio,
+         |  n_vecs * k / total > 2.0 AS needs_split
+         |FROM census, tot""".stripMargin,
     // Hybrid lexical+vector RRF fusion: both top-100 lists replayed,
     // full-outer fused with 1/(60+rank) in explicit DOUBLE arithmetic
     // (DuckDB's bare 1.0 literal is DECIMAL — different rounding).

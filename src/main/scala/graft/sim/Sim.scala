@@ -83,6 +83,34 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e22: IVF SKEW AUDIT — the health check an index operator runs
+    * before (and after) every re-train: inverted-list sizes against the
+    * balanced ideal. A hot list (clustered embedding mass — near-dup
+    * floods, template pages) makes every probe that touches it pay
+    * list-size work, so serving latency follows the MAX list, not the
+    * mean; the audit reports each list's share, its ratio to the
+    * balanced mean, and the operational flag (ratio > 2 ⇒ split/re-seed
+    * this cell — FAISS's imbalance_factor discipline). Output k rows.
+    *
+    * Scale shape: e04's assignment (broadcast centroids, map-side
+    * argmin) followed by a k-row census — the audit itself touches no
+    * vector after the one assignment pass.
+    */
+  def e22IvfSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centsDf = centroidsDf(spark, fitCentroids(e))
+    val census = assignToNearest(spark, e, centsDf)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))
+    val tot = census.agg(sum("n_vecs").cast("double").as("total"),
+      count(lit(1)).cast("double").as("k"))
+    census.crossJoin(broadcast(tot))
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("n_vecs"),
+        (col("n_vecs") / col("total")).as("list_share"),
+        (col("n_vecs") * col("k") / col("total")).as("skew_ratio"),
+        (col("n_vecs") * col("k") / col("total") > 2.0).as("needs_split"))
+  }
+
   /** e21: SHARDED kNN serving — the scale-OUT topology every
     * production vector store runs (FAISS/Milvus shard-and-merge): the
     * corpus is hash-sharded, every query fans out to all shards, each

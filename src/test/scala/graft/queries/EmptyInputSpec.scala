@@ -167,6 +167,7 @@ class EmptyInputSpec extends SparkSpec {
       "d43" -> (() => graft.text.Corpus.d43TemperatureMix(spark, emptyDir).count()),
       "e20" -> (() => graft.sim.Sim.e20ClusterSample(spark, emptyDir).count()),
       "e21" -> (() => graft.sim.Sim.e21ShardedKnn(spark, emptyDir).count()),
+      "e22" -> (() => graft.sim.Sim.e22IvfSkewAudit(spark, emptyDir).count()),
       // d44 keeps its one fixed metric row; the population must be zero
       "d44" -> (() => graft.dedup.Dedup.d44SplitLeakage(spark, emptyDir)
         .agg(sum("n")).head().getLong(0)),

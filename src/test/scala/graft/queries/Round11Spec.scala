@@ -130,6 +130,21 @@ class Round11Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---------------------------------------------------------------- e22
+
+  test("e22: skew audit shares sum to 1, ratios average 1, flags agree with ratios") {
+    val rows = graft.sim.Sim.e22IvfSkewAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty && rows.length <= 16)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._4).sum / rows.length - 1.0) < 1e-9,
+      "skew ratios must average exactly 1 over the populated lists")
+    rows.foreach { case (cid, n, share, ratio, flag) =>
+      assert(n > 0)
+      assert(flag == (ratio > 2.0), s"flag inconsistent for list $cid")
+    }
+  }
+
   // ---------------------------------------------------------------- w24
 
   test("w24: clone is zero-copy at clone time and tables diverge independently") {
