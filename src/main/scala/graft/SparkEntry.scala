@@ -207,6 +207,7 @@ object SparkEntry {
     "e22_ivf_skew_audit"  -> Sim.e22IvfSkewAudit _,
     "f08_selection_stability" -> ReliefQueries.f08SelectionStability _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
+    "s27_stream_group_mode" -> Streams.s27StreamGroupMode _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
     "relief_weights"      -> ReliefQueries.reliefWeights _,
     "relief_weights_content" -> ReliefQueries.reliefWeightsContent _,
@@ -1116,6 +1117,22 @@ object SparkEntry {
     // q46: exact counts, total-order tie-break (count desc, mode asc) —
     // engine-independent mode, unlike SQL mode()'s arbitrary ties.
     "q46_group_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, l_returnflag, count(*) AS n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderpriority, l_returnflag, n,
+        |    sum(n) OVER (PARTITION BY o_orderpriority) AS n_group,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY n DESC, l_returnflag) AS rnk
+        |  FROM c)
+        |SELECT o_orderpriority, l_returnflag AS mode_returnflag,
+        |  n AS n_mode, n / CAST(n_group AS DOUBLE) AS mode_share
+        |FROM r WHERE rnk = 1""".stripMargin,
+    // s27 maintains q46's census live; one AvailableNow pass over the
+    // staged stream must elect exactly the batch modes.
+    "s27_stream_group_mode" ->
       """WITH c AS (
         |  SELECT o_orderpriority, l_returnflag, count(*) AS n
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey

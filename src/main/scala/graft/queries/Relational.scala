@@ -545,13 +545,18 @@ object Relational {
     * rank over that tiny frame — the join to orders is broadcast-free
     * fact-to-fact on l_orderkey, aggregated BEFORE ranking.
     */
-  def q46GroupMode(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = Tables.lineitem(spark, dir)
+  def q46GroupMode(spark: SparkSession, dir: String): DataFrame =
+    modeProject(Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"), col("l_returnflag"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The total-order mode election over a (priority, flag, n) census —
+    * shared by q46 (batch) and s27 (the census maintained live), so
+    * both derive bit-identical modes from the same column algebra.
+    */
+  private[graft] def modeProject(counts: DataFrame): DataFrame = {
     val tot = Window.partitionBy("o_orderpriority")
     counts
       .withColumn("n_group", sum("n").over(tot))

@@ -222,6 +222,29 @@ object Streams {
     graft.text.Corpus.temperatureProject(s.table(name))
   }
 
+  /** s27: q46's grouped mode maintained LIVE over the lineitem ingest
+    * stream — the dominant-value dashboard tile (top carrier per lane,
+    * dominant status per class) kept current as facts land: a
+    * stream-static join to the orders dimension, then a complete-mode
+    * (priority, flag) census whose state is bounded by the VALUE
+    * DOMAINS (|priorities|·|flags| rows at any stream length — the s23
+    * device), with q46's EXACT mode-election algebra applied batch-side
+    * to the census table each trigger. Oracle: q46's — the live mode
+    * over the full prefix must equal the batch answer exactly.
+    */
+  def s27StreamGroupMode(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val orders = graft.Tables.orders(ss, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val counts = fileStream(ss, dir, "lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val (s, name) = runToCompletion(counts, OutputMode.Complete())
+    graft.queries.Relational.modeProject(s.table(name))
+  }
+
   /** s07: streaming curation gate — d18's scalar quality gates (token
     * bounds, stopword density, uppercase ratio, PII) applied AT
     * INGESTION: the document stream is projected through the gates

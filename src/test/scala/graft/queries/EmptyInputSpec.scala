@@ -220,6 +220,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.streaming.Streams.s23StreamHistogram(spark, emptyDir).count() == 0L)
     assert(graft.streaming.Streams.s24StreamPressure(spark, emptyDir).count() == 0L)
     assert(graft.streaming.Streams.s26StreamTemperatureMix(spark, emptyDir).count() == 0L)
+    assert(graft.streaming.Streams.s27StreamGroupMode(spark, emptyDir).count() == 0L)
     // s25: an empty archive has no cutover — the stitched view is the
     // empty frame, not a bounds NPE
     assert(graft.streaming.Streams.s25StreamBackfill(spark, emptyDir).count() == 0L)

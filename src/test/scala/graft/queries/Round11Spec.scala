@@ -250,6 +250,15 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("s27: live group mode equals q46's batch election exactly") {
+    val live = graft.streaming.Streams.s27StreamGroupMode(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Relational.q46GroupMode(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(live == batch && live.nonEmpty,
+      s"live/batch modes diverge: ${(live diff batch).take(2)} / ${(batch diff live).take(2)}")
+  }
+
   // ---------------------------------------------------------------- f08
 
   test("f08: stability curve matches a driver-side recomputation and its invariants") {
