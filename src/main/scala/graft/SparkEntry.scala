@@ -206,6 +206,7 @@ object SparkEntry {
     "e21_sharded_knn"     -> Sim.e21ShardedKnn _,
     "e22_ivf_skew_audit"  -> Sim.e22IvfSkewAudit _,
     "f08_selection_stability" -> ReliefQueries.f08SelectionStability _,
+    "f09_auc_select"      -> ReliefQueries.f09AucSelect _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "s27_stream_group_mode" -> Streams.s27StreamGroupMode _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
@@ -1184,6 +1185,29 @@ object SparkEntry {
         |SELECT occ.decile, n_occurrences, n_distinct,
         |  coalesce(n_novel, 0) AS n_novel
         |FROM occ LEFT JOIN nov ON occ.decile = nov.decile""".stripMargin,
+    // f09: average ranks via rank + (ties-1)/2 (exact halves), the
+    // Mann-Whitney U identity, |AUC - 0.5| ranking replayed.
+    "f09_auc_select" ->
+      """WITH e AS (SELECT label::BIGINT = 0 AS y, unnest(range(0, 64)) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |r AS (SELECT dim, y,
+        |        rank() OVER (PARTITION BY dim ORDER BY x)
+        |          + (count(*) OVER (PARTITION BY dim, x) - 1) / 2.0 AS ar
+        |      FROM e),
+        |a AS (SELECT dim,
+        |        sum(CASE WHEN y THEN ar ELSE 0 END) AS rsum,
+        |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+        |        count(*) AS n
+        |      FROM r GROUP BY 1)
+        |SELECT dim, auc, rnk FROM (
+        |  SELECT dim,
+        |    (rsum - n1 * (n1 + 1) / 2.0) / (n1 * (n - n1)) AS auc,
+        |    CAST(row_number() OVER (
+        |      ORDER BY abs((rsum - n1 * (n1 + 1) / 2.0) / (n1 * (n - n1)) - 0.5) DESC,
+        |        dim) AS BIGINT) AS rnk
+        |  FROM a)
+        |WHERE rnk <= 10""".stripMargin,
     // f06: the same (dim, class) moment sums and F identity replayed.
     "f06_anova_f" ->
       """WITH e AS (SELECT label::BIGINT AS lbl, unnest(range(0, 64)) AS dim,

@@ -522,6 +522,47 @@ object ReliefQueries {
       .select("dim", "info_gain", "rnk")
   }
 
+  /** f09: univariate ROC-AUC ranking (sklearn's `roc_auc_score` as a
+    * filter — the RANK-based univariate selector that complements the
+    * moment-based f02/f06 and the count-based f01/f07: AUC is invariant
+    * to any monotone transform of the feature and reads directly as
+    * "how well does this dim alone separate class 0 from the rest").
+    * Computed exactly via the Mann-Whitney U identity: per dim, average
+    * ranks (rank + (ties−1)/2 — exact halves, no float noise), U₁ =
+    * Σranks₁ − n₁(n₁+1)/2, AUC = U₁/(n₁n₀); ranked by |AUC − ½| (both
+    * directions of separation matter), top-10, ties on dim.
+    *
+    * Scale note: the exact rank pass sorts each dim's values (64
+    * fixed-width window partitions — q25's exact-diagnostic shape); at
+    * 100 TB the binned approximation rides f05's histogram frame
+    * (cumulative bin counts → trapezoid AUC) with this operator as its
+    * measurement baseline, the q25/q25b twin discipline.
+    */
+  def f09AucSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select((col("label").cast("long") === 0L).as("y"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("y"),
+        col("x").cast("double").as("x"))
+    val byX = Window.partitionBy("dim").orderBy("x")
+    val ties = Window.partitionBy("dim", "x")
+    val agg = e
+      .withColumn("ar", rank().over(byX) + (count(lit(1)).over(ties) - 1) / 2.0)
+      .groupBy("dim")
+      .agg(sum(when(col("y"), col("ar")).otherwise(0.0)).as("rsum"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n1"),
+        count(lit(1)).as("n"))
+    agg
+      .withColumn("auc",
+        (col("rsum") - col("n1") * (col("n1") + 1) / 2.0)
+          / (col("n1") * (col("n") - col("n1"))))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(abs(col("auc") - 0.5).desc, col("dim"))).cast("long"))
+      .where(col("rnk") <= 10)
+      .select("dim", "auc", "rnk")
+  }
+
   /** f08: SELECTION STABILITY — the robustness QA run before trusting
     * any filter selector (Nogueira/Kuncheva stability indices): rank
     * features independently on two disjoint deterministic halves of the

@@ -175,6 +175,7 @@ class EmptyInputSpec extends SparkSpec {
       // w25's diff report is fixed two-row shape even on an empty corpus
       // (each empty snapshot write still lands one schema-bearing file)
       "w25" -> (() => graft.sources.Sinks.w25ManifestDiff(spark, emptyDir).count() - 2),
+      "f09" -> (() => graft.ml.ReliefQueries.f09AucSelect(spark, emptyDir).count()),
       "f08" -> (() => {
         // no corpus → both halves empty → the k sweep has nothing to
         // join: zero rows, never a throw

@@ -233,6 +233,38 @@ class Round11Spec extends SparkSpec {
     assert(a23 > 0L)
   }
 
+  test("f09: top-10 AUC dims equal a driver-side Mann-Whitney recomputation") {
+    val got = graft.ml.ReliefQueries.f09AucSelect(spark, sfDir)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._3).toSeq == (1L to 10L))
+    got.foreach { case (_, auc, _) => assert(auc >= 0.0 && auc <= 1.0) }
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("label", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => (r.getAs[Number](0).longValue == 0L, r.getSeq[Double](1).toArray))
+    val dims = rows.head._2.indices
+    val aucs = dims.map { d =>
+      val xs = rows.map { case (y, v) => (v(d), y) }.sortBy(_._1)
+      // average ranks with ties
+      val byVal = xs.zipWithIndex.groupBy(_._1._1)
+      val avgRank = byVal.map { case (v, g) =>
+        v -> (g.map(_._2 + 1).sum.toDouble / g.size)
+      }
+      val n1 = xs.count(_._2)
+      val n0 = xs.length - n1
+      val rsum = xs.filter(_._2).map(t => avgRank(t._1)).sum
+      val auc = (rsum - n1.toDouble * (n1 + 1) / 2.0) / (n1.toDouble * n0)
+      (d.toLong, auc)
+    }
+    val want = aucs.sortBy { case (d, a) => (-math.abs(a - 0.5), d) }.take(10)
+      .zipWithIndex.map { case ((d, a), i) => (d, a, (i + 1).toLong) }
+    assert(got.map(_._1).toSeq == want.map(_._1),
+      s"dim order: got=${got.map(_._1).toSeq} want=${want.map(_._1)}")
+    got.zip(want).foreach { case ((_, a, _), (_, b, _)) =>
+      assert(math.abs(a - b) < 1e-12, s"auc $a != $b")
+    }
+  }
+
   // ---------------------------------------------------------------- s26
 
   test("s26: live weight table equals d43's batch projection exactly") {
