@@ -207,6 +207,7 @@ object SparkEntry {
     "e22_ivf_skew_audit"  -> Sim.e22IvfSkewAudit _,
     "f08_selection_stability" -> ReliefQueries.f08SelectionStability _,
     "f09_auc_select"      -> ReliefQueries.f09AucSelect _,
+    "f09b_auc_binned"     -> ReliefQueries.f09bAucBinned _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "s27_stream_group_mode" -> Streams.s27StreamGroupMode _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
@@ -1206,6 +1207,33 @@ object SparkEntry {
         |    CAST(row_number() OVER (
         |      ORDER BY abs((rsum - n1 * (n1 + 1) / 2.0) / (n1 * (n - n1)) - 0.5) DESC,
         |        dim) AS BIGINT) AS rnk
+        |  FROM a)
+        |WHERE rnk <= 10""".stripMargin,
+    // f09b: the binned twin replayed — the same milli-quantized
+    // equi-width buckets (f05's integer convention), 2·U₁ in exact
+    // integers from cumulative negative counts, one double division.
+    "f09b_auc_binned" ->
+      """WITH e AS (SELECT CAST(label::BIGINT = 0 AS BIGINT) AS y,
+        |             unnest(range(0, 64)) AS dim,
+        |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xm
+        |           FROM embeddings),
+        |b AS (SELECT dim, min(xm) AS lo, max(xm) AS hi FROM e GROUP BY 1),
+        |bk AS (SELECT e.dim,
+        |         greatest(0, least(63, (xm - lo) * 64 // (hi - lo + 1))) AS bucket,
+        |         CAST(sum(y) AS BIGINT) AS n1b,
+        |         CAST(sum(1 - y) AS BIGINT) AS n0b
+        |       FROM e JOIN b ON e.dim = b.dim GROUP BY 1, 2),
+        |c AS (SELECT dim, n1b, n0b,
+        |        CAST(coalesce(sum(n0b) OVER (PARTITION BY dim ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c0
+        |      FROM bk),
+        |a AS (SELECT dim, CAST(sum(n1b * (2 * c0 + n0b)) AS BIGINT) AS num2,
+        |        CAST(sum(n1b) AS BIGINT) AS n1, CAST(sum(n0b) AS BIGINT) AS n0
+        |      FROM c GROUP BY 1)
+        |SELECT dim, auc, rnk FROM (
+        |  SELECT dim, num2 / (2.0 * n1 * n0) AS auc,
+        |    CAST(row_number() OVER (
+        |      ORDER BY abs(num2 / (2.0 * n1 * n0) - 0.5) DESC, dim) AS BIGINT) AS rnk
         |  FROM a)
         |WHERE rnk <= 10""".stripMargin,
     // f06: the same (dim, class) moment sums and F identity replayed.

@@ -534,9 +534,12 @@ object ReliefQueries {
     *
     * Scale note: the exact rank pass sorts each dim's values (64
     * fixed-width window partitions — q25's exact-diagnostic shape); at
-    * 100 TB the binned approximation rides f05's histogram frame
-    * (cumulative bin counts → trapezoid AUC) with this operator as its
-    * measurement baseline, the q25/q25b twin discipline.
+    * 100 TB run [[f09bAucBinned]] instead — the binned twin over
+    * histogram-bin counts (cumulative bin counts → tie-corrected
+    * Mann-Whitney, ≤ dims·bins rows after the map-side combine) with
+    * this operator as its measurement baseline, the q25/q25b twin
+    * discipline; Round13Spec pins the twin's tolerance against this
+    * exact rank pass.
     */
   def f09AucSelect(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -557,6 +560,55 @@ object ReliefQueries {
       .withColumn("auc",
         (col("rsum") - col("n1") * (col("n1") + 1) / 2.0)
           / (col("n1") * (col("n") - col("n1"))))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(abs(col("auc") - 0.5).desc, col("dim"))).cast("long"))
+      .where(col("rnk") <= 10)
+      .select("dim", "auc", "rnk")
+  }
+
+  /** f09b: binned ROC-AUC ranking — [[f09AucSelect]]'s at-scale twin
+    * (the q25/q25b discipline): instead of sorting every value per
+    * dimension, each dim's values histogram into 64 equi-width buckets
+    * on milli-quantized integers (f05's bit-exact convention: float →
+    * double is exact, ×1000 rounds identically on both engines, bucket
+    * arithmetic is pure integer), and the AUC comes from the
+    * tie-corrected Mann-Whitney identity over bucket counts — every
+    * value in a bucket treated as tied, so
+    * 2·U₁ = Σ_b n1_b·(2·cum0_{<b} + n0_b) in exact integers and
+    * AUC = 2·U₁ / (2·n₁·n₀) is one double division at the end. This is
+    * exactly the trapezoid rule over the ROC curve through the 64
+    * bucket thresholds. Ranked by |AUC − ½| desc, top-10, ties on dim.
+    *
+    * Scale shape: two scans (per-dim (min, max) bounds, then bucket
+    * counts), each map-side-combining to ≤ 64 dims · 64 buckets rows at
+    * ANY corpus size; the cumulative window, AUC and rank run over that
+    * constant frame. No per-dim sort of the data — the shape that lets
+    * the selector run where f09's exact ranks cannot.
+    */
+  def f09bAucBinned(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = 64L
+    val e = Tables.embeddings(spark, dir)
+      .select((col("label").cast("long") === 0L).cast("long").as("y"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("y"),
+        expr("cast(round(cast(x as double) * 1000) as bigint)").as("xm"))
+    val bounds = e.groupBy("dim").agg(min("xm").as("lo"), max("xm").as("hi"))
+    val cells = e.join(bounds, Seq("dim"))
+      .withColumn("bucket",
+        greatest(lit(0L), least(lit(nb - 1),
+          expr(s"(xm - lo) * $nb div (hi - lo + 1)"))))
+      .groupBy("dim", "bucket")
+      .agg(sum(col("y")).as("n1b"), sum(lit(1L) - col("y")).as("n0b"))
+    val cum = Window.partitionBy("dim").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = cells
+      .withColumn("c0", coalesce(sum("n0b").over(cum), lit(0L)))
+      .groupBy("dim")
+      .agg(sum(col("n1b") * (lit(2L) * col("c0") + col("n0b"))).as("num2"),
+        sum("n1b").as("n1"), sum("n0b").as("n0"))
+      .withColumn("auc", col("num2") / (lit(2.0) * col("n1") * col("n0")))
+    agg
       .withColumn("rnk", row_number().over(
         Window.orderBy(abs(col("auc") - 0.5).desc, col("dim"))).cast("long"))
       .where(col("rnk") <= 10)
