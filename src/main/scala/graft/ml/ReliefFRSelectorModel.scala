@@ -44,9 +44,16 @@ final class ReliefFRSelectorModel private[ml] (
   }
 
   override def transform(dataset: Dataset[_]): DataFrame = {
+    // codegen'd Catalyst projection (graft.functions.VectorCompress) —
+    // the per-row UDF this replaced paid a VectorUDT deserialize →
+    // closure → re-serialize round trip on the one operator every
+    // downstream pipeline runs per row; [[ReliefFRSelectorModel.compress]]
+    // remains as the semantic reference and spec cross-check
     val selection = getSelectedFeatures().sorted // compress requires ascending
-    val compressUdf = udf((v: Vector) => ReliefFRSelectorModel.compress(v, selection))
-    dataset.withColumn($(outputCol), compressUdf(col($(inputCol))))
+    import graft.functions.ColumnBridge
+    val compressed = ColumnBridge.column(graft.functions.VectorCompress(
+      ColumnBridge.expression(col($(inputCol))), selection))
+    dataset.withColumn($(outputCol), compressed)
       .withMetadata($(outputCol), prepOutputField(dataset.schema, selection).metadata)
   }
 

@@ -246,6 +246,45 @@ class ReliefSpec extends SparkSpec {
     assert(m.transform(df).count() == 4)
   }
 
+  test("transform's Catalyst expression matches compress() exactly on mixed dense/sparse, and plans UDF-free") {
+    import spark.implicits._
+    // mixed frame: dense rows interleaved with sparse rows of varied
+    // support (empty overlap, partial overlap, full overlap)
+    val rnd = new scala.util.Random(11)
+    val vecs: Seq[Vector] = (0 until 60).map { i =>
+      if (i % 2 == 0) Vectors.dense(Array.fill(8)(rnd.nextDouble()))
+      else {
+        val nnz = i % 5
+        val idx = rnd.shuffle((0 until 8).toList).take(nnz).sorted.toArray
+        Vectors.sparse(8, idx, idx.map(_ => rnd.nextDouble()))
+      }
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "features")
+    val m = fit(syntheticDense()) // any fitted model; selection from it
+    val sel = m.getSelectedFeatures().sorted
+    val out = m.transform(df).select("id", "out").collect()
+      .map(r => r.getLong(0) -> r.getAs[Vector](1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val want = ReliefFRSelectorModel.compress(v, sel)
+      val got = out(i.toLong)
+      assert(got.getClass == want.getClass,
+        s"row $i: sparsity not preserved (${got.getClass} vs ${want.getClass})")
+      assert(got == want, s"row $i: $got != $want")
+    }
+    // the projection must stay inside codegen — no ScalaUDF /
+    // BatchEvalPython boundary anywhere in the executed plan. A local
+    // relation constant-folds the projection away (ConvertToLocalRelation),
+    // so assert over a parquet-backed frame — the real serving shape.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_veccomp").toString
+    df.write.mode("overwrite").parquet(tmp)
+    val plan = m.transform(spark.read.parquet(tmp))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"transform plan fell back to a UDF:\n$plan")
+    assert(plan.contains("graft_vec_compress"),
+      s"expression missing from plan:\n$plan")
+  }
+
   test("relief_knn matches a brute-force local computation") {
     val got = ReliefQueries.reliefKnn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
