@@ -127,6 +127,7 @@ object SparkEntry {
     "e16_range_search"    -> Sim.e16RangeSearch _,
     "e17_hybrid_search"   -> Sim.e17HybridSearch _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
+    "e23_knn_graph"       -> Sim.e23KnnGraph _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -2362,6 +2363,78 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
         |WHERE rn <= 3""".stripMargin,
+    // e23: full NN-descent replay — the e05 LSH init at K=5, then two
+    // unrolled rounds (reverse cap, co-adjacency pairs, re-score,
+    // per-node top-K), identical arithmetic throughout.
+    "e23_knn_graph" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+        |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64),
+        |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket)),
+        |probes AS (
+        |  SELECT vec_id AS node_id, unnest(list_distinct(list_concat(list_concat(
+        |      [bucket],
+        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
+        |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
+        |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))) AS bucket
+        |  FROM inn),
+        |cand AS (
+        |  SELECT DISTINCT p.node_id, i.vec_id AS neighbor_id
+        |  FROM probes p JOIN inn i USING (bucket)
+        |  WHERE i.vec_id <> p.node_id),
+        |s0 AS (
+        |  SELECT c.node_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM cand c JOIN bk a ON a.vec_id = c.node_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id),
+        |g1 AS (SELECT node_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s0) WHERE rn <= 5),
+        |r1rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM g1),
+        |r1rc AS (SELECT node_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1rev) WHERE rn <= 5),
+        |r1b AS (SELECT DISTINCT node_id, neighbor_id FROM (
+        |  SELECT node_id, neighbor_id FROM g1 UNION ALL SELECT * FROM r1rc)),
+        |r1p AS (SELECT DISTINCT x.neighbor_id AS node_id, y.neighbor_id AS neighbor_id
+        |  FROM r1b x JOIN r1b y ON x.node_id = y.node_id
+        |    AND x.neighbor_id <> y.neighbor_id),
+        |r1e AS (SELECT DISTINCT node_id, neighbor_id FROM (
+        |  SELECT * FROM r1p UNION ALL SELECT node_id, neighbor_id FROM g1)),
+        |r1s AS (
+        |  SELECT c.node_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM r1e c JOIN bk a ON a.vec_id = c.node_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id),
+        |g2 AS (SELECT node_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1s) WHERE rn <= 5),
+        |r2rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM g2),
+        |r2rc AS (SELECT node_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2rev) WHERE rn <= 5),
+        |r2b AS (SELECT DISTINCT node_id, neighbor_id FROM (
+        |  SELECT node_id, neighbor_id FROM g2 UNION ALL SELECT * FROM r2rc)),
+        |r2p AS (SELECT DISTINCT x.neighbor_id AS node_id, y.neighbor_id AS neighbor_id
+        |  FROM r2b x JOIN r2b y ON x.node_id = y.node_id
+        |    AND x.neighbor_id <> y.neighbor_id),
+        |r2e AS (SELECT DISTINCT node_id, neighbor_id FROM (
+        |  SELECT * FROM r2p UNION ALL SELECT node_id, neighbor_id FROM g2)),
+        |r2s AS (
+        |  SELECT c.node_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM r2e c JOIN bk a ON a.vec_id = c.node_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id),
+        |g3 AS (SELECT node_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2s) WHERE rn <= 5)
+        |SELECT node_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM g3""".stripMargin,
     // Full IVF reproduction: sampled-medoid centroids (smallest mod-prime
     // vec_id hash), argmin assignment on -2*dot+|c|^2 (the |v|^2 term drops
     // out), nprobe=4 probing, exact cosine rank.

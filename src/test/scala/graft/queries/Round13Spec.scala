@@ -70,6 +70,72 @@ class Round13Spec extends SparkSpec {
     assert(worst < 0.02, s"binned AUC diverges from exact by $worst")
   }
 
+  // ---------------------------------------------------------------- e23
+
+  test("e23: graph structure — K-capped, self-free, dense ranks, symmetric-scored") {
+    val g = graft.sim.Sim.e23KnnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(g.nonEmpty)
+    g.foreach { case (n, b, c, _) =>
+      assert(n != b, s"self edge at $n")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    g.groupBy(_._1).foreach { case (n, edges) =>
+      assert(edges.length <= graft.sim.Sim.GraphK, s"node $n over-degree")
+      assert(edges.map(_._4).sorted.toSeq == (1L to edges.length),
+        s"node $n ranks not dense")
+    }
+  }
+
+  test("e23: NN-descent improves recall over the LSH init (e10's harness, exact top-K panel)") {
+    // exact top-GraphK per node, driver-side — the e10 discipline with
+    // the graph's own K
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getSeq[Double](1).toArray))
+      .filter { case (_, v) => math.sqrt(v.map(x => x * x).sum) > 0 }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = rows.map { case (id, v) =>
+      id -> rows.filter(_._1 != id)
+        .map { case (j, u) => (-cos(v, u), j) }.sorted.take(graft.sim.Sim.GraphK)
+        .map(_._2).toSet
+    }.toMap
+    def recall(g: Array[(Long, Long)]): Double = {
+      val byNode = g.groupBy(_._1)
+      val hits = byNode.map { case (n, es) => es.count(e => exact(n).contains(e._2)) }.sum
+      hits.toDouble / (exact.size * graft.sim.Sim.GraphK)
+    }
+    val init = graft.sim.Sim.e23KnnGraphRounds(spark, sfDir, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val done = graft.sim.Sim.e23KnnGraphRounds(spark, sfDir, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (r0, r2) = (recall(init), recall(done))
+    info(f"e23 recall@K: init=$r0%.3f after-2-rounds=$r2%.3f")
+    // monotone improvement is THE NN-descent property; the absolute
+    // ceiling on this corpus is low by nature (near-random 64-dim
+    // vectors — high intrinsic dimension, Dong et al. §5's hard case:
+    // measured trajectory 0.33 → 0.39 → 0.41 over rounds 0/1/2)
+    assert(r2 > r0, f"descent did not improve recall: $r0%.3f -> $r2%.3f")
+    assert(r2 >= 0.35, f"final graph recall below the measured floor: $r2%.3f")
+  }
+
+  test("e23: no all-pairs stage — plan free of cartesian/nested-loop joins") {
+    // the un-checkpointed pipeline (checkpointing leaves only a
+    // LogicalRDD, which would make this assertion vacuous)
+    val (corpus, df) = graft.sim.Sim.e23GraphPlan(spark, sfDir, 2)
+    val plan = df.queryExecution.executedPlan.toString
+    corpus.unpersist()
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+      "expected keyed joins in the candidate stages")
+  }
+
   test("f09b: top-10 panel largely agrees with the exact selector") {
     val exactTop = perDim.map { case (d, e, _) => (d, e) }
       .sortBy { case (d, a) => (-math.abs(a - 0.5), d) }.take(10).map(_._1).toSet
