@@ -199,6 +199,7 @@ object SparkEntry {
     "w24_shallow_clone"   -> graft.sources.Sinks.w24ShallowClone _,
     "d41_quality_votes"   -> graft.text.Corpus.d41QualityVotes _,
     "d42_bpe_pairs"       -> Text.d42BpePairs _,
+    "d42b_bpe_train"      -> Text.d42bBpeTrain _,
     "d43_temperature_mix" -> graft.text.Corpus.d43TemperatureMix _,
     "d44_split_leakage"   -> Dedup.d44SplitLeakage _,
     "d45_novelty_curve"   -> Dedup.d45NoveltyCurve _,
@@ -793,6 +794,57 @@ object SparkEntry {
     * e02 (in-session signature table) and e06 (persisted index): both
     * serve the identical result, so both check against the same SQL.
     */
+  /** d42b oracle: the full BPE merge loop replayed — K layers, each
+    * (pair census → argmax → merge applied). The merge uses the
+    * gaps-and-islands alternation over match positions (greedy
+    * LEFTMOST non-overlapping: within a maximal run of consecutive
+    * overlapping matches, every odd one fires) — an INDEPENDENT
+    * formulation of the left fold the Spark side uses; the two must
+    * agree bit-for-bit.
+    */
+  private val d42bOracleSql: String = {
+    val layer = (k: Int) => {
+      val t = s"t${k - 1}"
+      s"""p$k AS (SELECT unnest(list_transform(range(1, len(syms)),
+         |    i -> {'a': syms[i], 'b': syms[i + 1]})) AS p, n FROM $t),
+         |c$k AS (SELECT p.a AS ma, p.b AS mb, CAST(sum(n) AS BIGINT) AS n_pair
+         |        FROM p$k GROUP BY 1, 2),
+         |b$k AS (SELECT ma, mb, n_pair FROM c$k
+         |        ORDER BY n_pair DESC, ma, mb LIMIT 1),
+         |q$k AS (SELECT w, n, syms, unnest(range(1, len(syms) + 1)) AS i FROM $t),
+         |m$k AS (SELECT q.w, q.i FROM q$k q, b$k b
+         |        WHERE q.i < len(q.syms)
+         |          AND q.syms[q.i] = b.ma AND q.syms[q.i + 1] = b.mb),
+         |isl$k AS (SELECT w, i,
+         |    i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp FROM m$k),
+         |sel$k AS (SELECT w, i FROM (SELECT w, i,
+         |    row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn FROM isl$k)
+         |  WHERE rn % 2 = 1),
+         |r$k AS (SELECT q.w, q.n, q.i,
+         |    CASE WHEN s.i IS NOT NULL THEN q.syms[q.i] || q.syms[q.i + 1]
+         |         ELSE q.syms[q.i] END AS sym,
+         |    CASE WHEN x.i IS NOT NULL THEN 0 ELSE 1 END AS keep
+         |  FROM q$k q
+         |  LEFT JOIN sel$k s ON s.w = q.w AND s.i = q.i
+         |  LEFT JOIN sel$k x ON x.w = q.w AND x.i = q.i - 1),
+         |t$k AS (SELECT w, any_value(n) AS n, list(sym ORDER BY i) AS syms
+         |        FROM r$k WHERE keep = 1 GROUP BY w),
+         |o$k AS (SELECT CAST($k AS BIGINT) AS merge_rank, ma AS left_sym,
+         |          mb AS right_sym, ma || mb AS merged_sym, n_pair FROM b$k)""".stripMargin
+    }
+    val k = graft.text.Text.BpeMerges
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |t0 AS (SELECT w, n,
+       |  list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS syms
+       |  FROM w0),
+       |${(1 to k).map(layer).mkString(",\n")}
+       |${(1 to k).map(i => s"SELECT * FROM o$i").mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private val annLshOracleSql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
@@ -1074,6 +1126,9 @@ object SparkEntry {
         |SELECT pair, n_pair,
         |  CAST(row_number() OVER (ORDER BY n_pair DESC, pair) AS BIGINT) AS rank
         |FROM agg QUALIFY rank <= 20""".stripMargin,
+    // d42b: the full 5-merge BPE loop — census/argmax/merge layers
+    // replayed with the independent gaps-and-islands merge formulation.
+    "d42b_bpe_train" -> d42bOracleSql,
     // d43: per-lang counts, the p^0.7 temperature rule, same operation
     // order as the Spark projection (floats are outputs, never ranks).
     "d43_temperature_mix" ->

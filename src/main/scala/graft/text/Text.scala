@@ -421,4 +421,69 @@ object Text {
         Window.orderBy(col("n_pair").desc, col("pair"))).cast("long"))
       .where(col("rank") <= 20)
   }
+
+  /** Number of BPE merge rounds d42b trains. */
+  val BpeMerges = 5
+
+  /** d42b: the FULL BPE training loop (Sennrich et al. 2016) — d42
+    * mined round 1's candidates; this runs [[BpeMerges]] actual merge
+    * rounds with re-counting, the e13/f04 unrolled-declarative-loop
+    * discipline. Per round: (1) adjacent-pair counts over the word-TYPE
+    * table weighted by type frequency (map-side combine to ≤ alphabet'²
+    * rows); (2) the argmax pair (count desc, pair asc — a total,
+    * engine-independent order) broadcast to every word; (3) the merge
+    * applied as a left fold over each word's symbol list — greedy
+    * LEFTMOST non-overlapping, the reference BPE semantics ("aaa" with
+    * rule a+a → ["aa","a"]). Output: the learned merge table — rank,
+    * the two sides, the merged symbol, and the pair's corpus frequency
+    * at selection time (exact integers).
+    *
+    * Scale shape (100 TB): the corpus is touched ONCE (word census →
+    * (word, n) types); every merge round then runs on the TYPE table —
+    * vocabulary-bounded, corpus-size-independent — with a constant-size
+    * pair census and a 1-row broadcast per round. Each round's type
+    * table is materialized (localCheckpoint — the e23 iterative-lineage
+    * discipline). The fold itself is a higher-order function
+    * (CodegenFallback) applied per word TYPE, not per occurrence — the
+    * one place the non-codegen cost is provably off the hot path.
+    *
+    * Oracle independence: the Spark side merges via the left fold; the
+    * DuckDB side replays greedy-leftmost as gaps-and-islands alternation
+    * over match positions — two independent formulations of the same
+    * semantics that must (and do) agree bit-for-bit.
+    */
+  def d42bBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val types0 = Tables.documents(spark, dir)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
+        col("n"))
+      .localCheckpoint(true)
+    val layers = (1 to BpeMerges).foldLeft(
+        (types0, List.empty[DataFrame])) { case ((types, acc), rank) =>
+      val counts = types
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"),
+          col("n"))
+        .groupBy(col("p.a").as("ma"), col("p.b").as("mb"))
+        .agg(sum("n").as("n_pair"))
+      val best = counts
+        .orderBy(col("n_pair").desc, col("ma"), col("mb")).limit(1)
+      val merged = types.crossJoin(broadcast(best.select("ma", "mb")))
+        .select(expr(
+          "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+            "if(size(acc) > 0 and element_at(acc, size(acc)) = ma and x = mb, " +
+            "   concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb))), " +
+            "   concat(acc, array(x))))").as("syms"),
+          col("n"))
+        .localCheckpoint(true)
+      val layer = best.select(lit(rank.toLong).as("merge_rank"),
+        col("ma").as("left_sym"), col("mb").as("right_sym"),
+        concat(col("ma"), col("mb")).as("merged_sym"), col("n_pair"))
+      (merged, layer :: acc)
+    }
+    layers._2.reverse.reduce(_ unionByName _)
+  }
 }

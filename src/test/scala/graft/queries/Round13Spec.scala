@@ -70,6 +70,42 @@ class Round13Spec extends SparkSpec {
     assert(worst < 0.02, s"binned AUC diverges from exact by $worst")
   }
 
+  // ---------------------------------------------------------------- d42b
+
+  test("d42b: the 5 learned merges equal a pure-Scala BPE trainer run") {
+    val got = graft.text.Text.d42bBpeTrain(spark, sfDir)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+
+    // independent trainer: word-type table, K rounds of
+    // count → argmax(count desc, pair asc) → greedy-leftmost merge
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    var types: Map[Vector[String], Long] = texts
+      .flatMap(_.trim.split("\\s+")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) =>
+        w.toCharArray.map(_.toString).toVector -> g.length.toLong
+      }
+    val learned = (1 to graft.text.Text.BpeMerges).map { rank =>
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, n) <- types; i <- 0 until syms.length - 1)
+        counts(syms(i) -> syms(i + 1)) = counts.getOrElse(syms(i) -> syms(i + 1), 0L) + n
+      val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      types = types.toSeq.map { case (syms, cnt) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        out.toVector -> cnt
+      }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      (rank.toLong, a, b, a + b, n)
+    }
+    assert(got.toSeq == learned,
+      s"spark=${got.mkString(";")} scala=${learned.mkString(";")}")
+  }
+
   // ---------------------------------------------------------------- e23
 
   test("e23: graph structure — K-capped, self-free, dense ranks, symmetric-scored") {
