@@ -128,6 +128,7 @@ object SparkEntry {
     "e17_hybrid_search"   -> Sim.e17HybridSearch _,
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "e23_knn_graph"       -> Sim.e23KnnGraph _,
+    "e24_ivf_repair"      -> Sim.e24IvfRepair _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -2418,6 +2419,50 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
         |WHERE rn <= 3""".stripMargin,
+    // e24: flood corpus + centroid fit + assignment + census + the
+    // ceil(ratio)-way hash-mod split replayed end to end.
+    "e24_ivf_repair" ->
+      """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |v0 AS (SELECT v FROM e0 ORDER BY vec_id LIMIT 1),
+        |flood AS (
+        |  SELECT 100000 + i AS vec_id,
+        |    list_transform(v0.v, x -> x * (1.0 + 0.0002 * i)) AS v
+        |  FROM v0, (SELECT unnest(range(0, 250)) AS i)),
+        |corpus AS (SELECT * FROM e0 UNION ALL SELECT * FROM flood),
+        |en AS (SELECT vec_id, v FROM corpus),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id) - 1 AS cid,
+        |    v AS cv
+        |  FROM e0
+        |  ORDER BY vec_id % 1000000007 * 616318177 % 1000000007, vec_id
+        |  LIMIT 16),
+        |cc AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents),
+        |asg AS (
+        |  SELECT vec_id, cid AS centroid_id FROM (
+        |    SELECT en.vec_id, cc.cid,
+        |      row_number() OVER (PARTITION BY en.vec_id
+        |        ORDER BY list_dot_product(en.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+        |    FROM en CROSS JOIN cc) t
+        |  WHERE rn = 1),
+        |cen AS (SELECT centroid_id, count(*) AS n FROM asg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS k FROM cen),
+        |fl AS (SELECT centroid_id, n * k / total AS ratio_before,
+        |    CASE WHEN n * k / total > 2.0 THEN CAST(ceil(n * k / total) AS BIGINT)
+        |         ELSE 1 END AS n_subs
+        |  FROM cen, tot),
+        |re AS (SELECT a.vec_id, a.centroid_id, f.ratio_before, f.n_subs,
+        |    a.centroid_id + 16 * ((a.vec_id % 1000000007 * 888000131 % 1000000007) % f.n_subs) AS new_id
+        |  FROM asg a JOIN fl f USING (centroid_id)),
+        |c2 AS (SELECT new_id, count(*) AS n_vecs, min(ratio_before) AS ratio_before,
+        |    min(n_subs) > 1 AS was_split
+        |  FROM re GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS total2,
+        |    CAST(count(*) AS DOUBLE) AS k2 FROM c2)
+        |SELECT CAST(new_id AS BIGINT) AS centroid_id,
+        |  CAST(new_id % 16 AS BIGINT) AS parent_id,
+        |  CAST(n_vecs AS BIGINT) AS n_vecs, ratio_before,
+        |  n_vecs * k2 / total2 AS skew_ratio, was_split
+        |FROM c2, t2""".stripMargin,
     // e23: full NN-descent replay — the e05 LSH init at K=5, then two
     // unrolled rounds (reverse cap, co-adjacency pairs, re-score,
     // per-node top-K), identical arithmetic throughout.

@@ -676,6 +676,94 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e24's demonstration flood size and the repair threshold (the
+    * same ratio-2 bar e22 flags on — FAISS's imbalance_factor
+    * discipline).
+    */
+  val RepairFloodN = 250
+  val RepairThreshold = 2.0
+
+  /** e24: IVF LIST REPAIR — e22's audit wired into ACTION (VERDICT r8
+    * #7: "the audit stops being read-only"): every inverted list whose
+    * skew ratio exceeds [[RepairThreshold]] is split into ⌈ratio⌉
+    * sub-lists in ONE maintenance pass, restoring every list to ≈ the
+    * balanced mean. Because the sf0.01 corpus is organically balanced
+    * (e22: max ratio 1.6, nothing flagged), the operator builds the
+    * demonstration the audit exists for — the e03/d30 device: corpus ∪
+    * a deterministic near-dup FLOOD ([[RepairFloodN]] jittered clones
+    * of the first vector — the template-page pile-up Round10Spec
+    * measured killing the capped LSH path), which lands one genuinely
+    * hot list (ratio ≈ 6).
+    *
+    * The split is sub = perm(vec_id) mod ⌈ratio⌉ on the d13/d20
+    * mod-prime permutation — NOT a geometric 2-means (a near-dup flood
+    * is geometrically DEGENERATE: all members sit at one point, so any
+    * distance-based split is ill-conditioned and collapses to one
+    * side) and NOT a ranked round-robin (that would sort the hot list
+    * in one task — the exact d27 failure). Hash-mod needs no per-list
+    * sort anywhere, is layout-invariant, and balances to binomial
+    * noise. Sub-list ids are parent + k·sub, so parent = id mod k and
+    * serving probes every sub of a probed parent — the candidate set
+    * is provably identical to pre-repair, which is why repair cannot
+    * change search results (spec-pinned structurally).
+    *
+    * Output: the post-repair census in e22's vocabulary — one row per
+    * final list with its parent, size, the parent's pre-repair ratio,
+    * the post-repair ratio (against the NEW list count) and the split
+    * flag.
+    */
+  def e24IvfRepair(spark: SparkSession, dir: String): DataFrame = {
+    val census = e24Repaired(spark, dir)
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_vecs"), min("ratio_before").as("ratio_before"),
+        (min("n_subs") > 1L).as("was_split"))
+    val tot2 = census.agg(sum("n_vecs").cast("double").as("total2"),
+      count(lit(1)).cast("double").as("k2"))
+    census.crossJoin(broadcast(tot2))
+      .select(col("new_id").cast("long").as("centroid_id"),
+        (col("new_id") % IvfK).cast("long").as("parent_id"),
+        col("n_vecs"), col("ratio_before"),
+        (col("n_vecs") * col("k2") / col("total2")).as("skew_ratio"),
+        col("was_split"))
+  }
+
+  /** The flood corpus, its assignment, and the per-vector repaired
+    * list id — shared by [[e24IvfRepair]] and its spec (which asserts
+    * membership preservation per parent, the property that makes
+    * repair invisible to search).
+    */
+  private[graft] def e24Repaired(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir)
+    val v0 = base.orderBy("vec_id").limit(1).select(col("v").as("v0"))
+    val flood = spark.range(RepairFloodN).crossJoin(broadcast(v0))
+      .select((col("id") + 100000L).as("vec_id"),
+        expr("transform(v0, x -> x * (1.0d + 0.0002d * id))").as("v"))
+      .withColumn("nrm", sqrt(dotOf(spark, "v", "v")))
+    val corpus = base.unionByName(flood)
+    // fit on the BASE corpus, assign the flooded one: the production
+    // sequence that CREATES a hot list — the quantizer was trained,
+    // then a template flood arrived, and every clone lands in the one
+    // cell nearest the template (fitting on the flooded corpus would
+    // instead elect flood members as centroids and hide the skew —
+    // observed directly before this ordering was pinned)
+    val assigned = assignToNearest(spark, corpus, centroidsDf(spark, fitCentroids(base)))
+    val cen = assigned.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    val tot = cen.agg(sum("n").cast("double").as("total"),
+      count(lit(1)).cast("double").as("k"))
+    val fl = cen.crossJoin(broadcast(tot))
+      .select(col("centroid_id"),
+        (col("n") * col("k") / col("total")).as("ratio_before"))
+      .withColumn("n_subs",
+        when(col("ratio_before") > RepairThreshold,
+          ceil(col("ratio_before"))).otherwise(1L))
+    val P = 1000000007L
+    assigned.select("vec_id", "centroid_id")
+      .join(broadcast(fl), Seq("centroid_id"))
+      .withColumn("perm", col("vec_id") % P * lit(888000131L) % P)
+      .withColumn("sub", col("perm") % col("n_subs"))
+      .withColumn("new_id", col("centroid_id") + lit(IvfK.toLong) * col("sub"))
+  }
+
   /** e19: the IVF TUNING CURVE — recall@10 vs nprobe (the artifact an
     * index operator actually reads before picking the serving config;
     * FAISS's `nprobe` sweep): e04's search at nprobe ∈ {1, 2, 4}

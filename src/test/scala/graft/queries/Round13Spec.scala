@@ -106,6 +106,50 @@ class Round13Spec extends SparkSpec {
       s"spark=${got.mkString(";")} scala=${learned.mkString(";")}")
   }
 
+  // ---------------------------------------------------------------- e24
+
+  test("e24: repair splits the hot list below the flag threshold and preserves membership") {
+    val out = graft.sim.Sim.e24IvfRepair(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    // the flood must actually create a flagged list (ratio > threshold)
+    val flagged = out.filter(_._6)
+    assert(flagged.nonEmpty, "demonstration flood produced no hot list")
+    assert(flagged.forall(_._4 > graft.sim.Sim.RepairThreshold))
+    out.filterNot(_._6).foreach { case (id, parent, _, rb, _, _) =>
+      assert(id == parent, s"unsplit list $id renamed")
+      assert(rb <= graft.sim.Sim.RepairThreshold)
+    }
+    // REPAIRED: every post-repair ratio under the flag threshold
+    val maxPost = out.map(_._5).max
+    info(f"e24 max ratio: before=${out.map(_._4).max}%.2f after=$maxPost%.2f")
+    assert(maxPost < graft.sim.Sim.RepairThreshold,
+      f"repair left a flagged list: $maxPost%.2f")
+    // split shape: parent gets exactly ceil(ratio_before) subs, ids
+    // parent + 16·sub, sizes balanced to binomial noise (≥ half mean)
+    flagged.groupBy(_._2).foreach { case (parent, subs) =>
+      val want = math.ceil(subs.head._4).toLong
+      assert(subs.length == want,
+        s"parent $parent: ${subs.length} subs, wanted $want")
+      assert(subs.map(_._1).sorted.toSeq ==
+        (0L until want).map(parent + 16L * _).sorted)
+      val sizes = subs.map(_._3)
+      assert(sizes.min * 2 >= sizes.max,
+        s"parent $parent split unbalanced: ${sizes.mkString(",")}")
+    }
+    // membership preservation (what makes repair invisible to search:
+    // sub-lists of a probed parent union back to the original list)
+    val members = graft.sim.Sim.e24Repaired(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](r.fieldIndex("centroid_id")).longValue,
+        r.getLong(r.fieldIndex("new_id"))))
+    members.foreach { case (parent, nid) =>
+      assert(nid % 16 == parent, s"member escaped its parent: $parent -> $nid")
+    }
+    val byParent = members.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val outByParent = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byParent == outByParent, "per-parent totals changed under repair")
+  }
+
   // ---------------------------------------------------------------- e23
 
   test("e23: graph structure — K-capped, self-free, dense ranks, symmetric-scored") {
