@@ -2794,76 +2794,12 @@ object SparkEntry {
     "relief_select" -> graft.ml.ReliefOracle.selectSql,
     "relief_persist" -> graft.ml.ReliefOracle.selectSql,
     "relief_transform" -> graft.ml.ReliefOracle.transformSql,
-    // The content-hash-identity fit (no instanceIdCol) hashes IEEE-754
-    // bits of the whole vector — not externally recomputable — so it
-    // keeps a frozen-expected-value pin from the bit-reproducible fit
-    // (regression check only; valid for the driver's sf0.01 data).
-    "relief_weights_content" ->
-      """SELECT feature, weight FROM (VALUES
-        |  (0, 0.30520744093549024),
-        |  (1, 0.49816740214793465),
-        |  (2, 0.611278417782673),
-        |  (3, 0.027880789677086546),
-        |  (4, 0.40448449888109217),
-        |  (5, 0.5699178009413877),
-        |  (6, 0.6507917089689258),
-        |  (7, 0.6095701812457861),
-        |  (8, 0.3717556399274765),
-        |  (9, 0.5315029981438165),
-        |  (10, 0.40529348196493026),
-        |  (11, 0.5061277762962023),
-        |  (12, 0.1856645383409829),
-        |  (13, 0.39575267653079327),
-        |  (14, 0.2884111296176673),
-        |  (15, 0.4783438487689774),
-        |  (16, 0.8482911209536587),
-        |  (17, 0.4524804210624562),
-        |  (18, 0.2814867012785157),
-        |  (19, 0.4529637698952907),
-        |  (20, 0.26190868114359916),
-        |  (21, 0.7011556363883064),
-        |  (22, 0.46059518786534903),
-        |  (23, 0.6349619440510754),
-        |  (24, 1.0),
-        |  (25, 0.430073269197923),
-        |  (26, 0.8828947635437691),
-        |  (27, 0.5441868883334245),
-        |  (28, 0.30342164977223873),
-        |  (29, 0.4715625511266269),
-        |  (30, 0.18377405797172194),
-        |  (31, 0.25198063858818825),
-        |  (32, 0.591784135483083),
-        |  (33, 0.3764710812609038),
-        |  (34, 0.3142384973848274),
-        |  (35, 0.8291455469031067),
-        |  (36, 0.1210224435783151),
-        |  (37, 0.2169707586949473),
-        |  (38, 0.17933925544644194),
-        |  (39, 0.6180879979539879),
-        |  (40, 0.8709908841857941),
-        |  (41, 0.18400993433376428),
-        |  (42, 0.725613298802509),
-        |  (43, 0.6337600854883082),
-        |  (44, 0.42253036546052003),
-        |  (45, 0.0),
-        |  (46, 0.4810329088830758),
-        |  (47, 0.7081548213811567),
-        |  (48, 0.6855908708445357),
-        |  (49, 0.798938433090261),
-        |  (50, 0.1858385943761225),
-        |  (51, 0.6767747828300915),
-        |  (52, 0.5077465546144654),
-        |  (53, 0.5380427709242483),
-        |  (54, 0.44971605641686674),
-        |  (55, 0.15596704762459881),
-        |  (56, 0.23410127566181882),
-        |  (57, 0.353284452704555),
-        |  (58, 0.35734206884775155),
-        |  (59, 0.21826255323162555),
-        |  (60, 0.5261635555266969),
-        |  (61, 0.4358327025853918),
-        |  (62, 0.31728436239088864),
-        |  (63, 0.3325622794793312)) AS t(feature, weight)""".stripMargin,
+    // relief_weights_content: full recomputation too (round 9) — the
+    // content hash's IEEE-754 bit patterns extracted exactly in SQL
+    // (corrected floor(log2) exponent + exact power-of-two mantissa
+    // scaling), then the same HUGEINT splitmix64 fold the vec_id path
+    // uses; the last frozen-VALUES pin in the matrix is gone.
+    "relief_weights_content" -> graft.ml.ReliefOracle.weightsContentSql,
     // Full MinHash+LSH reproduction: poly-hashed shingles, universal-hash
     // permutation minima, banded buckets with the 2..64 census cap —
     // identical mod-1e9+7 arithmetic to Dedup.withSignature/lshCandidates.

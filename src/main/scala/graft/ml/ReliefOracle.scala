@@ -60,21 +60,66 @@ object ReliefOracle {
   private def mix64(x: String): String =
     mix64Tail(s"(($x)::HUGEINT + $C1) % $P64")
 
-  /** pairRand(seed, qid, rid) ∈ [0,1): the collision-threshold hash. */
+  /** pairRand(seed, qid, rid) ∈ [0,1): the collision-threshold hash.
+    * The id·constant products go through the split multiply ([[mulc]])
+    * — content-hash ids span the full 64 bits, and a direct HUGEINT
+    * multiply of two ~2⁶⁴ operands overflows INT128.
+    */
   private def pairRand(qid: String, rid: String): String = {
-    val z0 = s"xor(xor($Seed::UBIGINT, ((($qid)::HUGEINT * $C1) % $P64)::UBIGINT), " +
-      s"((($rid)::HUGEINT * $C2) % $P64)::UBIGINT)::HUGEINT"
+    val z0 = s"xor(xor($Seed::UBIGINT, (${mulc(s"($qid)::HUGEINT", C1)})::UBIGINT), " +
+      s"(${mulc(s"($rid)::HUGEINT", C2)})::UBIGINT)::HUGEINT"
     s"(((${mix64Tail(z0)})::UBIGINT >> 11)::DOUBLE / 9007199254740992)"
   }
+
+  /** IEEE-754 binary64 bit pattern of a DOUBLE expr as UBIGINT —
+    * java.lang.Double.doubleToLongBits in SQL, exact for every value
+    * the corpus can hold (normals and ±0; floats widened to double
+    * have ≥ 2^-126 magnitude, far above the subnormal range). The
+    * exponent comes from floor(log2) CORRECTED by one step in each
+    * direction (log2 is inexact at powers of two; a/2^e ∈ [1,2) is the
+    * exact acceptance test, and power-of-two scaling of a double is
+    * exact), and the mantissa (m−1)·2^52 is integral by construction
+    * of binary64, so the final CAST truncates nothing.
+    */
+  private def dbits(x: String): String = {
+    val a = s"abs($x)"
+    val e0 = s"CAST(floor(log2($a)) AS INTEGER)"
+    val ec = s"(CASE WHEN $a / power(2.0, $e0) >= 2.0 THEN ($e0) + 1 " +
+      s"WHEN $a / power(2.0, $e0) < 1.0 THEN ($e0) - 1 ELSE $e0 END)"
+    s"(CASE WHEN $x = 0 THEN (CASE WHEN signbit($x) " +
+      s"THEN 9223372036854775808::UBIGINT ELSE 0::UBIGINT END) ELSE " +
+      s"((CASE WHEN $x < 0 THEN 9223372036854775808::HUGEINT ELSE 0::HUGEINT END) " +
+      s"+ (($ec + 1023)::HUGEINT * 4503599627370496::HUGEINT) " +
+      s"+ CAST(($a / power(2.0, $ec) - 1.0) * 4503599627370496.0 AS HUGEINT))::UBIGINT END)"
+  }
+
+  /** ReliefFRSelector.contentHash in SQL: h = mix64(bits(label));
+    * for each vector value, h = mix64(h XOR bits(v[i])) — a
+    * list_reduce with the splitmix64 emulation as the lambda body.
+    */
+  private def contentHashSql: String =
+    s"""list_reduce(
+       |  list_prepend((${mix64(dbits("lbl"))})::UBIGINT,
+       |    list_transform(v, x -> ${dbits("x")})),
+       |  (h, b) -> (${mix64("xor(h, b)")})::UBIGINT)""".stripMargin
 
   /** Shared pipeline: sample → per-class kNN → relevance → normalized
     * weights (`nw`), plus the redundancy stages (`red`) and the std
     * ranking (`std`). Ends with a trailing comma so callers append
     * their own final CTEs/SELECT.
     */
-  private def coreCtes: String = s"""
-WITH e AS MATERIALIZED (SELECT vec_id AS id, label::DOUBLE AS lbl, embedding::DOUBLE[] AS v
-           FROM embeddings),
+  private def coreCtes: String = coreCtesFor(
+    "SELECT vec_id AS id, label::DOUBLE AS lbl, embedding::DOUBLE[] AS v FROM embeddings",
+    "nid")
+
+  /** [[coreCtes]] with the row-identity source and the kNN tie-break
+    * key pluggable: the vec_id path ties on the small positive id
+    * directly; the content path's ids are full-range 64-bit hashes the
+    * Scala TopK compares as SIGNED longs, so its UBIGINT tie key flips
+    * the sign bit (unsigned order of id XOR 2⁶³ = signed order of id).
+    */
+  private def coreCtesFor(eSelect: String, tieKey: String): String = s"""
+WITH e AS MATERIALIZED ($eSelect),
 pri AS (SELECT lbl, count(*)::DOUBLE / (SELECT count(*) FROM e) AS prior
         FROM e GROUP BY 1),
 ncls AS MATERIALIZED (SELECT count(DISTINCT lbl)::INTEGER AS nc FROM e),
@@ -91,7 +136,7 @@ cand AS (
   -- the ≤ |q|·3·|classes| surviving pairs only
   SELECT batch, qid, qlbl, nid, nlbl,
          row_number() OVER (PARTITION BY qid, nlbl
-                            ORDER BY dist, nid) AS rn
+                            ORDER BY dist, $tieKey) AS rn
   FROM (SELECT q.batch, q.id AS qid, q.lbl AS qlbl,
                e.id AS nid, e.lbl AS nlbl,
                list_distance(q.v, e.v) AS dist
@@ -188,6 +233,20 @@ std AS (SELECT (row_number() OVER (ORDER BY w DESC, feature))::INTEGER AS rank,
 
   /** relief_weights: normalized weights, 6-decimal rounded. */
   def weightsSql: String = coreCtes +
+    "fin AS (SELECT feature::INTEGER AS feature, round(w, 6) AS weight FROM nw)\n" +
+    "SELECT feature, weight FROM fin ORDER BY feature"
+
+  /** relief_weights_content: the SAME fit recomputed under CONTENT
+    * identity — id = contentHash(label, vector) over exact IEEE-754
+    * bit patterns ([[dbits]]) with the splitmix64 fold, replacing the
+    * round-8 frozen-VALUES pin. Everything downstream of the e CTE is
+    * the shared pipeline; the only other delta is the kNN tie key
+    * (signed order of hash ids).
+    */
+  def weightsContentSql: String = coreCtesFor(
+    s"SELECT ($contentHashSql) AS id, lbl, v FROM " +
+      "(SELECT label::DOUBLE AS lbl, embedding::DOUBLE[] AS v FROM embeddings)",
+    "xor(nid, 9223372036854775808::UBIGINT)") +
     "fin AS (SELECT feature::INTEGER AS feature, round(w, 6) AS weight FROM nw)\n" +
     "SELECT feature, weight FROM fin ORDER BY feature"
 

@@ -64,18 +64,22 @@ object ReliefQueries {
 
   /** relief_weights_content: the same fit under CONTENT-HASH identity
     * (no instanceIdCol — the zero-wiring production default, invariant
-    * under layout AND under any id renumbering). No external engine
-    * can recompute the IEEE-754-bit content hashes without emulating
-    * them bit-for-bit, so this path is pinned by frozen expected
-    * values from the bit-reproducible fit instead — a regression
-    * check, while relief_weights above carries the independent
-    * recomputation check.
+    * under layout AND under any id renumbering). Since round 9 this is
+    * FULLY recomputed by the oracle too: the IEEE-754 bit patterns the
+    * hash folds over are extracted exactly in SQL
+    * ([[graft.ml.ReliefOracle.weightsContentSql]] — corrected
+    * floor(log2) exponent + exact power-of-two mantissa scaling, then
+    * the same HUGEINT splitmix64 emulation the vec_id path uses), so
+    * the last frozen-VALUES pin in the correctness matrix is gone.
+    * 6-decimal rounding absorbs cross-engine summation-order ulps,
+    * exactly as relief_weights does.
     */
   def reliefWeightsContent(spark: SparkSession, dir: String): DataFrame = {
     val m = fitSelector(spark, dir, redundancy = false, contentIdentity = true)
     import spark.implicits._
     m.featureWeights.zipWithIndex
       .map { case (w, f) => (f, w) }.toSeq.toDF("feature", "weight")
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
   }
 
   /** relief_select: both rankings side by side (rank → feature). */

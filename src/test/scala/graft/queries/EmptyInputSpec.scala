@@ -176,6 +176,12 @@ class EmptyInputSpec extends SparkSpec {
       // (each empty snapshot write still lands one schema-bearing file)
       "w25" -> (() => graft.sources.Sinks.w25ManifestDiff(spark, emptyDir).count() - 2),
       "f09" -> (() => graft.ml.ReliefQueries.f09AucSelect(spark, emptyDir).count()),
+      "f09b" -> (() => graft.ml.ReliefQueries.f09bAucBinned(spark, emptyDir).count()),
+      "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
+      "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),
+      // e24's flood clones the first corpus vector; an empty corpus has
+      // no template to clone, so the census must be empty, not a throw
+      "e24" -> (() => graft.sim.Sim.e24IvfRepair(spark, emptyDir).count()),
       "f08" -> (() => {
         // no corpus → both halves empty → the k sweep has nothing to
         // join: zero rows, never a throw
