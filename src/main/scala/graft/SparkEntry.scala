@@ -129,6 +129,7 @@ object SparkEntry {
     "e05_knn_join"        -> Sim.e05KnnJoin _,
     "e23_knn_graph"       -> Sim.e23KnnGraph _,
     "e24_ivf_repair"      -> Sim.e24IvfRepair _,
+    "e25_graph_serve"     -> Sim.e25GraphServe _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -844,6 +845,115 @@ object SparkEntry {
        |  FROM w0),
        |${(1 to k).map(layer).mkString(",\n")}
        |${(1 to k).map(i => s"SELECT * FROM o$i").mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** e23's full NN-descent CTE stack (WITH ... g3) — shared by the
+    * e23 oracle and e25's serve oracle, which searches over g3.
+    */
+  private val e23GraphCtes: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+        |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64),
+        |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket)),
+        |probes AS (
+        |  SELECT vec_id AS node_id, unnest(list_distinct(list_concat(list_concat(
+        |      [bucket],
+        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
+        |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
+        |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))) AS bucket
+        |  FROM inn),
+        |cand AS (
+        |  SELECT DISTINCT p.node_id, i.vec_id AS neighbor_id
+        |  FROM probes p JOIN inn i USING (bucket)
+        |  WHERE i.vec_id <> p.node_id),
+        |s0 AS (
+        |  SELECT c.node_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM cand c JOIN bk a ON a.vec_id = c.node_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id),
+        |g1 AS (SELECT node_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s0) WHERE rn <= 5),
+        |r1rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM g1),
+        |r1rc AS (SELECT node_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1rev) WHERE rn <= 5),
+        |r1b AS (SELECT DISTINCT node_id, neighbor_id FROM (
+        |  SELECT node_id, neighbor_id FROM g1 UNION ALL SELECT * FROM r1rc)),
+        |r1p AS (SELECT DISTINCT x.neighbor_id AS node_id, y.neighbor_id AS neighbor_id
+        |  FROM r1b x JOIN r1b y ON x.node_id = y.node_id
+        |    AND x.neighbor_id <> y.neighbor_id),
+        |r1e AS (SELECT DISTINCT node_id, neighbor_id FROM (
+        |  SELECT * FROM r1p UNION ALL SELECT node_id, neighbor_id FROM g1)),
+        |r1s AS (
+        |  SELECT c.node_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM r1e c JOIN bk a ON a.vec_id = c.node_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id),
+        |g2 AS (SELECT node_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1s) WHERE rn <= 5),
+        |r2rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM g2),
+        |r2rc AS (SELECT node_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2rev) WHERE rn <= 5),
+        |r2b AS (SELECT DISTINCT node_id, neighbor_id FROM (
+        |  SELECT node_id, neighbor_id FROM g2 UNION ALL SELECT * FROM r2rc)),
+        |r2p AS (SELECT DISTINCT x.neighbor_id AS node_id, y.neighbor_id AS neighbor_id
+        |  FROM r2b x JOIN r2b y ON x.node_id = y.node_id
+        |    AND x.neighbor_id <> y.neighbor_id),
+        |r2e AS (SELECT DISTINCT node_id, neighbor_id FROM (
+        |  SELECT * FROM r2p UNION ALL SELECT node_id, neighbor_id FROM g2)),
+        |r2s AS (
+        |  SELECT c.node_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM r2e c JOIN bk a ON a.vec_id = c.node_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id),
+        |g3 AS (SELECT node_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2s) WHERE rn <= 5)""".stripMargin
+
+  /** e25 oracle: beam-walk serving replayed over the e23 graph CTEs —
+    * fixed hash-elected entry points, then 3 unrolled expand/score/
+    * top-beam layers, final top-10.
+    */
+  private val e25ServeOracleSql: String = {
+    def beamLayer(k: Int): String = {
+      val prev = if (k == 1) "b0" else s"b${k - 1}"
+      s"""h${k}c AS (SELECT DISTINCT query_id, node_id FROM (
+         |  SELECT b.query_id, g.neighbor_id AS node_id
+         |  FROM $prev b JOIN g3 g ON g.node_id = b.node_id
+         |  UNION ALL SELECT query_id, node_id FROM $prev)
+         |  WHERE query_id <> node_id),
+         |b$k AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, node_id) AS rn FROM (
+         |    SELECT c.query_id, c.node_id,
+         |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
+         |    FROM h${k}c c JOIN bk nv ON nv.vec_id = c.node_id
+         |                  JOIN qq q ON q.query_id = c.query_id))
+         |  WHERE rn <= 12)""".stripMargin
+    }
+    e23GraphCtes + ",\n" +
+      """entries AS (SELECT vec_id AS node_id FROM e
+        |  ORDER BY vec_id % 1000000007 * 888000131 % 1000000007, vec_id LIMIT 8),
+        |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM bk WHERE vec_id < 20),
+        |b0 AS (SELECT query_id, node_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, node_id) AS rn FROM (
+        |    SELECT q.query_id, en.node_id,
+        |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
+        |    FROM qq q CROSS JOIN entries en JOIN bk nv ON nv.vec_id = en.node_id
+        |    WHERE q.query_id <> en.node_id))
+        |  WHERE rn <= 12),""".stripMargin + "\n" +
+      (1 to 3).map(beamLayer).mkString(",\n") + "\n" +
+      """SELECT query_id, node_id AS neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, node_id) AS rn FROM b3)
+        |WHERE rn <= 10""".stripMargin
   }
 
   private val annLshOracleSql: String =
@@ -2419,6 +2529,9 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
         |WHERE rn <= 3""".stripMargin,
+    // e25: the full graph build (e23's CTEs) + entry election + three
+    // expand/score/top-beam layers + final top-10 replayed.
+    "e25_graph_serve" -> e25ServeOracleSql,
     // e24: flood corpus + centroid fit + assignment + census + the
     // ceil(ratio)-way hash-mod split replayed end to end.
     "e24_ivf_repair" ->
@@ -2467,74 +2580,11 @@ object SparkEntry {
     // unrolled rounds (reverse cap, co-adjacency pairs, re-score,
     // per-node top-K), identical arithmetic throughout.
     "e23_knn_graph" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
-        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
-        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
-        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
-        |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64),
-        |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket)),
-        |probes AS (
-        |  SELECT vec_id AS node_id, unnest(list_distinct(list_concat(list_concat(
-        |      [bucket],
-        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
-        |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
-        |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))) AS bucket
-        |  FROM inn),
-        |cand AS (
-        |  SELECT DISTINCT p.node_id, i.vec_id AS neighbor_id
-        |  FROM probes p JOIN inn i USING (bucket)
-        |  WHERE i.vec_id <> p.node_id),
-        |s0 AS (
-        |  SELECT c.node_id, c.neighbor_id,
-        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-        |  FROM cand c JOIN bk a ON a.vec_id = c.node_id
-        |              JOIN bk b ON b.vec_id = c.neighbor_id),
-        |g1 AS (SELECT node_id, neighbor_id, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s0) WHERE rn <= 5),
-        |r1rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM g1),
-        |r1rc AS (SELECT node_id, neighbor_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1rev) WHERE rn <= 5),
-        |r1b AS (SELECT DISTINCT node_id, neighbor_id FROM (
-        |  SELECT node_id, neighbor_id FROM g1 UNION ALL SELECT * FROM r1rc)),
-        |r1p AS (SELECT DISTINCT x.neighbor_id AS node_id, y.neighbor_id AS neighbor_id
-        |  FROM r1b x JOIN r1b y ON x.node_id = y.node_id
-        |    AND x.neighbor_id <> y.neighbor_id),
-        |r1e AS (SELECT DISTINCT node_id, neighbor_id FROM (
-        |  SELECT * FROM r1p UNION ALL SELECT node_id, neighbor_id FROM g1)),
-        |r1s AS (
-        |  SELECT c.node_id, c.neighbor_id,
-        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-        |  FROM r1e c JOIN bk a ON a.vec_id = c.node_id
-        |              JOIN bk b ON b.vec_id = c.neighbor_id),
-        |g2 AS (SELECT node_id, neighbor_id, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1s) WHERE rn <= 5),
-        |r2rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM g2),
-        |r2rc AS (SELECT node_id, neighbor_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2rev) WHERE rn <= 5),
-        |r2b AS (SELECT DISTINCT node_id, neighbor_id FROM (
-        |  SELECT node_id, neighbor_id FROM g2 UNION ALL SELECT * FROM r2rc)),
-        |r2p AS (SELECT DISTINCT x.neighbor_id AS node_id, y.neighbor_id AS neighbor_id
-        |  FROM r2b x JOIN r2b y ON x.node_id = y.node_id
-        |    AND x.neighbor_id <> y.neighbor_id),
-        |r2e AS (SELECT DISTINCT node_id, neighbor_id FROM (
-        |  SELECT * FROM r2p UNION ALL SELECT node_id, neighbor_id FROM g2)),
-        |r2s AS (
-        |  SELECT c.node_id, c.neighbor_id,
-        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-        |  FROM r2e c JOIN bk a ON a.vec_id = c.node_id
-        |              JOIN bk b ON b.vec_id = c.neighbor_id),
-        |g3 AS (SELECT node_id, neighbor_id, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2s) WHERE rn <= 5)
-        |SELECT node_id, neighbor_id, cosine,
-        |  CAST(row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-        |FROM g3""".stripMargin,
+      (e23GraphCtes + "\n" +
+        """SELECT node_id, neighbor_id, cosine,
+          |  CAST(row_number() OVER (PARTITION BY node_id
+          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+          |FROM g3""".stripMargin),
     // Full IVF reproduction: sampled-medoid centroids (smallest mod-prime
     // vec_id hash), argmin assignment on -2*dot+|c|^2 (the |v|^2 term drops
     // out), nprobe=4 probing, exact cosine rank.

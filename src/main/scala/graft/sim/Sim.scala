@@ -676,6 +676,72 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e25 serve parameters: entry-point count, beam width, hop count. */
+  val ServeEntries = 8
+  val ServeBeam = 12
+  val ServeHops = 3
+
+  /** e25: GRAPH-BASED ANN SERVING — greedy beam search over e23's
+    * k-NN graph (the HNSW layer-0 walk, distributed): each query
+    * starts from [[ServeEntries]] deterministic entry points (the
+    * mod-prime-hash-smallest nodes — HNSW's fixed entry set), then
+    * [[ServeHops]] rounds of "expand the beam's out-neighbors, score,
+    * keep the best [[ServeBeam]]". Together with e23 this completes
+    * the graph family: construction (NN-descent) + serving (beam
+    * walk), next to {LSH, IVF} × {PQ, SQ8}.
+    *
+    * Scale shape: the graph is K·n tiny edge rows (already
+    * materialized by e23); each hop joins a |queries|·beam frontier
+    * against it — the corpus's VECTORS are touched only to score the
+    * ≤ |queries|·beam·K candidates a hop surfaces, never scanned. The
+    * hop loop is unrolled (3 keyed join+window stages), per-query
+    * top-k is a keyed window, and the only corpus-sized work happened
+    * once, inside e23. Recall is graded in Round13Spec through e10's
+    * harness: beam-walk recall ≥ entry-only recall, both measured.
+    */
+  def e25GraphServe(spark: SparkSession, dir: String): DataFrame =
+    e25GraphServeHops(spark, dir, ServeHops)
+
+  /** [[e25GraphServe]] with the walk depth exposed — hops = 0 is the
+    * bare entry-point scan; Round13Spec grades recall at 0 vs
+    * [[ServeHops]] to pin that the walk, not the entry set, finds the
+    * neighbors.
+    */
+  def e25GraphServeHops(spark: SparkSession, dir: String, hops: Int): DataFrame = {
+    val g = e23KnnGraph(spark, dir).select("node_id", "neighbor_id")
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val P = 1000000007L
+    val entries = e.select(col("vec_id").as("node_id"))
+      .withColumn("perm", col("node_id") % P * lit(888000131L) % P)
+      .orderBy("perm", "node_id").limit(ServeEntries).select("node_id")
+    val nodeV = e.select(col("vec_id").as("node_id"), col("v"), col("nrm"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(nodeV, Seq("node_id")).join(q, Seq("query_id"))
+        .select(col("query_id"), col("node_id"),
+          (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+    val wQ = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("node_id"))
+    def topB(scored: DataFrame, b: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= b).select("query_id", "node_id", "cosine")
+    val beam0 = topB(score(
+      q.select("query_id").crossJoin(broadcast(entries))
+        .where(col("query_id") =!= col("node_id"))), ServeBeam)
+    def hop(beam: DataFrame): DataFrame = {
+      val expanded = beam.select("query_id", "node_id")
+        .join(g, Seq("node_id"))
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+        .unionByName(beam.select("query_id", "node_id"))
+        .where(col("query_id") =!= col("node_id"))
+        .distinct()
+      topB(score(expanded), ServeBeam)
+    }
+    val beamN = (1 to hops).foldLeft(beam0)((b, _) => hop(b))
+    topB(beamN, 10)
+      .select(col("query_id"), col("node_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** e24's demonstration flood size and the repair threshold (the
     * same ratio-2 bar e22 flags on — FAISS's imbalance_factor
     * discipline).

@@ -179,6 +179,7 @@ class EmptyInputSpec extends SparkSpec {
       "f09b" -> (() => graft.ml.ReliefQueries.f09bAucBinned(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),
+      "e25" -> (() => graft.sim.Sim.e25GraphServe(spark, emptyDir).count()),
       // e24's flood clones the first corpus vector; an empty corpus has
       // no template to clone, so the census must be empty, not a throw
       "e24" -> (() => graft.sim.Sim.e24IvfRepair(spark, emptyDir).count()),

@@ -216,6 +216,44 @@ class Round13Spec extends SparkSpec {
       "expected keyed joins in the candidate stages")
   }
 
+  // ---------------------------------------------------------------- e25
+
+  test("e25: beam walk beats the bare entry scan (e10's harness vs e01 exact)") {
+    val exact = graft.sim.Sim.e01KnnCosine(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = exact.map { case (q, ex) =>
+        (ex intersect got.getOrElse(q, Set.empty)).size
+      }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val r0 = recall(graft.sim.Sim.e25GraphServeHops(spark, sfDir, 0))
+    val r3 = recall(graft.sim.Sim.e25GraphServe(spark, sfDir))
+    info(f"e25 recall@10: entries-only=$r0%.3f after-3-hops=$r3%.3f")
+    // measured 0.025 → 0.325: the walk, not the entry set, finds the
+    // neighbors; the absolute ceiling tracks the e23 graph's own
+    // plateau on this high-intrinsic-dimension synthetic corpus
+    assert(r3 > r0, f"the walk added nothing: $r0%.3f -> $r3%.3f")
+    assert(r3 >= 0.25, f"serve recall below the measured floor: $r3%.3f")
+  }
+
+  test("e25: serving structure — ≤10 per query, self-free, beam nodes come from the corpus") {
+    val rows = graft.sim.Sim.e25GraphServe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, c) =>
+      assert(q != n, s"self-result for query $q")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.length <= 10, s"query $q over-returned")
+      assert(g.map(_._2).distinct.length == g.length, s"query $q duplicated a neighbor")
+    }
+  }
+
   test("f09b: top-10 panel largely agrees with the exact selector") {
     val exactTop = perDim.map { case (d, e, _) => (d, e) }
       .sortBy { case (d, a) => (-math.abs(a - 0.5), d) }.take(10).map(_._1).toSet
