@@ -702,13 +702,38 @@ object Sim {
   def e25GraphServe(spark: SparkSession, dir: String): DataFrame =
     e25GraphServeHops(spark, dir, ServeHops)
 
+  /** The persisted k-NN graph index — e23's construction written ONCE
+    * per (dir, appId) behind a `_BUILT` marker (the e06/annIndex
+    * build-once discipline: marker committed through the Hadoop FS API
+    * AFTER the write, so a failed build never serves half a graph).
+    * This is the production split serving assumes: the graph is the
+    * nightly artifact, the beam walk is the always-on cheap part —
+    * e23 measures construction, e25 measures serving.
+    */
+  private[graft] def knnGraphIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = spark.conf.get("spark.graft.ann.indexDir", "/tmp")
+    val path = s"$root/graft_knn_graph_${Integer.toHexString(dir.hashCode)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    indexLock.synchronized {
+      val fs = new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+      val marker = new HPath(path, "_BUILT")
+      if (!fs.exists(marker)) {
+        e23KnnGraph(spark, dir).select("node_id", "neighbor_id")
+          .write.mode("overwrite").parquet(path)
+        fs.create(marker, true).close()
+      }
+    }
+    spark.read.schema("node_id BIGINT, neighbor_id BIGINT").parquet(path)
+  }
+
   /** [[e25GraphServe]] with the walk depth exposed — hops = 0 is the
     * bare entry-point scan; Round13Spec grades recall at 0 vs
     * [[ServeHops]] to pin that the walk, not the entry set, finds the
     * neighbors.
     */
   def e25GraphServeHops(spark: SparkSession, dir: String, hops: Int): DataFrame = {
-    val g = e23KnnGraph(spark, dir).select("node_id", "neighbor_id")
+    val g = knnGraphIndex(spark, dir)
     val e = emb(spark, dir)
     val q = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
