@@ -212,6 +212,8 @@ object SparkEntry {
     "f08_selection_stability" -> ReliefQueries.f08SelectionStability _,
     "f09_auc_select"      -> ReliefQueries.f09AucSelect _,
     "f09b_auc_binned"     -> ReliefQueries.f09bAucBinned _,
+    "f10_fcbf"            -> ReliefQueries.f10Fcbf _,
+    "f11_cmim"            -> ReliefQueries.f11Cmim _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "s27_stream_group_mode" -> Streams.s27StreamGroupMode _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
@@ -2850,6 +2852,10 @@ object SparkEntry {
     // scaling), then the same HUGEINT splitmix64 fold the vec_id path
     // uses; the last frozen-VALUES pin in the matrix is gone.
     "relief_weights_content" -> graft.ml.ReliefOracle.weightsContentSql,
+    // f10/f11: full recomputation — exact integer bit contingencies,
+    // entropies/MIs in ln/ln(2), unrolled selection rounds.
+    "f10_fcbf" -> graft.ml.ReliefOracle.fcbfSql,
+    "f11_cmim" -> graft.ml.ReliefOracle.cmimSql,
     // Full MinHash+LSH reproduction: poly-hashed shingles, universal-hash
     // permutation minima, banded buckets with the 2..64 census cap —
     // identical mod-1e9+7 arithmetic to Dedup.withSignature/lshCandidates.

@@ -128,19 +128,41 @@ cls AS (SELECT lbl, (row_number() OVER (ORDER BY lbl) - 1)::INTEGER AS cidx
 q AS (SELECT *, (${mix64(s"xor(${Seed2}::UBIGINT, id::UBIGINT)")})::UBIGINT % 2 AS batch
       FROM e
       WHERE ((${mix64(s"xor(${Seed}::UBIGINT, id::UBIGINT)")})::UBIGINT >> 11) < $P51),
-cand AS (
-  -- rank on SLIM rows: the inner subquery projects the distance and
-  -- DROPS both 64-double vectors BEFORE the window sort (expressed
-  -- inline, the optimizer carried the vectors into the q×n sort —
-  -- ~100 GB materialized at 10× data); vectors join back below for
-  -- the ≤ |q|·3·|classes| surviving pairs only
-  SELECT batch, qid, qlbl, nid, nlbl,
-         row_number() OVER (PARTITION BY qid, nlbl
-                            ORDER BY dist, $tieKey) AS rn
+dst AS MATERIALIZED (
+  -- SLIM pair frame: distance computed once, both 64-double vectors
+  -- dropped before anything heavy (expressed inline, the optimizer
+  -- carried the vectors into the q×n frame — ~100 GB at 10× data);
+  -- vectors join back below for the ≤ |q|·3·|classes| survivors only
+  SELECT batch, qid, qlbl, nid, nlbl, dist, $tieKey AS tk
   FROM (SELECT q.batch, q.id AS qid, q.lbl AS qlbl,
                e.id AS nid, e.lbl AS nlbl,
                list_distance(q.v, e.v) AS dist
         FROM q JOIN e ON e.id <> q.id) s),
+-- per-(query, class) top-3 via three chained grouped MIN over the
+-- lexicographic (dist, tie, id) struct — the Scala TopK heap's SQL
+-- equivalent. The round-8 shape (row_number window over the q×n
+-- frame) SORTED all ~100M pairs at 10× data: DuckDB's external sort
+-- spilled 70 GB+ of temp and died on disk. Grouped aggregates keep
+-- one struct per (qid, nlbl) of state; k2/k3 rescan the materialized
+-- slim frame instead of re-deriving distances. Groups with < 3
+-- neighbors of a class naturally stop early (k2/k3 emit no row).
+k1 AS MATERIALIZED (
+  SELECT batch, qid, qlbl, nlbl, min({'d': dist, 't': tk, 'n': nid}) AS s
+  FROM dst GROUP BY 1, 2, 3, 4),
+k2 AS MATERIALIZED (
+  SELECT d.batch, d.qid, d.qlbl, d.nlbl, min({'d': d.dist, 't': d.tk, 'n': d.nid}) AS s
+  FROM dst d JOIN k1 ON k1.qid = d.qid AND k1.nlbl = d.nlbl
+  WHERE (d.dist, d.tk) > ((k1.s).d, (k1.s).t)
+  GROUP BY 1, 2, 3, 4),
+k3 AS MATERIALIZED (
+  SELECT d.batch, d.qid, d.qlbl, d.nlbl, min({'d': d.dist, 't': d.tk, 'n': d.nid}) AS s
+  FROM dst d JOIN k2 ON k2.qid = d.qid AND k2.nlbl = d.nlbl
+  WHERE (d.dist, d.tk) > ((k2.s).d, (k2.s).t)
+  GROUP BY 1, 2, 3, 4),
+cand AS (
+  SELECT batch, qid, qlbl, (s).n AS nid, nlbl, 1 AS rn FROM k1
+  UNION ALL SELECT batch, qid, qlbl, (s).n, nlbl, 2 FROM k2
+  UNION ALL SELECT batch, qid, qlbl, (s).n, nlbl, 3 FROM k3),
 pairs AS MATERIALIZED (
   SELECT batch, qid, qlbl, eq.v AS qv, nid, nlbl, en.v AS nv,
          c.cidx + CASE WHEN nlbl = qlbl THEN 0 ELSE (SELECT nc FROM ncls) END AS g,
@@ -254,6 +276,131 @@ std AS (SELECT (row_number() OVER (ORDER BY w DESC, feature))::INTEGER AS rank,
   def selectSql: String = coreCtes + greedyCtes + "\n" +
     "SELECT s.rank, s.f AS std_feature, r.f AS redundancy_feature\n" +
     "FROM std s JOIN redsel r USING (rank) ORDER BY rank"
+
+  /** Shared CTE prefix for the f10/f11 oracles: bit view, exact
+    * integer contingency counts (per-dim, per-pair, per-triple — all
+    * from two lateral unnests over the bit list), entropies and
+    * mutual informations in `ln/ln(2)` (the f07 convention, matching
+    * Spark's `log(x)/log(2.0)`). Cells absent from a GROUP BY carry
+    * zero probability and contribute exactly 0 — both engines skip
+    * them identically.
+    */
+  private def bitInfoCtes: String = """
+WITH e AS MATERIALIZED (
+  SELECT label::BIGINT AS lbl,
+         list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits
+  FROM embeddings),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM e),
+cy AS MATERIALIZED (SELECT lbl, count(*)::DOUBLE AS c FROM e GROUP BY 1),
+c1 AS MATERIALIZED (
+  SELECT u.i - 1 AS d, bits[u.i] AS b, lbl, count(*)::DOUBLE AS c
+  FROM e, unnest(range(1, len(bits) + 1)) AS u(i)
+  GROUP BY 1, 2, 3),
+c1m AS MATERIALIZED (SELECT d, b, sum(c) AS c FROM c1 GROUP BY 1, 2),
+hx AS MATERIALIZED (
+  SELECT d, -sum(c / (SELECT n FROM nn) * ln(c / (SELECT n FROM nn)) / ln(2)) AS h
+  FROM c1m GROUP BY 1),
+hy AS MATERIALIZED (
+  SELECT -sum(c / (SELECT n FROM nn) * ln(c / (SELECT n FROM nn)) / ln(2)) AS h
+  FROM cy),
+ixy AS MATERIALIZED (
+  SELECT c1.d, sum(c1.c / (SELECT n FROM nn)
+         * ln(c1.c * (SELECT n FROM nn) / (m.c * cy.c)) / ln(2)) AS mi
+  FROM c1 JOIN c1m m ON m.d = c1.d AND m.b = c1.b
+       JOIN cy ON cy.lbl = c1.lbl
+  GROUP BY 1),
+"""
+
+  /** f10_fcbf: SU ranking + 10 unrolled predominance-elimination
+    * rounds. Round t removes the round-(t−1) pick and everything it
+    * dominates (SU(pick, j) ≥ SU_c(j)); the next pick is the max-SU
+    * survivor — inductively identical to the rank-order scan that
+    * keeps a dim iff no earlier KEPT dim dominates it.
+    */
+  def fcbfSql: String = {
+    val rounds = new scala.collection.mutable.ArrayBuffer[String]
+    rounds += "r1 AS MATERIALIZED (SELECT d, su FROM suc)"
+    rounds += "g1 AS MATERIALIZED (SELECT d, su FROM r1 ORDER BY su DESC, d LIMIT 1)"
+    for (t <- 2 to 10) {
+      val p = t - 1
+      rounds += s"""r$t AS MATERIALIZED (
+  SELECT r.d, r.su FROM r$p r
+  LEFT JOIN sup p ON p.di = least(r.d, (SELECT d FROM g$p))
+                 AND p.dj = greatest(r.d, (SELECT d FROM g$p))
+  WHERE r.d <> (SELECT d FROM g$p) AND NOT coalesce(p.su >= r.su, FALSE))"""
+      rounds += s"g$t AS MATERIALIZED (SELECT d, su FROM r$t ORDER BY su DESC, d LIMIT 1)"
+    }
+    val out = (1 to 10).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, (SELECT d FROM g$t) AS dim, " +
+        s"(SELECT su FROM g$t) AS su").mkString("\n  UNION ALL ")
+    bitInfoCtes + s"""suc AS MATERIALIZED (
+  SELECT hx.d, CASE WHEN hx.h + (SELECT h FROM hy) > 0
+    THEN 2 * ixy.mi / (hx.h + (SELECT h FROM hy)) ELSE 0.0 END AS su
+  FROM hx JOIN ixy ON ixy.d = hx.d),
+c2 AS MATERIALIZED (
+  SELECT u.i - 1 AS di, w.j - 1 AS dj, bits[u.i] AS bi, bits[w.j] AS bj,
+         count(*)::DOUBLE AS c
+  FROM e, unnest(range(1, len(bits) + 1)) AS u(i),
+       unnest(range(1, len(bits) + 1)) AS w(j)
+  WHERE u.i < w.j
+  GROUP BY 1, 2, 3, 4),
+iij AS MATERIALIZED (
+  SELECT c2.di, c2.dj, sum(c2.c / (SELECT n FROM nn)
+         * ln(c2.c * (SELECT n FROM nn) / (ai.c * aj.c)) / ln(2)) AS mi
+  FROM c2 JOIN c1m ai ON ai.d = c2.di AND ai.b = c2.bi
+       JOIN c1m aj ON aj.d = c2.dj AND aj.b = c2.bj
+  GROUP BY 1, 2),
+sup AS MATERIALIZED (
+  SELECT iij.di, iij.dj, CASE WHEN hi.h + hj.h > 0
+    THEN 2 * iij.mi / (hi.h + hj.h) ELSE 0.0 END AS su
+  FROM iij JOIN hx hi ON hi.d = iij.di JOIN hx hj ON hj.d = iij.dj),
+""" + rounds.mkString(",\n") + s"""
+SELECT rank, dim, su FROM (
+  $out)
+WHERE dim IS NOT NULL ORDER BY rank"""
+  }
+
+  /** f11_cmim: the conditional-MI table I(F;Y|S) for every ordered
+    * (F, S) pair, then 10 unrolled greedy max-min steps carrying each
+    * candidate's running `least(score so far, I(F;Y|latest pick))` —
+    * Fleuret's partial-score recurrence verbatim.
+    */
+  def cmimSql: String = {
+    val steps = new scala.collection.mutable.ArrayBuffer[String]
+    steps += "q1 AS MATERIALIZED (SELECT d, mi AS score FROM ixy)"
+    steps += "gm1 AS MATERIALIZED (SELECT d, score FROM q1 ORDER BY score DESC, d LIMIT 1)"
+    for (t <- 2 to 10) {
+      val p = t - 1
+      steps += s"""q$t AS MATERIALIZED (
+  SELECT q.d, least(q.score, c.v) AS score
+  FROM q$p q JOIN cmi c ON c.df = q.d AND c.ds = (SELECT d FROM gm$p)
+  WHERE q.d <> (SELECT d FROM gm$p))"""
+      steps += s"gm$t AS MATERIALIZED (SELECT d, score FROM q$t ORDER BY score DESC, d LIMIT 1)"
+    }
+    val out = (1 to 10).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, (SELECT d FROM gm$t) AS dim, " +
+        s"(SELECT score FROM gm$t) AS score").mkString("\n  UNION ALL ")
+    bitInfoCtes + s"""c3 AS MATERIALIZED (
+  SELECT u.i - 1 AS df, w.j - 1 AS ds, bits[u.i] AS bf, bits[w.j] AS bs,
+         lbl, count(*)::DOUBLE AS c
+  FROM e, unnest(range(1, len(bits) + 1)) AS u(i),
+       unnest(range(1, len(bits) + 1)) AS w(j)
+  WHERE u.i <> w.j
+  GROUP BY 1, 2, 3, 4, 5),
+c3fs AS MATERIALIZED (SELECT df, ds, bf, bs, sum(c) AS c FROM c3 GROUP BY 1, 2, 3, 4),
+cmi AS MATERIALIZED (
+  SELECT c3.df, c3.ds, sum(c3.c / (SELECT n FROM nn)
+    * ln(c3.c * sm.c / (fs.c * sy.c)) / ln(2)) AS v
+  FROM c3 JOIN c3fs fs ON fs.df = c3.df AND fs.ds = c3.ds
+                      AND fs.bf = c3.bf AND fs.bs = c3.bs
+       JOIN c1 sy ON sy.d = c3.ds AND sy.b = c3.bs AND sy.lbl = c3.lbl
+       JOIN c1m sm ON sm.d = c3.ds AND sm.b = c3.bs
+  GROUP BY 1, 2),
+""" + steps.mkString(",\n") + s"""
+SELECT step, dim, score FROM (
+  $out)
+WHERE dim IS NOT NULL ORDER BY step"""
+  }
 
   /** relief_transform: per-row compressed-vector census — the std
     * selection recomputed in-SQL, sorted ascending, then the same

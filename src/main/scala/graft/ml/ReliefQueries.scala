@@ -657,6 +657,246 @@ object ReliefQueries {
         col("n_common").cast("double") / (lit(2.0) * col("k") - col("n_common")))
   }
 
+  /** Per-label binarized contingency blocks — the f10/f11 kernel.
+    * Each partition accumulates, PER LABEL, a dense count block
+    * `[n, ones(64), ones11(2016 upper-triangle)]` over the bit view
+    * `x > 0` (f01/f07's binarization): `ones(i)` counts rows with
+    * bit i set, `ones11(p)` rows with bits i AND j both set. Every
+    * pairwise and per-dim 2×2(×label) contingency cell derives from
+    * these by inclusion–exclusion, exactly — all counts are integers
+    * held in doubles (exact to 2⁵³).
+    *
+    * Scale shape: f03's Gramian discipline on bits — the per-row work
+    * is a tight 64×64 bit loop into a label-keyed local block; what
+    * shuffles is `|labels| × 16.6 KB` PER PARTITION (independent of
+    * row count), reduced key-wise. The dims²·4·|labels| cell table a
+    * naive double-explode would shuffle never materializes row-wise.
+    */
+  private[graft] def bitBlocks(
+      spark: SparkSession, dir: String): Map[Long, Array[Double]] = {
+    import spark.implicits._
+    val D = 64
+    val nPairs = D * (D - 1) / 2
+    val len = 1 + D + nPairs
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("lbl"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+        it.foreach { case (lbl, v) =>
+          val a = acc.getOrElseUpdate(lbl, new Array[Double](len))
+          a(0) += 1.0
+          var i = 0; var p = 0
+          while (i < D) {
+            val bi = v(i) > 0.0
+            if (bi) a(1 + i) += 1.0
+            var j = i + 1
+            while (j < D) {
+              if (bi && v(j) > 0.0) a(1 + D + p) += 1.0
+              j += 1; p += 1
+            }
+            i += 1
+          }
+        }
+        acc.iterator
+      }
+      .rdd.reduceByKey { (a, b) =>
+        val out = new Array[Double](a.length)
+        var i = 0
+        while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
+        out
+      }
+      .collect().toMap
+  }
+
+  /** Upper-triangle offset of pair (i, j), i < j, in a 64-dim block. */
+  private def pidx(i: Int, j: Int): Int = (i * (2 * 64 - i - 1)) / 2 + (j - i - 1)
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** −Σ p·log2 p over the positive entries. */
+  private def entropy(ps: Seq[Double]): Double =
+    -ps.filter(_ > 0.0).map(p => p * log2(p)).sum
+
+  /** f10: FCBF — Fast Correlation-Based Filter (Yu & Liu, ICML 2003),
+    * the symmetric-uncertainty selector the reference's own author
+    * ships as a companion Spark package (sramirez/fast-mRMR lineage):
+    * rank dims by SU(X;Y) = 2·I(X;Y)/(H(X)+H(Y)) over the bit view,
+    * then scan in rank order keeping a dim only if NO already-kept
+    * (predominant) dim p has SU(p, X) ≥ SU(X;Y) — an approximate
+    * Markov-blanket test that removes redundant features without
+    * f04's fixed pick count. First 10 predominant dims, ties on dim.
+    *
+    * Scale shape: the heavy pass is [[bitBlocks]] (per-partition
+    * label-keyed Gramian blocks, `|labels| × 16.6 KB` shuffled per
+    * partition, exact integer counts); SU and the rank-order scan are
+    * driver arithmetic over 64 + 2 016 precomputed values — the
+    * f04/e13 constant-work precedent.
+    */
+  def f10Fcbf(spark: SparkSession, dir: String): DataFrame = {
+    val sel = fcbfSelect(spark, dir).take(10).zipWithIndex
+      .map { case ((d, su), r) => (r + 1L, d.toLong, su) }
+    if (sel.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("su", org.apache.spark.sql.types.DoubleType))))
+    else
+      spark.createDataFrame(spark.sparkContext.parallelize(sel.toSeq, 1))
+        .toDF("rank", "dim", "su")
+  }
+
+  /** FCBF's predominant list (dim, SU_c) in selection order. */
+  private def fcbfSelect(
+      spark: SparkSession, dir: String): Seq[(Int, Double)] = {
+    val blocks = bitBlocks(spark, dir)
+    if (blocks.isEmpty) return Seq.empty
+    val D = 64
+    val labels = blocks.keys.toSeq.sorted
+    val n = labels.map(blocks(_)(0)).sum
+    val hy = entropy(labels.map(blocks(_)(0) / n))
+    // per-dim: ones count per label and total; H(X); I(X;Y); SU_c
+    val onesL = Array.tabulate(D)(d => labels.map(l => blocks(l)(1 + d)))
+    val ones = Array.tabulate(D)(d => onesL(d).sum)
+    val hx = Array.tabulate(D)(d => entropy(Seq(ones(d) / n, (n - ones(d)) / n)))
+    def miCells(cells: Seq[(Double, Double, Double)]): Double =
+      cells.filter(_._1 > 0.0)
+        .map { case (c, ma, mb) => c / n * log2(c * n / (ma * mb)) }.sum
+    val sucArr = Array.tabulate(D) { d =>
+      val cells = labels.indices.flatMap { li =>
+        val nl = blocks(labels(li))(0)
+        val o = onesL(d)(li)
+        Seq((o, ones(d), nl), (nl - o, n - ones(d), nl))
+      }
+      val mi = miCells(cells)
+      if (hx(d) + hy > 0.0) 2.0 * mi / (hx(d) + hy) else 0.0
+    }
+    def suPair(i: Int, j: Int): Double = {
+      val n11 = labels.map(l => blocks(l)(1 + D + pidx(i, j))).sum
+      val n10 = ones(i) - n11
+      val n01 = ones(j) - n11
+      val n00 = n - ones(i) - ones(j) + n11
+      val mi = miCells(Seq(
+        (n00, n - ones(i), n - ones(j)), (n01, n - ones(i), ones(j)),
+        (n10, ones(i), n - ones(j)), (n11, ones(i), ones(j))))
+      if (hx(i) + hx(j) > 0.0) 2.0 * mi / (hx(i) + hx(j)) else 0.0
+    }
+    val order = (0 until D).sortBy(d => (-sucArr(d), d))
+    val kept = scala.collection.mutable.ArrayBuffer[Int]()
+    for (d <- order if kept.length < 10)
+      if (!kept.exists(p => suPair(math.min(p, d), math.max(p, d)) >= sucArr(d)))
+        kept += d
+    kept.map(d => (d, sucArr(d))).toSeq
+  }
+
+  /** f11: CMIM — Conditional Mutual Information Maximization (Fleuret,
+    * JMLR 2004), the information-theoretic greedy that completes the
+    * selector family: where f04 penalizes redundancy with a mean
+    * correlation and f10 eliminates by pairwise SU, CMIM scores each
+    * candidate by its WORST-CASE conditional informativeness
+    * min_{s∈S} I(X;Y|s) — a feature whose signal any already-picked
+    * feature fully explains scores 0 and is passed over. 10 greedy
+    * steps; step 1 maximizes plain I(X;Y); ties to the smaller dim.
+    *
+    * Scale shape: identical to f10 — ONE [[bitBlocks]] pass (the
+    * per-label bit Gramian gives every (X, S, Y) triple cell by
+    * inclusion–exclusion), then driver arithmetic: 64 candidates × 10
+    * steps over precomputed 64×64 conditional-MI values, constant at
+    * any corpus size.
+    */
+  def f11Cmim(spark: SparkSession, dir: String): DataFrame = {
+    val picks = cmimSelect(spark, dir)
+      .map { case (t, d, s) => (t.toLong, d.toLong, s) }
+    if (picks.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    else
+      spark.createDataFrame(spark.sparkContext.parallelize(picks.toSeq, 1))
+        .toDF("step", "dim", "score")
+  }
+
+  /** CMIM's greedy picks (step, dim, score). */
+  private def cmimSelect(
+      spark: SparkSession, dir: String): Seq[(Int, Int, Double)] = {
+    val blocks = bitBlocks(spark, dir)
+    if (blocks.isEmpty) return Seq.empty
+    val D = 64
+    val labels = blocks.keys.toSeq.sorted
+    val n = labels.map(blocks(_)(0)).sum
+    val onesL = Array.tabulate(D)(d => labels.map(l => blocks(l)(1 + d)))
+    val ones = Array.tabulate(D)(d => onesL(d).sum)
+    def miCells(cells: Seq[(Double, Double, Double)]): Double =
+      cells.filter(_._1 > 0.0)
+        .map { case (c, ma, mb) => c / n * log2(c * n / (ma * mb)) }.sum
+    val rel = Array.tabulate(D) { d =>
+      miCells(labels.indices.flatMap { li =>
+        val nl = blocks(labels(li))(0)
+        val o = onesL(d)(li)
+        Seq((o, ones(d), nl), (nl - o, n - ones(d), nl))
+      })
+    }
+    // I(F;Y|S) = Σ_{bf,bs,y} p(f,s,y)·log2(p(f,s,y)·p(s) / (p(f,s)·p(s,y)))
+    def cmi(f: Int, s: Int): Double = {
+      val (i, j) = (math.min(f, s), math.max(f, s))
+      // n·p(f=1,s=1): pair-ones marginal over labels (note pidx keys
+      // on the SORTED pair; ones11 is symmetric in (f, s))
+      val n11t = labels.map(l => blocks(l)(1 + D + pidx(i, j))).sum
+      var acc = 0.0
+      labels.indices.foreach { li =>
+        val b = blocks(labels(li))
+        val nl = b(0)
+        val n11 = b(1 + D + pidx(i, j))
+        val o1f = onesL(f)(li); val o1s = onesL(s)(li)
+        // triple cells (bf, bs) for this label via inclusion–exclusion
+        val cells = Seq(
+          (0, 0, nl - o1f - o1s + n11), (0, 1, o1s - n11),
+          (1, 0, o1f - n11), (1, 1, n11))
+        cells.foreach { case (bf, bs, c) =>
+          if (c > 0.0) {
+            val ps = if (bs == 1) ones(s) else n - ones(s) // n·p(s)
+            val psy = if (bs == 1) o1s else nl - o1s // n·p(s,y)
+            val pfs = (bf, bs) match { // n·p(f,s)
+              case (1, 1) => n11t
+              case (1, 0) => ones(f) - n11t
+              case (0, 1) => ones(s) - n11t
+              case _      => n - ones(f) - ones(s) + n11t
+            }
+            acc += c / n * log2(c * ps / (pfs * psy))
+          }
+        }
+      }
+      acc
+    }
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
+    val minc = Array.fill(D)(Double.MaxValue)
+    val selected = scala.collection.mutable.ArrayBuffer[Int]()
+    for (t <- 1 to math.min(10, D)) {
+      val cand = (0 until D).filterNot(selected.contains)
+      if (cand.nonEmpty) {
+        val scored = cand.map { d =>
+          val sc = if (selected.isEmpty) rel(d) else minc(d)
+          (d, sc)
+        }
+        val (best, score) = scored.minBy { case (d, sc) => (-sc, d) }
+        picks += ((t, best, score))
+        selected += best
+        cand.filter(_ != best).foreach { d =>
+          val v = cmi(d, best)
+          if (selected.length == 1) minc(d) = math.min(rel(d), v)
+          else minc(d) = math.min(minc(d), v)
+        }
+      }
+    }
+    picks.toSeq
+  }
+
   /** StringIndexer-based nominal ingestion: index each nominal column
     * (frequencyDesc), then assemble nominal indices + numeric columns
     * into `features` — the user-side wiring a categorical dataset

@@ -177,6 +177,8 @@ class EmptyInputSpec extends SparkSpec {
       "w25" -> (() => graft.sources.Sinks.w25ManifestDiff(spark, emptyDir).count() - 2),
       "f09" -> (() => graft.ml.ReliefQueries.f09AucSelect(spark, emptyDir).count()),
       "f09b" -> (() => graft.ml.ReliefQueries.f09bAucBinned(spark, emptyDir).count()),
+      "f10" -> (() => graft.ml.ReliefQueries.f10Fcbf(spark, emptyDir).count()),
+      "f11" -> (() => graft.ml.ReliefQueries.f11Cmim(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),
       "e25" -> (() => graft.sim.Sim.e25GraphServe(spark, emptyDir).count()),

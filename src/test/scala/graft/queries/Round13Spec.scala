@@ -262,4 +262,116 @@ class Round13Spec extends SparkSpec {
     val overlap = (exactTop intersect binnedTop).size
     assert(overlap >= 8, s"twin selected a different panel: overlap=$overlap")
   }
+
+  // ---------------------------------------------------------- f10 / f11
+
+  // Brute-force ground truth for the info-theoretic selectors: bit
+  // rows collected raw, every probability counted directly from them
+  // — no shared code with bitBlocks' Gramian path.
+  private lazy val bitRows: Seq[(Long, Array[Int])] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("cast(label as long)",
+        "transform(embedding, x -> cast(x > 0.0D as int))")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray)).toSeq
+
+  private def lg2(x: Double) = math.log(x) / math.log(2.0)
+
+  private def hOf(counts: Iterable[Int], n: Double): Double =
+    -counts.filter(_ > 0).map(c => c / n * lg2(c / n)).sum
+
+  private def miOf(cells: Iterable[(Int, Int, Int)], n: Double): Double =
+    // (joint, marginal A, marginal B) counts
+    cells.filter(_._1 > 0)
+      .map { case (c, a, b) => c / n * lg2(c * n / (a.toDouble * b)) }.sum
+
+  private def suc(d: Int): Double = {
+    val n = bitRows.length.toDouble
+    val ys = bitRows.map(_._1).distinct.sorted
+    val hy = hOf(ys.map(y => bitRows.count(_._1 == y)), n)
+    val o = bitRows.count(_._2(d) == 1)
+    val hx = hOf(Seq(o, bitRows.length - o), n)
+    val mi = miOf(
+      for (b <- Seq(0, 1); y <- ys) yield (
+        bitRows.count(r => r._2(d) == b && r._1 == y),
+        bitRows.count(_._2(d) == b), bitRows.count(_._1 == y)), n)
+    if (hx + hy > 0) 2 * mi / (hx + hy) else 0.0
+  }
+
+  private def suPair(i: Int, j: Int): Double = {
+    val n = bitRows.length.toDouble
+    def h(d: Int) = {
+      val o = bitRows.count(_._2(d) == 1)
+      hOf(Seq(o, bitRows.length - o), n)
+    }
+    val mi = miOf(
+      for (bi <- Seq(0, 1); bj <- Seq(0, 1)) yield (
+        bitRows.count(r => r._2(i) == bi && r._2(j) == bj),
+        bitRows.count(_._2(i) == bi), bitRows.count(_._2(j) == bj)), n)
+    if (h(i) + h(j) > 0) 2 * mi / (h(i) + h(j)) else 0.0
+  }
+
+  test("f10: output equals a brute-force FCBF scan over raw bit rows") {
+    val sucAll = (0 until 64).map(d => d -> suc(d)).toMap
+    val order = (0 until 64).sortBy(d => (-sucAll(d), d))
+    val kept = scala.collection.mutable.ArrayBuffer[Int]()
+    for (d <- order if kept.length < 10)
+      if (!kept.exists(p => suPair(math.min(p, d), math.max(p, d)) >= sucAll(d)))
+        kept += d
+    val want = kept.zipWithIndex.map { case (d, i) => (i + 1L, d.toLong, sucAll(d)) }
+    val got = graft.ml.ReliefQueries.f10Fcbf(spark, sfDir)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gr, gd, gs), (wr, wd, ws)) =>
+      assert(gr == wr && gd == wd, s"pick $gr: got dim $gd want $wd")
+      assert(math.abs(gs - ws) < 1e-12, s"dim $gd: su $gs vs $ws")
+    }
+    // FCBF's contract: no kept dim is dominated by an earlier kept one
+    for (i <- kept.indices; j <- (i + 1) until kept.length) {
+      val p = kept(i); val d = kept(j)
+      assert(suPair(math.min(p, d), math.max(p, d)) < sucAll(d),
+        s"kept dim $d is dominated by earlier kept $p")
+    }
+  }
+
+  test("f11: output equals a brute-force CMIM greedy over raw bit rows") {
+    val n = bitRows.length.toDouble
+    val ys = bitRows.map(_._1).distinct.sorted
+    def rel(d: Int): Double = miOf(
+      for (b <- Seq(0, 1); y <- ys) yield (
+        bitRows.count(r => r._2(d) == b && r._1 == y),
+        bitRows.count(_._2(d) == b), bitRows.count(_._1 == y)), n)
+    def cmi(f: Int, s: Int): Double =
+      (for (bf <- Seq(0, 1); bs <- Seq(0, 1); y <- ys) yield {
+        val c = bitRows.count(r => r._2(f) == bf && r._2(s) == bs && r._1 == y)
+        if (c == 0) 0.0
+        else {
+          val ps = bitRows.count(_._2(s) == bs)
+          val pfs = bitRows.count(r => r._2(f) == bf && r._2(s) == bs)
+          val psy = bitRows.count(r => r._2(s) == bs && r._1 == y)
+          c / n * lg2(c.toDouble * ps / (pfs.toDouble * psy))
+        }
+      }).sum
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val sel = scala.collection.mutable.ArrayBuffer[Int]()
+    val score = scala.collection.mutable.HashMap[Int, Double]()
+    (0 until 64).foreach(d => score(d) = rel(d))
+    for (t <- 1 to 10) {
+      val cand = (0 until 64).filterNot(sel.contains)
+      val best = cand.minBy(d => (-score(d), d))
+      picks += ((t.toLong, best.toLong, score(best)))
+      sel += best
+      cand.filter(_ != best).foreach(d => score(d) = math.min(score(d), cmi(d, best)))
+    }
+    val got = graft.ml.ReliefQueries.f11Cmim(spark, sfDir)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10)
+    got.zip(picks).foreach { case ((gt, gd, gs), (wt, wd, ws)) =>
+      assert(gt == wt && gd == wd, s"step $gt: got dim $gd want $wd")
+      assert(math.abs(gs - ws) < 1e-12, s"step $gt: score $gs vs $ws")
+    }
+  }
+
 }
