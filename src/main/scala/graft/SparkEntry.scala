@@ -135,6 +135,7 @@ object SparkEntry {
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
     "m03_container_source" -> Multimodal.m03ContainerSource _,
     "m12_container_random_access" -> Multimodal.m12ContainerRandomAccess _,
+    "m13_video_near_dup"  -> Multimodal.m13VideoNearDup _,
     "m04_audio_features"  -> Multimodal.m04AudioFeatures _,
     "m05_video_frames"    -> Multimodal.m05VideoFrames _,
     "m06_image_resize"    -> Multimodal.m06ImageResize _,
@@ -3711,6 +3712,58 @@ object SparkEntry {
     // m07: the aHash pipeline replayed from the image formulas — gid
     // picks content, brightness models re-encoding; the mean-threshold
     // bits pack into (hi, lo) 32-bit halves; clusters group by hash.
+    // m13: the clip-fingerprint pipeline at formula level — the
+    // luminance of frame f of clip (base, trim) is s0(base) +
+    // ((f+trim)%2 + sceneShift)·48000 exactly (mod-120 channels never
+    // wrap the byte), so the whole codec walk collapses to the
+    // closed form; distinct signature sets, stop cap, Jaccard ≥ ½.
+    "m13_video_near_dup" ->
+      """WITH ids AS (SELECT doc_id AS base FROM documents),
+        |vids AS (
+        |  SELECT base, base AS vid, (6 + base % 7)::INTEGER AS nf, 0 AS trim
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT base, base + 2000000, (4 + base % 7)::INTEGER, 2
+        |  FROM ids WHERE base % 3 = 0),
+        |ph AS (
+        |  SELECT base,
+        |    base % 1000000007 * 616318177 % 1000000007 AS m1,
+        |    base % 1000000007 * 777000037 % 1000000007 AS m2,
+        |    base % 1000000007 * 888000131 % 1000000007 AS m3
+        |  FROM ids),
+        |s0 AS (
+        |  SELECT base,
+        |    sum(299 * ((m1 + p * (1 + m1 % 97)) % 120)
+        |      + 587 * ((m2 + p * (1 + m2 % 89)) % 120)
+        |      + 114 * ((m3 + p * (1 + m3 % 83)) % 120))::BIGINT AS s0,
+        |    sum((2 * p + 1) * (299 * ((m1 + p * (1 + m1 % 97)) % 120)
+        |      + 587 * ((m2 + p * (1 + m2 % 89)) % 120)
+        |      + 114 * ((m3 + p * (1 + m3 % 83)) % 120)))::BIGINT AS w0
+        |  FROM ph, unnest(range(0, 48)) AS u(p)
+        |  GROUP BY 1),
+        |fr AS (SELECT v.base, v.vid, u.f + v.trim AS bf
+        |       FROM vids v, unnest(range(0, v.nf)) AS u(f)
+        |       WHERE u.f % 3 = 0),
+        |tok AS (
+        |  SELECT DISTINCT fr.vid,
+        |    s0.s0 + sym * 48000 AS ls, s0.w0 + sym * 2304000 AS ws
+        |  FROM (SELECT fr.*, (fr.bf % 2)
+        |          + CASE WHEN fr.base % 4 <> 0 AND fr.bf >= 2 + fr.base % 3
+        |                 THEN 128 ELSE 0 END AS sym
+        |        FROM fr) fr
+        |  JOIN s0 ON s0.base = fr.base),
+        |sizes AS (SELECT vid, count(*) AS sz FROM tok GROUP BY 1),
+        |hot AS (SELECT ls, ws FROM tok GROUP BY ls, ws HAVING count(*) > 64),
+        |ok AS (SELECT * FROM tok ANTI JOIN hot USING (ls, ws)),
+        |pc AS (SELECT a.vid AS id_a, b.vid AS id_b, count(*) AS n_common
+        |       FROM ok a JOIN ok b ON b.ls = a.ls AND b.ws = a.ws
+        |                          AND a.vid < b.vid
+        |       GROUP BY 1, 2)
+        |SELECT pc.id_a, pc.id_b, pc.n_common,
+        |  pc.n_common::DOUBLE / (sa.sz + sb.sz - pc.n_common) AS jaccard
+        |FROM pc JOIN sizes sa ON sa.vid = pc.id_a
+        |        JOIN sizes sb ON sb.vid = pc.id_b
+        |WHERE pc.n_common::DOUBLE / (sa.sz + sb.sz - pc.n_common) >= 0.5""".stripMargin,
     // m11: the full near-dup pipeline at formula level — unique base
     // hashes, whited sampled pixels behind two bits of every 3rd doc's
     // twin, 16-bit bands with the stop cap, popcount hamming ≤ 7.

@@ -538,8 +538,14 @@ object Multimodal {
     * two-scene clips).
     */
   private[graft] def encodeVideoWith(
-      id: Long, raster: (Long, Int) => Array[Byte]): Array[Byte] = {
-    val nf = videoFrameCount(id)
+      id: Long, raster: (Long, Int) => Array[Byte]): Array[Byte] =
+    encodeVideoWith(id, videoFrameCount(id), raster)
+
+  /** [[encodeVideoWith]] with an explicit frame count — m13's trimmed
+    * twins are shorter than their own id's [[videoFrameCount]].
+    */
+  private[graft] def encodeVideoWith(
+      id: Long, nf: Int, raster: (Long, Int) => Array[Byte]): Array[Byte] = {
     val header = s"P6\n$VideoW $VideoH\n255\n".getBytes("US-ASCII")
     val frames = Array.tabulate(nf)(f => header ++ raster(id, f))
     val indexBytes = 12 * nf
@@ -1280,6 +1286,116 @@ object Multimodal {
       org.apache.spark.sql.types.StructField("mime", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_bytes", org.apache.spark.sql.types.LongType)))
     spark.createDataFrame(rdd, schema)
+  }
+
+  case class VideoSig(vid: Long, ls: Long, ws: Long)
+
+  /** m13 clip raster: m09's two-scene structure on m11's unique-phase
+    * channels. m09's plain affine phases are mod-120 PERIODIC in the
+    * id — ids 120 apart render byte-identical rasters, so a corpus of
+    * N docs carries ~N²/120 true-duplicate pairs and the near-dup
+    * pair space goes quadratic with corpus size (observed: docs 90
+    * and 450 at Jaccard 1 before this raster existed). Mod-prime
+    * phase AND stride per channel (the m11 linearity lesson) keep
+    * distinct docs' signature sets disjoint, so the pair space is the
+    * planted twins — linear. Channel values stay ≤ 119 + jit + 128 <
+    * 256: no byte wrap, so the luminance closed form the oracle
+    * replays is exact.
+    */
+  private[graft] def m13ClipRaster(id: Long, f: Int): Array[Byte] = {
+    val P = 1000000007L
+    val m1 = id % P * 616318177L % P
+    val m2 = id % P * 777000037L % P
+    val m3 = id % P * 888000131L % P
+    val k1 = 1 + m1 % 97; val k2 = 1 + m2 % 89; val k3 = 1 + m3 % 83
+    val shift = if (f >= sceneCutAt(id)) 128 else 0
+    val jit = f % 2
+    val out = new Array[Byte](VideoW * VideoH * 3)
+    var p = 0
+    while (p < VideoW * VideoH) {
+      out(p * 3) = (((m1 + p * k1) % 120) + jit + shift).toByte
+      out(p * 3 + 1) = (((m2 + p * k2) % 120) + jit + shift).toByte
+      out(p * 3 + 2) = (((m3 + p * k3) % 120) + jit + shift).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** m13: VIDEO near-dup — completing the multimodal dedup matrix
+    * (m07 exact image, m11 hamming-tolerant image, this row clip
+    * level): re-uploaded clips are rarely byte-identical — they are
+    * TRIMMED (intro cut), so per-container equality and even m11-style
+    * whole-file hashing miss them. The standard fingerprint is the SET
+    * of per-frame signatures (frame-sampled perceptual hashes; here
+    * the m09 weighted-luminance long per sampled frame — exact
+    * integers through the same codec walk) compared by Jaccard:
+    * J(A,B) = |A∩B|/|A∪B| ≥ ½ declares a near-dup pair. Twin
+    * geometry: every 3rd doc also yields a HEAD-TRIMMED re-upload
+    * (id + 2 000 000, first 2 frames dropped, same underlying scene
+    * raster) — most trims survive the stride-sampled signature set
+    * (the spec pins the measured detection census); heavily-trimmed
+    * 2-sample clips whose cut straddles the trim legitimately evade,
+    * exactly as real fingerprinting does.
+    *
+    * Scale shape: rasters reduce to ONE long per sampled frame inside
+    * the codec task (no shuffle touches pixels); the candidate stage
+    * is a bucket join on exact signature values with the d06 MaxBucket
+    * cap (a hot signature — black frames, test cards — cannot
+    * quadratically explode any task), and Jaccard is exact integer
+    * arithmetic from map-side-combined set sizes, one division at the
+    * end.
+    */
+  def m13VideoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SigCap = 64
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val tokens = ids.flatMap { base =>
+      def sigSet(vid: Long, nf: Int, trim: Int): Seq[VideoSig] = {
+        val c = encodeVideoWith(vid, nf,
+          (_, f) => m13ClipRaster(base, f + trim))
+        sampleFrames(c).map { case (_, _, ppm) =>
+          val (w, h, off) = ppmRaster(ppm).getOrElse(
+            throw new IllegalStateException(s"clip $vid: invalid P6 frame"))
+          require(w == VideoW && h == VideoH)
+          // two independent exact moments per frame: plain weighted
+          // luminance (concentrates by CLT — 1%+ of distinct docs
+          // collide on it alone, measured) and the position-weighted
+          // second projection; a cross-doc token collision needs BOTH
+          // sums to coincide (0 in 5 000 synthetic docs, measured)
+          var ls = 0L
+          var ws = 0L
+          var p = off
+          var px = 0L
+          while (p < ppm.length) {
+            val lum = 299L * (ppm(p) & 0xff) + 587L * (ppm(p + 1) & 0xff) +
+              114L * (ppm(p + 2) & 0xff)
+            ls += lum
+            ws += (2 * px + 1) * lum
+            p += 3
+            px += 1
+          }
+          (ls, ws)
+        }.distinct.map { case (ls, ws) => VideoSig(vid, ls, ws) }
+      }
+      val nf = videoFrameCount(base)
+      val b = sigSet(base, nf, 0)
+      if (base % 3 == 0) b ++ sigSet(base + 2000000L, nf - 2, 2) else b
+    }.toDF("vid", "ls", "ws")
+    val sizes = tokens.groupBy("vid").agg(count(lit(1)).as("sz"))
+    val hot = tokens.groupBy("ls", "ws").agg(count(lit(1)).as("c"))
+      .where(col("c") > SigCap).select("ls", "ws")
+    val ok = tokens.join(hot, Seq("ls", "ws"), "left_anti")
+    ok.as("a").join(ok.as("b"),
+        col("a.ls") === col("b.ls") && col("a.ws") === col("b.ws") &&
+          col("a.vid") < col("b.vid"))
+      .groupBy(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("vid").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("vid").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_common")))
+      .where(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "n_common", "jaccard")
   }
 
   /** m12: RANDOM-ACCESS container reads — the WebDataset/tar-index

@@ -335,6 +335,61 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- m13
+
+  test("m13: output equals a formula-level recomputation; only planted twins pair") {
+    def moments(base: Long): (Long, Long) = {
+      val P = 1000000007L
+      val m1 = base % P * 616318177L % P
+      val m2 = base % P * 777000037L % P
+      val m3 = base % P * 888000131L % P
+      val lums = (0 until 48).map(p =>
+        299L * ((m1 + p * (1 + m1 % 97)) % 120) +
+          587L * ((m2 + p * (1 + m2 % 89)) % 120) +
+          114L * ((m3 + p * (1 + m3 % 83)) % 120))
+      (lums.sum, lums.zipWithIndex.map { case (l, p) => (2L * p + 1) * l }.sum)
+    }
+    def cut(base: Long): Long =
+      if (base % 4 == 0) Long.MaxValue else 2 + base % 3
+    def sig(base: Long, nf: Int, trim: Int): Set[(Long, Long)] = {
+      val (s0, w0) = moments(base)
+      (0 until nf by 3).map { f =>
+        val bf = f + trim
+        val sym = (bf % 2) + (if (bf >= cut(base)) 128L else 0L)
+        (s0 + sym * 48000L, w0 + sym * 2304000L)
+      }.toSet
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val clips: Seq[(Long, Set[(Long, Long)])] = docs.flatMap { b =>
+      val nf = (6 + b % 7).toInt
+      val base = Seq((b, sig(b, nf, 0)))
+      if (b % 3 == 0) base :+ ((b + 2000000L, sig(b, nf - 2, 2))) else base
+    }
+    val hot = clips.flatMap(_._2).groupBy(identity)
+      .filter(_._2.size > 64).keySet
+    val want = (for {
+      i <- clips.indices; j <- (i + 1) until clips.length
+      (va, sa) = if (clips(i)._1 < clips(j)._1) clips(i) else clips(j)
+      (vb, sb) = if (clips(i)._1 < clips(j)._1) clips(j) else clips(i)
+      common = ((sa intersect sb) diff hot).size
+      if common > 0
+      jac = common.toDouble / (sa.size + sb.size - common)
+      if jac >= 0.5
+    } yield (va, vb, common.toLong, jac)).toSet
+    val got = graft.multimodal.Multimodal.m13VideoNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "no near-dup pairs detected at all")
+    // planted-structure claim: every reported pair is a clip and its
+    // own trimmed twin — unrelated clips never collide on this corpus
+    got.foreach { case (a, b, _, _) =>
+      assert(b == a + 2000000L, s"unplanted pair ($a, $b) reported")
+    }
+  }
+
   test("f11: output equals a brute-force CMIM greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
