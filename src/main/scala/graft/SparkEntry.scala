@@ -136,6 +136,7 @@ object SparkEntry {
     "m03_container_source" -> Multimodal.m03ContainerSource _,
     "m12_container_random_access" -> Multimodal.m12ContainerRandomAccess _,
     "m13_video_near_dup"  -> Multimodal.m13VideoNearDup _,
+    "m14_audio_near_dup"  -> Multimodal.m14AudioNearDup _,
     "m04_audio_features"  -> Multimodal.m04AudioFeatures _,
     "m05_video_frames"    -> Multimodal.m05VideoFrames _,
     "m06_image_resize"    -> Multimodal.m06ImageResize _,
@@ -3757,6 +3758,54 @@ object SparkEntry {
         |ok AS (SELECT * FROM tok ANTI JOIN hot USING (ls, ws)),
         |pc AS (SELECT a.vid AS id_a, b.vid AS id_b, count(*) AS n_common
         |       FROM ok a JOIN ok b ON b.ls = a.ls AND b.ws = a.ws
+        |                          AND a.vid < b.vid
+        |       GROUP BY 1, 2)
+        |SELECT pc.id_a, pc.id_b, pc.n_common,
+        |  pc.n_common::DOUBLE / (sa.sz + sb.sz - pc.n_common) AS jaccard
+        |FROM pc JOIN sizes sa ON sa.vid = pc.id_a
+        |        JOIN sizes sb ON sb.vid = pc.id_b
+        |WHERE pc.n_common::DOUBLE / (sa.sz + sb.sz - pc.n_common) >= 0.5""".stripMargin,
+    // m14: the audio-fingerprint pipeline at formula level — the
+    // sample at stream position t is the sum of two affine-mod tracks,
+    // so each window's rise/fall masks pack directly from the formula
+    // diffs (the codec round-trips — 8-bit base, 16-bit ×256 twin —
+    // cancel out of the SIGNS by design); distinct signature sets,
+    // stop cap, Jaccard ≥ ½.
+    "m14_audio_near_dup" ->
+      """WITH ids AS (SELECT doc_id AS base FROM documents),
+        |vids AS (
+        |  SELECT base, base AS vid, (6 + base % 7)::INTEGER AS nw, 0 AS trim
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT base, base + 3000000, (4 + base % 7)::INTEGER, 2
+        |  FROM ids WHERE base % 3 = 0),
+        |ph AS (
+        |  SELECT base,
+        |    base % 1000000007 * 700000133 % 1000000007 AS u0
+        |  FROM ids),
+        |pos AS (
+        |  SELECT v.vid, u.w, j.j, u0 + 64*(u.w + v.trim) + j.j AS x0
+        |  FROM vids v JOIN ph ON ph.base = v.base,
+        |    unnest(range(0, v.nw)) AS u(w),
+        |    unnest(range(0, 63)) AS j(j)),
+        |dif AS (
+        |  SELECT vid, w, j,
+        |    ((x0+1)*(x0+1) % 1000000007)
+        |      * ((x0+1)*(x0+1) % 1000000007) % 1000000007 % 232
+        |    - (x0*x0 % 1000000007)
+        |      * (x0*x0 % 1000000007) % 1000000007 % 232 AS d
+        |  FROM pos),
+        |sig AS (
+        |  SELECT vid, w,
+        |    sum(CASE WHEN d > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS pos,
+        |    sum(CASE WHEN d < 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS neg
+        |  FROM dif GROUP BY vid, w),
+        |tok AS (SELECT DISTINCT vid, pos, neg FROM sig),
+        |sizes AS (SELECT vid, count(*) AS sz FROM tok GROUP BY 1),
+        |hot AS (SELECT pos, neg FROM tok GROUP BY pos, neg HAVING count(*) > 64),
+        |ok AS (SELECT * FROM tok ANTI JOIN hot USING (pos, neg)),
+        |pc AS (SELECT a.vid AS id_a, b.vid AS id_b, count(*) AS n_common
+        |       FROM ok a JOIN ok b ON b.pos = a.pos AND b.neg = a.neg
         |                          AND a.vid < b.vid
         |       GROUP BY 1, 2)
         |SELECT pc.id_a, pc.id_b, pc.n_common,

@@ -1398,6 +1398,132 @@ object Multimodal {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  case class AudioSig(vid: Long, pos: Long, neg: Long)
+
+  /** Encode mono PCM as a 16-BIT WAV byte array — the transcode target
+    * for m14's re-encoded twins ([[decodeWav]] already reads both
+    * depths; this is the writer for the second one). Samples are
+    * signed 16-bit little-endian per the RIFF/WAVE layout.
+    */
+  private[graft] def encodeWav16(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2) // byte rate = rate × 2 bytes/sample
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** m14 clip signal: QUADRATIC residues mod a large prime —
+    * s_t = ((u + t)² mod P) mod 232 − 115 with u a per-doc mod-prime
+    * phase and t the ABSOLUTE stream position (so a trimmed twin's
+    * samples are position-identical to the base's). The m13 affine
+    * recipe is NOT enough here: a sign-of-difference pattern over an
+    * affine-mod track is a Sturmian word — for a fixed slope the
+    * 63-step pattern takes at most ~2·63 distinct values over the
+    * whole phase circle, so docs sharing a slope phase-lock (measured:
+    * docs 53/369 shared k1=82 and collided 8 of 10 windows even with a
+    * second summed track, because one track's wrap dominates the
+    * sign). ONE squaring round is not enough either: for x < √P ≈
+    * 31 623 the mod P never wraps and x² mod 232 is PERIODIC with
+    * period 116 — and the id→u map is near-rational to P (Δid = 80 ⇒
+    * Δu = 10 248 ≡ 0 mod 232), so structured ids land in the
+    * unwrapped regime and share whole segments (measured: 34 extra
+    * pairs at Δid ∈ {80, 160}). TWO rounds — z = (x² mod P)² mod P —
+    * wrap P for any x ≥ 178, and since −1 is a non-residue mod P
+    * (P ≡ 3 mod 4) the composition is injective up to x → ±x: a
+    * segment collision needs exact ±x alignment, which Δid·c mod P
+    * cannot produce within a window span at any tested corpus size.
+    * Both squarings stay exact in BIGINT/Long (≤ (P−1)² ≈ 1.0e18);
+    * values lie in [-115, 116]: 8-bit clean, and ×256 stays 16-bit
+    * clean for the transcoded twin.
+    */
+  private[graft] def m14Samples(id: Long, nw: Int, trim: Int): Array[Int] = {
+    val P = 1000000007L
+    val u = id % P * 700000133L % P
+    Array.tabulate(64 * nw) { i =>
+      val x = u + i + 64L * trim
+      val y = x * x % P
+      (y * y % P % 232 - 115).toInt
+    }
+  }
+
+  /** m14: AUDIO near-dup — the last cell of the multimodal dedup
+    * matrix (m07/m11 image, m13 video, this row audio): a re-uploaded
+    * track is rarely byte-identical — it is head-trimmed AND
+    * re-encoded (bit depth / gain change), so whole-file hashing and
+    * even sample-equality fingerprints miss it. The robust-hash family
+    * (Philips audio hash, chromaprint) fingerprints SHAPE, not level:
+    * per 64-sample window, the sign pattern of successive differences
+    * — two packed 63-bit masks (rises, falls) — which is EXACTLY
+    * invariant under any positive gain, including the ×256 of an
+    * 8→16-bit transcode. Twin geometry: every 3rd doc also yields a
+    * head-trimmed (2 windows) 16-BIT re-encode of itself — the decoder
+    * walks a genuinely different byte layout (biased bytes vs signed
+    * LE shorts) and must land on the identical signature set; windows
+    * compare as sets by Jaccard ≥ ½ (trim costs 2 of ≥ 6 windows, so
+    * J = (nw−2)/nw ≥ ⅔ and every planted twin is recoverable).
+    *
+    * Scale shape: the m04 contract — PCM decodes and fingerprints
+    * inside the codec task, the cluster shuffles 3-long signature
+    * rows, never samples; candidates come from a bucket join on exact
+    * signature values behind the d06 MaxBucket cap (a hot signature —
+    * digital silence, test tones — cannot quadratically explode a
+    * task); Jaccard is exact integer arithmetic from
+    * map-side-combined distinct set sizes.
+    */
+  def m14AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SigCap = 64
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val tokens = ids.flatMap { base =>
+      def sigSet(vid: Long, nw: Int, trim: Int, bits16: Boolean): Seq[AudioSig] = {
+        val raw = m14Samples(base, nw, trim)
+        val wav =
+          if (bits16) encodeWav16(8000, raw.map(_ * 256))
+          else encodeWav(8000, raw)
+        val (_, s) = decodeWav(wav).getOrElse(
+          throw new IllegalStateException(s"WAV round-trip failed for clip $vid"))
+        (0 until nw).map { w =>
+          var pos = 0L; var neg = 0L
+          var j = 0
+          while (j < 63) {
+            val d = s(64 * w + j + 1) - s(64 * w + j)
+            if (d > 0) pos |= 1L << j
+            else if (d < 0) neg |= 1L << j
+            j += 1
+          }
+          (pos, neg)
+        }.distinct.map { case (p, n) => AudioSig(vid, p, n) }
+      }
+      val nw = (6 + base % 7).toInt
+      val b = sigSet(base, nw, 0, bits16 = false)
+      if (base % 3 == 0) b ++ sigSet(base + 3000000L, nw - 2, 2, bits16 = true)
+      else b
+    }.toDF("vid", "pos", "neg")
+    val sizes = tokens.groupBy("vid").agg(count(lit(1)).as("sz"))
+    val hot = tokens.groupBy("pos", "neg").agg(count(lit(1)).as("c"))
+      .where(col("c") > SigCap).select("pos", "neg")
+    val ok = tokens.join(hot, Seq("pos", "neg"), "left_anti")
+    ok.as("a").join(ok.as("b"),
+        col("a.pos") === col("b.pos") && col("a.neg") === col("b.neg") &&
+          col("a.vid") < col("b.vid"))
+      .groupBy(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("vid").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("vid").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_common")))
+      .where(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
   /** m12: RANDOM-ACCESS container reads — the WebDataset/tar-index
     * serving pattern m03 deliberately does not cover: m03's columnar
     * container is the right layout for FULL scans, but a training-data

@@ -179,6 +179,7 @@ class EmptyInputSpec extends SparkSpec {
       "f09b" -> (() => graft.ml.ReliefQueries.f09bAucBinned(spark, emptyDir).count()),
       "f10" -> (() => graft.ml.ReliefQueries.f10Fcbf(spark, emptyDir).count()),
       "m13" -> (() => graft.multimodal.Multimodal.m13VideoNearDup(spark, emptyDir).count()),
+      "m14" -> (() => graft.multimodal.Multimodal.m14AudioNearDup(spark, emptyDir).count()),
       "f11" -> (() => graft.ml.ReliefQueries.f11Cmim(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

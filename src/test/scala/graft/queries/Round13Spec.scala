@@ -390,6 +390,61 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- m14
+
+  test("m14: output equals a formula-level recomputation; transcoded twins are recovered") {
+    def sig(base: Long, nw: Int, trim: Int): Set[(Long, Long)] = {
+      val P = 1000000007L
+      val u = base % P * 700000133L % P
+      def s(t: Long): Long =
+        { val x = u + t; val y = x * x % P; y * y % P % 232 - 115 }
+      (0 until nw).map { w =>
+        var pos = 0L; var neg = 0L
+        var j = 0
+        while (j < 63) {
+          val t = 64L * (w + trim) + j
+          val d = s(t + 1) - s(t)
+          if (d > 0) pos |= 1L << j
+          else if (d < 0) neg |= 1L << j
+          j += 1
+        }
+        (pos, neg)
+      }.toSet
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val clips: Seq[(Long, Set[(Long, Long)])] = docs.flatMap { b =>
+      val nw = (6 + b % 7).toInt
+      val base = Seq((b, sig(b, nw, 0)))
+      if (b % 3 == 0) base :+ ((b + 3000000L, sig(b, nw - 2, 2))) else base
+    }
+    val hot = clips.flatMap(_._2).groupBy(identity)
+      .filter(_._2.size > 64).keySet
+    val want = (for {
+      i <- clips.indices; j <- (i + 1) until clips.length
+      (va, sa) = if (clips(i)._1 < clips(j)._1) clips(i) else clips(j)
+      (vb, sb) = if (clips(i)._1 < clips(j)._1) clips(j) else clips(i)
+      common = ((sa intersect sb) diff hot).size
+      if common > 0
+      jac = common.toDouble / (sa.size + sb.size - common)
+      if jac >= 0.5
+    } yield (va, vb, common.toLong, jac)).toSet
+    val got = graft.multimodal.Multimodal.m14AudioNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "no near-dup pairs detected at all")
+    // full trim-tolerant recall on this corpus: the 16-bit ×256
+    // re-encode decodes to different sample VALUES but identical sign
+    // patterns, and a 2-of-≥6-window trim keeps J = (nw−2)/nw ≥ ⅔ —
+    // so every planted twin must be reported, and nothing else
+    val planted = docs.filter(_ % 3 == 0)
+      .map(b => (b, b + 3000000L)).toSet
+    assert(got.map(p => (p._1, p._2)) == planted,
+      s"planted=${planted.size} got=${got.size}")
+  }
+
   test("f11: output equals a brute-force CMIM greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
