@@ -216,6 +216,7 @@ object SparkEntry {
     "f09b_auc_binned"     -> ReliefQueries.f09bAucBinned _,
     "f10_fcbf"            -> ReliefQueries.f10Fcbf _,
     "f11_cmim"            -> ReliefQueries.f11Cmim _,
+    "f12_mdlp_discretize" -> ReliefQueries.f12MdlpDiscretize _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "s27_stream_group_mode" -> Streams.s27StreamGroupMode _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
@@ -2858,6 +2859,121 @@ object SparkEntry {
     // entropies/MIs in ln/ln(2), unrolled selection rounds.
     "f10_fcbf" -> graft.ml.ReliefOracle.fcbfSql,
     "f11_cmim" -> graft.ml.ReliefOracle.cmimSql,
+    // f12: full two-round MDLP replay — densified cumulative label
+    // mass, entropies, the MDL test and the best-boundary pick, with
+    // round 2 conditioned on round-1 acceptance (empty on this corpus
+    // by the criterion itself, not by omission).
+    "f12_mdlp_discretize" ->
+      """WITH cells AS (
+        |  SELECT dim, 0::BIGINT AS seg, xm, lbl, count(*)::BIGINT AS c
+        |  FROM (SELECT label::BIGINT AS lbl, unnest(range(0, 64)) AS dim,
+        |          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xm
+        |        FROM embeddings)
+        |  GROUP BY 1, 2, 3, 4),
+        |labs AS (SELECT DISTINCT lbl FROM cells),
+        |pos1 AS (SELECT DISTINCT dim, seg, xm FROM cells),
+        |dense1 AS (
+        |  SELECT p.dim, p.seg, p.xm, l.lbl, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM pos1 p CROSS JOIN labs l
+        |  LEFT JOIN cells c ON c.dim = p.dim AND c.seg = p.seg
+        |                   AND c.xm = p.xm AND c.lbl = l.lbl),
+        |g1 AS (
+        |  SELECT dim, seg, xm, lbl, c,
+        |    sum(c) OVER (PARTITION BY dim, seg, lbl ORDER BY xm)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY dim, seg, lbl)::BIGINT AS tot,
+        |    sum(c) OVER (PARTITION BY dim, seg)::BIGINT AS n,
+        |    max(xm) OVER (PARTITION BY dim, seg) AS xmax
+        |  FROM dense1),
+        |g1b AS (
+        |  SELECT *, tot - cum AS r,
+        |    sum(cum) OVER (PARTITION BY dim, seg, xm)::BIGINT AS nl,
+        |    n - sum(cum) OVER (PARTITION BY dim, seg, xm)::BIGINT AS nr
+        |  FROM g1),
+        |hs1 AS (
+        |  SELECT dim, seg,
+        |    sum(CASE WHEN tot > 0 THEN -(tot::DOUBLE / n) * log2(tot::DOUBLE / n)
+        |        ELSE 0 END) AS hs,
+        |    sum(CASE WHEN tot > 0 THEN 1 ELSE 0 END)::BIGINT AS k,
+        |    max(n) AS n
+        |  FROM (SELECT DISTINCT dim, seg, lbl, tot, n FROM g1)
+        |  GROUP BY 1, 2),
+        |cand1 AS (
+        |  SELECT dim, seg, xm, max(nl) AS nl, max(nr) AS nr,
+        |    sum(CASE WHEN cum > 0 THEN -(cum::DOUBLE / nl) * log2(cum::DOUBLE / nl)
+        |        ELSE 0 END) AS hl,
+        |    sum(CASE WHEN r > 0 THEN -(r::DOUBLE / nr) * log2(r::DOUBLE / nr)
+        |        ELSE 0 END) AS hr,
+        |    sum(CASE WHEN cum > 0 THEN 1 ELSE 0 END)::BIGINT AS k1,
+        |    sum(CASE WHEN r > 0 THEN 1 ELSE 0 END)::BIGINT AS k2
+        |  FROM g1b WHERE xm < xmax
+        |  GROUP BY 1, 2, 3),
+        |sc1 AS (
+        |  SELECT c.dim, c.seg, h.n, c.xm,
+        |    h.hs - (c.nl::DOUBLE / h.n) * c.hl - (c.nr::DOUBLE / h.n) * c.hr AS gain,
+        |    (log2(h.n::DOUBLE - 1) + log2(pow(3.0, h.k) - 2.0)
+        |      - (h.k * h.hs - c.k1 * c.hl - c.k2 * c.hr)) / h.n AS mdl_thr
+        |  FROM cand1 c JOIN hs1 h USING (dim, seg)),
+        |best1 AS (
+        |  SELECT dim, seg, n, xm AS cut_xm, gain, mdl_thr, gain > mdl_thr AS accepted
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY dim, seg
+        |          ORDER BY gain DESC, xm ASC) AS rn FROM sc1)
+        |  WHERE rn = 1),
+        |cells2 AS (
+        |  SELECT c.dim,
+        |    (c.seg * 2 + CASE WHEN c.xm > b.cut_xm THEN 1 ELSE 0 END)::BIGINT AS seg,
+        |    c.xm, c.lbl, c.c
+        |  FROM cells c JOIN (SELECT dim, seg, cut_xm FROM best1 WHERE accepted) b
+        |    ON b.dim = c.dim AND b.seg = c.seg),
+        |pos2 AS (SELECT DISTINCT dim, seg, xm FROM cells2),
+        |dense2 AS (
+        |  SELECT p.dim, p.seg, p.xm, l.lbl, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM pos2 p CROSS JOIN labs l
+        |  LEFT JOIN cells2 c ON c.dim = p.dim AND c.seg = p.seg
+        |                    AND c.xm = p.xm AND c.lbl = l.lbl),
+        |g2 AS (
+        |  SELECT dim, seg, xm, lbl, c,
+        |    sum(c) OVER (PARTITION BY dim, seg, lbl ORDER BY xm)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY dim, seg, lbl)::BIGINT AS tot,
+        |    sum(c) OVER (PARTITION BY dim, seg)::BIGINT AS n,
+        |    max(xm) OVER (PARTITION BY dim, seg) AS xmax
+        |  FROM dense2),
+        |g2b AS (
+        |  SELECT *, tot - cum AS r,
+        |    sum(cum) OVER (PARTITION BY dim, seg, xm)::BIGINT AS nl,
+        |    n - sum(cum) OVER (PARTITION BY dim, seg, xm)::BIGINT AS nr
+        |  FROM g2),
+        |hs2 AS (
+        |  SELECT dim, seg,
+        |    sum(CASE WHEN tot > 0 THEN -(tot::DOUBLE / n) * log2(tot::DOUBLE / n)
+        |        ELSE 0 END) AS hs,
+        |    sum(CASE WHEN tot > 0 THEN 1 ELSE 0 END)::BIGINT AS k,
+        |    max(n) AS n
+        |  FROM (SELECT DISTINCT dim, seg, lbl, tot, n FROM g2)
+        |  GROUP BY 1, 2),
+        |cand2 AS (
+        |  SELECT dim, seg, xm, max(nl) AS nl, max(nr) AS nr,
+        |    sum(CASE WHEN cum > 0 THEN -(cum::DOUBLE / nl) * log2(cum::DOUBLE / nl)
+        |        ELSE 0 END) AS hl,
+        |    sum(CASE WHEN r > 0 THEN -(r::DOUBLE / nr) * log2(r::DOUBLE / nr)
+        |        ELSE 0 END) AS hr,
+        |    sum(CASE WHEN cum > 0 THEN 1 ELSE 0 END)::BIGINT AS k1,
+        |    sum(CASE WHEN r > 0 THEN 1 ELSE 0 END)::BIGINT AS k2
+        |  FROM g2b WHERE xm < xmax
+        |  GROUP BY 1, 2, 3),
+        |sc2 AS (
+        |  SELECT c.dim, c.seg, h.n, c.xm,
+        |    h.hs - (c.nl::DOUBLE / h.n) * c.hl - (c.nr::DOUBLE / h.n) * c.hr AS gain,
+        |    (log2(h.n::DOUBLE - 1) + log2(pow(3.0, h.k) - 2.0)
+        |      - (h.k * h.hs - c.k1 * c.hl - c.k2 * c.hr)) / h.n AS mdl_thr
+        |  FROM cand2 c JOIN hs2 h USING (dim, seg)),
+        |best2 AS (
+        |  SELECT dim, seg, n, xm AS cut_xm, gain, mdl_thr, gain > mdl_thr AS accepted
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY dim, seg
+        |          ORDER BY gain DESC, xm ASC) AS rn FROM sc2)
+        |  WHERE rn = 1)
+        |SELECT dim, 1::BIGINT AS level, seg, n, cut_xm, gain, mdl_thr, accepted FROM best1
+        |UNION ALL
+        |SELECT dim, 2::BIGINT, seg, n, cut_xm, gain, mdl_thr, accepted FROM best2""".stripMargin,
     // Full MinHash+LSH reproduction: poly-hashed shingles, universal-hash
     // permutation minima, banded buckets with the 2..64 census cap —
     // identical mod-1e9+7 arithmetic to Dedup.withSignature/lshCandidates.

@@ -181,6 +181,7 @@ class EmptyInputSpec extends SparkSpec {
       "m13" -> (() => graft.multimodal.Multimodal.m13VideoNearDup(spark, emptyDir).count()),
       "m14" -> (() => graft.multimodal.Multimodal.m14AudioNearDup(spark, emptyDir).count()),
       "f11" -> (() => graft.ml.ReliefQueries.f11Cmim(spark, emptyDir).count()),
+      "f12" -> (() => graft.ml.ReliefQueries.f12MdlpDiscretize(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),
       "e25" -> (() => graft.sim.Sim.e25GraphServe(spark, emptyDir).count()),

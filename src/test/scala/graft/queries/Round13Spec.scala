@@ -445,6 +445,56 @@ class Round13Spec extends SparkSpec {
       s"planted=${planted.size} got=${got.size}")
   }
 
+  // ------------------------------------------------------------- f12
+
+  test("f12 kernel: MDLP accepts planted staircase cuts, recurses, rejects noise") {
+    import spark.implicits._
+    // dim 0: 3-class staircase (values 0..290, class = value/100);
+    // dim 1: label-independent noise (class = value index mod 3)
+    val cells = (
+      (0 until 30).map(v => (0L, 0L, v * 10L, (v / 10).toLong, 3L)) ++
+        (0 until 30).map(v => (1L, 0L, v * 10L, (v % 3).toLong, 3L))
+      ).toDF("dim", "seg", "xm", "lbl", "c")
+    val l1 = graft.ml.ReliefQueries.mdlpRound(cells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(l1.length == 2)
+    val lg2 = (x: Double) => math.log(x) / math.log(2.0)
+    val hs = lg2(3.0)
+    // dim 0: symmetric best cuts at 90 and 190 tie on gain — the
+    // deterministic tiebreak picks the smaller; MDL accepts
+    val (d0, s0, n0, cut0, g0, t0, a0) = l1(0)
+    assert((d0, s0, n0, cut0) == (0L, 0L, 90L, 90L))
+    assert(math.abs(g0 - (hs - 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(t0 - (lg2(89.0) + lg2(25.0) - (3 * hs - 2.0)) / 90.0) < 1e-12)
+    assert(a0, "staircase cut must pass the MDL criterion")
+    // dim 1: no boundary helps — rejected
+    assert(l1(1)._1 == 1L && !l1(1)._7, "noise dim must be rejected")
+    // recurse into the accepted halves exactly as f12 does
+    val cells2 = cells.where($"dim" === 0L)
+      .withColumn("seg",
+        org.apache.spark.sql.functions.when($"xm" > 90L, 1L).otherwise(0L))
+    val l2 = graft.ml.ReliefQueries.mdlpRound(cells2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(6))).sortBy(_._1)
+    assert(l2.length == 2)
+    // left half is pure class 0: zero gain, rejected
+    assert(l2(0) == (0L, 30L, 0L, 0.0, false))
+    // right half splits classes 1|2 at 190 with gain exactly 1 bit
+    val (_, n1, cut1, g1, a1) = l2(1)
+    assert((n1, cut1) == (60L, 190L) && math.abs(g1 - 1.0) < 1e-12 && a1)
+  }
+
+  test("f12: on this corpus every univariate gain sits below the MDL bar") {
+    val audit = graft.ml.ReliefQueries.f12MdlpDiscretize(spark, sfDir).collect()
+    assert(audit.count(_.getLong(1) == 1L) == 64, "one audit row per dim")
+    assert(audit.forall(r => !r.getBoolean(7)),
+      "MDL should reject every univariate cut on the synthetic embeddings")
+    assert(audit.forall(r => r.getDouble(5) > 0 && r.getDouble(6) > 0),
+      "gains and thresholds must be positive")
+  }
+
   test("f11: output equals a brute-force CMIM greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
