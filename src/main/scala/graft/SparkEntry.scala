@@ -204,6 +204,7 @@ object SparkEntry {
     "d41_quality_votes"   -> graft.text.Corpus.d41QualityVotes _,
     "d42_bpe_pairs"       -> Text.d42BpePairs _,
     "d42b_bpe_train"      -> Text.d42bBpeTrain _,
+    "d42c_bpe_tokenize"   -> Text.d42cBpeTokenize _,
     "d43_temperature_mix" -> graft.text.Corpus.d43TemperatureMix _,
     "d44_split_leakage"   -> Dedup.d44SplitLeakage _,
     "d45_novelty_curve"   -> Dedup.d45NoveltyCurve _,
@@ -809,7 +810,24 @@ object SparkEntry {
     * formulation of the left fold the Spark side uses; the two must
     * agree bit-for-bit.
     */
-  private val d42bOracleSql: String = {
+  private val d42bOracleSql: String = bpeOracleSql(minLen = 2,
+    (1 to graft.text.Text.BpeMerges).map(i => s"SELECT * FROM o$i")
+      .mkString("\nUNION ALL\n"))
+
+  // d42c: the same replayed merge stack, minLen = 1 (1-char words
+  // tokenize too — they never merge, so the RULES are identical), and
+  // the final select is the occurrence-weighted token census over the
+  // last merged type table.
+  private val d42cOracleSql: String = bpeOracleSql(minLen = 1,
+    s"""SELECT token, n_occ, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT sym AS token, n_occ,
+       |    row_number() OVER (ORDER BY n_occ DESC, sym) AS rank
+       |  FROM (SELECT sym, CAST(sum(n) AS BIGINT) AS n_occ FROM
+       |    (SELECT unnest(syms) AS sym, n FROM t${graft.text.Text.BpeMerges})
+       |    GROUP BY 1))
+       |WHERE rank <= 20""".stripMargin)
+
+  private def bpeOracleSql(minLen: Int, finalSelect: String): String = {
     val layer = (k: Int) => {
       val t = s"t${k - 1}"
       s"""p$k AS (SELECT unnest(list_transform(range(1, len(syms)),
@@ -844,12 +862,12 @@ object SparkEntry {
        |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |    FROM documents)
-       |  WHERE length(w) >= 2 GROUP BY 1),
+       |  WHERE length(w) >= $minLen GROUP BY 1),
        |t0 AS (SELECT w, n,
        |  list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS syms
        |  FROM w0),
        |${(1 to k).map(layer).mkString(",\n")}
-       |${(1 to k).map(i => s"SELECT * FROM o$i").mkString("\nUNION ALL\n")}""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   /** e23's full NN-descent CTE stack (WITH ... g3) — shared by the
@@ -1245,6 +1263,7 @@ object SparkEntry {
     // d42b: the full 5-merge BPE loop — census/argmax/merge layers
     // replayed with the independent gaps-and-islands merge formulation.
     "d42b_bpe_train" -> d42bOracleSql,
+    "d42c_bpe_tokenize" -> d42cOracleSql,
     // d43: per-lang counts, the p^0.7 temperature rule, same operation
     // order as the Spark projection (floats are outputs, never ranks).
     "d43_temperature_mix" ->

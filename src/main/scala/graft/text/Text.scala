@@ -452,17 +452,33 @@ object Text {
     * over match positions — two independent formulations of the same
     * semantics that must (and do) agree bit-for-bit.
     */
-  def d42bBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def d42bBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeLoop(spark, dir, minLen = 2)._2.reduce(_ unionByName _)
+
+  /** The shared BPE merge loop: word-TYPE table → [[BpeMerges]] rounds
+    * of (pair census → argmax → greedy-leftmost merge). Returns the
+    * final merged type table and the per-round merge-rule layers.
+    * `minLen` filters the word census: d42b trains on ≥ 2-char words
+    * (1-char words generate no pairs, so the LEARNED RULES are
+    * identical either way — only the type table differs); d42c
+    * tokenizes the whole corpus, 1-char words included.
+    */
+  private[graft] def bpeLoop(spark: SparkSession, dir: String, minLen: Int)
+      : (DataFrame, List[DataFrame]) = {
     val types0 = Tables.documents(spark, dir)
       .select(explode(wsTokens(col("text"))).as("w"))
-      .where(length(col("w")) >= 2)
+      .where(length(col("w")) >= minLen)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
         col("n"))
       .localCheckpoint(true)
     val layers = (1 to BpeMerges).foldLeft(
         (types0, List.empty[DataFrame])) { case ((types, acc), rank) =>
+      // 1-symbol types contribute no pairs; drop them BEFORE the
+      // explode (sequence(1, 0) is Spark's DESCENDING [1,0], not
+      // empty — unguarded it indexes past the array).
       val counts = types
+        .where(size(col("syms")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
             "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"),
@@ -484,6 +500,29 @@ object Text {
         concat(col("ma"), col("mb")).as("merged_sym"), col("n_pair"))
       (merged, layer :: acc)
     }
-    layers._2.reverse.reduce(_ unionByName _)
+    (layers._1, layers._2.reverse)
+  }
+
+  /** d42c: the corpus TOKENIZED with the learned merge table — the
+    * pass a training pipeline actually ships after d42b trains: every
+    * word (1-char words included — they just never merge) encoded by
+    * the [[BpeMerges]] rules in rank order, reduced to the corpus
+    * token census (token, occurrences, rank; top-20 — the vocabulary
+    * head a tokenizer report leads with).
+    *
+    * Scale shape: the corpus is touched once for the word census;
+    * encoding runs per word TYPE (vocabulary-bounded, the d42b
+    * discipline), and the census aggregates occurrence-weighted
+    * symbol counts to a frame bounded by |alphabet| + [[BpeMerges]]
+    * rows before the final constant-size rank.
+    */
+  def d42cBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (types, _) = bpeLoop(spark, dir, minLen = 1)
+    types.select(explode(col("syms")).as("token"), col("n"))
+      .groupBy("token").agg(sum("n").as("n_occ"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("token"))).cast("long"))
+      .where(col("rank") <= 20)
   }
 }

@@ -183,6 +183,7 @@ class EmptyInputSpec extends SparkSpec {
       "f11" -> (() => graft.ml.ReliefQueries.f11Cmim(spark, emptyDir).count()),
       "f12" -> (() => graft.ml.ReliefQueries.f12MdlpDiscretize(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
+      "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),
       "e25" -> (() => graft.sim.Sim.e25GraphServe(spark, emptyDir).count()),
       // e24's flood clones the first corpus vector; an empty corpus has

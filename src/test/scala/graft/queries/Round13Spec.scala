@@ -106,6 +106,50 @@ class Round13Spec extends SparkSpec {
       s"spark=${got.mkString(";")} scala=${learned.mkString(";")}")
   }
 
+  // ---------------------------------------------------------------- d42c
+
+  test("d42c: the tokenized census equals a pure-Scala encode of the corpus") {
+    val got = graft.text.Text.d42cBpeTokenize(spark, sfDir)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // independent pipeline: train on ≥2-char types (rules are minLen-
+    // invariant — 1-char words never pair), then encode EVERY word
+    // type (1-char included) through the rules in rank order and
+    // reduce to the occurrence-weighted token census.
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val words = texts.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+    var types: Map[Vector[String], Long] = words
+      .groupBy(identity).map { case (w, g) =>
+        w.toCharArray.map(_.toString).toVector -> g.length.toLong
+      }
+    def mergePass(a: String, b: String): Unit =
+      types = types.toSeq.map { case (syms, cnt) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        out.toVector -> cnt
+      }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    (1 to graft.text.Text.BpeMerges).foreach { _ =>
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, n) <- types; i <- 0 until syms.length - 1)
+        counts(syms(i) -> syms(i + 1)) = counts.getOrElse(syms(i) -> syms(i + 1), 0L) + n
+      val ((a, b), _) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      mergePass(a, b)
+    }
+    val census = types.toSeq
+      .flatMap { case (syms, n) => syms.map(_ -> n) }
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      .zipWithIndex.map { case ((t, n), i) => (t, n, (i + 1).toLong) }
+    assert(got.toSeq == census,
+      s"spark=${got.take(5).mkString(";")} scala=${census.take(5).mkString(";")}")
+  }
+
   // ---------------------------------------------------------------- e24
 
   test("e24: repair splits the hot list below the flag threshold and preserves membership") {
