@@ -218,6 +218,7 @@ object SparkEntry {
     "f10_fcbf"            -> ReliefQueries.f10Fcbf _,
     "f11_cmim"            -> ReliefQueries.f11Cmim _,
     "f12_mdlp_discretize" -> ReliefQueries.f12MdlpDiscretize _,
+    "f13_jmi"             -> ReliefQueries.f13Jmi _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "s27_stream_group_mode" -> Streams.s27StreamGroupMode _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
@@ -2878,6 +2879,9 @@ object SparkEntry {
     // entropies/MIs in ln/ln(2), unrolled selection rounds.
     "f10_fcbf" -> graft.ml.ReliefOracle.fcbfSql,
     "f11_cmim" -> graft.ml.ReliefOracle.cmimSql,
+    // f13: same kernel — triple cells, joint-MI pair table, 10
+    // unrolled accumulate-and-argmax rounds.
+    "f13_jmi" -> graft.ml.ReliefOracle.jmiSql,
     // f12: full two-round MDLP replay — densified cumulative label
     // mass, entropies, the MDL test and the best-boundary pick, with
     // round 2 conditioned on round-1 acceptance (empty on this corpus

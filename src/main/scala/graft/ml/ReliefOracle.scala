@@ -402,6 +402,48 @@ SELECT step, dim, score FROM (
 WHERE dim IS NOT NULL ORDER BY step"""
   }
 
+  /** f13_jmi: the joint-MI table I(F,S;Y) for every ordered (F, S)
+    * pair (triple cells / pair marginal / label marginal), then 10
+    * unrolled greedy steps accumulating each candidate's running
+    * Σ I(F, pick; Y) — step 1 scored by plain I(F;Y).
+    */
+  def jmiSql: String = {
+    val steps = new scala.collection.mutable.ArrayBuffer[String]
+    steps += "s1 AS MATERIALIZED (SELECT d, mi AS score FROM ixy)"
+    steps += "gj1 AS MATERIALIZED (SELECT d, score FROM s1 ORDER BY score DESC, d LIMIT 1)"
+    for (t <- 2 to 10) {
+      val p = t - 1
+      val base = if (t == 2) "0.0" else "s.score"
+      steps += s"""s$t AS MATERIALIZED (
+  SELECT s.d, $base + j.v AS score
+  FROM s$p s JOIN jmi j ON j.df = s.d AND j.ds = (SELECT d FROM gj$p)
+  WHERE s.d <> (SELECT d FROM gj$p))"""
+      steps += s"gj$t AS MATERIALIZED (SELECT d, score FROM s$t ORDER BY score DESC, d LIMIT 1)"
+    }
+    val out = (1 to 10).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, (SELECT d FROM gj$t) AS dim, " +
+        s"(SELECT score FROM gj$t) AS score").mkString("\n  UNION ALL ")
+    bitInfoCtes + s"""c3 AS MATERIALIZED (
+  SELECT u.i - 1 AS df, w.j - 1 AS ds, bits[u.i] AS bf, bits[w.j] AS bs,
+         lbl, count(*)::DOUBLE AS c
+  FROM e, unnest(range(1, len(bits) + 1)) AS u(i),
+       unnest(range(1, len(bits) + 1)) AS w(j)
+  WHERE u.i <> w.j
+  GROUP BY 1, 2, 3, 4, 5),
+c3fs AS MATERIALIZED (SELECT df, ds, bf, bs, sum(c) AS c FROM c3 GROUP BY 1, 2, 3, 4),
+jmi AS MATERIALIZED (
+  SELECT c3.df, c3.ds, sum(c3.c / (SELECT n FROM nn)
+    * ln(c3.c * (SELECT n FROM nn) / (fs.c * cy.c)) / ln(2)) AS v
+  FROM c3 JOIN c3fs fs ON fs.df = c3.df AND fs.ds = c3.ds
+                      AND fs.bf = c3.bf AND fs.bs = c3.bs
+       JOIN cy ON cy.lbl = c3.lbl
+  GROUP BY 1, 2),
+""" + steps.mkString(",\n") + s"""
+SELECT step, dim, score FROM (
+  $out)
+WHERE dim IS NOT NULL ORDER BY step"""
+  }
+
   /** relief_transform: per-row compressed-vector census — the std
     * selection recomputed in-SQL, sorted ascending, then the same
     * left-to-right fold over the selected values as the Spark side's

@@ -897,6 +897,104 @@ object ReliefQueries {
     picks.toSeq
   }
 
+  /** f13: JMI — Joint Mutual Information selection (Yang & Moody 1999;
+    * Brown et al., JMLR 2012 §5's best-in-class criterion): greedy
+    * steps scoring each candidate F by Σ_{S∈selected} I(F,S;Y) — the
+    * PAIR's joint information about the label, so a feature that only
+    * pays off in combination with an already-picked one (the parity
+    * shape univariate filters miss) scores through the interaction
+    * term. Step 1 maximizes plain I(F;Y); ties to the smaller dim;
+    * 10 steps. Completes the info-theoretic trio: f04 penalizes mean
+    * redundancy, f10 eliminates by pairwise dominance, f11 takes the
+    * worst-case conditional, f13 SUMS joint informativeness.
+    *
+    * Scale shape: identical to f10/f11 — ONE [[bitBlocks]] pass
+    * (`|labels| × 16.6 KB` shuffled per partition at any corpus
+    * size); every (F,S,Y) triple cell is inclusion–exclusion over the
+    * blocks; the greedy itself is driver arithmetic on 64×64
+    * precomputed pair scores (the f04/e13 constant-work precedent).
+    */
+  def f13Jmi(spark: SparkSession, dir: String): DataFrame = {
+    val picks = jmiSelect(spark, dir)
+      .map { case (t, d, s) => (t.toLong, d.toLong, s) }
+    if (picks.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    else
+      spark.createDataFrame(spark.sparkContext.parallelize(picks.toSeq, 1))
+        .toDF("step", "dim", "score")
+  }
+
+  /** JMI's greedy picks (step, dim, score): score at step 1 is
+    * I(F;Y); at step t ≥ 2 it is the running Σ_{S picked so far}
+    * I(F,S;Y), accumulated one pair-table lookup per pick.
+    */
+  private def jmiSelect(
+      spark: SparkSession, dir: String): Seq[(Int, Int, Double)] = {
+    val blocks = bitBlocks(spark, dir)
+    if (blocks.isEmpty) return Seq.empty
+    val D = 64
+    val labels = blocks.keys.toSeq.sorted
+    val n = labels.map(blocks(_)(0)).sum
+    val onesL = Array.tabulate(D)(d => labels.map(l => blocks(l)(1 + d)))
+    val ones = Array.tabulate(D)(d => onesL(d).sum)
+    def miCells(cells: Seq[(Double, Double, Double)]): Double =
+      cells.filter(_._1 > 0.0)
+        .map { case (c, ma, mb) => c / n * log2(c * n / (ma * mb)) }.sum
+    val rel = Array.tabulate(D) { d =>
+      miCells(labels.indices.flatMap { li =>
+        val nl = blocks(labels(li))(0)
+        val o = onesL(d)(li)
+        Seq((o, ones(d), nl), (nl - o, n - ones(d), nl))
+      })
+    }
+    // I(F,S;Y) = Σ_{bf,bs,y} p(f,s,y)·log2(p(f,s,y) / (p(f,s)·p(y)))
+    def jmi(f: Int, s: Int): Double = {
+      val (i, j) = (math.min(f, s), math.max(f, s))
+      val n11t = labels.map(l => blocks(l)(1 + D + pidx(i, j))).sum
+      var acc = 0.0
+      labels.indices.foreach { li =>
+        val b = blocks(labels(li))
+        val nl = b(0)
+        val n11 = b(1 + D + pidx(i, j))
+        val o1f = onesL(f)(li); val o1s = onesL(s)(li)
+        val cells = Seq(
+          (0, 0, nl - o1f - o1s + n11), (0, 1, o1s - n11),
+          (1, 0, o1f - n11), (1, 1, n11))
+        cells.foreach { case (bf, bs, c) =>
+          if (c > 0.0) {
+            val pfs = (bf, bs) match { // n·p(f,s), marginal over labels
+              case (1, 1) => n11t
+              case (1, 0) => ones(f) - n11t
+              case (0, 1) => ones(s) - n11t
+              case _      => n - ones(f) - ones(s) + n11t
+            }
+            acc += c / n * log2(c * n / (pfs * nl))
+          }
+        }
+      }
+      acc
+    }
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
+    val sums = Array.fill(D)(0.0)
+    val selected = scala.collection.mutable.ArrayBuffer[Int]()
+    for (t <- 1 to math.min(10, D)) {
+      val cand = (0 until D).filterNot(selected.contains)
+      if (cand.nonEmpty) {
+        val scored = cand.map(d => (d, if (t == 1) rel(d) else sums(d)))
+        val (best, score) = scored.minBy { case (d, sc) => (-sc, d) }
+        picks += ((t, best, score))
+        selected += best
+        cand.filter(_ != best).foreach(d => sums(d) += jmi(d, best))
+      }
+    }
+    picks.toSeq
+  }
+
   /** One MDLP round over pre-counted cells `(dim, seg, xm, lbl, c)`:
     * for every (dim, seg) pick the boundary minimizing the weighted
     * class entropy and decide it by Fayyad & Irani's MDL criterion —

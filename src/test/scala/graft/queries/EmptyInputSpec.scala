@@ -182,6 +182,7 @@ class EmptyInputSpec extends SparkSpec {
       "m14" -> (() => graft.multimodal.Multimodal.m14AudioNearDup(spark, emptyDir).count()),
       "f11" -> (() => graft.ml.ReliefQueries.f11Cmim(spark, emptyDir).count()),
       "f12" -> (() => graft.ml.ReliefQueries.f12MdlpDiscretize(spark, emptyDir).count()),
+      "f13" -> (() => graft.ml.ReliefQueries.f13Jmi(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

@@ -578,4 +578,44 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("f13: output equals a brute-force JMI greedy over raw bit rows") {
+    val n = bitRows.length.toDouble
+    val ys = bitRows.map(_._1).distinct.sorted
+    def rel(d: Int): Double = miOf(
+      for (b <- Seq(0, 1); y <- ys) yield (
+        bitRows.count(r => r._2(d) == b && r._1 == y),
+        bitRows.count(_._2(d) == b), bitRows.count(_._1 == y)), n)
+    // I(F,S;Y) counted directly: joint (bf,bs,y) vs pair (bf,bs) × y
+    def jmi(f: Int, s: Int): Double =
+      (for (bf <- Seq(0, 1); bs <- Seq(0, 1); y <- ys) yield {
+        val c = bitRows.count(r => r._2(f) == bf && r._2(s) == bs && r._1 == y)
+        if (c == 0) 0.0
+        else {
+          val pfs = bitRows.count(r => r._2(f) == bf && r._2(s) == bs)
+          val py = bitRows.count(_._1 == y)
+          c / n * lg2(c * n / (pfs.toDouble * py))
+        }
+      }).sum
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val sel = scala.collection.mutable.ArrayBuffer[Int]()
+    val sums = scala.collection.mutable.HashMap[Int, Double]()
+    (0 until 64).foreach(d => sums(d) = 0.0)
+    for (t <- 1 to 10) {
+      val cand = (0 until 64).filterNot(sel.contains)
+      val score = (d: Int) => if (t == 1) rel(d) else sums(d)
+      val best = cand.minBy(d => (-score(d), d))
+      picks += ((t.toLong, best.toLong, score(best)))
+      sel += best
+      cand.filter(_ != best).foreach(d => sums(d) += jmi(d, best))
+    }
+    val got = graft.ml.ReliefQueries.f13Jmi(spark, sfDir)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10)
+    got.zip(picks).foreach { case ((gt, gd, gs), (wt, wd, ws)) =>
+      assert(gt == wt && gd == wd, s"step $gt: got dim $gd want $wd")
+      assert(math.abs(gs - ws) < 1e-12, s"step $gt: score $gs vs $ws")
+    }
+  }
+
 }
