@@ -219,6 +219,7 @@ object SparkEntry {
     "f11_cmim"            -> ReliefQueries.f11Cmim _,
     "f12_mdlp_discretize" -> ReliefQueries.f12MdlpDiscretize _,
     "f13_jmi"             -> ReliefQueries.f13Jmi _,
+    "b01_class_rebalance" -> ReliefQueries.b01ClassRebalance _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "s27_stream_group_mode" -> Streams.s27StreamGroupMode _,
     "f01_chi2_select"     -> ReliefQueries.f01Chi2Select _,
@@ -2882,6 +2883,26 @@ object SparkEntry {
     // f13: same kernel — triple cells, joint-MI pair table, 10
     // unrolled accumulate-and-argmax rounds.
     "f13_jmi" -> graft.ml.ReliefOracle.jmiSql,
+    // b01: full replay — class census, majority target, floor-division
+    // replication plan, mod-prime rank window, extra-row id sum.
+    "b01_class_rebalance" ->
+      """WITH rws AS (SELECT vec_id::BIGINT AS id, label::BIGINT AS lbl FROM embeddings),
+        |census AS (SELECT lbl, count(*)::BIGINT AS n_before FROM rws GROUP BY 1),
+        |mm AS (SELECT max(n_before) AS m FROM census),
+        |pln AS (SELECT lbl, n_before,
+        |  (SELECT m FROM mm) // n_before AS rep_base,
+        |  (SELECT m FROM mm) - ((SELECT m FROM mm) // n_before) * n_before AS n_extra
+        |  FROM census),
+        |ranked AS (SELECT id, lbl, row_number() OVER (PARTITION BY lbl
+        |  ORDER BY ((id % 1000000007) * 900000011 % 1000000007 + 20260812), id) AS rnk
+        |  FROM rws),
+        |extra AS (SELECT r.lbl, CAST(sum(r.id) AS BIGINT) AS extra_id_sum
+        |  FROM ranked r JOIN pln p ON p.lbl = r.lbl
+        |  WHERE r.rnk <= p.n_extra GROUP BY 1)
+        |SELECT p.lbl AS label, p.n_before, p.rep_base, p.n_extra,
+        |  p.rep_base * p.n_before + p.n_extra AS n_after,
+        |  coalesce(e.extra_id_sum, 0) AS extra_id_sum
+        |FROM pln p LEFT JOIN extra e ON e.lbl = p.lbl""".stripMargin,
     // f12: full two-round MDLP replay — densified cumulative label
     // mass, entropies, the MDL test and the best-boundary pick, with
     // round 2 conditioned on round-1 acceptance (empty on this corpus

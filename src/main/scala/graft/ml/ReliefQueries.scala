@@ -995,6 +995,57 @@ object ReliefQueries {
     picks.toSeq
   }
 
+  /** b01: deterministic class rebalancing by random oversampling —
+    * the preprocessing step the reference's own data distribution
+    * ships pre-applied (`subSetROS_1K` is `subSet_1K` oversampled to
+    * class balance; reference src/test/resources/data). Every class
+    * is replicated up to the majority count M: each row gets
+    * ⌊M/n_c⌋ copies, and the `M − ⌊M/n_c⌋·n_c` remainder rows get one
+    * extra — chosen as the smallest rows of the d13 mod-prime
+    * permutation u(id) = (id·A mod P) + B (layout-invariant, no RNG
+    * state). Output is the per-class AUDIT census: counts before,
+    * base replication, extra count, count after (= M for every class
+    * — the invariant), and the exact id-sum of the extra-selected
+    * rows proving WHICH rows were picked, not just how many.
+    *
+    * Scale shape: one map-side-combined class census (|classes| rows,
+    * broadcast back), then a per-class rank window over (u, id) — the
+    * only sort, within-class; a skewed majority class never ranks at
+    * all (its remainder is 0 rows wide, and the filter keeps rank ≤
+    * r_c so Spark's WindowGroupLimit-style early-out applies when r_c
+    * is small). The oversampled FRAME itself is never materialized
+    * here — downstream consumers explode by the per-row copy count,
+    * so the audit costs one census + one bounded window at any size.
+    */
+  def b01ClassRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = graft.text.Text.SampleMod
+    val A = graft.text.Text.SampleMulA
+    val B = graft.text.Text.SampleAddB
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        col("label").cast("long").as("lbl"))
+    val census = rows.groupBy("lbl").agg(count(lit(1)).as("n_before"))
+    val m = census.agg(max("n_before").as("m"))
+    val plan = census.crossJoin(broadcast(m))
+      .select(col("lbl"), col("n_before"),
+        (col("m") / col("n_before")).cast("long").as("rep_base"),
+        (col("m") - (col("m") / col("n_before")).cast("long") * col("n_before"))
+          .as("n_extra"))
+    val u = (col("id") % P) * A % P + B
+    val ranked = rows
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lbl")).orderBy(u.asc, col("id").asc)))
+    val extraSum = ranked.join(broadcast(plan.select("lbl", "n_extra")), "lbl")
+      .where(col("rnk") <= col("n_extra"))
+      .groupBy("lbl").agg(sum("id").as("extra_id_sum"))
+    plan.join(extraSum, Seq("lbl"), "left")
+      .select(col("lbl").as("label"), col("n_before"), col("rep_base"),
+        col("n_extra"),
+        (col("rep_base") * col("n_before") + col("n_extra")).as("n_after"),
+        coalesce(col("extra_id_sum"), lit(0L)).as("extra_id_sum"))
+  }
+
   /** One MDLP round over pre-counted cells `(dim, seg, xm, lbl, c)`:
     * for every (dim, seg) pick the boundary minimizing the weighted
     * class entropy and decide it by Fayyad & Irani's MDL criterion —

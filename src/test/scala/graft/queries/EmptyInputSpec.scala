@@ -183,6 +183,7 @@ class EmptyInputSpec extends SparkSpec {
       "f11" -> (() => graft.ml.ReliefQueries.f11Cmim(spark, emptyDir).count()),
       "f12" -> (() => graft.ml.ReliefQueries.f12MdlpDiscretize(spark, emptyDir).count()),
       "f13" -> (() => graft.ml.ReliefQueries.f13Jmi(spark, emptyDir).count()),
+      "b01" -> (() => graft.ml.ReliefQueries.b01ClassRebalance(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

@@ -578,6 +578,35 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("b01: replaying the plan yields exactly balanced classes") {
+    val plan = graft.ml.ReliefQueries.b01ClassRebalance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byLbl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long)", "cast(label as long)")
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sorted }
+    val m = byLbl.values.map(_.length.toLong).max
+    assert(plan.length == byLbl.size)
+    plan.foreach { case (lbl, nb, base, extra, after, idSum) =>
+      val ids = byLbl(lbl)
+      assert(nb == ids.length.toLong, s"class $lbl census")
+      assert(base == m / nb && extra == m - base * nb, s"class $lbl plan")
+      assert(after == m, s"class $lbl not balanced to the majority")
+      // the extra rows are the n_extra smallest under the mod-prime
+      // permutation (ties by id) — recomputed directly here
+      val P = graft.text.Text.SampleMod
+      val A = graft.text.Text.SampleMulA
+      val B = graft.text.Text.SampleAddB
+      val want = ids.sortBy(id => ((id % P) * A % P + B, id))
+        .take(extra.toInt).sum
+      assert(idSum == want, s"class $lbl picked different extra rows")
+    }
+    // the majority class itself replicates exactly once, no extras
+    val maj = plan.find(_._2 == m).get
+    assert(maj._3 == 1L && maj._4 == 0L)
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
