@@ -130,6 +130,7 @@ object SparkEntry {
     "e23_knn_graph"       -> Sim.e23KnnGraph _,
     "e24_ivf_repair"      -> Sim.e24IvfRepair _,
     "e25_graph_serve"     -> Sim.e25GraphServe _,
+    "i01_enn_filter"      -> Sim.i01EnnFilter _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -812,6 +813,38 @@ object SparkEntry {
     * formulation of the left fold the Spark side uses; the two must
     * agree bit-for-bit.
     */
+  /** e05's full bucketed kNN-join construction (LSH buckets, census
+    * cap, hamming-1 probes, top-3 by cosine) ending in CTE `knn` —
+    * shared by the e05 oracle and i01's vote layer on top of it.
+    */
+  private val e05KnnCtes: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+      |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+      |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+      |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+      |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64),
+      |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket)),
+      |probes AS (
+      |  SELECT vec_id AS query_id, unnest(list_distinct(list_concat(
+      |      [bucket],
+      |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))))) AS bucket
+      |  FROM inn),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+      |  FROM probes p JOIN inn i USING (bucket)
+      |  WHERE i.vec_id <> p.query_id),
+      |scored AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |  FROM cand c JOIN bk a ON a.vec_id = c.query_id
+      |              JOIN bk b ON b.vec_id = c.neighbor_id),
+      |knn AS (
+      |  SELECT query_id, neighbor_id, cosine FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
+      |  WHERE rn <= 3)""".stripMargin
+
   private val d42bOracleSql: String = bpeOracleSql(minLen = 2,
     (1 to graft.text.Text.BpeMerges).map(i => s"SELECT * FROM o$i")
       .mkString("\nUNION ALL\n"))
@@ -2529,35 +2562,34 @@ object SparkEntry {
     // the all-pairs kNN join: same 8-bit buckets as e02, but EVERY
     // vector is a query (census cap + hamming-1 probes), top-3 per
     // query by (cosine DESC, neighbor_id)
-    "e05_knn_join" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
-        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
-        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
-        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
-        |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64),
-        |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket)),
-        |probes AS (
-        |  SELECT vec_id AS query_id, unnest(list_distinct(list_concat(
-        |      [bucket],
-        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))))) AS bucket
-        |  FROM inn),
-        |cand AS (
-        |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
-        |  FROM probes p JOIN inn i USING (bucket)
-        |  WHERE i.vec_id <> p.query_id),
-        |scored AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-        |  FROM cand c JOIN bk a ON a.vec_id = c.query_id
-        |              JOIN bk b ON b.vec_id = c.neighbor_id)
-        |SELECT query_id, neighbor_id, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
-        |WHERE rn <= 3""".stripMargin,
+    "e05_knn_join" -> (e05KnnCtes + """
+        |SELECT query_id, neighbor_id, cosine FROM knn""".stripMargin),
     // e25: the full graph build (e23's CTEs) + entry election + three
     // expand/score/top-beam layers + final top-10 replayed.
     "e25_graph_serve" -> e25ServeOracleSql,
+    // i01: e05's whole bucketed kNN construction replayed (shared
+    // CTEs), then the ENN plurality vote — per-query same/other label
+    // tallies, the top outvoting label, flag where it strictly wins.
+    "i01_enn_filter" -> (e05KnnCtes + """,
+        |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
+        |votes AS (
+        |  SELECT k.query_id, l.lbl AS nlbl, count(*)::BIGINT AS c
+        |  FROM knn k JOIN lbl l ON l.vec_id = k.neighbor_id
+        |  GROUP BY 1, 2),
+        |own AS (SELECT v.*, q.lbl FROM votes v JOIN lbl q ON q.vec_id = v.query_id),
+        |agg AS (
+        |  SELECT query_id, lbl,
+        |    CAST(sum(c) AS BIGINT) AS n_neighbors,
+        |    CAST(sum(CASE WHEN nlbl = lbl THEN c ELSE 0 END) AS BIGINT) AS n_same
+        |  FROM own GROUP BY 1, 2),
+        |other AS (
+        |  SELECT query_id, nlbl AS other_label, c AS n_other,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nlbl) AS rn
+        |  FROM own WHERE nlbl <> lbl)
+        |SELECT a.query_id AS vec_id, a.lbl AS label, a.n_neighbors, a.n_same,
+        |  o.other_label, o.n_other
+        |FROM agg a JOIN other o ON o.query_id = a.query_id AND o.rn = 1
+        |WHERE o.n_other > a.n_same""".stripMargin),
     // e24: flood corpus + centroid fit + assignment + census + the
     // ceil(ratio)-way hash-mod split replayed end to end.
     "e24_ivf_repair" ->

@@ -1330,6 +1330,48 @@ object Sim {
     out
   }
 
+  /** i01: ENN noise filtering (Wilson 1972's Edited Nearest Neighbor,
+    * the classical instance-selection pass the reference's author
+    * ships a distributed framework for — the ENN-BD shape): every
+    * instance is classified by the PLURALITY label of its k=3 nearest
+    * neighbors; instances some OTHER label strictly outvotes are
+    * flagged as label noise. Ties keep the row (not strictly
+    * misclassified), so the rule is order-free. Output = the flagged
+    * census: (vec_id, label, n_neighbors, n_same, other_label = the
+    * outvoting label with the most votes, ties to the smaller label,
+    * n_other).
+    *
+    * Scale shape: the kNN substrate IS [[e05KnnJoin]] (capped LSH
+    * buckets, hamming-1 multi-probe, id-only candidate shuffle, top-3
+    * window) — ENN adds one broadcast-size label join and two
+    * |flagged|-bounded aggregations on the K·n-row top-k frame; no
+    * new all-pairs surface. Instances in over-cap buckets get no
+    * vote and are conservatively kept, exactly as the substrate
+    * documents its cap.
+    */
+  def i01EnnFilter(spark: SparkSession, dir: String): DataFrame = {
+    val lbls = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val votes = e05KnnJoin(spark, dir)
+      .join(lbls.select(col("vec_id").as("neighbor_id"),
+        col("lbl").as("nlbl")), "neighbor_id")
+      .groupBy("query_id", "nlbl").agg(count(lit(1)).as("c"))
+    val own = votes.join(
+      lbls.select(col("vec_id").as("query_id"), col("lbl")), "query_id")
+    val agg = own.groupBy(col("query_id"), col("lbl"))
+      .agg(sum("c").as("n_neighbors"),
+        sum(when(col("nlbl") === col("lbl"), col("c")).otherwise(0L)).as("n_same"))
+    val other = own.where(col("nlbl") =!= col("lbl"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("c").desc, col("nlbl"))))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("nlbl").as("other_label"), col("c").as("n_other"))
+    agg.join(other, "query_id")
+      .where(col("n_other") > col("n_same"))
+      .select(col("query_id").as("vec_id"), col("lbl").as("label"),
+        col("n_neighbors"), col("n_same"), col("other_label"), col("n_other"))
+  }
+
   /** k-NN-graph degree for e23 (K): the per-node out-degree of the
     * graph under construction, and the reverse-neighbor cap per round
     * (NN-descent's ρ·K sample with ρ = 1 — deterministic: top-K

@@ -184,6 +184,7 @@ class EmptyInputSpec extends SparkSpec {
       "f12" -> (() => graft.ml.ReliefQueries.f12MdlpDiscretize(spark, emptyDir).count()),
       "f13" -> (() => graft.ml.ReliefQueries.f13Jmi(spark, emptyDir).count()),
       "b01" -> (() => graft.ml.ReliefQueries.b01ClassRebalance(spark, emptyDir).count()),
+      "i01" -> (() => graft.sim.Sim.i01EnnFilter(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

@@ -607,6 +607,39 @@ class Round13Spec extends SparkSpec {
     assert(maj._3 == 1L && maj._4 == 0L)
   }
 
+  test("i01: flags are exactly the plurality-outvoted rows of the e05 frame") {
+    // independent vote recomputation: collect the substrate's top-3
+    // frame and the label map, tally in plain Scala
+    val knn = graft.sim.Sim.e05KnnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long)", "cast(label as long)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = knn.groupBy(_._1).flatMap { case (q, edges) =>
+      val counts = edges.map(e => lbl(e._2))
+        .groupBy(identity).map { case (l, g) => l -> g.length.toLong }
+      val own = lbl(q)
+      val nSame = counts.getOrElse(own, 0L)
+      val others = counts.filter(_._1 != own)
+      if (others.isEmpty) None
+      else {
+        val (ol, oc) = others.toSeq.minBy { case (l, c) => (-c, l) }
+        if (oc > nSame)
+          Some((q, own, counts.values.sum, nSame, ol, oc))
+        else None
+      }
+    }.toSeq.sortBy(_._1)
+    val got = graft.sim.Sim.i01EnnFilter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(got.nonEmpty, "synthetic labels should produce flagged rows")
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // structural invariants: a flag needs a strict outvote within k=3
+    got.foreach { case (q, _, nn, ns, _, no) =>
+      assert(nn <= 3 && no > ns && ns + no <= nn, s"row $q violates ENN")
+    }
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
