@@ -131,6 +131,7 @@ object SparkEntry {
     "e24_ivf_repair"      -> Sim.e24IvfRepair _,
     "e25_graph_serve"     -> Sim.e25GraphServe _,
     "i01_enn_filter"      -> Sim.i01EnnFilter _,
+    "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -844,6 +845,44 @@ object SparkEntry {
       |    SELECT *, row_number() OVER (PARTITION BY query_id
       |      ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
       |  WHERE rn <= 3)""".stripMargin
+
+  /** g01: q39's edge frame + 10 unrolled damped power-iteration
+    * layers, each = dangling-mass scalar + contribution join +
+    * left-join re-assembly — operation order identical to the Spark
+    * side so the doubles track to ulps (absorbed by round 6).
+    */
+  private val g01OracleSql: String = {
+    val layer = (k: Int) => {
+      val p = s"pr${k - 1}"
+      s"""d$k AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM $p
+  WHERE node NOT IN (SELECT node FROM srcs)),
+c$k AS (SELECT e.next_type AS node, sum(p.pr * e.w) AS s
+  FROM $p p JOIN edges e ON e.prev_type = p.node GROUP BY 1),
+pr$k AS MATERIALIZED (SELECT n.node,
+  (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+  + CAST(0.85 AS DOUBLE) * (coalesce(c.s, 0.0)
+      + (SELECT dang FROM d$k) / (SELECT n FROM nn)) AS pr
+  FROM nodes n LEFT JOIN c$k c ON c.node = n.node)"""
+    }
+    s"""WITH x AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+edges AS MATERIALIZED (
+  SELECT prev_type, next_type,
+    CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY prev_type) AS w
+  FROM (SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+        FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2)),
+nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+srcs AS MATERIALIZED (SELECT DISTINCT prev_type AS node FROM edges),
+pr0 AS MATERIALIZED (
+  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+${(1 to 10).map(layer).mkString(",\n")}
+SELECT node, round(pr, 6) AS pr,
+  CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS BIGINT) AS rank
+FROM pr10"""
+  }
 
   private val d42bOracleSql: String = bpeOracleSql(minLen = 2,
     (1 to graft.text.Text.BpeMerges).map(i => s"SELECT * FROM o$i")
@@ -2590,6 +2629,9 @@ object SparkEntry {
         |  o.other_label, o.n_other
         |FROM agg a JOIN other o ON o.query_id = a.query_id AND o.rn = 1
         |WHERE o.n_other > a.n_same""".stripMargin),
+    // g01: the full 10-iteration damped power iteration replayed
+    // layer by layer over q39's transition frame.
+    "g01_transition_pagerank" -> g01OracleSql,
     // e24: flood corpus + centroid fit + assignment + census + the
     // ceil(ratio)-way hash-mod split replayed end to end.
     "e24_ivf_repair" ->

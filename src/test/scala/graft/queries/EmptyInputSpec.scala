@@ -185,6 +185,7 @@ class EmptyInputSpec extends SparkSpec {
       "f13" -> (() => graft.ml.ReliefQueries.f13Jmi(spark, emptyDir).count()),
       "b01" -> (() => graft.ml.ReliefQueries.b01ClassRebalance(spark, emptyDir).count()),
       "i01" -> (() => graft.sim.Sim.i01EnnFilter(spark, emptyDir).count()),
+      "g01" -> (() => graft.graph.Graph.g01TransitionPagerank(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

@@ -640,6 +640,41 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("g01: PageRank equals a pure-Scala power iteration; mass conserved") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) as tu")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val seq = g.sortBy(e => (e._4, e._3)).map(_._2)
+      seq.zip(seq.tail)
+    }
+    val edgeN = trans.groupBy(identity).map { case (e, g) => e -> g.length.toLong }
+    val outN = edgeN.toSeq.groupBy(_._1._1).map { case (u, g) => u -> g.map(_._2).sum }
+    val w = edgeN.map { case ((u, v), c) => (u, v) -> c.toDouble / outN(u) }
+    val nodes = ev.map(_._2).distinct.sorted
+    val n = nodes.length.toDouble
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    val d = graft.graph.Graph.Damping
+    for (_ <- 1 to graft.graph.Graph.PrIters) {
+      val dang = nodes.filterNot(outN.contains).map(pr).sum
+      pr = nodes.map { v =>
+        val c = w.collect { case ((uu, vv), ww) if vv == v => pr(uu) * ww }.sum
+        v -> ((1.0 - d) / n + d * (c + dang / n))
+      }.toMap
+    }
+    val want = nodes.map(v => v -> math.rint(pr(v) * 1e6) / 1e6)
+      .sortBy { case (v, p) => (-p, v) }
+      .zipWithIndex.map { case ((v, p), i) => (v, p, (i + 1).toLong) }.toSeq
+    val got = graft.graph.Graph.g01TransitionPagerank(spark, sfDir)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == want.map(_._1) && got.map(_._3) == want.map(_._3),
+      s"ranking differs: got=$got want=$want")
+    got.zip(want).foreach { case ((_, gp, _), (_, wp, _)) =>
+      assert(math.abs(gp - wp) <= 1e-6, s"pr differs: $gp vs $wp") }
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-4, "PageRank mass not conserved")
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
