@@ -132,6 +132,7 @@ object SparkEntry {
     "e25_graph_serve"     -> Sim.e25GraphServe _,
     "i01_enn_filter"      -> Sim.i01EnnFilter _,
     "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
+    "s28_stream_pagerank" -> Streams.s28StreamPagerank _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -2632,6 +2633,9 @@ FROM pr10"""
     // g01: the full 10-iteration damped power iteration replayed
     // layer by layer over q39's transition frame.
     "g01_transition_pagerank" -> g01OracleSql,
+    // s28: one AvailableNow pass must equal batch g01 exactly —
+    // the oracle IS g01's.
+    "s28_stream_pagerank" -> g01OracleSql,
     // e24: flood corpus + centroid fit + assignment + census + the
     // ceil(ratio)-way hash-mod split replayed end to end.
     "e24_ivf_repair" ->

@@ -47,12 +47,28 @@ object Graph {
     * over data.
     */
   def g01TransitionPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.queries.Events.q39EventTransitions(spark, dir)
-      .select(col("prev_type"), col("next_type"), col("p_trans").as("w"))
-      .localCheckpoint(true)
+    val counts = graft.queries.Events.q39EventTransitions(spark, dir)
+      .select(col("prev_type"), col("next_type"), col("n_trans"))
     val nodes = Tables.events(spark, dir)
       .select(col("event_type").as("node")).distinct()
+    pagerankFrom(nodes, counts)
+  }
+
+  /** The shared damped power-iteration kernel over (nodes,
+    * edge-count) frames — g01 feeds it q39's batch census, s28 the
+    * streamed transition census; the w normalization (row-stochastic
+    * per source, q39's p_trans formula) lives HERE so both paths
+    * compute bit-identical weights.
+    */
+  private[graft] def pagerankFrom(
+      nodesIn: DataFrame, counts: DataFrame): DataFrame = {
+    val edges = counts
+      .select(col("prev_type"), col("next_type"),
+        (col("n_trans").cast("double") /
+          sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
+          .as("w"))
       .localCheckpoint(true)
+    val nodes = nodesIn.localCheckpoint(true)
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     val sources = edges.select(col("prev_type").as("node")).distinct()
     var pr = nodes.crossJoin(broadcast(nn))

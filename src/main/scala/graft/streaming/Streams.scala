@@ -627,6 +627,60 @@ object Streams {
     s.table(name)
   }
 
+  case class TransEvent(user_id: Long, event_id: Long, event_type: String,
+    ts_us: Long)
+  case class TransState(ts_us: Long, event_id: Long, ty: String)
+  case class TransOut(prev_type: Option[String], next_type: String)
+
+  /** s28: g01's transition-graph PageRank with the corpus-touching
+    * pass AT INGESTION — the event firehose is reduced to the
+    * ANNOTATED transition stream by a per-user stateful walk: state is
+    * ONE (ts, event_id, type) struct per user (bounded by user count,
+    * never stream volume), each batch slice is walked in (ts,
+    * event_id) order, and every event emits exactly one row carrying
+    * its predecessor type (None for a user's first event ever). The
+    * node set and edge census — and from them the 10 damped power
+    * iterations — run over that |types|-bounded frame via the kernel
+    * SHARED with g01 ([[graft.graph.Graph.pagerankFrom]]), so a
+    * single AvailableNow pass equals the batch g01 exactly and the
+    * oracle is literally g01's.
+    */
+  def s28StreamPagerank(spark: SparkSession, dir: String): DataFrame =
+    runPagerank(eventsStream(streamSession(spark), dir))
+
+  /** s28's pipeline over an injected event stream. In-order arrival
+    * per user ACROSS batches is the correctness contract (the
+    * standard log-ingestion assumption: a later micro-batch carries
+    * later events) — within a batch any order is fine (the slice is
+    * sorted); the spec exercises a time-split two-batch run.
+    */
+  private[graft] def runPagerank(events: DataFrame): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val per = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us")).as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[TransState]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[TransOut]()
+          it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            out += TransOut(last.map(_.ty), e.event_type)
+            last = Some(TransState(e.ts_us, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+    val (s, name) = runToCompletion(per.toDF(), OutputMode.Append())
+    val ann = s.table(name)
+    val nodes = ann.select(col("next_type").as("node")).distinct()
+    val counts = ann.where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n_trans"))
+    graft.graph.Graph.pagerankFrom(nodes, counts)
+  }
+
   case class AttrEvent(user_id: Long, event_id: Long, event_type: String,
     value: Double, ts_us: Long)
   case class AttrState(ts_us: Long, ty: String)

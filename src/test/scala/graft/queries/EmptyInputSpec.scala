@@ -186,6 +186,7 @@ class EmptyInputSpec extends SparkSpec {
       "b01" -> (() => graft.ml.ReliefQueries.b01ClassRebalance(spark, emptyDir).count()),
       "i01" -> (() => graft.sim.Sim.i01EnnFilter(spark, emptyDir).count()),
       "g01" -> (() => graft.graph.Graph.g01TransitionPagerank(spark, emptyDir).count()),
+      "s28" -> (() => graft.streaming.Streams.s28StreamPagerank(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

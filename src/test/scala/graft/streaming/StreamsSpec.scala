@@ -117,6 +117,38 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("s28 streamed PageRank equals batch g01 across a time-split two-batch run") {
+    // split by TS median, not id parity: the per-user ordered walk's
+    // contract is in-order arrival ACROSS batches (later batch =
+    // later events); within each batch the slice is sorted anyway
+    val src = Tables.events(spark, sfDir)
+    val cut = src.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
+    val stage = "/tmp/graft_stream_twofiles_s28"
+    val d = Paths.get(stage)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(d)
+    src.where(expr(s"unix_micros(ts) <= $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100)
+    src.where(expr(s"unix_micros(ts) > $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p2")
+    val schema = spark.read.parquet(s"$stage/p1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val got = Streams.runPagerank(stream)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    val batch = graft.graph.Graph.g01TransitionPagerank(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    assert(got.nonEmpty && got == batch,
+      s"stream=$got\nbatch=$batch")
+  }
+
   test("s17 line scrub is batch-boundary invariant (two micro-batches)") {
     val got = Streams.runLineScrub(sfDir, twoFileStream("documents", "doc_id", "s17"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
