@@ -133,6 +133,7 @@ object SparkEntry {
     "i01_enn_filter"      -> Sim.i01EnnFilter _,
     "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
     "s28_stream_pagerank" -> Streams.s28StreamPagerank _,
+    "w26_bloom_skipping"  -> graft.sources.Sinks.w26BloomSkipping _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -2636,6 +2637,14 @@ FROM pr10"""
     // s28: one AvailableNow pass must equal batch g01 exactly —
     // the oracle IS g01's.
     "s28_stream_pagerank" -> g01OracleSql,
+    // w26: Bloom skipping never changes the ANSWER (no false
+    // negatives; exact fp filter on survivors) — the oracle is the
+    // pure lookup-by-fingerprint semantics; the skipping itself is
+    // spec-pinned (admitted ⊇ true shards, ≥ 1 shard skipped).
+    "w26_bloom_skipping" ->
+      """WITH p AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 97 = 0)
+        |SELECT md5(d.text) AS fp, d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN p ON md5(d.text) = p.fp""".stripMargin,
     // e24: flood corpus + centroid fit + assignment + census + the
     // ceil(ratio)-way hash-mod split replayed end to end.
     "e24_ivf_repair" ->

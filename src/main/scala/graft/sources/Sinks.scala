@@ -1482,4 +1482,129 @@ object Sinks {
       .saveAsTable(table)
     spark.table(table)
   }
+
+  /** w26's shard count and per-shard Bloom width (2¹⁴ bits / 2 probes
+    * per key: at ≤ ~1k keys per shard the false-positive rate is
+    * ≈ (2k/m)² ≈ 1.5 % — one wasted shard read per ~70 probes).
+    */
+  private[graft] val W26Shards = 8
+  private[graft] val W26Bits = 1 << 14
+
+  /** w26: Bloom-index data skipping — the complement of w09's min/max
+    * zones for HIGH-CARDINALITY point lookups where range stats are
+    * useless (the key is a content fingerprint, uncorrelated with any
+    * sort order): the corpus lands hash-sharded on doc_id, each shard
+    * gets a Bloom sidecar over its fingerprint column (md5(text) —
+    * the Delta/Iceberg bloom-filter-index shape), and a point lookup
+    * probes the sidecars first, reading ONLY the shards whose filter
+    * admits the key. False positives cost a wasted shard scan; false
+    * negatives are impossible, so the exact fp equality filter on the
+    * survivors returns the complete answer. Output: every corpus row
+    * whose fingerprint matches a probe (the probe panel = fingerprints
+    * of the doc_id % 97 == 0 docs — lookups-by-content, including
+    * duplicate texts under OTHER ids, which is the point of looking
+    * up by fingerprint).
+    *
+    * Scale shape: the sidecar build is one map-side-combining
+    * distinct over (shard, bit-position) — bounded by
+    * min(2·keys, shards·m) rows, collected like w09's per-FILE
+    * manifest stats; probing is driver arithmetic on |panel|×shards
+    * bit tests; the read path scans only admitted shard directories
+    * (at 100 TB: admitted FILES out of a manifest, same mechanics).
+    */
+  def w26BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val root = stage(spark, dir, "bloomidx")
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fp", md5(col("text")))
+    val out = s"$root/data"
+    docs.withColumn("shard", pmod(xxhash64(col("doc_id")), lit(W26Shards)))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val schema = docs.schema // shard dirs read directly: no partition col
+    // sidecar build: distinct (shard, position) pairs, bounded
+    val posFrame = spark.read.parquet(out)
+      .select(col("shard").cast("int").as("shard"),
+        pmod(xxhash64(col("fp")), lit(W26Bits.toLong)).as("p1"),
+        pmod(xxhash64(col("fp"), lit(1)), lit(W26Bits.toLong)).as("p2"))
+    val words = scala.collection.mutable.Map.empty[Int, Array[Long]]
+    posFrame.select(col("shard"), explode(array(col("p1"), col("p2"))).as("p"))
+      .distinct().collect().foreach { r =>
+        val w = words.getOrElseUpdate(r.getInt(0), new Array[Long](W26Bits / 64))
+        val p = r.getLong(1).toInt
+        w(p / 64) |= (1L << (p % 64))
+      }
+    // probe panel: the fingerprints of the doc_id % 97 == 0 docs,
+    // with their two bit positions computed by the SAME expressions
+    val probes = docs.where(col("doc_id") % 97 === 0)
+      .select(col("fp"),
+        pmod(xxhash64(col("fp")), lit(W26Bits.toLong)).as("p1"),
+        pmod(xxhash64(col("fp"), lit(1)), lit(W26Bits.toLong)).as("p2"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2).toInt))
+    val admitted = (0 until W26Shards).filter { s =>
+      words.get(s).exists { w =>
+        probes.exists { case (_, p1, p2) =>
+          ((w(p1 / 64) >> (p1 % 64)) & 1L) == 1L &&
+            ((w(p2 / 64) >> (p2 % 64)) & 1L) == 1L
+        }
+      }
+    }
+    val fps = probes.map(_._1).toSeq
+    if (admitted.isEmpty || fps.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+        .select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
+    else
+      spark.read.schema(schema)
+        .parquet(admitted.map(s => s"$out/shard=$s"): _*)
+        .where(col("fp").isin(fps: _*))
+        .select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** The admitted-shard census for the skipping spec: per probe
+    * fingerprint, which shards its Bloom test admits — must always
+    * contain the key's true shard and, for the panel overall, skip
+    * at least one shard (the demonstration that the sidecar prunes).
+    */
+  private[graft] def w26AdmittedShards(
+      spark: SparkSession, dir: String): (Map[String, Seq[Int]], Map[String, Seq[Int]]) = {
+    val root = stage(spark, dir, "bloomidx")
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fp", md5(col("text")))
+    val out = s"$root/data"
+    docs.withColumn("shard", pmod(xxhash64(col("doc_id")), lit(W26Shards)))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val words = scala.collection.mutable.Map.empty[Int, Array[Long]]
+    spark.read.parquet(out)
+      .select(col("shard").cast("int").as("shard"),
+        explode(array(
+          pmod(xxhash64(col("fp")), lit(W26Bits.toLong)),
+          pmod(xxhash64(col("fp"), lit(1)), lit(W26Bits.toLong)))).as("p"))
+      .distinct().collect().foreach { r =>
+        val w = words.getOrElseUpdate(r.getInt(0), new Array[Long](W26Bits / 64))
+        val p = r.getLong(1).toInt
+        w(p / 64) |= (1L << (p % 64))
+      }
+    val probes = docs.where(col("doc_id") % 97 === 0)
+      .select(col("fp"),
+        pmod(xxhash64(col("fp")), lit(W26Bits.toLong)).as("p1"),
+        pmod(xxhash64(col("fp"), lit(1)), lit(W26Bits.toLong)).as("p2"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2).toInt))
+    val perProbe = probes.map { case (fp, p1, p2) =>
+      fp -> (0 until W26Shards).filter { s =>
+        words.get(s).exists(w =>
+          ((w(p1 / 64) >> (p1 % 64)) & 1L) == 1L &&
+            ((w(p2 / 64) >> (p2 % 64)) & 1L) == 1L)
+      }
+    }.toMap
+    val trueShards = docs
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(W26Shards)))
+      .join(docs.where(col("doc_id") % 97 === 0).select(col("fp")).distinct(),
+        Seq("fp"))
+      .select(col("fp"), col("shard").cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1)
+      .map { case (fp, g) => fp -> g.map(_._2).distinct.sorted.toSeq }
+    (perProbe.map { case (k, v) => k -> v.toSeq }, trueShards)
+  }
 }

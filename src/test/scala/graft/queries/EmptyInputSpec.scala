@@ -187,6 +187,7 @@ class EmptyInputSpec extends SparkSpec {
       "i01" -> (() => graft.sim.Sim.i01EnnFilter(spark, emptyDir).count()),
       "g01" -> (() => graft.graph.Graph.g01TransitionPagerank(spark, emptyDir).count()),
       "s28" -> (() => graft.streaming.Streams.s28StreamPagerank(spark, emptyDir).count()),
+      "w26" -> (() => graft.sources.Sinks.w26BloomSkipping(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

@@ -675,6 +675,24 @@ class Round13Spec extends SparkSpec {
     assert(math.abs(got.map(_._2).sum - 1.0) < 1e-4, "PageRank mass not conserved")
   }
 
+  test("w26: bloom admits every true shard and actually skips shards") {
+    val (admitted, truth) = graft.sources.Sinks.w26AdmittedShards(spark, sfDir)
+    assert(truth.nonEmpty, "probe panel should be non-empty at sf0.001+")
+    // no false negatives: every shard that really holds the key is admitted
+    truth.foreach { case (fp, shards) =>
+      val adm = admitted.getOrElse(fp, Seq.empty)
+      assert(shards.forall(adm.contains),
+        s"fp $fp: true shards $shards not all admitted ($adm)")
+    }
+    // the index PRUNES: on average a probe admits well under all shards
+    val totalAdmitted = admitted.values.map(_.length).sum
+    val totalPossible = admitted.size * graft.sources.Sinks.W26Shards
+    assert(totalAdmitted < totalPossible,
+      s"no skipping at all: $totalAdmitted of $totalPossible shard reads")
+    info(s"w26 shard reads: $totalAdmitted of $totalPossible possible " +
+      f"(${100.0 * (totalPossible - totalAdmitted) / totalPossible}%.0f%% skipped)")
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
