@@ -134,6 +134,7 @@ object SparkEntry {
     "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
     "s28_stream_pagerank" -> Streams.s28StreamPagerank _,
     "w26_bloom_skipping"  -> graft.sources.Sinks.w26BloomSkipping _,
+    "d46_lsh_tuning"      -> Dedup.d46LshTuning _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -605,7 +606,11 @@ object SparkEntry {
   /** d06's full banded-MinHash pair reproduction — also the evidence
     * CTE inside d44's split-leakage audit.
     */
-  private val d06PairsSql: String =
+  /** The minhash signature pipeline (near-dup corpus → shingles →
+    * 64-perm signatures, CTE `sg`) — shared by d06's pair oracle and
+    * d46's banding-plan tuner.
+    */
+  private val d06SigCtes: String =
     """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
       |tr AS (
       |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-3], ' ') AS text
@@ -627,7 +632,10 @@ object SparkEntry {
       |  SELECT doc_id, shingles, list_transform(range(0, 64), s ->
       |    list_min(list_transform(hv, h ->
       |      (((s+1) * 906150257) % 1000000007 * h + (s * 741103597 + 13) % 1000000007) % 1000000007))) AS sig
-      |  FROM hs),
+      |  FROM hs)""".stripMargin
+
+  private val d06PairsSql: String = d06SigCtes +
+    """,
       |bands AS (
       |  SELECT doc_id, b.b AS band_id,
       |    list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[b.b*4+1 : b.b*4+4]),
@@ -648,6 +656,42 @@ object SparkEntry {
       |JOIN sg sa ON sa.doc_id = p.doc_a
       |JOIN sg sb ON sb.doc_id = p.doc_b
       |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 >= 0.5""".stripMargin
+
+  /** d46: the shared signature CTEs + per-plan (measured bucket
+    * census, analytic S-curve integral) blocks, one UNION ALL branch
+    * per banding plan. Powers are REPEATED-SQUARING multiplication
+    * trees (all b, r are powers of two), so no pow() is compared
+    * cross-engine; s_star is baked as the same driver-rounded literal
+    * the Spark plan carries.
+    */
+  private val d46OracleSql: String = {
+    def sqTxt(x: String, k: Int): String =
+      if (k == 0) x else { val t = sqTxt(x, k - 1); s"($t * $t)" }
+    val parts = graft.dedup.Dedup.TuningPlans.map { case (b, r) =>
+      val kr = Integer.numberOfTrailingZeros(r)
+      val kb = Integer.numberOfTrailingZeros(b)
+      val p = s"(CAST(1 AS DOUBLE) - ${sqTxt(s"(CAST(1 AS DOUBLE) - ${sqTxt("s", kr)})", kb)})"
+      val sStar = graft.dedup.Dedup.tuningSStar(b, r)
+      s"""SELECT m.bands, m.rows_per_band, CAST($sStar AS DOUBLE) AS s_star,
+  a.fp_area, a.fn_area, m.n_candidate_pairs, m.n_capped_buckets
+FROM (
+  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+    CAST(coalesce(sum(c*(c-1)//2), 0) AS BIGINT) AS n_candidate_pairs,
+    CAST(coalesce(sum(CASE WHEN c > 64 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_capped_buckets
+  FROM (SELECT band_id, band_sig, count(*) AS c FROM (
+      SELECT sg.doc_id, bb.band_id,
+        list_reduce(list_prepend(CAST(1009 AS BIGINT), sig[bb.band_id*$r+1 : bb.band_id*$r+$r]),
+          (acc, x) -> (acc * 1000003 + x) % 1000000007) AS band_sig
+      FROM sg, (SELECT unnest(range(0, $b)) AS band_id) bb) t1
+    GROUP BY 1, 2) t2) m
+CROSS JOIN (
+  SELECT round(sum(CASE WHEN s < CAST(0.5 AS DOUBLE) THEN $p ELSE CAST(0 AS DOUBLE) END) / CAST(1000 AS DOUBLE), 6) AS fp_area,
+         round(sum(CASE WHEN s > CAST(0.5 AS DOUBLE) THEN CAST(1 AS DOUBLE) - $p ELSE CAST(0 AS DOUBLE) END) / CAST(1000 AS DOUBLE), 6) AS fn_area
+  FROM (SELECT CAST(i*2 + 1 AS DOUBLE) / CAST(2000 AS DOUBLE) AS s
+        FROM (SELECT unnest(range(0, 1000)) AS i) t3) t4) a"""
+    }
+    d06SigCtes + "\n" + parts.mkString("\nUNION ALL\n")
+  }
 
   private def ivfOracleSql(np: Int): String =
     s"""$ivfAsgCte,
@@ -3109,6 +3153,9 @@ FROM pr10"""
     // permutation minima, banded buckets with the 2..64 census cap —
     // identical mod-1e9+7 arithmetic to Dedup.withSignature/lshCandidates.
     "d06_minhash_lsh" -> d06PairsSql,
+    // d46: shared signature CTEs + per-plan measured census and
+    // repeated-squaring S-curve integrals.
+    "d46_lsh_tuning" -> d46OracleSql,
     // d44: the d06 pair evidence + the deterministic split tag — pair
     // census by split kind plus the count of leaked val docs.
     "d44_split_leakage" ->

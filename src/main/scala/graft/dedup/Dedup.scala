@@ -191,6 +191,84 @@ object Dedup {
     out
   }
 
+  /** d46's banding plans: every (bands, rows) factorization of the
+    * 64-hash signature. All powers of two, so the S-curve's s^r and
+    * (1−s^r)^b evaluate by REPEATED SQUARING — a fixed multiplication
+    * tree both engines replay bit-identically (no pow()).
+    */
+  val TuningPlans: Seq[(Int, Int)] =
+    Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1))
+
+  /** The S-curve crossover (1/b)^(1/r), rounded to 6 in ONE place
+    * (driver arithmetic baked as a literal into both the plan and the
+    * generated oracle SQL, so no cross-engine pow() is ever compared).
+    */
+  def tuningSStar(b: Int, r: Int): Double =
+    BigDecimal(math.pow(1.0 / b, 1.0 / r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** x^(2^k) as a Column by repeated squaring. */
+  private def sqCol(x: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    if (k == 0) x else { val t = sqCol(x, k - 1); t * t }
+
+  /** d46: LSH banding-plan tuner — the measurement a corpus owner runs
+    * before committing b×r for a near-dup pass: for every (b, r)
+    * factorization of the 64-hash signature, (a) the ANALYTIC S-curve
+    * characterization against d06's 0.5 threshold — crossover
+    * s* = (1/b)^(1/r), false-positive area ∫₀^t P(s)ds and
+    * false-negative area ∫_t^1 (1−P(s))ds with P(s) = 1−(1−s^r)^b,
+    * midpoint rule on a fixed 1000-point grid (s never hits t: odd
+    * numerator over even denominator) — and (b) the MEASURED collision
+    * volume on this corpus: Σ C(bucket,2) candidate pairs the plan
+    * would generate and how many buckets the MaxBucket cap would
+    * drop. Wide-band plans (few rows) flood candidates; narrow plans
+    * miss borderline pairs — the table shows both costs at once,
+    * which is the whole point of a tuner.
+    *
+    * Scale shape: ONE signature pass (persisted, the d06 frame);
+    * each plan re-folds band signatures from the in-memory sig arrays
+    * (24-byte band rows, the d06 shuffle discipline) into a
+    * bucket-census aggregate — counts only, candidate pairs are NEVER
+    * materialized (Σ c·(c−1)/2 over the census). The analytic grid is
+    * a constant 1000-row frame per plan.
+    */
+  def d46LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatureTable(nearDupCorpus(Tables.documents(spark, dir)))
+    val measured = TuningPlans.map { case (b, r) =>
+      val bd = sigs.select(explode(expr(
+        s"transform(sequence(0, ${b - 1}), bb -> " +
+          s"struct(bb AS band_id, aggregate(slice(sig, bb*$r + 1, $r), " +
+          s"1009L, (acc, x) -> (acc * 1000003L + x) % $P) AS band_sig))")).as("bb"))
+        .select(col("bb.band_id"), col("bb.band_sig"))
+      bd.groupBy("band_id", "band_sig").agg(count(lit(1)).as("c"))
+        .agg(
+          coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).cast("long")
+            .as("n_candidate_pairs"),
+          coalesce(sum(when(col("c") > MaxBucket, 1L).otherwise(0L)), lit(0L))
+            .as("n_capped_buckets"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidate_pairs"), col("n_capped_buckets"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    sigs.unpersist()
+    val analytic = TuningPlans.map { case (b, r) =>
+      val kr = java.lang.Long.numberOfTrailingZeros(r.toLong).toInt
+      val kb = java.lang.Long.numberOfTrailingZeros(b.toLong).toInt
+      val s = (col("id") * 2 + 1).cast("double") / lit(2000.0)
+      val pCand = lit(1.0) - sqCol(lit(1.0) - sqCol(s, kr), kb)
+      spark.range(0, 1000).select(
+        sum(when(s < 0.5, pCand).otherwise(lit(0.0))).as("fp"),
+        sum(when(s > 0.5, lit(1.0) - pCand).otherwise(lit(0.0))).as("fn"))
+        .select(lit(b.toLong).as("bands"),
+          lit(tuningSStar(b, r)).as("s_star"),
+          round(col("fp") / lit(1000.0), 6).as("fp_area"),
+          round(col("fn") / lit(1000.0), 6).as("fn_area"))
+    }.reduce(_ unionByName _)
+    measured.join(analytic, Seq("bands"))
+      .select(col("bands"), col("rows_per_band"), col("s_star"),
+        col("fp_area"), col("fn_area"),
+        col("n_candidate_pairs"), col("n_capped_buckets"))
+  }
+
   /** d45: corpus NOVELTY curve — the diminishing-returns census behind
     * every "is more crawl worth ingesting?" decision: bucket the corpus
     * into ten doc_id-range deciles (value-based bounds from one 1-row

@@ -1517,9 +1517,15 @@ object Sinks {
     val docs = Tables.documents(spark, dir)
       .withColumn("fp", md5(col("text")))
     val out = s"$root/data"
+    val schema = docs.schema // shard dirs read directly: no partition col
+    // an empty corpus writes no partition dirs at all — nothing to
+    // index, nothing to probe; return the empty lookup frame
+    if (docs.head(1).isEmpty)
+      return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
     docs.withColumn("shard", pmod(xxhash64(col("doc_id")), lit(W26Shards)))
       .write.mode("overwrite").partitionBy("shard").parquet(out)
-    val schema = docs.schema // shard dirs read directly: no partition col
     // sidecar build: distinct (shard, position) pairs, bounded
     val posFrame = spark.read.parquet(out)
       .select(col("shard").cast("int").as("shard"),

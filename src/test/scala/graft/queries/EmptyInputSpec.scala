@@ -188,6 +188,9 @@ class EmptyInputSpec extends SparkSpec {
       "g01" -> (() => graft.graph.Graph.g01TransitionPagerank(spark, emptyDir).count()),
       "s28" -> (() => graft.streaming.Streams.s28StreamPagerank(spark, emptyDir).count()),
       "w26" -> (() => graft.sources.Sinks.w26BloomSkipping(spark, emptyDir).count()),
+      // d46's 7 plan rows survive an empty corpus (analytic part is
+      // corpus-free; measured counts coalesce to 0) — count minus 7
+      "d46" -> (() => graft.dedup.Dedup.d46LshTuning(spark, emptyDir).count() - 7),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

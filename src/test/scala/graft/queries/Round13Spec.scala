@@ -693,6 +693,34 @@ class Round13Spec extends SparkSpec {
       f"(${100.0 * (totalPossible - totalAdmitted) / totalPossible}%.0f%% skipped)")
   }
 
+  test("d46: S-curve areas match a driver-side integration; tradeoff is monotone") {
+    val got = graft.dedup.Dedup.d46LshTuning(spark, sfDir)
+      .orderBy("bands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      graft.dedup.Dedup.TuningPlans.map(p => (p._1.toLong, p._2.toLong)).sortBy(_._1))
+    got.foreach { case (b, r, sStar, fp, fn, _, _) =>
+      // driver-side midpoint integration with plain math.pow — an
+      // INDEPENDENT formulation of the same integrals
+      def pc(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+      val grid = (0 until 1000).map(i => (2 * i + 1) / 2000.0)
+      val wantFp = grid.filter(_ < 0.5).map(pc).sum / 1000.0
+      val wantFn = grid.filter(_ > 0.5).map(s => 1.0 - pc(s)).sum / 1000.0
+      assert(math.abs(fp - wantFp) < 1e-6, s"plan ($b,$r): fp $fp vs $wantFp")
+      assert(math.abs(fn - wantFn) < 1e-6, s"plan ($b,$r): fn $fn vs $wantFn")
+      assert(math.abs(sStar - math.pow(1.0 / b, 1.0 / r)) < 1e-6)
+    }
+    // the tuner's whole point: more bands → looser (FP grows, FN
+    // shrinks, measured candidate volume grows)
+    val byB = got.sortBy(_._1)
+    assert(byB.map(_._4).sameElements(byB.map(_._4).sorted), "fp_area not monotone in bands")
+    assert(byB.map(_._5).sameElements(byB.map(_._5).sorted.reverse), "fn_area not anti-monotone")
+    assert(byB.map(_._6).sameElements(byB.map(_._6).sorted), "candidate volume not monotone")
+    assert(byB.last._6 > byB.head._6, "wide-band plan should flood candidates")
+    info(s"d46 candidate volumes: ${byB.map(t => s"b=${t._1}:${t._6}").mkString(" ")}")
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
