@@ -135,6 +135,8 @@ object SparkEntry {
     "s28_stream_pagerank" -> Streams.s28StreamPagerank _,
     "w26_bloom_skipping"  -> graft.sources.Sinks.w26BloomSkipping _,
     "d46_lsh_tuning"      -> Dedup.d46LshTuning _,
+    "i02_tomek_links"     -> Sim.i02TomekLinks _,
+    "e26_knn_classify"    -> Sim.e26KnnClassify _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -864,14 +866,20 @@ CROSS JOIN (
     * cap, hamming-1 probes, top-3 by cosine) ending in CTE `knn` —
     * shared by the e05 oracle and i01's vote layer on top of it.
     */
-  private val e05KnnCtes: String =
+  /** The capped-bucket prefix alone (CTEs e/bk/census/inn) — shared
+    * by e05's all-queries kNN join and e26's split-fold classifier.
+    */
+  private val e05BucketCtes: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
       |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
       |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
       |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
       |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64),
-      |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket)),
+      |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket))""".stripMargin
+
+  private val e05KnnCtes: String = e05BucketCtes +
+    """,
       |probes AS (
       |  SELECT vec_id AS query_id, unnest(list_distinct(list_concat(
       |      [bucket],
@@ -2675,6 +2683,62 @@ FROM pr10"""
         |  o.other_label, o.n_other
         |FROM agg a JOIN other o ON o.query_id = a.query_id AND o.rn = 1
         |WHERE o.n_other > a.n_same""".stripMargin),
+    // i02: e05's construction + 1-NN re-rank, mutual self-join,
+    // opposite labels, majority-member removal policy.
+    "i02_tomek_links" -> (e05KnnCtes + """,
+        |nn1 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM knn) t WHERE rn = 1),
+        |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
+        |ccen AS (SELECT lbl, count(*)::BIGINT AS n_class FROM lbl GROUP BY 1),
+        |mut AS (SELECT f.query_id AS vec_id_a, f.neighbor_id AS vec_id_b
+        |  FROM nn1 f JOIN nn1 g ON f.query_id = g.neighbor_id
+        |                       AND f.neighbor_id = g.query_id
+        |  WHERE f.query_id < f.neighbor_id)
+        |SELECT m.vec_id_a, m.vec_id_b, la.lbl AS label_a, lb.lbl AS label_b,
+        |  CASE WHEN ca.n_class > cb.n_class THEN m.vec_id_a
+        |       WHEN cb.n_class > ca.n_class THEN m.vec_id_b
+        |       ELSE greatest(m.vec_id_a, m.vec_id_b) END AS removed_id
+        |FROM mut m JOIN lbl la ON la.vec_id = m.vec_id_a
+        |           JOIN lbl lb ON lb.vec_id = m.vec_id_b
+        |           JOIN ccen ca ON ca.lbl = la.lbl
+        |           JOIN ccen cb ON cb.lbl = lb.lbl
+        |WHERE la.lbl <> lb.lbl""".stripMargin),
+    // e26: the bucket prefix + fold-split probes/candidates, top-3,
+    // plurality vote, confusion census.
+    "e26_knn_classify" -> (e05BucketCtes + """,
+        |probes AS (
+        |  SELECT vec_id AS query_id, unnest(list_distinct(list_concat(
+        |      [bucket],
+        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))))) AS bucket
+        |  FROM inn WHERE vec_id % 5 = 0),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+        |  FROM probes p JOIN inn i USING (bucket)
+        |  WHERE i.vec_id % 5 <> 0),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM cand c JOIN bk a ON a.vec_id = c.query_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id),
+        |top3 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
+        |  WHERE rn <= 3),
+        |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
+        |votes AS (
+        |  SELECT t.query_id, l.lbl AS nlbl, count(*)::BIGINT AS c
+        |  FROM top3 t JOIN lbl l ON l.vec_id = t.neighbor_id
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT query_id, nlbl AS pred_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, nlbl) AS rn FROM votes) t
+        |  WHERE rn = 1)
+        |SELECT q.lbl AS true_label, p.pred_label, count(*)::BIGINT AS n
+        |FROM pred p JOIN lbl q ON q.vec_id = p.query_id
+        |GROUP BY 1, 2""".stripMargin),
     // g01: the full 10-iteration damped power iteration replayed
     // layer by layer over q39's transition frame.
     "g01_transition_pagerank" -> g01OracleSql,

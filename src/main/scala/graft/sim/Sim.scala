@@ -1372,6 +1372,116 @@ object Sim {
         col("n_neighbors"), col("n_same"), col("other_label"), col("n_other"))
   }
 
+  /** i02: Tomek-link cleaning (Tomek 1976) — b01's undersampling
+    * complement and i01's pairwise sibling: a Tomek link is a pair of
+    * OPPOSITE-label instances that are each other's 1-NN — the
+    * tightest possible class-boundary conflict; the cleaning pass
+    * removes the majority-class member (class counts from the corpus
+    * census; equal counts break to the larger id — total order).
+    * Output: one row per link (vec_id_a < vec_id_b, both labels, the
+    * removed id).
+    *
+    * Scale shape: 1-NN is a re-rank of [[e05KnnJoin]]'s 3-row groups
+    * (no new pair surface); mutuality is one self-join of the n-row
+    * 1-NN frame on the reversed key; the class census is |labels|
+    * rows broadcast.
+    */
+  /** The bucketed-substrate projection (vec_id, bucket, v, nrm, lbl)
+    * — exposed for e26's driver-side replay spec so the spec shares
+    * the hash/norm EXPRESSIONS but none of the join/vote plan.
+    */
+  private[graft] def embWithBucket(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("lbl")), "vec_id")
+      .select(col("vec_id"), col("bucket"), col("v"), col("nrm"), col("lbl"))
+
+  def i02TomekLinks(spark: SparkSession, dir: String): DataFrame = {
+    val lbls = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val nn1 = e05KnnJoin(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val mutual = nn1.as("f")
+      .join(nn1.as("g"),
+        col("f.query_id") === col("g.neighbor_id") &&
+          col("f.neighbor_id") === col("g.query_id"))
+      .where(col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("vec_id_a"), col("f.neighbor_id").as("vec_id_b"))
+    val census = lbls.groupBy("lbl").agg(count(lit(1)).as("n_class"))
+    mutual
+      .join(lbls.select(col("vec_id").as("vec_id_a"), col("lbl").as("label_a")), "vec_id_a")
+      .join(lbls.select(col("vec_id").as("vec_id_b"), col("lbl").as("label_b")), "vec_id_b")
+      .where(col("label_a") =!= col("label_b"))
+      .join(broadcast(census.select(col("lbl").as("label_a"), col("n_class").as("na"))), "label_a")
+      .join(broadcast(census.select(col("lbl").as("label_b"), col("n_class").as("nb"))), "label_b")
+      .select(col("vec_id_a"), col("vec_id_b"), col("label_a"), col("label_b"),
+        when(col("na") > col("nb"), col("vec_id_a"))
+          .when(col("nb") > col("na"), col("vec_id_b"))
+          .otherwise(greatest(col("vec_id_a"), col("vec_id_b"))).as("removed_id"))
+  }
+
+  /** e26: distributed kNN CLASSIFICATION with a held-out split — the
+    * evaluation loop instance-based pipelines ship (and the reference
+    * family's end purpose: RELIEF weights exist to feed a kNN
+    * classifier): vec_id % 5 == 0 is the query fold (20 %), the rest
+    * the train fold; each query votes over its k=3 nearest TRAIN
+    * neighbors on the e05 bucket substrate (capped buckets, hamming-1
+    * probes, id-only candidate shuffle), plurality with ties to the
+    * smaller label. Output: the confusion census
+    * (true_label, pred_label, n) — queries whose buckets yield no
+    * train candidate are excluded and the census says how many
+    * predictions were made (the i01 conservative-abstain discipline).
+    *
+    * Scale shape: identical to e05 — candidates are id pairs from
+    * capped bucket joins, vectors join back only for scoring; the
+    * vote and census are ≤ |labels|² rows.
+    */
+  def e26KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val lbls = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val corpus = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val useful = corpus.groupBy("bucket").count()
+      .where(col("count") <= MaxBucketE).select("bucket")
+    val in = corpus.join(useful, Seq("bucket"))
+    val train = in.where(col("vec_id") % 5 =!= 0)
+    val probes = in.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"),
+        explode(expr(
+          s"array_union(array(bucket), transform(sequence(0, ${SigBits - 1}), " +
+            "j -> bucket ^ shiftleft(1L, j)))")).as("bucket"))
+    val cand = probes
+      .join(train.select(col("bucket"), col("vec_id").as("neighbor_id")), Seq("bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val top = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    corpus.unpersist()
+    val votes = top
+      .join(lbls.select(col("vec_id").as("neighbor_id"), col("lbl").as("nlbl")),
+        "neighbor_id")
+      .groupBy("query_id", "nlbl").agg(count(lit(1)).as("c"))
+    val pred = votes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("c").desc, col("nlbl"))))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("nlbl").as("pred_label"))
+    pred.join(lbls.select(col("vec_id").as("query_id"), col("lbl").as("true_label")),
+        "query_id")
+      .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+  }
+
   /** k-NN-graph degree for e23 (K): the per-node out-degree of the
     * graph under construction, and the reverse-neighbor cap per round
     * (NN-descent's ρ·K sample with ρ = 1 — deterministic: top-K

@@ -191,6 +191,8 @@ class EmptyInputSpec extends SparkSpec {
       // d46's 7 plan rows survive an empty corpus (analytic part is
       // corpus-free; measured counts coalesce to 0) — count minus 7
       "d46" -> (() => graft.dedup.Dedup.d46LshTuning(spark, emptyDir).count() - 7),
+      "i02" -> (() => graft.sim.Sim.i02TomekLinks(spark, emptyDir).count()),
+      "e26" -> (() => graft.sim.Sim.e26KnnClassify(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

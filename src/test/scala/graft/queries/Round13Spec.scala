@@ -721,6 +721,69 @@ class Round13Spec extends SparkSpec {
     info(s"d46 candidate volumes: ${byB.map(t => s"b=${t._1}:${t._6}").mkString(" ")}")
   }
 
+  test("i02: links are exactly the opposite-label mutual 1-NN pairs") {
+    val knn = graft.sim.Sim.e05KnnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lbl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long)", "cast(label as long)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val classN = lbl.values.groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    val nn1 = knn.groupBy(_._1).map { case (q, g) =>
+      q -> g.minBy(t => (-t._3, t._2))._2
+    }
+    val want = nn1.toSeq.collect {
+      case (a, b) if a < b && nn1.get(b).contains(a) && lbl(a) != lbl(b) =>
+        val rem =
+          if (classN(lbl(a)) > classN(lbl(b))) a
+          else if (classN(lbl(b)) > classN(lbl(a))) b
+          else math.max(a, b)
+        (a, b, lbl(a), lbl(b), rem)
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.sim.Sim.i02TomekLinks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+    assert(got.nonEmpty, "random labels over near-dup pairs should produce links")
+  }
+
+  test("e26: confusion census equals a driver-side replay of the fold-split vote") {
+    // collect the substrate's (id, bucket, v, nrm, label) using the
+    // SAME projection expressions, then replay probes/candidates/
+    // top-3/vote in plain Scala
+    val rows = graft.sim.Sim.embWithBucket(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3), r.getLong(4)))
+    val byBucket = rows.groupBy(_._2)
+    val capped = rows.filter(r => byBucket(r._2).length <= 64)
+    val cByBucket = capped.groupBy(_._2)
+    val vecOf = capped.map(r => r._1 -> ((r._3, r._4))).toMap
+    val lblOf = rows.map(r => r._1 -> r._5).toMap
+    val queries = capped.filter(_._1 % 5 == 0)
+    val census = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    queries.foreach { case (q, b, qv, qn, _) =>
+      val probes = (b +: (0 until 8).map(j => b ^ (1L << j))).distinct
+      val cands = probes.flatMap(pb => cByBucket.getOrElse(pb, Array.empty[(Long, Long, Array[Double], Double, Long)]))
+        .map(_._1).distinct.filter(_ % 5 != 0)
+      val top = cands.map { n =>
+        val (nv, nn) = vecOf(n)
+        val cos = qv.zip(nv).map { case (x, y) => x * y }.sum / (qn * nn)
+        (n, cos)
+      }.sortBy(t => (-t._2, t._1)).take(3)
+      if (top.nonEmpty) {
+        val votes = top.map(t => lblOf(t._1)).groupBy(identity)
+          .map { case (l, g) => (l, g.size) }
+        val pred = votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        val key = (lblOf(q), pred)
+        census(key) = census.getOrElse(key, 0L) + 1L
+      }
+    }
+    val got = graft.sim.Sim.e26KnnClassify(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == census.toMap,
+      s"diff: ${(got.toSet diff census.toSet).take(3)} / ${(census.toSet diff got.toSet).take(3)}")
+    assert(got.values.sum > 0)
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
