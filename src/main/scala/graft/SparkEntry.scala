@@ -137,6 +137,8 @@ object SparkEntry {
     "d46_lsh_tuning"      -> Dedup.d46LshTuning _,
     "i02_tomek_links"     -> Sim.i02TomekLinks _,
     "e26_knn_classify"    -> Sim.e26KnnClassify _,
+    "i03_fcnn_condense"   -> Sim.i03FcnnCondense _,
+    "b02_smote_plan"      -> Sim.b02SmotePlan _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -899,6 +901,43 @@ CROSS JOIN (
       |    SELECT *, row_number() OVER (PARTITION BY query_id
       |      ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
       |  WHERE rn <= 3)""".stripMargin
+
+  /** i03: seeds + three unrolled FCNN rounds, each = nearest-prototype
+    * classification (cross join against the bounded prototype set),
+    * misclassified census, per-cell representative election, set
+    * union — operation order identical to the Spark side.
+    */
+  private val i03OracleSql: String = {
+    val layer = (r: Int) => {
+      val p = s"p${r - 1}"
+      s"""pv$r AS (SELECT p.vec_id AS proto_id, en.v AS pv, en.nrm AS pn, en.lbl AS plbl
+  FROM $p p JOIN en ON en.vec_id = p.vec_id),
+sc$r AS (SELECT en.vec_id, en.lbl, q.proto_id, q.plbl,
+    list_dot_product(en.v, q.pv) / (en.nrm * q.pn) AS cos
+  FROM en CROSS JOIN pv$r q),
+nr$r AS (SELECT * FROM (SELECT sc$r.*, row_number() OVER (PARTITION BY vec_id
+    ORDER BY cos DESC, proto_id) AS rn FROM sc$r) t WHERE rn = 1),
+mis$r AS (SELECT * FROM nr$r WHERE lbl <> plbl),
+rep$r AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (PARTITION BY proto_id
+    ORDER BY cos DESC, vec_id) AS rp FROM mis$r) t WHERE rp = 1),
+a$r AS (SELECT CAST($r AS BIGINT) AS round,
+    (SELECT count(*) FROM $p) + (SELECT count(*) FROM rep$r) AS n_prototypes,
+    (SELECT count(*) FROM mis$r) AS n_misclassified,
+    (SELECT CAST(coalesce(sum(vec_id), 0) AS BIGINT) FROM rep$r) AS added_id_sum),
+p$r AS (SELECT vec_id FROM $p UNION ALL SELECT vec_id FROM rep$r)"""
+    }
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+  label::BIGINT AS lbl FROM embeddings),
+en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, lbl FROM e
+  WHERE sqrt(list_dot_product(v, v)) > 0),
+p0 AS (SELECT min(vec_id) AS vec_id FROM en GROUP BY lbl),
+${(1 to graft.sim.Sim.FcnnRounds).map(layer).mkString(",\n")}
+SELECT CAST(0 AS BIGINT) AS round, (SELECT count(*) FROM p0) AS n_prototypes,
+  CAST(NULL AS BIGINT) AS n_misclassified, CAST(NULL AS BIGINT) AS added_id_sum
+${(1 to graft.sim.Sim.FcnnRounds).map(r =>
+      s"UNION ALL SELECT round, n_prototypes, n_misclassified, added_id_sum FROM a$r")
+        .mkString("\n")}"""
+  }
 
   /** g01: q39's edge frame + 10 unrolled damped power-iteration
     * layers, each = dangling-mass scalar + contribution join +
@@ -2739,6 +2778,43 @@ FROM pr10"""
         |SELECT q.lbl AS true_label, p.pred_label, count(*)::BIGINT AS n
         |FROM pred p JOIN lbl q ON q.vec_id = p.query_id
         |GROUP BY 1, 2""".stripMargin),
+    // i03: seeds + 3 unrolled FCNN rounds replayed.
+    "i03_fcnn_condense" -> i03OracleSql,
+    // b02: bucket prefix + same-class 1-NN + midpoint-mass audit.
+    "b02_smote_plan" -> (e05BucketCtes + """,
+        |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
+        |ccen AS (SELECT lbl, count(*)::BIGINT AS n_minority FROM lbl GROUP BY 1),
+        |mj AS (SELECT lbl FROM ccen ORDER BY n_minority DESC, lbl LIMIT 1),
+        |inl AS (SELECT inn.*, l.lbl FROM inn JOIN lbl l USING (vec_id)),
+        |mino AS (SELECT * FROM inl WHERE lbl <> (SELECT lbl FROM mj)),
+        |probes AS (
+        |  SELECT vec_id AS query_id, lbl AS qlbl, unnest(list_distinct(list_concat(
+        |      [bucket],
+        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))))) AS bucket
+        |  FROM mino),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, p.qlbl, i.vec_id AS neighbor_id
+        |  FROM probes p JOIN inl i USING (bucket)
+        |  WHERE i.lbl = p.qlbl AND i.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.qlbl, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, len(a.v) + 1),
+        |        i -> (a.v[i] + b.v[i]) / CAST(2 AS DOUBLE))),
+        |      (acc, x) -> acc + x) AS mass
+        |  FROM cand c JOIN bk a ON a.vec_id = c.query_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id),
+        |nn1 AS (SELECT * FROM (SELECT scored.*, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM scored) t WHERE rn = 1),
+        |syn AS (SELECT qlbl AS lbl, count(*)::BIGINT AS n_synth, sum(mass) AS mass
+        |  FROM nn1 GROUP BY 1)
+        |SELECT c.lbl AS label, c.n_minority,
+        |  coalesce(s.n_synth, 0) AS n_synth,
+        |  round(coalesce(s.mass, CAST(0 AS DOUBLE)), 6) AS synth_mass
+        |FROM ccen c LEFT JOIN syn s ON s.lbl = c.lbl
+        |WHERE c.lbl <> (SELECT lbl FROM mj)""".stripMargin),
     // g01: the full 10-iteration damped power iteration replayed
     // layer by layer over q39's transition frame.
     "g01_transition_pagerank" -> g01OracleSql,

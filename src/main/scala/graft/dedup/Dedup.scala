@@ -234,21 +234,37 @@ object Dedup {
     */
   def d46LshTuning(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatureTable(nearDupCorpus(Tables.documents(spark, dir)))
-    val measured = TuningPlans.map { case (b, r) =>
-      val bd = sigs.select(explode(expr(
-        s"transform(sequence(0, ${b - 1}), bb -> " +
-          s"struct(bb AS band_id, aggregate(slice(sig, bb*$r + 1, $r), " +
-          s"1009L, (acc, x) -> (acc * 1000003L + x) % $P) AS band_sig))")).as("bb"))
-        .select(col("bb.band_id"), col("bb.band_sig"))
-      bd.groupBy("band_id", "band_sig").agg(count(lit(1)).as("c"))
-        .agg(
-          coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).cast("long")
-            .as("n_candidate_pairs"),
-          coalesce(sum(when(col("c") > MaxBucket, 1L).otherwise(0L)), lit(0L))
-            .as("n_capped_buckets"))
-        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_candidate_pairs"), col("n_capped_buckets"))
-    }.reduce(_ unionByName _).localCheckpoint(true)
+    // ONE pass over the signature table for all 7 plans: each doc row
+    // explodes to Σ b = 127 (plan, band, band_sig) triples in a single
+    // projection, then a single (plan, band, sig) census — 7 separate
+    // jobs cost 7 scans and 7 shuffles for the same information
+    // (measured 3.4 s → one job)
+    val allBands = TuningPlans.map { case (b, r) =>
+      s"transform(sequence(0, ${b - 1}), bb -> struct(${b}L AS bands, " +
+        s"bb AS band_id, aggregate(slice(sig, bb*$r + 1, $r), " +
+        s"1009L, (acc, x) -> (acc * 1000003L + x) % $P) AS band_sig))"
+    }.mkString("concat(", ", ", ")")
+    // materialize the struct arrays BEFORE exploding (the d45 lesson:
+    // Generate over an inline higher-order generator re-evaluates the
+    // whole fold pathologically); 127 × 24 B per doc, released eagerly
+    val arr = sigs.select(expr(allBands).as("bb_arr")).localCheckpoint(true)
+    val bd = arr.select(explode(col("bb_arr")).as("bb"))
+      .select(col("bb.bands"), col("bb.band_id"), col("bb.band_sig"))
+    val measured = bd.groupBy("bands", "band_id", "band_sig")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("bands")
+      .agg(
+        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).cast("long")
+          .as("n_candidate_pairs"),
+        coalesce(sum(when(col("c") > MaxBucket, 1L).otherwise(0L)), lit(0L))
+          .as("n_capped_buckets"))
+      .join(broadcast(spark.createDataFrame(
+        TuningPlans.map { case (b, r) => (b.toLong, r.toLong) })
+        .toDF("bands", "rows_per_band")), Seq("bands"), "right")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidate_pairs"), lit(0L)).as("n_candidate_pairs"),
+        coalesce(col("n_capped_buckets"), lit(0L)).as("n_capped_buckets"))
+      .localCheckpoint(true)
     sigs.unpersist()
     val analytic = TuningPlans.map { case (b, r) =>
       val kr = java.lang.Long.numberOfTrailingZeros(r.toLong).toInt

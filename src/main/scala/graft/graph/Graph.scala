@@ -74,7 +74,7 @@ object Graph {
     var pr = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to PrIters) {
+    for (it <- 1 to PrIters) {
       val contrib = pr.join(edges, pr("node") === edges("prev_type"))
         .groupBy(col("next_type").as("node"))
         .agg(sum(col("pr") * col("w")).as("s"))
@@ -87,7 +87,11 @@ object Graph {
           (lit(1.0 - Damping) / col("n") +
             lit(Damping) * (coalesce(col("s"), lit(0.0)) + col("dang") / col("n")))
             .as("pr"))
-        .localCheckpoint(true)
+      // cut lineage every OTHER round: one level of nested
+      // join/agg analyzes fine, and halving the eager checkpoint
+      // jobs halves the fixed per-round cost (measured 2.4 s → the
+      // frames are 5 rows; the jobs, not the data, were the bill)
+      if (it % 2 == 0 || it == PrIters) pr = pr.localCheckpoint(true)
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
       .withColumn("rank", row_number().over(

@@ -1482,6 +1482,142 @@ object Sim {
       .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
   }
 
+  /** b02: SMOTE synthesis plan (Chawla et al. 2002, made
+    * deterministic) — b01 rebalanced by REPLICATION; SMOTE
+    * interpolates: every minority-class instance is paired with its
+    * same-class 1-NN on the capped-bucket substrate and the synthetic
+    * point is their midpoint (the k=1, λ=0.5 SMOTE special case — no
+    * RNG state, layout-invariant). Output: the per-class synthesis
+    * audit (label, n_minority, n_synth, synth_mass = Σ over synthetic
+    * points of the component sum, round 6) — the mass ties the plan
+    * to the actual interpolated VALUES, not just counts. Instances
+    * whose probed buckets hold no same-class neighbor abstain (the
+    * i01 conservative discipline); the majority class synthesizes
+    * nothing by definition.
+    *
+    * Scale shape: e05's discipline end-to-end — id-only candidate
+    * shuffle filtered to same-class pairs, vectors join back only for
+    * the 1-NN scoring and the midpoint fold (one pass, no synthetic
+    * FRAME materialized here — downstream generates rows from the
+    * (query, neighbor) plan).
+    */
+  def b02SmotePlan(spark: SparkSession, dir: String): DataFrame = {
+    val lbls = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val censusAll = lbls.groupBy("lbl").agg(count(lit(1)).as("n_minority"))
+    val mj = censusAll
+      .orderBy(col("n_minority").desc, col("lbl")).limit(1)
+      .select(col("lbl").as("mjlbl"))
+    val corpus = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+      .join(lbls, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val useful = corpus.groupBy("bucket").count()
+      .where(col("count") <= MaxBucketE).select("bucket")
+    val in = corpus.join(useful, Seq("bucket"))
+    val mino = in.crossJoin(broadcast(mj)).where(col("lbl") =!= col("mjlbl"))
+    val probes = mino
+      .select(col("vec_id").as("query_id"), col("lbl").as("qlbl"),
+        explode(expr(
+          s"array_union(array(bucket), transform(sequence(0, ${SigBits - 1}), " +
+            "j -> bucket ^ shiftleft(1L, j)))")).as("bucket"))
+    val cand = probes
+      .join(in.select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("lbl").as("nlbl")), Seq("bucket"))
+      .where(col("nlbl") === col("qlbl") && col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qlbl", "neighbor_id").distinct()
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("qlbl"), col("neighbor_id"),
+        (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"),
+        expr("aggregate(zip_with(qv, v, (x, y) -> (x + y) / 2.0D), " +
+          "0D, (acc, x) -> acc + x)").as("mass"))
+    val nn1 = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rn") === 1)
+      .localCheckpoint(true)
+    corpus.unpersist()
+    val synth = nn1.groupBy(col("qlbl").as("lbl"))
+      .agg(count(lit(1)).as("n_synth"), sum("mass").as("mass"))
+    censusAll.crossJoin(broadcast(mj)).where(col("lbl") =!= col("mjlbl"))
+      .join(synth, Seq("lbl"), "left")
+      .select(col("lbl").as("label"), col("n_minority"),
+        coalesce(col("n_synth"), lit(0L)).as("n_synth"),
+        round(coalesce(col("mass"), lit(0.0)), 6).as("synth_mass"))
+  }
+
+  /** i03's unrolled FCNN round count (set bounded by
+    * |classes|·2^rounds, so 3 rounds ⇒ ≤ 8·|classes| prototypes).
+    */
+  val FcnnRounds = 3
+
+  /** i03: FCNN condensation (Angiulli, ICML 2005 / TPAMI 2007) — the
+    * instance-SELECTION side of the i-family (i01/i02 REMOVE noise,
+    * FCNN keeps the minimal consistent prototype set): seed one
+    * prototype per class (smallest id — total order), then each round
+    * classifies every point by its nearest prototype (cosine, ties to
+    * smaller prototype id) and, per Voronoi cell, ADDS the
+    * misclassified point closest to the cell's prototype. Three
+    * unrolled rounds (the e13/f04/g01 precedent), prototypes
+    * materialized per round. Output: the per-round audit
+    * (round, n_prototypes, n_misclassified, added_id_sum) — round 0
+    * is the seed census.
+    *
+    * Scale shape: the prototype set is bounded (≤ |classes|·2^r ≈ 80
+    * rows) and BROADCAST to the corpus each round — the per-round
+    * cost is one n × |S| broadcast-join scan + two bounded
+    * aggregations; no all-pairs surface, nothing driver-looped over
+    * the corpus.
+    */
+  def i03FcnnCondense(spark: SparkSession, dir: String): DataFrame = {
+    val pts = emb(spark, dir)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("lbl")), "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var protos = pts.groupBy("lbl").agg(min("vec_id").as("vec_id"))
+      .select("vec_id").localCheckpoint(true)
+    val audits = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    audits += protos.agg(count(lit(1)).as("n_prototypes"))
+      .select(lit(0L).as("round"), col("n_prototypes"),
+        lit(null).cast("long").as("n_misclassified"),
+        lit(null).cast("long").as("added_id_sum"))
+    for (r <- 1 to FcnnRounds) {
+      val pv = protos
+        .join(pts.select(col("vec_id"), col("v").as("pv"), col("nrm").as("pn"),
+          col("lbl").as("plbl")), "vec_id")
+        .select(col("vec_id").as("proto_id"), col("pv"), col("pn"), col("plbl"))
+      val scoredAll = pts.crossJoin(broadcast(pv))
+        .select(col("vec_id"), col("lbl"), col("proto_id"), col("plbl"),
+          (dotOf(spark, "v", "pv") / (col("nrm") * col("pn"))).as("cos"))
+      val nearest = scoredAll
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos").desc, col("proto_id"))))
+        .where(col("rn") === 1)
+      val mis = nearest.where(col("lbl") =!= col("plbl"))
+        .localCheckpoint(true)
+      val reps = mis
+        .withColumn("rp", row_number().over(
+          Window.partitionBy("proto_id").orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rp") === 1)
+        .select(col("vec_id")).localCheckpoint(true)
+      audits += reps.agg(
+          coalesce(sum("vec_id"), lit(0L)).as("added_id_sum"))
+        .crossJoin(mis.agg(count(lit(1)).as("n_misclassified")))
+        .crossJoin(protos.agg(count(lit(1)).as("np")))
+        .crossJoin(reps.agg(count(lit(1)).as("nr")))
+        .select(lit(r.toLong).as("round"),
+          (col("np") + col("nr")).as("n_prototypes"),
+          col("n_misclassified"), col("added_id_sum"))
+      protos = protos.unionByName(reps).localCheckpoint(true)
+    }
+    val out = audits.reduce(_ unionByName _).localCheckpoint(true)
+    pts.unpersist()
+    out
+  }
+
   /** k-NN-graph degree for e23 (K): the per-node out-degree of the
     * graph under construction, and the reverse-neighbor cap per round
     * (NN-descent's ρ·K sample with ρ = 1 — deterministic: top-K

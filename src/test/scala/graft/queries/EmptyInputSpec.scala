@@ -193,6 +193,10 @@ class EmptyInputSpec extends SparkSpec {
       "d46" -> (() => graft.dedup.Dedup.d46LshTuning(spark, emptyDir).count() - 7),
       "i02" -> (() => graft.sim.Sim.i02TomekLinks(spark, emptyDir).count()),
       "e26" -> (() => graft.sim.Sim.e26KnnClassify(spark, emptyDir).count()),
+      // i03's audit always carries the round-0 seed row + one per round
+      "i03" -> (() => graft.sim.Sim.i03FcnnCondense(spark, emptyDir).count() -
+        (graft.sim.Sim.FcnnRounds + 1)),
+      "b02" -> (() => graft.sim.Sim.b02SmotePlan(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

@@ -784,6 +784,82 @@ class Round13Spec extends SparkSpec {
     assert(got.values.sum > 0)
   }
 
+  test("i03: audit equals a driver-side FCNN replay; prototype set grows consistently") {
+    val rows = graft.sim.Sim.embWithBucket(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2).toArray, r.getDouble(3), r.getLong(4)))
+    def cos(a: (Array[Double], Double), b: (Array[Double], Double)): Double =
+      a._1.zip(b._1).map { case (x, y) => x * y }.sum / (a._2 * b._2)
+    val vecOf = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    val lblOf = rows.map(r => r._1 -> r._4).toMap
+    var protos = rows.groupBy(_._4).map { case (_, g) => g.map(_._1).min }.toSeq.sorted
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long], Option[Long])]()
+    want += ((0L, protos.length.toLong, None, None))
+    for (r <- 1 to graft.sim.Sim.FcnnRounds) {
+      val nearest = rows.map { case (id, v, n, l) =>
+        val (p, _) = protos.map(pid => (pid, cos((v, n), vecOf(pid))))
+          .minBy { case (pid, c) => (-c, pid) }
+        (id, l, p, lblOf(p), cos((v, n), vecOf(p)))
+      }
+      val mis = nearest.filter(t => t._2 != t._4)
+      val reps = mis.groupBy(_._3).map { case (_, g) =>
+        g.minBy(t => (-t._5, t._1))._1
+      }.toSeq
+      want += ((r.toLong, (protos.length + reps.length).toLong,
+        Some(mis.length.toLong), Some(reps.sum)))
+      protos = (protos ++ reps).sorted
+    }
+    val got = graft.sim.Sim.i03FcnnCondense(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(_._1).toSeq
+    assert(got == want.toSeq, s"got=$got\nwant=$want")
+    // the set must actually grow (there IS boundary conflict in random labels)
+    assert(got.last._2 > got.head._2, "FCNN added no prototypes")
+  }
+
+  test("b02: synthesis audit equals a driver-side same-class 1-NN midpoint replay") {
+    val rows = graft.sim.Sim.embWithBucket(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3), r.getLong(4)))
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long)", "cast(label as long)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val censusAll = all.groupBy(_._2).map { case (l, g) => l -> g.length.toLong }
+    val mj = censusAll.toSeq.minBy { case (l, n) => (-n, l) }._1
+    val byBucket = rows.groupBy(_._2)
+    val capped = rows.filter(r => byBucket(r._2).length <= 64)
+    val cByBucket = capped.groupBy(_._2)
+    val synth = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    capped.filter(_._5 != mj).foreach { case (q, b, qv, qn, ql) =>
+      val probes = (b +: (0 until 8).map(j => b ^ (1L << j))).distinct
+      val cands = probes.flatMap(pb => cByBucket.getOrElse(pb,
+          Array.empty[(Long, Long, Array[Double], Double, Long)]))
+        .filter(c => c._5 == ql && c._1 != q)
+        .map(c => (c._1, c._3, c._4)).distinctBy(_._1)
+      if (cands.nonEmpty) {
+        val (nid, nv, nn) = cands.map { case (id, v, n) =>
+          (id, v, n, qv.zip(v).map { case (x, y) => x * y }.sum / (qn * n))
+        }.minBy(t => (-t._4, t._1)) match { case (id, v, n, _) => (id, v, n) }
+        val mass = qv.zip(nv).map { case (x, y) => (x + y) / 2.0 }.sum
+        val (c0, m0) = synth.getOrElse(ql, (0L, 0.0))
+        synth(ql) = (c0 + 1L, m0 + mass)
+      }
+    }
+    val want = censusAll.toSeq.filter(_._1 != mj).map { case (l, n) =>
+      val (c, m) = synth.getOrElse(l, (0L, 0.0))
+      (l, n, c, math.rint(m * 1e6) / 1e6)
+    }.sortBy(_._1)
+    val got = graft.sim.Sim.b02SmotePlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)),
+      s"got=$got\nwant=$want")
+    got.zip(want).foreach { case ((_, _, _, gm), (_, _, _, wm)) =>
+      assert(math.abs(gm - wm) <= 2e-6, s"mass $gm vs $wm") }
+    assert(got.map(_._3).sum > 0, "no synthesis at all")
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
