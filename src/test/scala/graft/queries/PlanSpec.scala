@@ -51,6 +51,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("bin"), plan)
   }
 
+  test("i01/i02/e26: the kNN-vote family never plans a cartesian product") {
+    // candidate generation must stay bucket-keyed hash joins end to
+    // end; the only nested-loop shapes allowed are the explicit
+    // 1-row broadcast scalars (none of these three carries one)
+    Seq(
+      graft.sim.Sim.i01EnnFilter(spark, sfDir),
+      graft.sim.Sim.i02TomekLinks(spark, sfDir),
+      graft.sim.Sim.e26KnnClassify(spark, sfDir)).foreach { df =>
+      val plan = explain(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+  }
+
+  test("i03/b02: prototype and majority scalars broadcast; no cartesian on data") {
+    // i03's per-round prototype set and b02's 1-row majority frame
+    // are DESIGNED broadcast nested-loops (bounded side); the corpus
+    // itself must never cartesian
+    Seq(
+      graft.sim.Sim.i03FcnnCondense(spark, sfDir),
+      graft.sim.Sim.b02SmotePlan(spark, sfDir)).foreach { df =>
+      val plan = explain(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    }
+  }
+
   test("d14: benchmark n-gram set is broadcast — training grams never shuffle to a join") {
     val plan = explain(graft.text.Corpus.d14Decontaminate(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
