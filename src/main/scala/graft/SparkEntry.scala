@@ -139,6 +139,8 @@ object SparkEntry {
     "e26_knn_classify"    -> Sim.e26KnnClassify _,
     "i03_fcnn_condense"   -> Sim.i03FcnnCondense _,
     "b02_smote_plan"      -> Sim.b02SmotePlan _,
+    "g02_label_propagation" -> graft.graph.Graph.g02LabelPropagation _,
+    "s29_stream_knn_classify" -> Streams.s29StreamKnnClassify _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
     "m02_binary_source"   -> Multimodal.m02BinarySource _,
@@ -937,6 +939,76 @@ SELECT CAST(0 AS BIGINT) AS round, (SELECT count(*) FROM p0) AS n_prototypes,
 ${(1 to graft.sim.Sim.FcnnRounds).map(r =>
       s"UNION ALL SELECT round, n_prototypes, n_misclassified, added_id_sum FROM a$r")
         .mkString("\n")}"""
+  }
+
+  /** e26's full fold-split classification replay — also the s29
+    * oracle (one AvailableNow pass of the query stream must equal
+    * batch e26 exactly).
+    */
+  private val e26OracleSql: String = (e05BucketCtes + """,
+        |probes AS (
+        |  SELECT vec_id AS query_id, unnest(list_distinct(list_concat(
+        |      [bucket],
+        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))))) AS bucket
+        |  FROM inn WHERE vec_id % 5 = 0),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+        |  FROM probes p JOIN inn i USING (bucket)
+        |  WHERE i.vec_id % 5 <> 0),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |  FROM cand c JOIN bk a ON a.vec_id = c.query_id
+        |              JOIN bk b ON b.vec_id = c.neighbor_id),
+        |top3 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
+        |  WHERE rn <= 3),
+        |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
+        |votes AS (
+        |  SELECT t.query_id, l.lbl AS nlbl, count(*)::BIGINT AS c
+        |  FROM top3 t JOIN lbl l ON l.vec_id = t.neighbor_id
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT query_id, nlbl AS pred_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, nlbl) AS rn FROM votes) t
+        |  WHERE rn = 1)
+        |SELECT q.lbl AS true_label, p.pred_label, count(*)::BIGINT AS n
+        |FROM pred p JOIN lbl q ON q.vec_id = p.query_id
+        |GROUP BY 1, 2""".stripMargin)
+
+  /** g02: the symmetrized transition graph + 5 unrolled synchronous
+    * label-propagation layers — all integer weight sums, argmax by
+    * (weight desc, label asc).
+    */
+  private val g02OracleSql: String = {
+    val layer = (k: Int) => {
+      val p = s"l${k - 1}"
+      s"""sc$k AS (SELECT s.a AS node, l.community, sum(s.w) AS sw
+  FROM sym s JOIN $p l ON l.node = s.b GROUP BY 1, 2),
+b$k AS (SELECT node, community AS nc FROM (
+    SELECT node, community, row_number() OVER (PARTITION BY node
+      ORDER BY sw DESC, community) AS rn FROM sc$k) t WHERE rn = 1),
+l$k AS (SELECT l.node, coalesce(b.nc, l.community) AS community
+  FROM $p l LEFT JOIN b$k b ON b.node = l.node)"""
+    }
+    s"""WITH x AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+dcounts AS (
+  SELECT prev_type AS a, event_type AS b, count(*) AS n
+  FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+sym AS (
+  SELECT a, b, CAST(sum(n) AS BIGINT) AS w FROM (
+    SELECT a, b, n FROM dcounts UNION ALL SELECT b AS a, a AS b, n FROM dcounts) u
+  WHERE a <> b GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+l0 AS (SELECT node, node AS community FROM nodes),
+${(1 to graft.graph.Graph.LpaRounds).map(layer).mkString(",\n")}
+SELECT node, community FROM l${graft.graph.Graph.LpaRounds}"""
   }
 
   /** g01: q39's edge frame + 10 unrolled damped power-iteration
@@ -2745,39 +2817,9 @@ FROM pr10"""
         |WHERE la.lbl <> lb.lbl""".stripMargin),
     // e26: the bucket prefix + fold-split probes/candidates, top-3,
     // plurality vote, confusion census.
-    "e26_knn_classify" -> (e05BucketCtes + """,
-        |probes AS (
-        |  SELECT vec_id AS query_id, unnest(list_distinct(list_concat(
-        |      [bucket],
-        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))))) AS bucket
-        |  FROM inn WHERE vec_id % 5 = 0),
-        |cand AS (
-        |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
-        |  FROM probes p JOIN inn i USING (bucket)
-        |  WHERE i.vec_id % 5 <> 0),
-        |scored AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-        |  FROM cand c JOIN bk a ON a.vec_id = c.query_id
-        |              JOIN bk b ON b.vec_id = c.neighbor_id),
-        |top3 AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
-        |  WHERE rn <= 3),
-        |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
-        |votes AS (
-        |  SELECT t.query_id, l.lbl AS nlbl, count(*)::BIGINT AS c
-        |  FROM top3 t JOIN lbl l ON l.vec_id = t.neighbor_id
-        |  GROUP BY 1, 2),
-        |pred AS (
-        |  SELECT query_id, nlbl AS pred_label FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY c DESC, nlbl) AS rn FROM votes) t
-        |  WHERE rn = 1)
-        |SELECT q.lbl AS true_label, p.pred_label, count(*)::BIGINT AS n
-        |FROM pred p JOIN lbl q ON q.vec_id = p.query_id
-        |GROUP BY 1, 2""".stripMargin),
+    "e26_knn_classify" -> e26OracleSql,
+    // s29: the streaming deployment of e26 — identical result contract.
+    "s29_stream_knn_classify" -> e26OracleSql,
     // i03: seeds + 3 unrolled FCNN rounds replayed.
     "i03_fcnn_condense" -> i03OracleSql,
     // b02: bucket prefix + same-class 1-NN + midpoint-mass audit.
@@ -2818,6 +2860,8 @@ FROM pr10"""
     // g01: the full 10-iteration damped power iteration replayed
     // layer by layer over q39's transition frame.
     "g01_transition_pagerank" -> g01OracleSql,
+    // g02: 5 synchronous LPA layers, integer weight sums throughout.
+    "g02_label_propagation" -> g02OracleSql,
     // s28: one AvailableNow pass must equal batch g01 exactly —
     // the oracle IS g01's.
     "s28_stream_pagerank" -> g01OracleSql,

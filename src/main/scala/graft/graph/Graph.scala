@@ -97,4 +97,54 @@ object Graph {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("pr").desc, col("node"))).cast("long"))
   }
+
+  /** Synchronous label-propagation rounds for g02. */
+  val LpaRounds = 5
+
+  /** g02: community detection by synchronous label propagation
+    * (Raghavan et al. 2007, made deterministic): over the UNDIRECTED
+    * transition graph (edge weight = n_trans(u→v) + n_trans(v→u),
+    * self-loops dropped — exact integers end to end), every node
+    * starts as its own community and each round adopts the community
+    * with the maximum incident weight (ties to the lexicographically
+    * smallest label — the determinism knob sync-LPA needs); isolated
+    * nodes keep their label. [[LpaRounds]] unrolled rounds,
+    * materialized per round. Output: (node, community).
+    *
+    * Scale shape: all arithmetic is integer edge-weight sums — no
+    * float order anywhere; each round is one keyed join of the
+    * |nodes|-row label frame against the edge frame + one
+    * max-by-struct aggregate; the host-graph version shuffle-joins on
+    * the edge key, nothing driver-looped.
+    */
+  def g02LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val directed = graft.queries.Events.q39EventTransitions(spark, dir)
+      .select(col("prev_type").as("a"), col("next_type").as("b"), col("n_trans"))
+    val sym = directed
+      .unionByName(directed.select(col("b").as("a"), col("a").as("b"), col("n_trans")))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum("n_trans").as("w"))
+      .localCheckpoint(true)
+    val nodes = Tables.events(spark, dir)
+      .select(col("event_type").as("node")).distinct()
+      .localCheckpoint(true)
+    var lbl = nodes.select(col("node"), col("node").as("community"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      val scores = sym
+        .join(lbl.select(col("node").as("b"), col("community")), Seq("b"))
+        .groupBy(col("a").as("node"), col("community"))
+        .agg(sum("w").as("s"))
+      val best = scores
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("s").desc, col("community"))))
+        .where(col("rn") === 1)
+        .select(col("node"), col("community").as("new_community"))
+      lbl = lbl.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_community"), col("community")).as("community"))
+        .localCheckpoint(true)
+    }
+    lbl.select(col("node"), col("community"))
+  }
 }

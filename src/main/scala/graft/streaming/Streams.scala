@@ -681,6 +681,71 @@ object Streams {
     graft.graph.Graph.pagerankFrom(nodes, counts)
   }
 
+  /** s29: e26's fold-split kNN classification with the QUERY fold
+    * arriving as a stream — the online-serving deployment of the
+    * evaluation loop: the train-fold index (capped buckets, vectors,
+    * labels) is the static side; each arriving query joins its
+    * hamming-1 probe buckets against it (stream-static hash join, no
+    * streaming state at all), candidates land append-mode, and the
+    * read-time top-3 + plurality vote + confusion census equal batch
+    * e26 exactly — the oracle IS e26's.
+    *
+    * Scale shape: the stream carries (query, candidate, cosine) only
+    * for probed capped buckets; the static side is the e05-discipline
+    * index; the vote is a read-time rollup over the landed ≤ |cand|
+    * frame (multi-probe repeats collapse at read, the s10 pattern).
+    */
+  def s29StreamKnnClassify(spark: SparkSession, dir: String): DataFrame =
+    runKnnClassify(dir, fileStream(streamSession(spark), dir, "embeddings.parquet"))
+
+  private[graft] def runKnnClassify(dir: String, embStream: DataFrame): DataFrame = {
+    import graft.sim.Sim
+    val ss = embStream.sparkSession
+    val lbls = graft.Tables.embeddings(ss, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val corpus = Sim.emb(ss, dir)
+      .withColumn("bucket", Sim.bucketColOf(Sim.SigBits, Some(ss)))
+    val useful = corpus.groupBy("bucket").count()
+      .where(col("count") <= Sim.MaxBucketE).select("bucket")
+    val train = corpus.join(useful, Seq("bucket"))
+      .where(col("vec_id") % 5 =!= 0)
+      .select(col("bucket"), col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val hamming1 = s"array_union(array(bucket), transform(sequence(0, ${Sim.SigBits - 1}), " +
+      "j -> bucket ^ shiftleft(1L, j)))"
+    val queries = embStream
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Sim.dotOf(ss, "v", "v")))
+      .where(col("nrm") > 0.0 && col("vec_id") % 5 === 0)
+      .withColumn("bucket", Sim.bucketColOf(Sim.SigBits, Some(ss)))
+      // the query itself must sit in a capped bucket (e26's `in` set)
+      .join(useful, Seq("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(expr(hamming1)).as("bucket"))
+    val scored = queries.join(train, Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Sim.dotOf(ss, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
+    val (sess, name) = runToCompletion(scored, OutputMode.Append())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val top = sess.table(name)
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select("query_id", "neighbor_id")
+    val votes = top
+      .join(lbls.select(col("vec_id").as("neighbor_id"), col("lbl").as("nlbl")),
+        "neighbor_id")
+      .groupBy("query_id", "nlbl").agg(count(lit(1)).as("c"))
+    val pred = votes
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("c").desc, col("nlbl"))))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("nlbl").as("pred_label"))
+    pred.join(lbls.select(col("vec_id").as("query_id"), col("lbl").as("true_label")),
+        "query_id")
+      .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+  }
+
   case class AttrEvent(user_id: Long, event_id: Long, event_type: String,
     value: Double, ts_us: Long)
   case class AttrState(ts_us: Long, ty: String)

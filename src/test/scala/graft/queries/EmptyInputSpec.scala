@@ -197,6 +197,8 @@ class EmptyInputSpec extends SparkSpec {
       "i03" -> (() => graft.sim.Sim.i03FcnnCondense(spark, emptyDir).count() -
         (graft.sim.Sim.FcnnRounds + 1)),
       "b02" -> (() => graft.sim.Sim.b02SmotePlan(spark, emptyDir).count()),
+      "g02" -> (() => graft.graph.Graph.g02LabelPropagation(spark, emptyDir).count()),
+      "s29" -> (() => graft.streaming.Streams.s29StreamKnnClassify(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

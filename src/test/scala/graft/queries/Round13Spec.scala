@@ -860,6 +860,36 @@ class Round13Spec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "no synthesis at all")
   }
 
+  test("g02: communities equal a pure-Scala synchronous LPA replay") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) as tu")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val seq = g.sortBy(e => (e._4, e._3)).map(_._2)
+      seq.zip(seq.tail)
+    }
+    val w = scala.collection.mutable.Map.empty[(String, String), Long]
+    trans.foreach { case (a, b) =>
+      if (a != b) {
+        w((a, b)) = w.getOrElse((a, b), 0L) + 1L
+        w((b, a)) = w.getOrElse((b, a), 0L) + 1L
+      }
+    }
+    val nodes = ev.map(_._2).distinct.sorted
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to graft.graph.Graph.LpaRounds) {
+      lbl = nodes.map { v =>
+        val scores = w.toSeq.collect { case ((a, b), ww) if a == v => (lbl(b), ww) }
+          .groupBy(_._1).map { case (c, g) => c -> g.map(_._2).sum }
+        v -> (if (scores.isEmpty) lbl(v)
+              else scores.toSeq.minBy { case (c, s) => (-s, c) }._1)
+      }.toMap
+    }
+    val got = graft.graph.Graph.g02LabelPropagation(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == lbl.toSeq.sortBy(_._1), s"got=$got want=${lbl.toSeq.sortBy(_._1)}")
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted

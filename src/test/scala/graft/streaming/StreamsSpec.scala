@@ -149,6 +149,18 @@ class StreamsSpec extends SparkSpec {
       s"stream=$got\nbatch=$batch")
   }
 
+  test("s29 streamed kNN classification equals batch e26 (two micro-batches)") {
+    // the query stream is stateless (stream-static join only), so ANY
+    // batch split must reproduce the batch confusion census exactly
+    val got = Streams.runKnnClassify(sfDir, twoFileStream("embeddings", "vec_id", "s29"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = graft.sim.Sim.e26KnnClassify(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("s17 line scrub is batch-boundary invariant (two micro-batches)") {
     val got = Streams.runLineScrub(sfDir, twoFileStream("documents", "doc_id", "s17"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
