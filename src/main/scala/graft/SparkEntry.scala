@@ -140,6 +140,8 @@ object SparkEntry {
     "i03_fcnn_condense"   -> Sim.i03FcnnCondense _,
     "b02_smote_plan"      -> Sim.b02SmotePlan _,
     "g02_label_propagation" -> graft.graph.Graph.g02LabelPropagation _,
+    "g03_triangle_count"  -> graft.graph.Graph.g03TriangleCount _,
+    "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
     "s29_stream_knn_classify" -> Streams.s29StreamKnnClassify _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
     "m01_multimodal"      -> Multimodal.m01Multimodal _,
@@ -2862,6 +2864,51 @@ FROM pr10"""
     "g01_transition_pagerank" -> g01OracleSql,
     // g02: 5 synchronous LPA layers, integer weight sums throughout.
     "g02_label_propagation" -> g02OracleSql,
+    // w27: stats rollup + exclusive-cumsum next-fit packing, all
+    // integer arithmetic.
+    "w27_compaction_planner" ->
+      """WITH parts AS (
+        |  SELECT lang, doc_id % 8 AS bucket, CAST(sum(n_chars) AS BIGINT) AS vol,
+        |    count(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |tt AS (SELECT greatest((coalesce(CAST(sum(vol) AS BIGINT), 0) + 3) // 4, 1) AS t FROM parts),
+        |ordered AS (
+        |  SELECT *, coalesce(CAST(sum(vol) OVER (ORDER BY vol DESC, lang, bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+        |  FROM parts)
+        |SELECT cum // (SELECT t FROM tt) AS bin,
+        |  count(*)::BIGINT AS n_parts,
+        |  CAST(sum(vol) AS BIGINT) AS bin_volume,
+        |  max(vol) AS max_part_volume
+        |FROM ordered GROUP BY 1""".stripMargin,
+    // g03: ordered two-join triangle enumeration + degree census.
+    "g03_triangle_count" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |d AS (SELECT DISTINCT prev_type AS a, event_type AS b FROM x WHERE prev_type IS NOT NULL),
+        |edges AS (SELECT DISTINCT a, b FROM (
+        |    SELECT a, b FROM d UNION ALL SELECT b AS a, a AS b FROM d) u
+        |  WHERE a < b),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+        |       JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tpn AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+        |    SELECT unnest([x, y, z]) AS node FROM tri) t GROUP BY 1),
+        |deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+        |    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) u
+        |  GROUP BY 1)
+        |SELECT n.node, coalesce(dg.degree, 0) AS degree,
+        |  coalesce(t.n_triangles, 0) AS n_triangles,
+        |  round(CASE WHEN coalesce(dg.degree, 0) >= 2
+        |    THEN CAST(2 AS DOUBLE) * coalesce(t.n_triangles, 0)
+        |         / (dg.degree * (dg.degree - 1))
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+        |FROM nodes n LEFT JOIN deg dg ON dg.node = n.node
+        |     LEFT JOIN tpn t ON t.node = n.node""".stripMargin,
     // s28: one AvailableNow pass must equal batch g01 exactly —
     // the oracle IS g01's.
     "s28_stream_pagerank" -> g01OracleSql,

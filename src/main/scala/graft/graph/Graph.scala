@@ -147,4 +147,53 @@ object Graph {
     }
     lbl.select(col("node"), col("community"))
   }
+
+  /** g03: triangle counting + local clustering coefficient over the
+    * undirected transition graph — the cohesion census a graph
+    * quality pass reads next to centrality (g01) and communities
+    * (g02). Edges deduped to a < b; triangles found by the canonical
+    * two-join on ordered endpoints (a < b < c), so each triangle is
+    * generated exactly once; per-node degree from the symmetric edge
+    * set; clustering coefficient = 2·tri / (deg·(deg−1)), 0 where
+    * degree < 2 — exact integers until the one final division
+    * (round 6). Output: (node, degree, n_triangles, clustering).
+    *
+    * Scale shape: the classic distributed-triangle plan — joins are
+    * keyed on edge endpoints (here domain-bounded; on a host graph
+    * the same plan shuffle-joins, with degree-orientation as the
+    * documented skew mitigation), never a cartesian.
+    */
+  def g03TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val directed = graft.queries.Events.q39EventTransitions(spark, dir)
+      .select(col("prev_type").as("a"), col("next_type").as("b"))
+    val edges = directed
+      .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = Tables.events(spark, dir)
+      .select(col("event_type").as("node")).distinct()
+    // ordered wedges (a<b, b<c) closed by the (a, c) edge
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .localCheckpoint(true)
+    val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    nodes
+      .join(deg, Seq("node"), "left")
+      .join(triPerNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(when(coalesce(col("degree"), lit(0L)) >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+  }
 }

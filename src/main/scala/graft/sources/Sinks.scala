@@ -1483,6 +1483,44 @@ object Sinks {
     spark.table(table)
   }
 
+  /** w27: compaction PLANNER — the bin-packing step that decides which
+    * micro-partitions coalesce into which target file before w11's
+    * compaction executes: micro-partitions are (lang, doc_id mod 8)
+    * cells with exact char-volume stats (the manifest column-stats
+    * proxy — at a real lakehouse the identical plan runs over
+    * manifest byte sizes; w11 owns the FS-real rewrite), the target
+    * bin volume is ⌈total/4⌉, and assignment is next-fit over
+    * (volume DESC, lang, bucket) by exclusive-cumsum division — the
+    * deterministic, shuffle-free formulation of greedy packing (a
+    * straddling cell spills its bin past target rather than splitting,
+    * exactly like file-level OPTIMIZE). Output: one row per planned
+    * bin (bin, n_parts, bin_volume, max_part_volume). All integers —
+    * no float anywhere.
+    *
+    * Scale shape: the planning frame is manifest-sized (|langs|·8
+    * cells here; |files| at a lakehouse), one map-side stats rollup
+    * from the corpus; the global cumsum runs over THAT bounded frame
+    * (at true manifest scale: d21's two-level distributed prefix sum),
+    * never over rows.
+    */
+  def w27CompactionPlanner(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.documents(spark, dir)
+      .groupBy(col("lang"), pmod(col("doc_id"), lit(8L)).as("bucket"))
+      .agg(sum("n_chars").as("vol"), count(lit(1)).as("n_docs"))
+    val total = parts.agg(coalesce(sum("vol"), lit(0L)).as("tv"))
+    // greatest(…, 1): an empty corpus plans zero bins, not a ÷0
+    val target = total.select(greatest(expr("(tv + 3) div 4"), lit(1L)).as("t"))
+    val ordered = parts.crossJoin(broadcast(target))
+      .withColumn("cum", coalesce(sum("vol").over(
+        Window.orderBy(col("vol").desc, col("lang"), col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr("cum div t"))
+    ordered.groupBy("bin")
+      .agg(count(lit(1)).as("n_parts"), sum("vol").as("bin_volume"),
+        max("vol").as("max_part_volume"))
+  }
+
   /** w26's shard count and per-shard Bloom width (2¹⁴ bits / 2 probes
     * per key: at ≤ ~1k keys per shard the false-positive rate is
     * ≈ (2k/m)² ≈ 1.5 % — one wasted shard read per ~70 probes).

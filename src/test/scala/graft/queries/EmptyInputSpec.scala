@@ -198,6 +198,8 @@ class EmptyInputSpec extends SparkSpec {
         (graft.sim.Sim.FcnnRounds + 1)),
       "b02" -> (() => graft.sim.Sim.b02SmotePlan(spark, emptyDir).count()),
       "g02" -> (() => graft.graph.Graph.g02LabelPropagation(spark, emptyDir).count()),
+      "g03" -> (() => graft.graph.Graph.g03TriangleCount(spark, emptyDir).count()),
+      "w27" -> (() => graft.sources.Sinks.w27CompactionPlanner(spark, emptyDir).count()),
       "s29" -> (() => graft.streaming.Streams.s29StreamKnnClassify(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),

@@ -890,6 +890,63 @@ class Round13Spec extends SparkSpec {
     assert(got == lbl.toSeq.sortBy(_._1), s"got=$got want=${lbl.toSeq.sortBy(_._1)}")
   }
 
+  test("g03: triangle census equals a brute-force enumeration") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) as tu")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val seq = g.sortBy(e => (e._4, e._3)).map(_._2)
+      seq.zip(seq.tail)
+    }.distinct
+    val edges = trans.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a < b }.distinct.toSet
+    val nodes = ev.map(_._2).distinct.sorted
+    def adj(a: String, b: String) =
+      edges.contains(if (a < b) (a, b) else (b, a))
+    val triOf = nodes.map { v =>
+      v -> (for {
+        a <- nodes; b <- nodes
+        if a < b && a != v && b != v && adj(v, a) && adj(v, b) && adj(a, b)
+      } yield 1).size.toLong
+    }.toMap
+    val degOf = nodes.map(v => v -> nodes.count(u => u != v && adj(u, v)).toLong).toMap
+    val want = nodes.map { v =>
+      val d = degOf(v); val t = triOf(v)
+      val c = if (d >= 2) math.rint(2.0 * t / (d * (d - 1)) * 1e6) / 1e6 else 0.0
+      (v, d, t, c)
+    }.toSeq
+    val got = graft.graph.Graph.g03TriangleCount(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("w27: packing equals a driver-side next-fit replay and conserves volume") {
+    val parts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("lang", "doc_id % 8 as bucket", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((l, b), g) => (l, b, g.map(_._3).sum) }
+      .toSeq
+    val total = parts.map(_._3).sum
+    val t = (total + 3) / 4
+    val ordered = parts.sortBy { case (l, b, v) => (-v, l, b) }
+    var cum = 0L
+    val bins = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    ordered.foreach { case (_, _, v) =>
+      val bin = cum / t
+      val (n, bv, mx) = bins.getOrElse(bin, (0L, 0L, 0L))
+      bins(bin) = (n + 1, bv + v, math.max(mx, v))
+      cum += v
+    }
+    val want = bins.toSeq.map { case (b, (n, bv, mx)) => (b, n, bv, mx) }.sortBy(_._1)
+    val got = graft.sources.Sinks.w27CompactionPlanner(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got.map(_._3).sum == total, "volume not conserved")
+    assert(got.map(_._1) == got.indices.map(_.toLong), "bins not contiguous")
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
