@@ -139,6 +139,7 @@ object SparkEntry {
     "e26_knn_classify"    -> Sim.e26KnnClassify _,
     "i03_fcnn_condense"   -> Sim.i03FcnnCondense _,
     "b02_smote_plan"      -> Sim.b02SmotePlan _,
+    "b03_class_weights"   -> ReliefQueries.b03ClassWeights _,
     "g02_label_propagation" -> graft.graph.Graph.g02LabelPropagation _,
     "g03_triangle_count"  -> graft.graph.Graph.g03TriangleCount _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
@@ -2824,6 +2825,22 @@ FROM pr10"""
     "s29_stream_knn_classify" -> e26OracleSql,
     // i03: seeds + 3 unrolled FCNN rounds replayed.
     "i03_fcnn_condense" -> i03OracleSql,
+    // b03: one census + inverse-frequency and effective-number weights.
+    "b03_class_weights" ->
+      """WITH census AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n_class
+        |  FROM embeddings GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_class) AS BIGINT) AS n, count(*)::BIGINT AS k FROM census),
+        |raw AS (SELECT label, n_class,
+        |  CAST((SELECT n FROM tot) AS DOUBLE)
+        |    / CAST((SELECT k FROM tot) * n_class AS DOUBLE) AS balanced_weight,
+        |  (1 - CAST(0.999 AS DOUBLE))
+        |    / (CAST(1 AS DOUBLE) - power(CAST(0.999 AS DOUBLE), CAST(n_class AS DOUBLE))) AS e_raw
+        |  FROM census),
+        |norm AS (SELECT sum(e_raw) AS es FROM raw)
+        |SELECT label, n_class, round(balanced_weight, 6) AS balanced_weight,
+        |  round(e_raw * CAST((SELECT k FROM tot) AS DOUBLE) / (SELECT es FROM norm), 6)
+        |    AS effnum_weight
+        |FROM raw""".stripMargin,
     // b02: bucket prefix + same-class 1-NN + midpoint-mass audit.
     "b02_smote_plan" -> (e05BucketCtes + """,
         |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),

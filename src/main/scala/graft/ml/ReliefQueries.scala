@@ -1046,6 +1046,44 @@ object ReliefQueries {
         coalesce(col("extra_id_sum"), lit(0L)).as("extra_id_sum"))
   }
 
+  /** b03: cost-sensitive class weights — the third imbalance strategy
+    * next to b01 (oversample) and b02 (synthesize): reweight instead
+    * of resample. Two standard schemes per class, both from the same
+    * one-pass census: the inverse-frequency "balanced" heuristic
+    * w = n / (k·n_c) (sklearn's class_weight='balanced'), and the
+    * effective-number weight of Cui et al., CVPR 2019 —
+    * w = (1−β)/(1−β^{n_c}), β = 0.999 — normalized so the k weights
+    * sum to k (the paper's convention). Output: (label, n_class,
+    * balanced_weight, effnum_weight), round 6.
+    *
+    * Scale shape: ONE map-side-combining census (|classes| rows);
+    * everything after is arithmetic on that bounded frame — the
+    * cheapest of the three strategies and the one a loss function
+    * consumes directly.
+    */
+  def b03ClassWeights(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_class"))
+      .localCheckpoint(true)
+    val tot = census.agg(
+      sum("n_class").as("n"), count(lit(1)).cast("long").as("k"))
+    val beta = 0.999
+    val raw = census.crossJoin(broadcast(tot))
+      .select(col("label"), col("n_class"), col("n"), col("k"),
+        (col("n").cast("double") / (col("k") * col("n_class")).cast("double"))
+          .as("balanced_weight"),
+        (lit(1.0 - beta) /
+          (lit(1.0) - pow(lit(beta), col("n_class").cast("double"))))
+          .as("e_raw"))
+    val norm = raw.agg(sum("e_raw").as("es"))
+    raw.crossJoin(broadcast(norm))
+      .select(col("label"), col("n_class"),
+        round(col("balanced_weight"), 6).as("balanced_weight"),
+        round(col("e_raw") * col("k").cast("double") / col("es"), 6)
+          .as("effnum_weight"))
+  }
+
   /** One MDLP round over pre-counted cells `(dim, seg, xm, lbl, c)`:
     * for every (dim, seg) pick the boundary minimizing the weighted
     * class entropy and decide it by Fayyad & Irani's MDL criterion —

@@ -199,6 +199,7 @@ class EmptyInputSpec extends SparkSpec {
       "b02" -> (() => graft.sim.Sim.b02SmotePlan(spark, emptyDir).count()),
       "g02" -> (() => graft.graph.Graph.g02LabelPropagation(spark, emptyDir).count()),
       "g03" -> (() => graft.graph.Graph.g03TriangleCount(spark, emptyDir).count()),
+      "b03" -> (() => graft.ml.ReliefQueries.b03ClassWeights(spark, emptyDir).count()),
       "w27" -> (() => graft.sources.Sinks.w27CompactionPlanner(spark, emptyDir).count()),
       "s29" -> (() => graft.streaming.Streams.s29StreamKnnClassify(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),

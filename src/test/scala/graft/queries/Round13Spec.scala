@@ -947,6 +947,30 @@ class Round13Spec extends SparkSpec {
     assert(got.map(_._1) == got.indices.map(_.toLong), "bins not contiguous")
   }
 
+  test("b03: weights equal the textbook formulas; invariants hold") {
+    val counts = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("cast(label as long)").collect().map(_.getLong(0))
+      .groupBy(identity).map { case (l, g) => l -> g.length.toLong }
+    val n = counts.values.sum.toDouble
+    val k = counts.size
+    val eRaw = counts.map { case (l, c) =>
+      l -> (1.0 - 0.999) / (1.0 - math.pow(0.999, c.toDouble)) }
+    val es = eRaw.values.sum
+    val got = graft.ml.ReliefQueries.b03ClassWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) == counts.keys.toSeq.sorted)
+    got.foreach { case (l, nc, bw, ew) =>
+      assert(nc == counts(l))
+      assert(math.abs(bw - n / (k * nc)) < 2e-6, s"balanced $l")
+      assert(math.abs(ew - eRaw(l) * k / es) < 2e-6, s"effnum $l")
+    }
+    // the paper's normalization: effective-number weights sum to k
+    assert(math.abs(got.map(_._4).sum - k) < 1e-4)
+    // the balanced heuristic's defining identity: Σ n_c·w_c = n
+    assert(math.abs(got.map(t => t._2 * t._3).sum - n) < 1e-3)
+  }
+
   test("f13: output equals a brute-force JMI greedy over raw bit rows") {
     val n = bitRows.length.toDouble
     val ys = bitRows.map(_._1).distinct.sorted
