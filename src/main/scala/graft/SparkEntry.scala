@@ -140,6 +140,7 @@ object SparkEntry {
     "i03_fcnn_condense"   -> Sim.i03FcnnCondense _,
     "b02_smote_plan"      -> Sim.b02SmotePlan _,
     "b03_class_weights"   -> ReliefQueries.b03ClassWeights _,
+    "s30_stream_class_weights" -> Streams.s30StreamClassWeights _,
     "g02_label_propagation" -> graft.graph.Graph.g02LabelPropagation _,
     "g03_triangle_count"  -> graft.graph.Graph.g03TriangleCount _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
@@ -981,6 +982,25 @@ ${(1 to graft.sim.Sim.FcnnRounds).map(r =>
         |SELECT q.lbl AS true_label, p.pred_label, count(*)::BIGINT AS n
         |FROM pred p JOIN lbl q ON q.vec_id = p.query_id
         |GROUP BY 1, 2""".stripMargin)
+
+  /** b03's census + weight formulas — also the s30 oracle (one
+    * AvailableNow streaming pass must equal batch b03 exactly).
+    */
+  private val b03OracleSql: String =
+    """WITH census AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n_class
+      |  FROM embeddings GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_class) AS BIGINT) AS n, count(*)::BIGINT AS k FROM census),
+      |raw AS (SELECT label, n_class,
+      |  CAST((SELECT n FROM tot) AS DOUBLE)
+      |    / CAST((SELECT k FROM tot) * n_class AS DOUBLE) AS balanced_weight,
+      |  (1 - CAST(0.999 AS DOUBLE))
+      |    / (CAST(1 AS DOUBLE) - power(CAST(0.999 AS DOUBLE), CAST(n_class AS DOUBLE))) AS e_raw
+      |  FROM census),
+      |norm AS (SELECT sum(e_raw) AS es FROM raw)
+      |SELECT label, n_class, round(balanced_weight, 6) AS balanced_weight,
+      |  round(e_raw * CAST((SELECT k FROM tot) AS DOUBLE) / (SELECT es FROM norm), 6)
+      |    AS effnum_weight
+      |FROM raw""".stripMargin
 
   /** g02: the symmetrized transition graph + 5 unrolled synchronous
     * label-propagation layers — all integer weight sums, argmax by
@@ -2826,21 +2846,9 @@ FROM pr10"""
     // i03: seeds + 3 unrolled FCNN rounds replayed.
     "i03_fcnn_condense" -> i03OracleSql,
     // b03: one census + inverse-frequency and effective-number weights.
-    "b03_class_weights" ->
-      """WITH census AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n_class
-        |  FROM embeddings GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n_class) AS BIGINT) AS n, count(*)::BIGINT AS k FROM census),
-        |raw AS (SELECT label, n_class,
-        |  CAST((SELECT n FROM tot) AS DOUBLE)
-        |    / CAST((SELECT k FROM tot) * n_class AS DOUBLE) AS balanced_weight,
-        |  (1 - CAST(0.999 AS DOUBLE))
-        |    / (CAST(1 AS DOUBLE) - power(CAST(0.999 AS DOUBLE), CAST(n_class AS DOUBLE))) AS e_raw
-        |  FROM census),
-        |norm AS (SELECT sum(e_raw) AS es FROM raw)
-        |SELECT label, n_class, round(balanced_weight, 6) AS balanced_weight,
-        |  round(e_raw * CAST((SELECT k FROM tot) AS DOUBLE) / (SELECT es FROM norm), 6)
-        |    AS effnum_weight
-        |FROM raw""".stripMargin,
+    "b03_class_weights" -> b03OracleSql,
+    // s30: one AvailableNow pass must equal batch b03 — same oracle.
+    "s30_stream_class_weights" -> b03OracleSql,
     // b02: bucket prefix + same-class 1-NN + midpoint-mass audit.
     "b02_smote_plan" -> (e05BucketCtes + """,
         |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),

@@ -1061,11 +1061,17 @@ object ReliefQueries {
     * cheapest of the three strategies and the one a loss function
     * consumes directly.
     */
-  def b03ClassWeights(spark: SparkSession, dir: String): DataFrame = {
-    val census = Tables.embeddings(spark, dir)
+  def b03ClassWeights(spark: SparkSession, dir: String): DataFrame =
+    classWeightsFrom(Tables.embeddings(spark, dir)
       .select(col("label").cast("long").as("label"))
-      .groupBy("label").agg(count(lit(1)).as("n_class"))
-      .localCheckpoint(true)
+      .groupBy("label").agg(count(lit(1)).as("n_class")))
+
+  /** The weight arithmetic over a (label, n_class) census frame —
+    * shared by batch b03 and the streaming twin s30 so both paths
+    * compute bit-identical doubles.
+    */
+  private[graft] def classWeightsFrom(censusIn: DataFrame): DataFrame = {
+    val census = censusIn.localCheckpoint(true)
     val tot = census.agg(
       sum("n_class").as("n"), count(lit(1)).cast("long").as("k"))
     val beta = 0.999

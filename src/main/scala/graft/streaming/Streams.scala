@@ -681,6 +681,22 @@ object Streams {
     graft.graph.Graph.pagerankFrom(nodes, counts)
   }
 
+  /** s30: b03's cost-sensitive class weights computed AT INGESTION —
+    * the label census (the only corpus-touching pass) is a
+    * complete-mode streaming groupBy over the embedding firehose
+    * (state = |classes| counters, domain-bounded), and the weight
+    * arithmetic runs at read time through the kernel SHARED with
+    * batch b03 — one AvailableNow pass equals the batch operator
+    * exactly, so the oracle is literally b03's.
+    */
+  def s30StreamClassWeights(spark: SparkSession, dir: String): DataFrame = {
+    val census = fileStream(streamSession(spark), dir, "embeddings.parquet")
+      .select(col("label").cast("long").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_class"))
+    val (s, name) = runToCompletion(census, OutputMode.Complete())
+    graft.ml.ReliefQueries.classWeightsFrom(s.table(name))
+  }
+
   /** s29: e26's fold-split kNN classification with the QUERY fold
     * arriving as a stream — the online-serving deployment of the
     * evaluation loop: the train-fold index (capped buckets, vectors,

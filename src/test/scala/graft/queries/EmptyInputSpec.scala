@@ -202,6 +202,7 @@ class EmptyInputSpec extends SparkSpec {
       "b03" -> (() => graft.ml.ReliefQueries.b03ClassWeights(spark, emptyDir).count()),
       "w27" -> (() => graft.sources.Sinks.w27CompactionPlanner(spark, emptyDir).count()),
       "s29" -> (() => graft.streaming.Streams.s29StreamKnnClassify(spark, emptyDir).count()),
+      "s30" -> (() => graft.streaming.Streams.s30StreamClassWeights(spark, emptyDir).count()),
       "d42b" -> (() => graft.text.Text.d42bBpeTrain(spark, emptyDir).count()),
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),

@@ -161,6 +161,27 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("s30 streamed class weights equal batch b03 (two micro-batches)") {
+    // a complete-mode census is split-invariant by construction —
+    // ANY batch boundary must reproduce batch b03 exactly
+    val got = {
+      val census = twoFileStream("embeddings", "vec_id", "s30")
+        .selectExpr("cast(label as long) as label")
+        .groupBy("label").agg(count(lit(1)).as("n_class"))
+      val q = census.writeStream.format("memory").queryName("s30_spec")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.ml.ReliefQueries.classWeightsFrom(spark.table("s30_spec"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    }
+    val batch = graft.ml.ReliefQueries.b03ClassWeights(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("s17 line scrub is batch-boundary invariant (two micro-batches)") {
     val got = Streams.runLineScrub(sfDir, twoFileStream("documents", "doc_id", "s17"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
