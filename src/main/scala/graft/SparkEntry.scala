@@ -1660,7 +1660,8 @@ FROM pr10"""
         |    CAST(row_number() OVER (
         |      ORDER BY abs((rsum - n1 * (n1 + 1) / 2.0) / (n1 * (n - n1)) - 0.5) DESC,
         |        dim) AS BIGINT) AS rnk
-        |  FROM a)
+        |  -- single-class guard mirrored from the Spark plan
+        |  FROM (SELECT * FROM a WHERE n1 > 0 AND n - n1 > 0) a)
         |WHERE rnk <= 10""".stripMargin,
     // f09b: the binned twin replayed — the same milli-quantized
     // equi-width buckets (f05's integer convention), 2·U₁ in exact
@@ -1687,7 +1688,8 @@ FROM pr10"""
         |  SELECT dim, num2 / (2.0 * n1 * n0) AS auc,
         |    CAST(row_number() OVER (
         |      ORDER BY abs(num2 / (2.0 * n1 * n0) - 0.5) DESC, dim) AS BIGINT) AS rnk
-        |  FROM a)
+        |  -- single-class guard mirrored from the Spark plan
+        |  FROM (SELECT * FROM a WHERE n1 > 0 AND n0 > 0) a)
         |WHERE rnk <= 10""".stripMargin,
     // f06: the same (dim, class) moment sums and F identity replayed.
     "f06_anova_f" ->

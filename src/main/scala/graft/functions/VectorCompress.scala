@@ -88,6 +88,19 @@ case class VectorCompress(child: Expression, selection: Array[Int])
     copy(child = newChild)
 
   override def prettyName: String = "graft_vec_compress"
+
+  // case-class equality on an Array field is identity-based, which
+  // would make two semantically identical expressions never compare
+  // equal — semanticEquals / canonicalization / common-subexpression
+  // elimination would silently miss. Content-compare the selection.
+  override def equals(other: Any): Boolean = other match {
+    case v: VectorCompress =>
+      child == v.child && java.util.Arrays.equals(selection, v.selection)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(selection)
 }
 
 /** Column ↔ Expression bridge for Spark 4 classic. The Scala object
@@ -99,7 +112,14 @@ case class VectorCompress(child: Expression, selection: Array[Int])
   * inside Spark's namespace.
   */
 object ColumnBridge {
-  private val util = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+  private val util =
+    try Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+    catch {
+      case e: ClassNotFoundException => throw new IllegalStateException(
+        "graft requires Spark 4.x classic: " +
+          "org.apache.spark.sql.classic.ExpressionUtils not found on the " +
+          "classpath (Spark Connect-only or a repackaged Spark build?)", e)
+    }
   private val toColumn = util.getMethod("column", classOf[Expression])
   private val toExpression = util.getMethod("expression", classOf[org.apache.spark.sql.Column])
 

@@ -561,6 +561,12 @@ object ReliefQueries {
         sum(when(col("y"), 1L).otherwise(0L)).as("n1"),
         count(lit(1)).as("n"))
     agg
+      // single-class guard: with n1 = 0 or n0 = 0 the Mann-Whitney
+      // denominator is 0 and AUC is undefined (Infinity/NaN would rank
+      // nonsensically and diverge between engines) — such dims carry
+      // no class signal by definition, so they are dropped, mirrored
+      // in the oracle SQL
+      .where(col("n1") > 0 && col("n") > col("n1"))
       .withColumn("auc",
         (col("rsum") - col("n1") * (col("n1") + 1) / 2.0)
           / (col("n1") * (col("n") - col("n1"))))
@@ -611,6 +617,9 @@ object ReliefQueries {
       .groupBy("dim")
       .agg(sum(col("n1b") * (lit(2L) * col("c0") + col("n0b"))).as("num2"),
         sum("n1b").as("n1"), sum("n0b").as("n0"))
+      // single-class guard (same as f09): n1 = 0 or n0 = 0 makes the
+      // division 0/0 — drop the signal-free dims in both engines
+      .where(col("n1") > 0 && col("n0") > 0)
       .withColumn("auc", col("num2") / (lit(2.0) * col("n1") * col("n0")))
     agg
       .withColumn("rnk", row_number().over(

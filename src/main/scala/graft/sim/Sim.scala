@@ -357,15 +357,41 @@ object Sim {
           .as("drift_sq"))
   }
 
-  /** Staging path of the persisted e06 index, keyed by (dir, appId)
-    * like [[graft.sources.Sinks.bucketedStagePath]] so concurrent
-    * sessions never clobber each other's layout. The root defaults to
-    * /tmp; point `spark.graft.ann.indexDir` at shared storage
+  /** Version token of the embeddings input under `dir`: a fold over
+    * the sorted (name, length, mtime) of its parquet files through the
+    * Hadoop FS API. Keys every persisted index path so (a) two dirs
+    * can never collide the way a bare 32-bit `dir.hashCode` could, and
+    * (b) if the data under `dir` is REPLACED within one application
+    * lifetime the token changes and the index rebuilds instead of
+    * serving the stale graph.
+    */
+  private[graft] def dataVersionToken(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files =
+      if (!fs.exists(p)) Seq.empty
+      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    val h = files.sortBy(_.getPath.getName).foldLeft(1125899906842597L) { (acc, s) =>
+      ((acc * 31 + s.getPath.getName.hashCode) * 31 + s.getLen) * 31 +
+        s.getModificationTime
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** Staging path of the persisted e06 index, keyed by (sanitized dir,
+    * data-version token, appId) — the appId like
+    * [[graft.sources.Sinks.bucketedStagePath]] so concurrent sessions
+    * never clobber each other's layout, the version token so replaced
+    * input data rebuilds instead of serving stale. The root defaults
+    * to /tmp; point `spark.graft.ann.indexDir` at shared storage
     * (anything the Hadoop FileSystem API resolves) on a cluster.
     */
   private[graft] def annIndexPath(spark: SparkSession, dir: String): String = {
     val root = spark.conf.get("spark.graft.ann.indexDir", "/tmp")
-    s"$root/graft_ann_index_${Integer.toHexString(dir.hashCode)}_" +
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$root/graft_ann_index_${key}_${dataVersionToken(spark, dir)}_" +
       Integer.toHexString(spark.sparkContext.applicationId.hashCode)
   }
 
@@ -713,7 +739,10 @@ object Sim {
   private[graft] def knnGraphIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val root = spark.conf.get("spark.graft.ann.indexDir", "/tmp")
-    val path = s"$root/graft_knn_graph_${Integer.toHexString(dir.hashCode)}_" +
+    // keyed like annIndexPath: sanitized dir (no 32-bit collision) +
+    // data-version token (replaced input rebuilds, never stale) + appId
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$root/graft_knn_graph_${key}_${dataVersionToken(spark, dir)}_" +
       Integer.toHexString(spark.sparkContext.applicationId.hashCode)
     indexLock.synchronized {
       val fs = new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
