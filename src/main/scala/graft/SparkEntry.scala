@@ -143,6 +143,7 @@ object SparkEntry {
     "s30_stream_class_weights" -> Streams.s30StreamClassWeights _,
     "g02_label_propagation" -> graft.graph.Graph.g02LabelPropagation _,
     "g03_triangle_count"  -> graft.graph.Graph.g03TriangleCount _,
+    "g04_user_pagerank"   -> graft.graph.Graph.g04UserPagerank _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
     "s29_stream_knn_classify" -> Streams.s29StreamKnnClassify _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
@@ -1039,7 +1040,16 @@ SELECT node, community FROM l${graft.graph.Graph.LpaRounds}"""
     * left-join re-assembly — operation order identical to the Spark
     * side so the doubles track to ulps (absorbed by round 6).
     */
-  private val g01OracleSql: String = {
+  /** Shared PageRank replay builder: the 10 damped layers (dangling
+    * mass + contribution join + rebuild, exactly the Spark kernel's
+    * order of operations) over caller-supplied `edges`
+    * (prev_type, next_type, w) and `nodes` (node) CTEs — g01/s28
+    * replay the event-type transition graph, g04 the user handoff
+    * graph, all three by REFERENCE to this builder (the §14.8
+    * shared-CTE discipline: a kernel-oracle change cannot silently
+    * diverge between its consumers).
+    */
+  private def pagerankOracleSql(graphCtes: String, finalSelect: String): String = {
     val layer = (k: Int) => {
       val p = s"pr${k - 1}"
       s"""d$k AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM $p
@@ -1052,7 +1062,17 @@ pr$k AS MATERIALIZED (SELECT n.node,
       + (SELECT dang FROM d$k) / (SELECT n FROM nn)) AS pr
   FROM nodes n LEFT JOIN c$k c ON c.node = n.node)"""
     }
-    s"""WITH x AS (
+    s"""WITH $graphCtes,
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+srcs AS MATERIALIZED (SELECT DISTINCT prev_type AS node FROM edges),
+pr0 AS MATERIALIZED (
+  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+${(1 to 10).map(layer).mkString(",\n")}
+$finalSelect"""
+  }
+
+  private val g01OracleSql: String = pagerankOracleSql(
+    """x AS (
   SELECT user_id, event_type,
     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
   FROM events),
@@ -1061,16 +1081,35 @@ edges AS MATERIALIZED (
     CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY prev_type) AS w
   FROM (SELECT prev_type, event_type AS next_type, count(*) AS n_trans
         FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2)),
-nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
-nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
-srcs AS MATERIALIZED (SELECT DISTINCT prev_type AS node FROM edges),
-pr0 AS MATERIALIZED (
-  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
-${(1 to 10).map(layer).mkString(",\n")}
-SELECT node, round(pr, 6) AS pr,
+nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events)""",
+    """SELECT node, round(pr, 6) AS pr,
   CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS BIGINT) AS rank
-FROM pr10"""
-  }
+FROM pr10""")
+
+  // g04: the user-handoff graph — same kernel layers by reference;
+  // edges from consecutive DIFFERENT-user events in each (item, day)
+  // activity stream, nodes = every user, final select = top-20 only
+  // (the Spark side's TakeOrderedAndProject cut, rank on rounded pr).
+  private val g04OracleSql: String = pagerankOracleSql(
+    """x AS (
+  SELECT user_id,
+    lag(user_id) OVER (
+      PARTITION BY CAST(json_extract_string(props, '$.k') AS BIGINT),
+                   CAST(ts AS DATE)
+      ORDER BY ts, event_id) AS prev_user
+  FROM events),
+edges AS MATERIALIZED (
+  SELECT prev_type, next_type,
+    CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY prev_type) AS w
+  FROM (SELECT prev_user AS prev_type, user_id AS next_type, count(*) AS n_trans
+        FROM x WHERE prev_user IS NOT NULL AND prev_user <> user_id
+        GROUP BY 1, 2)),
+nodes AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events)""",
+    s"""SELECT user_id, pr, rank FROM (
+  SELECT node AS user_id, round(pr, 6) AS pr,
+    CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS BIGINT) AS rank
+  FROM pr10)
+WHERE rank <= ${graft.graph.Graph.TopUsers}""")
 
   private val d42bOracleSql: String = bpeOracleSql(minLen = 2,
     (1 to graft.text.Text.BpeMerges).map(i => s"SELECT * FROM o$i")
@@ -2889,6 +2928,7 @@ FROM pr10"""
     // g01: the full 10-iteration damped power iteration replayed
     // layer by layer over q39's transition frame.
     "g01_transition_pagerank" -> g01OracleSql,
+    "g04_user_pagerank" -> g04OracleSql,
     // g02: 5 synchronous LPA layers, integer weight sums throughout.
     "g02_label_propagation" -> g02OracleSql,
     // w27: stats rollup + exclusive-cumsum next-fit packing, all

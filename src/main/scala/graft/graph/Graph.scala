@@ -56,11 +56,14 @@ object Graph {
 
   /** The shared damped power-iteration kernel over (nodes,
     * edge-count) frames — g01 feeds it q39's batch census, s28 the
-    * streamed transition census; the w normalization (row-stochastic
-    * per source, q39's p_trans formula) lives HERE so both paths
-    * compute bit-identical weights.
+    * streamed transition census, g04 the user-handoff census; the w
+    * normalization (row-stochastic per source, q39's p_trans formula)
+    * lives HERE so all paths compute bit-identical weights. Returns
+    * the UNROUNDED (node, pr) frame; rank layers live in
+    * [[pagerankFrom]] (global rank — domain-bounded graphs only) and
+    * [[pagerankTopN]] (top-N merge — the unbounded-domain path).
     */
-  private[graft] def pagerankFrom(
+  private[graft] def pagerankScores(
       nodesIn: DataFrame, counts: DataFrame): DataFrame = {
     val edges = counts
       .select(col("prev_type"), col("next_type"),
@@ -93,9 +96,83 @@ object Graph {
       // frames are 5 rows; the jobs, not the data, were the bill)
       if (it % 2 == 0 || it == PrIters) pr = pr.localCheckpoint(true)
     }
-    pr.select(col("node"), round(col("pr"), 6).as("pr"))
+    pr
+  }
+
+  /** [[pagerankScores]] + a GLOBAL dense rank over every node.
+    *
+    * DOMAIN-BOUNDED GRAPHS ONLY: the final `row_number` over an
+    * unpartitioned window is a single-partition sort of the whole node
+    * frame — safe for g01/g02/s28 because their nodes are event TYPES
+    * (|nodes| = |types|, a constant), a scale-killer the moment the
+    * kernel is pointed at user-level graphs. For those, [[pagerankTopN]]
+    * ranks through a top-N-per-partition merge (TakeOrderedAndProject)
+    * and never sorts the node frame globally — g04 is the proof case.
+    */
+  private[graft] def pagerankFrom(
+      nodesIn: DataFrame, counts: DataFrame): DataFrame =
+    pagerankScores(nodesIn, counts)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("pr").desc, col("node"))).cast("long"))
+
+  /** [[pagerankScores]] + top-N by (pr desc, node) — the
+    * unbounded-domain rank path: `orderBy(...).limit(n)` plans as
+    * TakeOrderedAndProject (per-partition heap of n rows, merged once
+    * — no global sort, no single-partition shuffle of the node frame;
+    * pinned in PlanSpec), and only the BOUNDED n-row result takes a
+    * final in-memory rank window. pr is rounded to 6 BEFORE the cut so
+    * both the selection and the rank see the same cross-engine-stable
+    * values (the g01 convention).
+    */
+  private[graft] def pagerankTopN(
+      nodesIn: DataFrame, counts: DataFrame, n: Int): DataFrame = {
+    val top = pagerankScores(nodesIn, counts)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("node")).limit(n)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("pr").desc, col("node"))).cast("long"))
+  }
+
+  /** Output size of g04's leaderboard. */
+  val TopUsers = 20
+
+  /** g04: PageRank over the USER-level interaction graph — the
+    * unbounded-node-domain member of the g-family (|users| grows with
+    * the corpus: 15 → 150 → 1500 across the shipped SFs, millions on a
+    * real log). Edges are item-stream handoffs: within each
+    * (item = props.k, day) activity stream ordered by (ts, event_id),
+    * consecutive events by DIFFERENT users contribute one
+    * prev_user → user edge (the "who follows whom on the same object"
+    * graph a marketplace/social pipeline ranks by). Same damped
+    * kernel as g01 ([[pagerankScores]]); the rank is [[pagerankTopN]]
+    * — top-[[TopUsers]] by (pr desc, user_id). Output:
+    * (user_id, pr rounded 6, rank).
+    *
+    * Scale shape: the handoff window partitions by (item, day) — key
+    * count grows with catalog size × ingestion horizon, per-key size
+    * is one item's daily activity (bounded by attention, not corpus) —
+    * then map-side-combines to the edge census. Each kernel iteration
+    * is a keyed shuffle join on the edge frame (NOT broadcast — the
+    * node frame is unbounded). The only global ordering anywhere is
+    * the TakeOrderedAndProject top-N merge; no single-partition sort
+    * of the node frame exists in the plan (PlanSpec-pinned).
+    */
+  def g04UserPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        to_date(col("ts")).as("day"))
+    val w = Window.partitionBy("item", "day").orderBy(col("ts"), col("event_id"))
+    val counts = ev
+      .withColumn("prev_user", lag("user_id", 1).over(w))
+      .where(col("prev_user").isNotNull && col("prev_user") =!= col("user_id"))
+      .groupBy(col("prev_user").as("prev_type"), col("user_id").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val nodes = Tables.events(spark, dir)
+      .select(col("user_id").as("node")).distinct()
+    pagerankTopN(nodes, counts, TopUsers)
+      .select(col("node").as("user_id"), col("pr"), col("rank"))
   }
 
   /** Synchronous label-propagation rounds for g02. */

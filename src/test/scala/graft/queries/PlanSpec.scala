@@ -237,4 +237,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("g04: unbounded-node rank is a TakeOrderedAndProject merge, not a global sort") {
+    // the kernel's unbounded-domain rank path (pagerankTopN): the ONLY
+    // ordering of the node frame is the top-N-per-partition merge;
+    // the final rank window runs over the already-limited 20-row frame
+    val plan = explain(graft.graph.Graph.g04UserPagerank(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // no free-standing Sort node anywhere: the node frame is never
+    // globally sorted (the 20-row rank window sorts in-memory inside
+    // WindowExec; TakeOrderedAndProject keeps per-partition heaps)
+    assert(!plan.contains("+- Sort "), plan)
+    assert(!plan.contains("- Sort ("), plan)
+    // the one rank Window sits directly ABOVE the TakeOrdered cut —
+    // it ranks the bounded 20-row result, not the unbounded pr frame
+    val tree = plan.linesIterator.takeWhile(!_.startsWith("(")).mkString("\n")
+    val windowLine = tree.linesIterator.indexWhere(_.contains("Window"))
+    val takeLine = tree.linesIterator.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(windowLine >= 0 && takeLine == windowLine + 1,
+      s"rank window must sit directly above the TakeOrderedAndProject cut:\n$plan")
+  }
 }
