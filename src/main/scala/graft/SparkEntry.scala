@@ -140,6 +140,7 @@ object SparkEntry {
     "i03_fcnn_condense"   -> Sim.i03FcnnCondense _,
     "b02_smote_plan"      -> Sim.b02SmotePlan _,
     "b03_class_weights"   -> ReliefQueries.b03ClassWeights _,
+    "b04_null_label_clean" -> ReliefQueries.b04NullLabelClean _,
     "s30_stream_class_weights" -> Streams.s30StreamClassWeights _,
     "g02_label_propagation" -> graft.graph.Graph.g02LabelPropagation _,
     "g03_triangle_count"  -> graft.graph.Graph.g03TriangleCount _,
@@ -2888,6 +2889,25 @@ WHERE rank <= ${graft.graph.Graph.TopUsers}""")
     "i03_fcnn_condense" -> i03OracleSql,
     // b03: one census + inverse-frequency and effective-number weights.
     "b03_class_weights" -> b03OracleSql,
+    // b04: cleanLabelCol replayed — null injection on the same id
+    // gate, MISSING sentinel, frequencyDesc indexing (ties break
+    // alphabetically ascending, Spark StringIndexer's documented order)
+    "b04_null_label_clean" ->
+      s"""WITH dirty AS (
+        |  SELECT CASE WHEN vec_id % 17 = 0 THEN NULL
+        |              ELSE CAST(label AS VARCHAR) END AS label
+        |  FROM embeddings),
+        |cleaned AS (
+        |  SELECT coalesce(label, '${graft.ml.ReliefQueries.MissingLabel}')
+        |    AS label_clean
+        |  FROM dirty),
+        |counts AS (SELECT label_clean, count(*)::BIGINT AS n
+        |           FROM cleaned GROUP BY 1)
+        |SELECT label_clean,
+        |  CAST(row_number() OVER (ORDER BY n DESC, label_clean) - 1 AS DOUBLE)
+        |    AS label_idx,
+        |  n
+        |FROM counts""".stripMargin,
     // s30: one AvailableNow pass must equal batch b03 — same oracle.
     "s30_stream_class_weights" -> b03OracleSql,
     // b02: bucket prefix + same-class 1-NN + midpoint-mass audit.

@@ -1055,6 +1055,74 @@ object ReliefQueries {
         coalesce(col("extra_id_sum"), lit(0L)).as("extra_id_sum"))
   }
 
+  /** The reference's missing-label sentinel (reference
+    * TestHelper.scala:27): null labels become this literal CLASS —
+    * the reference keeps dirty rows as their own label through
+    * StringIndexer rather than dropping or failing.
+    */
+  val MissingLabel = "__MISSING_VALUE__"
+
+  /** Null-label ingestion cleaning — the reference's
+    * `TestHelper.cleanLabelCol` contract (TestHelper.scala:91-96):
+    * null labels → [[MissingLabel]] in `<labelCol>_CLEAN`, then a
+    * frequencyDesc StringIndexer writes the numeric class to
+    * `<labelCol>_IDX` (most frequent label = 0.0; frequency ties
+    * break alphabetically ascending — Spark's documented
+    * StringIndexer order). A user feeding CSVs with null labels gets
+    * DEFINED behavior: the dirty rows survive the fit as one extra
+    * class instead of poisoning it.
+    */
+  def cleanLabelCol(df: DataFrame, labelCol: String): DataFrame = {
+    import org.apache.spark.ml.feature.StringIndexer
+    val cleaned = df.withColumn(s"${labelCol}_CLEAN",
+      when(col(labelCol).isNull, lit(MissingLabel))
+        .otherwise(col(labelCol).cast("string")))
+    new StringIndexer()
+      .setInputCol(s"${labelCol}_CLEAN").setOutputCol(s"${labelCol}_IDX")
+      .setStringOrderType("frequencyDesc")
+      .fit(cleaned).transform(cleaned)
+  }
+
+  /** Null-numeric cleaning — the reference's
+    * `TestHelper.cleanNumericCols` contract (TestHelper.scala:98-104):
+    * null numeric cells → Double.NaN, in place (the reference writes a
+    * `_CLEAN` copy column; the VALUES are identical — documented
+    * divergence, the assembler consumes the cleaned column either
+    * way). NaN features survive assembly; like the reference, a fit
+    * over rows whose vectors carry NaN is undefined (NaN distances) —
+    * the contract is that ingestion never throws and the dirt is
+    * VISIBLE (NaN, not silent zero) for an upstream quality gate such
+    * as d03/s07 to filter.
+    */
+  def cleanNumericCols(df: DataFrame, numericCols: Seq[String]): DataFrame =
+    numericCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c).isNull, lit(Double.NaN))
+        .otherwise(col(c).cast("double"))))
+
+  /** b04: the null-label ingestion census — the observable surface of
+    * [[cleanLabelCol]] as an operator: labels go dirty on a
+    * deterministic subset (vec_id % 17 = 0 → null, standing in for
+    * the dirty CSV rows the reference's null-label fixture models),
+    * the cleaning + frequencyDesc indexing runs, and the output is
+    * one row per CLEANED class: (label_clean, label_idx, n) — the
+    * census a user checks before trusting a fit on dirty data (is the
+    * MISSING class small? did indexing stay stable?).
+    *
+    * Scale shape: one map-side-combining census (≤ |labels|+1 rows);
+    * StringIndexer's fit is itself one countByValue pass. Nothing
+    * here scales with anything but class cardinality.
+    */
+  def b04NullLabelClean(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        when(col("vec_id") % 17 === 0, lit(null))
+          .otherwise(col("label").cast("string")).as("label"))
+    cleanLabelCol(dirty, "label")
+      .groupBy(col("label_CLEAN").as("label_clean"),
+        col("label_IDX").as("label_idx"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** b03: cost-sensitive class weights — the third imbalance strategy
     * next to b01 (oversample) and b02 (synthesize): reweight instead
     * of resample. Two standard schemes per class, both from the same

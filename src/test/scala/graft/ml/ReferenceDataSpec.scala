@@ -382,6 +382,66 @@ class ReferenceDataSpec extends SparkSpec {
     assert(fitX(df.repartition(3)).stdSelection.toSet == Set(4, 6))
   }
 
+  test("null-label CSV ingestion: the reference cleanLabelCol/cleanNumericCols contract") {
+    // the reference's dirty-CSV path (TestHelper.scala:91-104 +
+    // readNullLabelTestData): null labels become the
+    // __MISSING_VALUE__ class through a frequencyDesc StringIndexer
+    // (NOT dropped, NOT a crash), null numerics become NaN (visible
+    // dirt, not silent zero). Build the fixture the reference models:
+    // a CSV with empty label and numeric cells.
+    val f = java.nio.file.Files.createTempFile("graft_null_label", ".csv")
+    val rnd = new scala.util.Random(11)
+    val lines = "label,f0,f1,f2" +: (0 until 60).map { i =>
+      val lbl = if (i % 10 == 7) "" else (i % 2).toString // 6 null labels
+      val f0 = if (lbl == "1") 3.0 + rnd.nextGaussian() * 0.1
+               else 1.0 + rnd.nextGaussian() * 0.1
+      val f1 = if (i == 13) "" else f"${rnd.nextDouble()}%.4f" // 1 null numeric
+      f"$lbl,$f0%.4f,$f1,${rnd.nextDouble()}%.4f"
+    }
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    val raw = spark.read.option("header", "true").csv(f.toString)
+
+    // label contract: null → MISSING class, frequencyDesc indexing
+    val cleaned = ReliefQueries.cleanLabelCol(raw, "label")
+    val census = cleaned.groupBy("label_CLEAN", "label_IDX").count()
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(census.exists(_._1 == ReliefQueries.MissingLabel),
+      s"missing-label class absent: $census")
+    assert(census.size == 3, s"expected 3 classes (0, 1, MISSING): $census")
+    val missIdx = census.find(_._1 == ReliefQueries.MissingLabel).get._2
+    assert(missIdx == 2.0, // 6 rows — least frequent of the three
+      s"MISSING should index last under frequencyDesc: $census")
+
+    // numeric contract: null → NaN, visible, assembly survives
+    val nums = ReliefQueries.cleanNumericCols(cleaned, Seq("f0", "f1", "f2"))
+    assert(nums.where(isnan(col("f1"))).count() == 1)
+    assert(nums.where(col("f1").isNull).count() == 0)
+
+    // the fit consumes the cleaned label as its own class: drop the
+    // one NaN-feature row (the documented upstream-gate step — NaN
+    // distances are undefined in BOTH engines), fit, and pin
+    // determinism + that all three classes participate
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("f0", "f1", "f2")).setOutputCol("features")
+      .transform(nums.where(!isnan(col("f1")))
+        .select(col("label_IDX").as("label"),
+          col("f0").cast("double"), col("f1").cast("double"),
+          col("f2").cast("double")))
+      .select("label", "features")
+    def fitN(d: org.apache.spark.sql.DataFrame) = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(1).setNumNeighbors(3)
+      .setEstimationRatio(1.0).setBatchSize(0.5)
+      .setDiscreteData(false).setSeed(123456789L)
+      .fit(d)
+    val m = fitN(assembled)
+    assert(m.stdSelection.toSeq == Seq(0),
+      s"informative feature not recovered on the cleaned frame: ${m.stdSelection.mkString(",")}")
+    assert(fitN(assembled.repartition(3)).stdSelection.toSeq == m.stdSelection.toSeq,
+      "null-label fit not partition-invariant")
+    java.nio.file.Files.delete(f)
+  }
+
   test("Parity3+3: RELIEF recovers the relevant+redundant block over the noise") {
     // DatasetsKAIS/Parity3+3.csv (64×12, class = parity(f0,f1,f2);
     // f3-f5 are exact duplicates of f0-f2, f6-f11 noise — verified
