@@ -131,6 +131,7 @@ object SparkEntry {
     "e24_ivf_repair"      -> Sim.e24IvfRepair _,
     "e25_graph_serve"     -> Sim.e25GraphServe _,
     "i01_enn_filter"      -> Sim.i01EnnFilter _,
+    "i04_edited_relief"   -> ReliefQueries.i04EditedRelief _,
     "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
     "s28_stream_pagerank" -> Streams.s28StreamPagerank _,
     "w26_bloom_skipping"  -> graft.sources.Sinks.w26BloomSkipping _,
@@ -946,6 +947,29 @@ ${(1 to graft.sim.Sim.FcnnRounds).map(r =>
       s"UNION ALL SELECT round, n_prototypes, n_misclassified, added_id_sum FROM a$r")
         .mkString("\n")}"""
   }
+
+  /** i01's ENN vote layer over the e05 kNN replay, ending at the
+    * agg/other CTEs — the i01 oracle's final select and i04's
+    * flagged-id subquery both build on this one chain, so the editing
+    * rule cannot silently diverge between the census and the
+    * composed fit.
+    */
+  private val i01VoteCtes: String = e05KnnCtes + """,
+        |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
+        |votes AS (
+        |  SELECT k.query_id, l.lbl AS nlbl, count(*)::BIGINT AS c
+        |  FROM knn k JOIN lbl l ON l.vec_id = k.neighbor_id
+        |  GROUP BY 1, 2),
+        |own AS (SELECT v.*, q.lbl FROM votes v JOIN lbl q ON q.vec_id = v.query_id),
+        |agg AS (
+        |  SELECT query_id, lbl,
+        |    CAST(sum(c) AS BIGINT) AS n_neighbors,
+        |    CAST(sum(CASE WHEN nlbl = lbl THEN c ELSE 0 END) AS BIGINT) AS n_same
+        |  FROM own GROUP BY 1, 2),
+        |other AS (
+        |  SELECT query_id, nlbl AS other_label, c AS n_other,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nlbl) AS rn
+        |  FROM own WHERE nlbl <> lbl)""".stripMargin
 
   /** e26's full fold-split classification replay — also the s29
     * oracle (one AvailableNow pass of the query stream must equal
@@ -2839,24 +2863,17 @@ WHERE rank <= ${graft.graph.Graph.TopUsers}""")
     // i01: e05's whole bucketed kNN construction replayed (shared
     // CTEs), then the ENN plurality vote — per-query same/other label
     // tallies, the top outvoting label, flag where it strictly wins.
-    "i01_enn_filter" -> (e05KnnCtes + """,
-        |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
-        |votes AS (
-        |  SELECT k.query_id, l.lbl AS nlbl, count(*)::BIGINT AS c
-        |  FROM knn k JOIN lbl l ON l.vec_id = k.neighbor_id
-        |  GROUP BY 1, 2),
-        |own AS (SELECT v.*, q.lbl FROM votes v JOIN lbl q ON q.vec_id = v.query_id),
-        |agg AS (
-        |  SELECT query_id, lbl,
-        |    CAST(sum(c) AS BIGINT) AS n_neighbors,
-        |    CAST(sum(CASE WHEN nlbl = lbl THEN c ELSE 0 END) AS BIGINT) AS n_same
-        |  FROM own GROUP BY 1, 2),
-        |other AS (
-        |  SELECT query_id, nlbl AS other_label, c AS n_other,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nlbl) AS rn
-        |  FROM own WHERE nlbl <> lbl)
+    "i01_enn_filter" -> (i01VoteCtes + """
         |SELECT a.query_id AS vec_id, a.lbl AS label, a.n_neighbors, a.n_same,
         |  o.other_label, o.n_other
+        |FROM agg a JOIN other o ON o.query_id = a.query_id AND o.rn = 1
+        |WHERE o.n_other > a.n_same""".stripMargin),
+    // i04: the i01 ENN replay (by reference, as a nested id subquery)
+    // composed into the full relief_weights pipeline on the edited
+    // instance set — sampling/priors/kNN all rerun post-edit.
+    "i04_edited_relief" ->
+      graft.ml.ReliefOracle.weightsEditedSql(i01VoteCtes + """
+        |SELECT a.query_id AS vec_id
         |FROM agg a JOIN other o ON o.query_id = a.query_id AND o.rn = 1
         |WHERE o.n_other > a.n_same""".stripMargin),
     // i02: e05's construction + 1-NN re-rank, mutual self-join,

@@ -272,6 +272,22 @@ std AS (SELECT (row_number() OVER (ORDER BY w DESC, feature))::INTEGER AS rank,
     "fin AS (SELECT feature::INTEGER AS feature, round(w, 6) AS weight FROM nw)\n" +
     "SELECT feature, weight FROM fin ORDER BY feature"
 
+  /** relief_weights on an instance SUBSET — i04's composed pipeline:
+    * the SAME shared fit replay over embeddings minus the ids the
+    * caller's query flags (i04 passes the complete i01 ENN replay,
+    * itself a WITH query — nested-subquery scoping keeps its CTE
+    * names out of this pipeline's namespace, so the substrate oracle
+    * composes by reference, never by copy). Priors, sampling gate,
+    * batching and kNN all rerun on the edited instance set, exactly
+    * like the Scala fit on the anti-joined frame.
+    */
+  def weightsEditedSql(excludeIdsSql: String): String = coreCtesFor(
+    "SELECT vec_id AS id, label::DOUBLE AS lbl, embedding::DOUBLE[] AS v " +
+      s"FROM embeddings WHERE vec_id NOT IN ($excludeIdsSql)",
+    "nid") +
+    "fin AS (SELECT feature::INTEGER AS feature, round(w, 6) AS weight FROM nw)\n" +
+    "SELECT feature, weight FROM fin ORDER BY feature"
+
   /** relief_select / relief_persist: both rankings side by side. */
   def selectSql: String = coreCtes + greedyCtes + "\n" +
     "SELECT s.rank, s.f AS std_feature, r.f AS redundancy_feature\n" +

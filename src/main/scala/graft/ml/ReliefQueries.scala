@@ -23,6 +23,15 @@ object ReliefQueries {
       array_to_vector(col("embedding")).as("features"))
 
   private def fitSelector(spark: SparkSession, dir: String,
+      redundancy: Boolean, contentIdentity: Boolean = false): ReliefFRSelectorModel =
+    fitSelectorOn(spark, assembled(spark, dir), redundancy, contentIdentity)
+
+  /** The shared fit with the instance frame pluggable — [[fitSelector]]
+    * feeds it the raw corpus, [[i04EditedRelief]] the ENN-edited one;
+    * params/seed/identity are identical so the two fits differ ONLY
+    * through the instance set.
+    */
+  private def fitSelectorOn(spark: SparkSession, data: DataFrame,
       redundancy: Boolean, contentIdentity: Boolean = false): ReliefFRSelectorModel = {
     val sel = new ReliefFRSelector()
       .setInputCol("features").setLabelCol("label").setOutputCol("selected")
@@ -40,7 +49,6 @@ object ReliefQueries {
     // linear-in-corpus production posture. Affects weights only
     // through which queries are sampled, so it's a bench/scale knob,
     // not a correctness one (leave unset for oracle runs).
-    val data = assembled(spark, dir)
     spark.conf.getOption("spark.graft.relief.queryBudget").foreach { v =>
       val n = data.count()
       if (n > 0) sel.setEstimationRatio(math.min(1.0, v.toDouble / n))
@@ -76,6 +84,33 @@ object ReliefQueries {
     */
   def reliefWeightsContent(spark: SparkSession, dir: String): DataFrame = {
     val m = fitSelector(spark, dir, redundancy = false, contentIdentity = true)
+    import spark.implicits._
+    m.featureWeights.zipWithIndex
+      .map { case (w, f) => (f, w) }.toSeq.toDF("feature", "weight")
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+  }
+
+  /** i04: the composed instance-selection → RELIEF pipeline — the
+    * workflow the reference author's ISAlgorithms companion framework
+    * runs (noise-filter the instances FIRST, then weight features):
+    * i01's ENN flags ([[graft.sim.Sim.i01EnnFilter]] — plurality label
+    * of the k=3 capped-LSH neighbors strictly outvoting the own label)
+    * are removed by anti-join, and the SAME fit as relief_weights
+    * (params, seed, vec_id identity — [[fitSelectorOn]]) runs on the
+    * edited corpus. Output: (feature, weight round 6), directly
+    * comparable row-for-row against relief_weights — the delta IS the
+    * editing's effect. On a noise-planted corpus the edited fit
+    * provably recovers structure the raw fit loses
+    * (ReferenceDataSpec's XOR100-with-noise test).
+    *
+    * Scale shape: i01's shape (capped-bucket kNN, id-only shuffles) +
+    * one anti-join on vec_id + the relief fit's linear-in-queries
+    * pass; the composition adds no new pair surface.
+    */
+  def i04EditedRelief(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = graft.sim.Sim.i01EnnFilter(spark, dir).select("vec_id")
+    val edited = assembled(spark, dir).join(flagged, Seq("vec_id"), "left_anti")
+    val m = fitSelectorOn(spark, edited, redundancy = false)
     import spark.implicits._
     m.featureWeights.zipWithIndex
       .map { case (w, f) => (f, w) }.toSeq.toDF("feature", "weight")

@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -283,6 +284,99 @@ class ReliefSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"transform plan fell back to a UDF:\n$plan")
     assert(plan.contains("graft_vec_compress"),
       s"expression missing from plan:\n$plan")
+  }
+
+  test("i04 composition: ENN editing restores recovery a noise-planted raw fit loses") {
+    // the composed instance-selection → RELIEF property (the reference
+    // author's ISAlgorithms-companion workflow, i04's reason to
+    // exist): on a CLUSTERED corpus with planted label noise, Wilson
+    // editing removes the noise and the edited fit recovers the
+    // informative pair the raw fit loses. Corpus: 120 rows, f0/f1
+    // informative (+3.0 separation), f2..f7 N(0,1) noise, labels
+    // FLIPPED on every 5th row (20% planted noise — enough to break
+    // the raw fit, measured).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val clean = (0 until 120).map { i =>
+      val label = (i % 2).toDouble
+      val fs = Array.fill(8)(rnd.nextGaussian())
+      fs(0) += 3.0 * label; fs(1) += 3.0 * label
+      (i.toLong, label, fs)
+    }
+    val planted = clean.map { case (id, l, fs) =>
+      (id, if (id % 5 == 0) 1.0 - l else l, fs) }
+    val flipped = planted.filter(_._1 % 5 == 0).map(_._1).toSet
+    val df = planted.map { case (id, l, fs) => (id, l, Vectors.dense(fs)) }
+      .toDF("vec_id", "label", "features")
+
+    // Wilson ENN (the i01 rule: plurality of the k=5 nearest
+    // neighbors strictly outvoting the own label), exact kNN — the
+    // 120-row spec replay of the capped-LSH substrate's vote
+    val rows = planted
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }; s
+    }
+    val flagged = rows.filter { case (i, li, fi) =>
+      val nn = rows.filter(_._1 != i)
+        .sortBy { case (jd, _, fj) => (dist2(fi, fj), jd) }.take(5)
+      val same = nn.count(_._2 == li)
+      (nn.length - same) > same
+    }.map(_._1).toSet
+    // editing precision on the planted corpus: catches ≥ 80% of the
+    // flips, false-flags only boundary rows
+    assert((flagged & flipped).size >= (flipped.size * 0.8).toInt,
+      s"ENN missed too many planted flips: caught ${(flagged & flipped).size}/${flipped.size}")
+    assert((flagged -- flipped).size <= 10, // boundary rows of the 3σ overlap
+      s"ENN false-flagged too many clean rows: ${(flagged -- flipped).size}")
+
+    def fitOn(d: DataFrame) = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(2).setNumNeighbors(3)
+      .setEstimationRatio(1.0).setBatchSize(0.5)
+      .setDiscreteData(false).setSeed(123456789L)
+      .setInstanceIdCol("vec_id")
+      .fit(d)
+    val raw = fitOn(df)
+    val edited = fitOn(df.where(!col("vec_id").isin(flagged.toSeq: _*)))
+    info(s"raw top-2: ${raw.stdSelection.mkString(",")}; " +
+      s"edited top-2: ${edited.stdSelection.mkString(",")}")
+    // the pinned property: the edited fit recovers the informative
+    // pair exactly; the raw fit, at this noise level, does not
+    assert(edited.stdSelection.toSet == Set(0, 1),
+      s"edited fit failed to recover: ${edited.stdSelection.mkString(",")}")
+    assert(raw.stdSelection.toSet != Set(0, 1),
+      s"raw fit unexpectedly recovered despite 20% noise: ${raw.stdSelection.mkString(",")}")
+  }
+
+  test("ENN's locality precondition, measured: Wilson editing cannot clean XOR100") {
+    // the honest boundary of the i04 composition (and why its spec
+    // corpus above is clustered): on XOR-in-99-noise-bits data the
+    // class signal is 2 of 99 bits, neighborhoods are ~random, and
+    // Wilson's rule flags ~60% of ALL rows instead of the noise —
+    // instance selection needs local label coherence BEFORE feature
+    // selection has removed the noise dims (the classic IS↔FS
+    // chicken-and-egg, observed directly). Pin the measured blast
+    // radius so nobody "fixes" i04 by pointing it at data like this.
+    val raw = spark.read.option("inferSchema", "true")
+      .csv("/root/reference/src/test/resources/data/DatasetsKAIS/XOR100.csv")
+    val rows = raw.collect().map { r =>
+      val vals = (0 until r.length).map(j => r.get(j).toString.toDouble).toArray
+      (vals.last.toLong, vals.dropRight(1))
+    }.zipWithIndex.map { case ((l, fs), i) => (i.toLong, l, fs) }.toSeq
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }; s
+    }
+    val flagged = rows.filter { case (i, li, fi) =>
+      val nn = rows.filter(_._1 != i)
+        .sortBy { case (jd, _, fj) => (dist2(fi, fj), jd) }.take(5)
+      val same = nn.count(_._2 == li)
+      (nn.length - same) > same
+    }
+    info(s"ENN flags ${flagged.size}/${rows.size} of CLEAN XOR100")
+    assert(flagged.size > rows.size / 2,
+      "expected Wilson editing to misfire on parity data — did the corpus change?")
   }
 
   test("relief_knn matches a brute-force local computation") {
