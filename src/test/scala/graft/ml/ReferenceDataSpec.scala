@@ -382,6 +382,113 @@ class ReferenceDataSpec extends SparkSpec {
     assert(fitX(df.repartition(3)).stdSelection.toSet == Set(4, 6))
   }
 
+  /** Fit for the DatasetsKAIS ground-truth family (class-last CSVs):
+    * reference-suite params (k=10 neighbors, full estimation) with the
+    * discreteness of the data supplied per dataset.
+    */
+  private def fitKais(df: DataFrame, top: Int, discrete: Boolean,
+      k: Int = 10): ReliefFRSelectorModel =
+    new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(top).setNumNeighbors(k)
+      .setEstimationRatio(1.0).setBatchSize(0.5)
+      .setDiscreteData(discrete).setSeed(123456789L)
+      .fit(df)
+
+  test("LED noise ladder: segment recovery degrades gracefully, never collapses") {
+    // Led{25,100}n{0,10,20}: 7 LED segments (features 0-6) + 17/92
+    // noise features, 10 digit classes, 50 rows, n% noise — the KAIS
+    // review's robustness-under-noise curve, the property the RELIEF
+    // family exists to demonstrate. Measure |top-7 ∩ segments| at
+    // each (dimensionality, noise) cell and pin the curve.
+    val cells = for {
+      dim <- Seq("25", "100")
+      noise <- Seq("0", "10", "20")
+    } yield {
+      val df = loadClassLastCsv("/root/reference/src/test/resources/data/" +
+        s"DatasetsKAIS/Led${dim}n$noise.csv")
+      val m = fitKais(df, top = 7, discrete = true)
+      val rec = m.stdSelection.count(_ < 7)
+      info(s"Led${dim}n$noise: top-7 = ${m.stdSelection.mkString(",")} → $rec/7 segments")
+      ((dim, noise), rec, m)
+    }
+    val recovery = cells.map { case (k, r, _) => k -> r }.toMap
+    info(s"recovery curve: $recovery")
+    // the MEASURED degradation curve, pinned exactly (deterministic
+    // fit): at 24 features the segment panel survives 20% noise
+    // untouched (6/7 at every level — segment 5 sits just under the
+    // cut even clean, a 50-row sampling artifact); at 99 features the
+    // same noise erodes recovery 6 → 5 → 4 — noise hurts more where
+    // there are more dims to confuse it with, the KAIS review's
+    // dimensionality × noise interaction observed directly
+    assert(recovery == Map(
+      ("25", "0") -> 6, ("25", "10") -> 6, ("25", "20") -> 6,
+      ("100", "0") -> 6, ("100", "10") -> 5, ("100", "20") -> 4),
+      s"degradation curve drifted: $recovery")
+    for (dim <- Seq("25", "100"))
+      assert(Seq("0", "10", "20").map(n => recovery((dim, n)))
+        .sliding(2).forall(w => w(0) >= w(1)),
+        s"recovery must not improve with noise: $recovery")
+    // partition invariance on the hardest cell
+    val hard = loadClassLastCsv(
+      "/root/reference/src/test/resources/data/DatasetsKAIS/Led100n20.csv")
+    val m1 = fitKais(hard, top = 7, discrete = true)
+    assert(fitKais(hard.repartition(3), top = 7, discrete = true)
+      .stdSelection.toSeq == m1.stdSelection.toSeq,
+      "LED fit not partition-invariant")
+  }
+
+  test("Corral: the relevant block is recovered; the 75%-correlated trap is measured") {
+    // Corral (32×6, class = (A0∧A1)∨(B0∧B1)): features 0-3 relevant,
+    // 4 irrelevant, 5 correlated with the class 75% of the time — the
+    // John/Kohavi/Pfleger trap feature most filters rank FIRST.
+    val df = loadClassLastCsv(
+      "/root/reference/src/test/resources/data/DatasetsKAIS/Corral.csv")
+    val m = fitKais(df, top = 6, discrete = true, k = 5)
+    val ranking = m.stdSelection.toSeq
+    info(s"Corral ranking: ${ranking.mkString(",")}")
+    // the MEASURED full ranking, pinned: the 75%-correlated trap
+    // feature ranks FIRST (nearest neighbors mostly agree with a
+    // feature that is right 75% of the time — RELIEF falls into the
+    // John/Kohavi/Pfleger trap exactly as the review reports for
+    // every filter), the full relevant block fills ranks 2-5, and the
+    // irrelevant feature is dead last. The trap is the documented
+    // behavior, not a defect: detecting that f5 is a proxy needs a
+    // wrapper, not a filter.
+    assert(ranking == Seq(5, 3, 2, 1, 0, 4),
+      s"Corral ranking drifted: $ranking")
+    assert(fitKais(df.repartition(3), top = 6, discrete = true, k = 5)
+      .stdSelection.toSeq == ranking, "Corral fit not partition-invariant")
+  }
+
+  test("SD1/SD2/SD3: relevant-gene prefix recovery at 4000+ dims") {
+    // Zhu et al.'s 3-class synthetic microarrays (75 rows each):
+    // SD1 = genes 0-19 relevant of 4020, SD2 = 0-39 of 4040,
+    // SD3 = 0-59 of 4060 (verified against per-gene ANOVA F on the
+    // raw files), the rest N(0,1) noise. Pin the fraction of the
+    // top-prefix panel our fit places inside the true prefix.
+    val specs = Seq(("SD1", 4020, 20), ("SD2", 4040, 40), ("SD3", 4060, 60))
+    for ((name, nf, prefix) <- specs) {
+      val df = loadClassLastCsv(
+        s"/root/reference/src/test/resources/data/DatasetsKAIS/$name.csv")
+      val m = fitKais(df, top = prefix, discrete = false)
+      val inPrefix = m.stdSelection.count(_ < prefix)
+      info(s"$name: $inPrefix/$prefix of top-$prefix inside the true prefix")
+      // measured: PERFECT prefix recovery on all three (20/20, 40/40,
+      // 60/60) — at 25 samples/class the relevant blocks separate
+      // cleanly from 4000 N(0,1) noise genes under the kNN margin
+      assert(inPrefix == prefix,
+        s"$name recovery regressed: $inPrefix/$prefix (${m.stdSelection.take(20).mkString(",")})")
+    }
+    // partition invariance at the highest dimensionality
+    val sd3 = loadClassLastCsv(
+      "/root/reference/src/test/resources/data/DatasetsKAIS/SD3.csv")
+    val m1 = fitKais(sd3, top = 10, discrete = false)
+    assert(fitKais(sd3.repartition(3), top = 10, discrete = false)
+      .stdSelection.toSeq == m1.stdSelection.toSeq,
+      "SD3 fit not partition-invariant")
+  }
+
   test("null-label CSV ingestion: the reference cleanLabelCol/cleanNumericCols contract") {
     // the reference's dirty-CSV path (TestHelper.scala:91-104 +
     // readNullLabelTestData): null labels become the
