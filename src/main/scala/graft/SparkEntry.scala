@@ -130,6 +130,7 @@ object SparkEntry {
     "e23_knn_graph"       -> Sim.e23KnnGraph _,
     "e24_ivf_repair"      -> Sim.e24IvfRepair _,
     "e25_graph_serve"     -> Sim.e25GraphServe _,
+    "e27_graph_delta"     -> Sim.e27GraphDelta _,
     "i01_enn_filter"      -> Sim.i01EnnFilter _,
     "i04_edited_relief"   -> ReliefQueries.i04EditedRelief _,
     "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
@@ -1199,22 +1200,41 @@ WHERE rank <= ${graft.graph.Graph.TopUsers}""")
   /** e23's full NN-descent CTE stack (WITH ... g3) — shared by the
     * e23 oracle and e25's serve oracle, which searches over g3.
     */
-  private val e23GraphCtes: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
-        |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
-        |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
-        |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+  /** The ann signature expression over a double-list column `v` —
+    * shared verbatim by the e23 chain and e27's full-corpus CTEs.
+    */
+  private val annSigExprSql: String =
+    """CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN list_dot_product(v, list_transform(range(1, len(v)+1), d -> CAST(
+      |      (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007)
+      |       * (((((j+1)*906150257) % 1000000007 * d + (j*741103597+13) % 1000000007) % 1000000007))
+      |       % 1000000007 % 2) * 2 - 1 AS DOUBLE))) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** The hamming-≤2 multi-probe list over a `bucket` column — shared
+    * by the e23 chain and e27's delta probes.
+    */
+  private val hamming2ProbesSql: String =
+    """list_distinct(list_concat(list_concat(
+      |      [bucket],
+      |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
+      |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
+      |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))""".stripMargin
+
+  /** The full e23 NN-descent replay (LSH init + 2 rounds, ending in
+    * CTE g3) with the corpus WHERE pluggable — "" is e23's full
+    * corpus; e27 nests the base-corpus variant as its nightly-artifact
+    * CTE.
+    */
+  private def e23GraphCtesFor(where: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings$where),
+        |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $annSigExprSql AS bucket FROM e),
         |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64),
         |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket)),
         |probes AS (
-        |  SELECT vec_id AS node_id, unnest(list_distinct(list_concat(list_concat(
-        |      [bucket],
-        |      list_transform(range(0, 8), j -> xor(bucket, CAST(1 AS BIGINT) << j))),
-        |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
-        |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))) AS bucket
-        |  FROM inn),
-        |cand AS (
+        |  SELECT vec_id AS node_id, unnest($hamming2ProbesSql) AS bucket
+        |  FROM inn),""".stripMargin + "\n" + e23GraphTail
+
+  private val e23GraphTail: String =
+    """cand AS (
         |  SELECT DISTINCT p.node_id, i.vec_id AS neighbor_id
         |  FROM probes p JOIN inn i USING (bucket)
         |  WHERE i.vec_id <> p.node_id),
@@ -1264,6 +1284,74 @@ WHERE rank <= ${graft.graph.Graph.TopUsers}""")
         |g3 AS (SELECT node_id, neighbor_id, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY node_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2s) WHERE rn <= 5)""".stripMargin
+
+  private val e23GraphCtes: String = e23GraphCtesFor("")
+
+  /** e27 oracle: the nightly base-corpus e23 build nested by reference
+    * (g3b wraps the SAME chain text at `vec_id % 20 <> 0` — nested
+    * WITH scoping keeps its CTE names local), then the three merge
+    * stages replayed: delta seeding over the current capped buckets,
+    * reverse attach with REUSED symmetric scores re-ranking only
+    * affected base lists, and the one bounded 2-hop local round for
+    * delta nodes.
+    */
+  private val e27OracleSql: String = {
+    val topK = (src: String) =>
+      s"""(SELECT node_id, neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY node_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM $src) WHERE rn <= 5)""".stripMargin
+    s"""WITH g3b AS (
+${e23GraphCtesFor(" WHERE vec_id % 20 <> 0")}
+SELECT node_id, neighbor_id, cosine FROM g3),
+ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+bkf AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $annSigExprSql AS bucket FROM ef),
+censusf AS (SELECT bucket FROM bkf GROUP BY bucket HAVING count(*) <= 64),
+innf AS (SELECT bkf.* FROM bkf JOIN censusf USING (bucket)),
+probesd AS (
+  SELECT vec_id AS node_id, unnest($hamming2ProbesSql) AS bucket
+  FROM innf WHERE vec_id % 20 = 0),
+candd AS (
+  SELECT DISTINCT p.node_id, i.vec_id AS neighbor_id
+  FROM probesd p JOIN innf i USING (bucket)
+  WHERE i.vec_id <> p.node_id),
+seedsc AS (
+  SELECT c.node_id, c.neighbor_id,
+    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+  FROM candd c JOIN bkf a ON a.vec_id = c.node_id
+               JOIN bkf b ON b.vec_id = c.neighbor_id),
+seed AS ${topK("seedsc")},
+rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM seed),
+revb AS (SELECT * FROM rev WHERE node_id % 20 <> 0),
+aff AS (SELECT DISTINCT node_id FROM revb),
+repaired AS ${topK(
+      "(SELECT g.* FROM g3b g JOIN aff USING (node_id) UNION ALL SELECT * FROM revb)")},
+kept AS (SELECT * FROM g3b WHERE node_id NOT IN (SELECT node_id FROM aff)),
+adjd AS (SELECT DISTINCT node_id, neighbor_id FROM (
+  SELECT node_id, neighbor_id FROM seed
+  UNION ALL SELECT node_id, neighbor_id FROM rev WHERE node_id % 20 = 0)),
+ml AS (SELECT node_id, neighbor_id FROM kept
+  UNION ALL SELECT node_id, neighbor_id FROM repaired
+  UNION ALL SELECT node_id, neighbor_id FROM seed),
+hop2 AS (SELECT DISTINCT x.node_id, y.neighbor_id
+  FROM adjd x JOIN ml y ON y.node_id = x.neighbor_id
+  WHERE y.neighbor_id <> x.node_id),
+dcand AS (SELECT DISTINCT node_id, neighbor_id FROM (
+  SELECT * FROM hop2 UNION ALL SELECT * FROM adjd)),
+dsc AS (
+  SELECT c.node_id, c.neighbor_id,
+    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+  FROM dcand c JOIN bkf a ON a.vec_id = c.node_id
+               JOIN bkf b ON b.vec_id = c.neighbor_id),
+dl AS ${topK("dsc")},
+merged AS (
+  SELECT *, 'kept' AS src FROM kept
+  UNION ALL SELECT *, 'repaired' FROM repaired
+  UNION ALL SELECT *, 'delta' FROM dl)
+SELECT node_id, neighbor_id, cosine,
+  CAST(row_number() OVER (PARTITION BY node_id
+    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, src
+FROM merged"""
+  }
 
   /** e25 oracle: beam-walk serving replayed over the e23 graph CTEs —
     * fixed hash-elected entry points, then 3 unrolled expand/score/
@@ -2860,6 +2948,7 @@ WHERE rank <= ${graft.graph.Graph.TopUsers}""")
     // e25: the full graph build (e23's CTEs) + entry election + three
     // expand/score/top-beam layers + final top-10 replayed.
     "e25_graph_serve" -> e25ServeOracleSql,
+    "e27_graph_delta" -> e27OracleSql,
     // i01: e05's whole bucketed kNN construction replayed (shared
     // CTEs), then the ENN plurality vote — per-query same/other label
     // tallies, the top outvoting label, flag where it strictly wins.

@@ -1712,6 +1712,15 @@ object Sim {
       spark: SparkSession, dir: String, rounds: Int): (DataFrame, DataFrame) = {
     val corpus = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read per round: scoring join-backs
+    (corpus, e23GraphPlanOn(spark, corpus, rounds))
+  }
+
+  /** The e23 construction with the corpus pluggable — e23 feeds it the
+    * full corpus, e27 the pre-delta BASE corpus (the nightly-artifact
+    * replay). The caller owns persisting/unpersisting the corpus.
+    */
+  private[graft] def e23GraphPlanOn(
+      spark: SparkSession, corpus: DataFrame, rounds: Int): DataFrame = {
     val nodeV = corpus.select(col("vec_id").as("node_id"), col("v").as("av"), col("nrm").as("an"))
     val nbrV = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("bv"), col("nrm").as("bn"))
     def score(edges: DataFrame): DataFrame =
@@ -1757,10 +1766,113 @@ object Sim {
     // cut lineage at each iteration, keep the final round declarative
     // so its plan stays inspectable.
     val seed = if (rounds == 0) init else init.localCheckpoint(true)
-    val out = (1 to rounds).foldLeft(seed)((g, i) =>
+    (1 to rounds).foldLeft(seed)((g, i) =>
         if (i == rounds) round(g) else round(g).localCheckpoint(true))
       .withColumn("rnk", row_number().over(wNode).cast("long"))
-    (corpus, out)
+  }
+
+  /** e27's delta split: vec_id % DeltaMod == 0 is the newly-ingested
+    * 5% (the e12 freshness convention), the rest the corpus the
+    * nightly e23 build saw.
+    */
+  val DeltaMod = 20
+
+  /** e27: DELTA MAINTENANCE of the k-NN graph — e12's freshness story
+    * reaching the graph index (VERDICT r9 #6): newly-ingested vectors
+    * merge into the nightly e23 artifact WITHOUT a full rebuild, via
+    * the HNSW insertion discipline made set-at-a-time:
+    *
+    *  1. SEED — delta nodes LSH-probe the CURRENT corpus (hamming-≤2,
+    *     capped buckets — e23's own init substrate) and take their
+    *     top-K lists. Cost ∝ |delta| · probes.
+    *  2. REVERSE ATTACH — every seed edge d→b nominates d for b's
+    *     list (cosine is symmetric: scores are REUSED, not
+    *     recomputed); only the ≤ K·|delta| AFFECTED base nodes
+    *     re-rank (old K edges ∪ new nominees), every other base list
+    *     is carried VERBATIM — the "touch only affected
+    *     neighborhoods" property, provable from the provenance
+    *     column.
+    *  3. ONE bounded local NN-descent round for delta nodes only:
+    *     candidates = 2-hop neighbors through the merged lists
+    *     (≤ 2K·K per delta node), re-score, final top-K.
+    *
+    * Output: the FULL merged graph (node_id, neighbor_id, cosine,
+    * rnk) + src provenance ('kept' | 'repaired' | 'delta'). Delta
+    * nodes in over-cap buckets conservatively get no list (the
+    * substrate's documented cap discipline — they enter at the next
+    * full build).
+    *
+    * Scale shape: base build is the nightly artifact (here replayed
+    * over the base corpus — [[e23GraphPlanOn]]); every MERGE stage is
+    * ∝ delta size (spec-pinned candidate counts), keyed joins and
+    * per-node windows only, id-only shuffles with one vector
+    * join-back per scoring pass. The bucket census is the one
+    * corpus-∝ read; in production it is the maintained count-per-
+    * bucket sidecar (w09's stats discipline), not a rescan.
+    */
+  def e27GraphDelta(spark: SparkSession, dir: String): DataFrame = {
+    val full = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = full.where(col("vec_id") % DeltaMod =!= 0)
+
+    // the nightly artifact: e23's full 2-round build over the base
+    // corpus (materialized — the merge must not re-plan it)
+    val baseGraph = e23GraphPlanOn(spark, base, rounds = 2)
+      .select("node_id", "neighbor_id", "cosine").localCheckpoint(true)
+
+    val nodeV = full.select(col("vec_id").as("node_id"), col("v").as("av"), col("nrm").as("an"))
+    val nbrV = full.select(col("vec_id").as("neighbor_id"), col("v").as("bv"), col("nrm").as("bn"))
+    def score(edges: DataFrame): DataFrame =
+      edges.join(nodeV, Seq("node_id")).join(nbrV, Seq("neighbor_id"))
+        .select(col("node_id"), col("neighbor_id"),
+          (dotOf(spark, "av", "bv") / (col("an") * col("bn"))).as("cosine"))
+    val wNode = Window.partitionBy("node_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    def topK(scored: DataFrame): DataFrame =
+      scored.withColumn("rn", row_number().over(wNode))
+        .where(col("rn") <= GraphK).select("node_id", "neighbor_id", "cosine")
+
+    // 1. SEED against the current (base ∪ delta) capped buckets
+    val useful = full.groupBy("bucket").count()
+      .where(col("count") <= MaxBucketE).select("bucket")
+    val inn = full.join(useful, Seq("bucket"))
+    val probesD = inn.where(col("vec_id") % DeltaMod === 0)
+      .select(col("vec_id").as("node_id"), explode(expr(probeExprOf(SigBits))).as("bucket"))
+    val seed = topK(score(probesD
+        .join(inn.select(col("bucket"), col("vec_id").as("neighbor_id")), Seq("bucket"))
+        .where(col("node_id") =!= col("neighbor_id"))
+        .select("node_id", "neighbor_id").distinct()))
+      .localCheckpoint(true)
+
+    // 2. REVERSE ATTACH — scores reused (cosine symmetric)
+    val rev = seed.select(col("neighbor_id").as("node_id"),
+      col("node_id").as("neighbor_id"), col("cosine"))
+    val revBase = rev.where(col("node_id") % DeltaMod =!= 0)
+    val affected = revBase.select("node_id").distinct()
+    val repaired = topK(baseGraph.join(affected, Seq("node_id"))
+      .unionByName(revBase))
+    val kept = baseGraph.join(affected, Seq("node_id"), "left_anti")
+
+    // 3. one bounded local round for the delta nodes: 2-hop through
+    // the merged lists, re-score, final top-K
+    val adjD = seed.select("node_id", "neighbor_id")
+      .unionByName(rev.where(col("node_id") % DeltaMod === 0)
+        .select("node_id", "neighbor_id"))
+      .distinct()
+    val mergedLists = kept.unionByName(repaired).select("node_id", "neighbor_id")
+      .unionByName(seed.select("node_id", "neighbor_id"))
+    val hop2 = adjD.as("x")
+      .join(mergedLists.as("y"), col("x.neighbor_id") === col("y.node_id"))
+      .select(col("x.node_id").as("node_id"), col("y.neighbor_id").as("neighbor_id"))
+      .where(col("node_id") =!= col("neighbor_id"))
+    val deltaLists = topK(score(hop2.unionByName(adjD).distinct()))
+
+    val out = kept.withColumn("src", lit("kept"))
+      .unionByName(repaired.withColumn("src", lit("repaired")))
+      .unionByName(deltaLists.withColumn("src", lit("delta")))
+      .withColumn("rnk", row_number().over(wNode).cast("long"))
+      .localCheckpoint(true)
+    full.unpersist()
+    out
   }
 
   /** e03: embedding near-duplicate pairs — corpus ∪ a deterministically
