@@ -38,6 +38,22 @@ object Bench {
     // flattering ~0 s timing: collect per-query errors and emit them.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // The streaming-harness floor, measured per pass (same min-of-N
+    // discipline): the fixed query-start/stop + micro-batch cost every
+    // s-operator pays regardless of its kernel. Recorded as floor_sec
+    // so bench_diff can compare streaming kernels NET of harness drift
+    // — the cost is ~2.5 s/op × 30 ops of pure fixed cost, which is
+    // exactly where box drift kept tripping the 1.5× gate.
+    var floors: List[Double] = Nil
+    for (_ <- 1 to nRuns) {
+      val t0 = System.nanoTime()
+      try {
+        graft.streaming.Streams.streamFloorProbe(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        floors = ((System.nanoTime() - t0) / 1e9) :: floors
+      } catch { case _: Throwable => () }
+    }
+    val floorSec = if (floors.nonEmpty) floors.min else 0.0
     for (_ <- 1 to nRuns; (name, fn) <- queries) {
       spark.catalog.clearCache() // no warm-cache runs: each timing does full work
       val t0 = System.nanoTime()
@@ -70,7 +86,7 @@ object Bench {
     val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m.take(80)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    val fullLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"sf":"$sfDir","queries":$qs,"errors":$errJson}"""
+    val fullLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"floor_sec":${jnum(floorSec)},"sf":"$sfDir","queries":$qs,"errors":$errJson}"""
     // The full per-query line is ~4 KB at 174 queries — larger than the
     // driver's ~2000-char END-anchored tail capture, so it can never be
     // the parse target. Persist it to a file (default bench_results.json

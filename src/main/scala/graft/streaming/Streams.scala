@@ -132,6 +132,25 @@ object Streams {
     (spark, name)
   }
 
+  /** The streaming-harness FLOOR probe: the cheapest possible query
+    * through the exact same machinery every s-operator pays — cloned
+    * session, staged file source, one AvailableNow micro-batch, memory
+    * sink — with a projection-only plan (no state, no shuffle). What
+    * it measures is the fixed per-operator harness cost (query
+    * start/stop, micro-batch planning, sink setup), which is ~2.5 s on
+    * this box and pure noise floor for bench purposes: graft.Bench
+    * records it as `floor_sec` so tools/bench_diff.py can compare
+    * s-family kernels net of the harness instead of letting box drift
+    * in the fixed cost trip the regression gate (the r8/r9 repeat
+    * blemish — w17, then s10, flagged by floor drift alone).
+    */
+  def streamFloorProbe(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    val src = eventsStream(s, dir).select(col("event_id"))
+    val (sess, name) = runToCompletion(src, OutputMode.Append())
+    sess.table(name).agg(count(lit(1)).as("n"))
+  }
+
   /** s01: tumbling 1-hour window aggregation with a watermark — the
     * canonical streaming groupBy. Watermark bounds state at scale;
     * complete output mode makes the local memory-sink result total, so

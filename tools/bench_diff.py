@@ -15,12 +15,26 @@ noticing). New queries (present now, absent from baseline) are informational.
 Timings at sf0.1 on local[32] jitter ±30% run-to-run, so the regression
 threshold is 1.5x AND an absolute floor of +0.3 s — a 0.05 s query drifting to
 0.09 s is noise, not a regression.
+
+Streaming operators (s01..s30, w06) pay a fixed ~2.5 s harness cost
+(query start/stop + micro-batch planning) that graft.Bench measures and
+records as `floor_sec` (min-of-N of a projection-only streaming probe).
+When BOTH files carry it, streaming keys are compared NET of their
+run's floor — the kernel time is the regression signal, not box drift
+in the fixed cost (which tripped the gate in r8 [w17] and r9 [s10]
+without any plan change).
 """
 import json
 import sys
 
 REGRESSION_FACTOR = 1.5
 ABS_FLOOR_SEC = 0.3
+# kernel time below this after floor subtraction is measurement fuzz
+MIN_NET_SEC = 0.05
+
+
+def is_streaming(name):
+    return name.startswith("s") or name == "w06_sink_streamed"
 
 
 def load(path):
@@ -33,6 +47,11 @@ def main():
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
     cur, base = load(cur_path), load(base_path)
     cur_q, base_q = cur["queries"], base["queries"]
+    cur_floor, base_floor = cur.get("floor_sec"), base.get("floor_sec")
+    use_floor = bool(cur_floor) and bool(base_floor)
+    if use_floor:
+        print(f"bench_diff: streaming floor {base_floor}s (baseline) vs "
+              f"{cur_floor}s (current) — s-family compared net of floor")
 
     failures, regressions, news = [], [], []
     for name, b in sorted(base_q.items()):
@@ -46,8 +65,14 @@ def main():
         if b == "err":
             continue  # baseline itself was broken for this query; can only improve
         c, b = float(c), float(b)
+        tag = ""
+        if use_floor and is_streaming(name):
+            c = max(c - float(cur_floor), MIN_NET_SEC)
+            b = max(b - float(base_floor), MIN_NET_SEC)
+            tag = " (net of floor)"
         if c > b * REGRESSION_FACTOR and c > b + ABS_FLOOR_SEC:
-            regressions.append(f"SLOWER   {name}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x)")
+            regressions.append(
+                f"SLOWER   {name}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x){tag}")
     for name in sorted(set(cur_q) - set(base_q)):
         news.append(f"NEW      {name}: {cur_q[name]}s (not in baseline)")
 
