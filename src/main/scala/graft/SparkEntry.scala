@@ -147,6 +147,8 @@ object SparkEntry {
     "g02_label_propagation" -> graft.graph.Graph.g02LabelPropagation _,
     "g03_triangle_count"  -> graft.graph.Graph.g03TriangleCount _,
     "g04_user_pagerank"   -> graft.graph.Graph.g04UserPagerank _,
+    "g05_user_communities" -> graft.graph.Graph.g05UserCommunities _,
+    "s31_stream_user_pagerank" -> Streams.s31StreamUserPagerank _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
     "s29_stream_knn_classify" -> Streams.s29StreamKnnClassify _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
@@ -1033,7 +1035,12 @@ ${(1 to graft.sim.Sim.FcnnRounds).map(r =>
     * label-propagation layers — all integer weight sums, argmax by
     * (weight desc, label asc).
     */
-  private val g02OracleSql: String = {
+  /** Shared sync-LPA replay builder (the g02/g05 kernel by reference —
+    * same discipline as pagerankOracleSql): 5 adopt-max-incident-
+    * weight layers over caller-supplied `sym` (a, b, w) and `nodes`
+    * CTEs.
+    */
+  private def lpaOracleSql(graphCtes: String): String = {
     val layer = (k: Int) => {
       val p = s"l${k - 1}"
       s"""sc$k AS (SELECT s.a AS node, l.community, sum(s.w) AS sw
@@ -1044,7 +1051,14 @@ b$k AS (SELECT node, community AS nc FROM (
 l$k AS (SELECT l.node, coalesce(b.nc, l.community) AS community
   FROM $p l LEFT JOIN b$k b ON b.node = l.node)"""
     }
-    s"""WITH x AS (
+    s"""WITH $graphCtes,
+l0 AS (SELECT node, node AS community FROM nodes),
+${(1 to graft.graph.Graph.LpaRounds).map(layer).mkString(",\n")}
+SELECT node, community FROM l${graft.graph.Graph.LpaRounds}"""
+  }
+
+  private val g02OracleSql: String = lpaOracleSql(
+    """x AS (
   SELECT user_id, event_type,
     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
   FROM events),
@@ -1055,11 +1069,32 @@ sym AS (
   SELECT a, b, CAST(sum(n) AS BIGINT) AS w FROM (
     SELECT a, b, n FROM dcounts UNION ALL SELECT b AS a, a AS b, n FROM dcounts) u
   WHERE a <> b GROUP BY 1, 2),
-nodes AS (SELECT DISTINCT event_type AS node FROM events),
-l0 AS (SELECT node, node AS community FROM nodes),
-${(1 to graft.graph.Graph.LpaRounds).map(layer).mkString(",\n")}
-SELECT node, community FROM l${graft.graph.Graph.LpaRounds}"""
-  }
+nodes AS (SELECT DISTINCT event_type AS node FROM events)""")
+
+  /** The user-handoff directed census in (a, b, n) vocabulary —
+    * g04's x/edge derivation shared textually with g05's
+    * symmetrization (one derivation, two kernels).
+    */
+  private val userHandoffCountCtes: String =
+    """x AS (
+  SELECT user_id,
+    lag(user_id) OVER (
+      PARTITION BY CAST(json_extract_string(props, '$.k') AS BIGINT),
+                   CAST(ts AS DATE)
+      ORDER BY ts, event_id) AS prev_user
+  FROM events),
+dcounts AS (
+  SELECT prev_user AS a, user_id AS b, count(*) AS n
+  FROM x WHERE prev_user IS NOT NULL AND prev_user <> user_id
+  GROUP BY 1, 2)"""
+
+  private val g05OracleSql: String = lpaOracleSql(
+    userHandoffCountCtes + """,
+sym AS (
+  SELECT a, b, CAST(sum(n) AS BIGINT) AS w FROM (
+    SELECT a, b, n FROM dcounts UNION ALL SELECT b AS a, a AS b, n FROM dcounts) u
+  WHERE a <> b GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT user_id AS node FROM events)""")
 
   /** g01: q39's edge frame + 10 unrolled damped power-iteration
     * layers, each = dangling-mass scalar + contribution join +
@@ -1117,19 +1152,11 @@ FROM pr10""")
   // activity stream, nodes = every user, final select = top-20 only
   // (the Spark side's TakeOrderedAndProject cut, rank on rounded pr).
   private val g04OracleSql: String = pagerankOracleSql(
-    """x AS (
-  SELECT user_id,
-    lag(user_id) OVER (
-      PARTITION BY CAST(json_extract_string(props, '$.k') AS BIGINT),
-                   CAST(ts AS DATE)
-      ORDER BY ts, event_id) AS prev_user
-  FROM events),
+    userHandoffCountCtes + """,
 edges AS MATERIALIZED (
-  SELECT prev_type, next_type,
-    CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY prev_type) AS w
-  FROM (SELECT prev_user AS prev_type, user_id AS next_type, count(*) AS n_trans
-        FROM x WHERE prev_user IS NOT NULL AND prev_user <> user_id
-        GROUP BY 1, 2)),
+  SELECT a AS prev_type, b AS next_type,
+    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY a) AS w
+  FROM dcounts),
 nodes AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events)""",
     s"""SELECT user_id, pr, rank FROM (
   SELECT node AS user_id, round(pr, 6) AS pr,
@@ -1300,13 +1327,13 @@ WHERE rank <= ${graft.graph.Graph.TopUsers}""")
       s"""(SELECT node_id, neighbor_id, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY node_id
          |    ORDER BY cosine DESC, neighbor_id) AS rn FROM $src) WHERE rn <= 5)""".stripMargin
-    s"""WITH g3b AS (
+    s"""WITH g3b AS MATERIALIZED (
 ${e23GraphCtesFor(" WHERE vec_id % 20 <> 0")}
 SELECT node_id, neighbor_id, cosine FROM g3),
 ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-bkf AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $annSigExprSql AS bucket FROM ef),
+bkf AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $annSigExprSql AS bucket FROM ef),
 censusf AS (SELECT bucket FROM bkf GROUP BY bucket HAVING count(*) <= 64),
-innf AS (SELECT bkf.* FROM bkf JOIN censusf USING (bucket)),
+innf AS MATERIALIZED (SELECT bkf.* FROM bkf JOIN censusf USING (bucket)),
 probesd AS (
   SELECT vec_id AS node_id, unnest($hamming2ProbesSql) AS bucket
   FROM innf WHERE vec_id % 20 = 0),
@@ -1319,17 +1346,17 @@ seedsc AS (
     list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
   FROM candd c JOIN bkf a ON a.vec_id = c.node_id
                JOIN bkf b ON b.vec_id = c.neighbor_id),
-seed AS ${topK("seedsc")},
-rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM seed),
+seed AS MATERIALIZED ${topK("seedsc")},
+rev AS MATERIALIZED (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM seed),
 revb AS (SELECT * FROM rev WHERE node_id % 20 <> 0),
 aff AS (SELECT DISTINCT node_id FROM revb),
-repaired AS ${topK(
+repaired AS MATERIALIZED ${topK(
       "(SELECT g.* FROM g3b g JOIN aff USING (node_id) UNION ALL SELECT * FROM revb)")},
-kept AS (SELECT * FROM g3b WHERE node_id NOT IN (SELECT node_id FROM aff)),
+kept AS MATERIALIZED (SELECT * FROM g3b WHERE node_id NOT IN (SELECT node_id FROM aff)),
 adjd AS (SELECT DISTINCT node_id, neighbor_id FROM (
   SELECT node_id, neighbor_id FROM seed
   UNION ALL SELECT node_id, neighbor_id FROM rev WHERE node_id % 20 = 0)),
-ml AS (SELECT node_id, neighbor_id FROM kept
+ml AS MATERIALIZED (SELECT node_id, neighbor_id FROM kept
   UNION ALL SELECT node_id, neighbor_id FROM repaired
   UNION ALL SELECT node_id, neighbor_id FROM seed),
 hop2 AS (SELECT DISTINCT x.node_id, y.neighbor_id
@@ -3055,6 +3082,10 @@ FROM merged"""
     // layer by layer over q39's transition frame.
     "g01_transition_pagerank" -> g01OracleSql,
     "g04_user_pagerank" -> g04OracleSql,
+    "g05_user_communities" -> g05OracleSql,
+    // s31: g04's deployment shape — the streamed handoff extraction
+    // must reduce to the identical leaderboard, so the oracle IS g04's.
+    "s31_stream_user_pagerank" -> g04OracleSql,
     // g02: 5 synchronous LPA layers, integer weight sums throughout.
     "g02_label_propagation" -> g02OracleSql,
     // w27: stats rollup + exclusive-cumsum next-fit packing, all

@@ -159,20 +159,57 @@ object Graph {
     * of the node frame exists in the plan (PlanSpec-pinned).
     */
   def g04UserPagerank(spark: SparkSession, dir: String): DataFrame = {
+    pagerankTopN(userNodes(spark, dir), userHandoffCounts(spark, dir), TopUsers)
+      .select(col("node").as("user_id"), col("pr"), col("rank"))
+  }
+
+  /** Every user as a node frame — g04/g05's shared node domain. */
+  private[graft] def userNodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("user_id").as("node")).distinct()
+
+  /** The user-handoff edge census (g04's doc): consecutive
+    * DIFFERENT-user events per (item = props.k, day) activity stream
+    * → (prev_type, next_type, n_trans) in the kernel's column
+    * vocabulary. Shared by g04 (centrality) and g05 (communities);
+    * s31 extracts the SAME transitions at ingestion.
+    */
+  private[graft] def userHandoffCounts(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
         to_date(col("ts")).as("day"))
     val w = Window.partitionBy("item", "day").orderBy(col("ts"), col("event_id"))
-    val counts = ev
-      .withColumn("prev_user", lag("user_id", 1).over(w))
+    ev.withColumn("prev_user", lag("user_id", 1).over(w))
       .where(col("prev_user").isNotNull && col("prev_user") =!= col("user_id"))
       .groupBy(col("prev_user").as("prev_type"), col("user_id").as("next_type"))
       .agg(count(lit(1)).as("n_trans"))
-    val nodes = Tables.events(spark, dir)
-      .select(col("user_id").as("node")).distinct()
-    pagerankTopN(nodes, counts, TopUsers)
-      .select(col("node").as("user_id"), col("pr"), col("rank"))
+  }
+
+  /** g05: community detection over the USER handoff graph — g02's
+    * sync-LPA kernel pointed at the unbounded node domain (the same
+    * proof g04 gives the PageRank kernel): the directed handoff
+    * census symmetrizes (w = n(u→v) + n(v→u), self-loops dropped,
+    * exact integers), every user starts as its own community, 5
+    * deterministic rounds of adopt-the-max-incident-weight-community
+    * (ties to the SMALLEST community id). Output: (node, community)
+    * for every user — a per-user assignment TABLE (the product LPA
+    * ships to a join, never a driver collect).
+    *
+    * Scale shape: identical to g02 — each round is one keyed join of
+    * the |users|-row label frame against the edge frame + one
+    * max-by-struct rank window PARTITIONED by node (never global);
+    * nothing in the kernel assumes a bounded domain, which is the
+    * point of this row.
+    */
+  def g05UserCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val directed = userHandoffCounts(spark, dir)
+      .select(col("prev_type").as("a"), col("next_type").as("b"), col("n_trans"))
+    val sym = directed
+      .unionByName(directed.select(col("b").as("a"), col("a").as("b"), col("n_trans")))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum("n_trans").as("w"))
+      .localCheckpoint(true)
+    lpaFrom(userNodes(spark, dir).localCheckpoint(true), sym)
   }
 
   /** Synchronous label-propagation rounds for g02. */
@@ -205,6 +242,16 @@ object Graph {
     val nodes = Tables.events(spark, dir)
       .select(col("event_type").as("node")).distinct()
       .localCheckpoint(true)
+    lpaFrom(nodes, sym)
+  }
+
+  /** The shared sync-LPA kernel over (nodes, symmetric weighted
+    * edges) — g02 feeds it the event-type graph, g05 the user handoff
+    * graph; every round's rank window is PARTITIONED by node, so
+    * nothing in the kernel requires a bounded node domain. Callers
+    * pass materialized (checkpointed) frames.
+    */
+  private[graft] def lpaFrom(nodes: DataFrame, sym: DataFrame): DataFrame = {
     var lbl = nodes.select(col("node"), col("node").as("community"))
       .localCheckpoint(true)
     for (_ <- 1 to LpaRounds) {

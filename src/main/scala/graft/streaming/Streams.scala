@@ -651,6 +651,59 @@ object Streams {
   case class TransState(ts_us: Long, event_id: Long, ty: String)
   case class TransOut(prev_type: Option[String], next_type: String)
 
+  case class HandoffEvent(item: Long, day: String, user_id: Long,
+    event_id: Long, ts_us: Long)
+  case class HandoffState(ts_us: Long, event_id: Long, user_id: Long)
+  case class HandoffOut(prev_user: Option[Long], user_id: Long)
+
+  /** s31: g04's user-graph PageRank with the handoff extraction AT
+    * INGESTION — s28's stateful-walk pattern keyed by the ACTIVITY
+    * STREAM (item = props.k, day) instead of the user: state is one
+    * (ts, event_id, user) struct per live stream key (bounded by
+    * catalog × horizon, never stream volume), each batch slice walks
+    * in (ts, event_id) order and every event emits its predecessor's
+    * user (None for a stream's first event). The read-time reduction
+    * — census, damped kernel, TakeOrdered top-N — is g04's SHARED
+    * code ([[graft.graph.Graph.pagerankTopN]]), so one AvailableNow
+    * pass equals batch g04 exactly and the oracle is literally g04's.
+    * Same in-order-across-batches ingestion contract as s28
+    * (StreamsSpec pins a time-split two-batch run).
+    */
+  def s31StreamUserPagerank(spark: SparkSession, dir: String): DataFrame =
+    runUserPagerank(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runUserPagerank(events: DataFrame): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val per = events
+      .select(expr("cast(get_json_object(props, '$.k') as long)").as("item"),
+        expr("cast(to_date(ts) as string)").as("day"),
+        col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us")).as[HandoffEvent]
+      .groupByKey(e => (e.item, e.day))
+      .flatMapGroupsWithState[HandoffState, HandoffOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[HandoffState]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[HandoffOut]()
+          it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            out += HandoffOut(last.map(_.user_id), e.user_id)
+            last = Some(HandoffState(e.ts_us, e.event_id, e.user_id))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+    val (s, name) = runToCompletion(per.toDF(), OutputMode.Append())
+    val ann = s.table(name)
+    val nodes = ann.select(col("user_id").as("node")).distinct()
+    val counts = ann
+      .where(col("prev_user").isNotNull && col("prev_user") =!= col("user_id"))
+      .groupBy(col("prev_user").as("prev_type"), col("user_id").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    graft.graph.Graph.pagerankTopN(nodes, counts, graft.graph.Graph.TopUsers)
+      .select(col("node").as("user_id"), col("pr"), col("rank"))
+  }
+
   /** s28: g01's transition-graph PageRank with the corpus-touching
     * pass AT INGESTION — the event firehose is reduced to the
     * ANNOTATED transition stream by a per-user stateful walk: state is

@@ -355,6 +355,38 @@ class ReferenceDataSpec extends SparkSpec {
       s"madelon selection drifted: ${m.stdSelection.mkString(",")}")
     assert(fitM(df.repartition(3)).stdSelection.toSeq == m.stdSelection.toSeq,
       "madelon fit not partition-invariant")
+    // GROUND-TRUTH recovery, not just a frozen pin: Madelon's 20
+    // informative+redundant features are identifiable from the DATA —
+    // they are mutually correlated (built from the same 5 latent
+    // dims), noise features are independent. Measured on the raw
+    // file: 20 features have max |corr| to another feature ≥ 0.686
+    // (18 at ~0.99), then a cliff to 0.094 — an unambiguous spectral
+    // gap. Our entire top-10 lands inside that 20-member set.
+    val informative = Set(28, 48, 64, 105, 128, 153, 241, 281, 318, 336,
+      338, 378, 433, 442, 451, 453, 455, 472, 475, 493)
+    assert(m.stdSelection.forall(informative.contains),
+      s"a noise feature entered the madelon top-10: ${m.stdSelection.mkString(",")}")
+  }
+
+  test("Monk3: the rule-relevant attribute triple is recovered despite 5% label noise") {
+    // Monk3 (122×6, class = (a5=3 ∧ a4=1) ∨ (a5≠4 ∧ a2≠3), 5% label
+    // noise in the training sample — Thrun et al.'s canonical noisy
+    // rule-learning benchmark): relevant attributes are a2/a4/a5 =
+    // features {1, 3, 4}; the other three never appear in the rule.
+    val df = loadClassLastCsv(
+      "/root/reference/src/test/resources/data/DatasetsKAIS/Monk3.csv")
+    def fitMk(d: DataFrame) = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(3).setNumNeighbors(10)
+      .setEstimationRatio(1.0).setBatchSize(0.5)
+      .setDiscreteData(true).setSeed(123456789L)
+      .fit(d)
+    val m = fitMk(df)
+    info(s"monk3 selection: ${m.stdSelection.mkString(",")}")
+    assert(m.stdSelection.toSet == Set(1, 3, 4),
+      s"monk3 relevant triple not recovered: ${m.stdSelection.mkString(",")}")
+    assert(fitMk(df.repartition(3)).stdSelection.toSeq == m.stdSelection.toSeq,
+      "monk3 fit not partition-invariant")
   }
 
   test("XOR100: RELIEF recovers the interacting pair no univariate filter can see") {

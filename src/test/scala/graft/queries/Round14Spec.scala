@@ -128,6 +128,32 @@ class Round14Spec extends SparkSpec {
     assert(out.map(_._2).sum <= 1.0 + out.length * 5e-7)
   }
 
+  // ---------------------------------------------------------------- g05
+
+  test("g05: sync-LPA over the user graph matches a driver-side replay") {
+    val directed = graft.graph.Graph.userHandoffCounts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sym = directed.flatMap { case (a, b, n) => Seq((a, b, n), (b, a, n)) }
+      .filter { case (a, b, _) => a != b }
+      .groupBy(t => (t._1, t._2)).map { case ((a, b), g) => (a, b, g.map(_._3).sum) }
+      .toSeq
+    val nodes = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to graft.graph.Graph.LpaRounds) {
+      val scores = sym.groupBy(e => (e._1, lbl(e._2)))
+        .map { case ((node, c), g) => (node, c, g.map(_._3).sum) }
+      val best = scores.groupBy(_._1).map { case (n, g) =>
+        n -> g.minBy(t => (-t._3, t._2))._2 }
+      lbl = lbl.map { case (n, c) => n -> best.getOrElse(n, c) }
+    }
+    val got = graft.graph.Graph.g05UserCommunities(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == lbl, "LPA assignment differs from the driver replay")
+    // communities are node ids and isolated nodes keep their own
+    assert(got.values.toSet.subsetOf(got.keySet))
+  }
+
   // ---------------------------------------------------------------- b04
 
   test("b04: the MISSING class is exactly the injected rows and indexing is frequency-ordered") {

@@ -149,6 +149,38 @@ class StreamsSpec extends SparkSpec {
       s"stream=$got\nbatch=$batch")
   }
 
+  test("s31 streamed user PageRank equals batch g04 across a time-split two-batch run") {
+    // same ingestion contract as s28 (in-order arrival across batches,
+    // state keyed by the (item, day) activity stream), same shared
+    // read-time kernel — the leaderboard must be bit-identical
+    val src = Tables.events(spark, sfDir)
+    val cut = src.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
+    val stage = "/tmp/graft_stream_twofiles_s31"
+    val d = Paths.get(stage)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(d)
+    src.where(expr(s"unix_micros(ts) <= $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100)
+    src.where(expr(s"unix_micros(ts) > $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p2")
+    val schema = spark.read.parquet(s"$stage/p1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val got = Streams.runUserPagerank(stream)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    val batch = graft.graph.Graph.g04UserPagerank(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    assert(got.nonEmpty && got == batch,
+      s"stream=$got\nbatch=$batch")
+  }
+
   test("s29 streamed kNN classification equals batch e26 (two micro-batches)") {
     // the query stream is stateless (stream-static join only), so ANY
     // batch split must reproduce the batch confusion census exactly

@@ -66,11 +66,18 @@ def main():
             continue  # baseline itself was broken for this query; can only improve
         c, b = float(c), float(b)
         tag = ""
+        raw_regressed = c > b * REGRESSION_FACTOR
         if use_floor and is_streaming(name):
+            # net-of-floor comparison, but ALSO require the raw ratio to
+            # regress: subtracting the floor amplifies jitter for ops
+            # barely above it (a 1.2x raw drift can read 2x net), so a
+            # streaming key flags only when both views agree
             c = max(c - float(cur_floor), MIN_NET_SEC)
             b = max(b - float(base_floor), MIN_NET_SEC)
             tag = " (net of floor)"
-        if c > b * REGRESSION_FACTOR and c > b + ABS_FLOOR_SEC:
+        else:
+            raw_regressed = True  # non-streaming: raw IS the comparison
+        if raw_regressed and c > b * REGRESSION_FACTOR and c > b + ABS_FLOOR_SEC:
             regressions.append(
                 f"SLOWER   {name}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x){tag}")
     for name in sorted(set(cur_q) - set(base_q)):
