@@ -110,11 +110,22 @@ object ReliefQueries {
   def i04EditedRelief(spark: SparkSession, dir: String): DataFrame = {
     val flagged = graft.sim.Sim.i01EnnFilter(spark, dir).select("vec_id")
     val edited = assembled(spark, dir).join(flagged, Seq("vec_id"), "left_anti")
-    val m = fitSelectorOn(spark, edited, redundancy = false)
     import spark.implicits._
-    m.featureWeights.zipWithIndex
-      .map { case (w, f) => (f, w) }.toSeq.toDF("feature", "weight")
-      .select(col("feature"), round(col("weight"), 6).as("weight"))
+    // an aggressive editing pass can legitimately remove EVERY
+    // instance (and an empty partition upstream removes them all for
+    // free) — the composed operator returns the empty weight frame the
+    // oracle also produces, instead of surfacing the estimator's
+    // non-empty requirement; zero cost on the non-empty path
+    try {
+      val m = fitSelectorOn(spark, edited, redundancy = false)
+      m.featureWeights.zipWithIndex
+        .map { case (w, f) => (f, w) }.toSeq.toDF("feature", "weight")
+        .select(col("feature"), round(col("weight"), 6).as("weight"))
+    } catch {
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("empty dataset")) =>
+        Seq.empty[(Int, Double)].toDF("feature", "weight")
+    }
   }
 
   /** relief_select: both rankings side by side (rank → feature). */

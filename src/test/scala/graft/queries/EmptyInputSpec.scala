@@ -207,6 +207,12 @@ class EmptyInputSpec extends SparkSpec {
       "d42c" -> (() => graft.text.Text.d42cBpeTokenize(spark, emptyDir).count()),
       "e23" -> (() => graft.sim.Sim.e23KnnGraph(spark, emptyDir).count()),
       "e25" -> (() => graft.sim.Sim.e25GraphServe(spark, emptyDir).count()),
+      "e27" -> (() => graft.sim.Sim.e27GraphDelta(spark, emptyDir).count()),
+      "g04" -> (() => graft.graph.Graph.g04UserPagerank(spark, emptyDir).count()),
+      "g05" -> (() => graft.graph.Graph.g05UserCommunities(spark, emptyDir).count()),
+      "b04" -> (() => graft.ml.ReliefQueries.b04NullLabelClean(spark, emptyDir).count()),
+      "i04" -> (() => graft.ml.ReliefQueries.i04EditedRelief(spark, emptyDir).count()),
+      "s31" -> (() => graft.streaming.Streams.s31StreamUserPagerank(spark, emptyDir).count()),
       // e24's flood clones the first corpus vector; an empty corpus has
       // no template to clone, so the census must be empty, not a throw
       "e24" -> (() => graft.sim.Sim.e24IvfRepair(spark, emptyDir).count()),
