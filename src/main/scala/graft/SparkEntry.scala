@@ -131,6 +131,7 @@ object SparkEntry {
     "e24_ivf_repair"      -> Sim.e24IvfRepair _,
     "e25_graph_serve"     -> Sim.e25GraphServe _,
     "e27_graph_delta"     -> Sim.e27GraphDelta _,
+    "e28_graph_serve_delta" -> Sim.e28GraphServeDelta _,
     "i01_enn_filter"      -> Sim.i01EnnFilter _,
     "i04_edited_relief"   -> ReliefQueries.i04EditedRelief _,
     "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
@@ -1322,7 +1323,7 @@ WHERE rank <= ${graft.graph.Graph.TopUsers}""")
     * affected base lists, and the one bounded 2-hop local round for
     * delta nodes.
     */
-  private val e27OracleSql: String = {
+  private val e27MergeCtes: String = {
     val topK = (src: String) =>
       s"""(SELECT node_id, neighbor_id, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY node_id
@@ -1370,26 +1371,41 @@ dsc AS (
   FROM dcand c JOIN bkf a ON a.vec_id = c.node_id
                JOIN bkf b ON b.vec_id = c.neighbor_id),
 dl AS ${topK("dsc")},
-merged AS (
+merged AS MATERIALIZED (
   SELECT *, 'kept' AS src FROM kept
   UNION ALL SELECT *, 'repaired' FROM repaired
-  UNION ALL SELECT *, 'delta' FROM dl)
+  UNION ALL SELECT *, 'delta' FROM dl)"""
+  }
+
+  private val e27OracleSql: String = e27MergeCtes + """
 SELECT node_id, neighbor_id, cosine,
   CAST(row_number() OVER (PARTITION BY node_id
     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, src
 FROM merged"""
-  }
+
+  // e28: the shared beam-walk replay over the merged graph — prefix is
+  // e27's merge chain by reference, vectors/entries from the
+  // full-corpus tables the merge already defines.
+  private val e28OracleSql: String =
+    beamServeOracleSql(e27MergeCtes, "merged", "bkf", "ef")
 
   /** e25 oracle: beam-walk serving replayed over the e23 graph CTEs —
     * fixed hash-elected entry points, then 3 unrolled expand/score/
     * top-beam layers, final top-10.
     */
-  private val e25ServeOracleSql: String = {
+  /** The beam-walk serving replay with the graph, vector table and
+    * entry source pluggable — e25 walks the nightly e23 graph (g3 over
+    * bk/e), e28 the e27-merged graph (merged over bkf/ef); entry
+    * election, hops, beam and final top-10 are one shared text, the
+    * same discipline as the Spark side's beamServeOver.
+    */
+  private def beamServeOracleSql(
+      prefixCtes: String, graphTbl: String, vecTbl: String, entSrc: String): String = {
     def beamLayer(k: Int): String = {
       val prev = if (k == 1) "b0" else s"b${k - 1}"
       s"""h${k}c AS (SELECT DISTINCT query_id, node_id FROM (
          |  SELECT b.query_id, g.neighbor_id AS node_id
-         |  FROM $prev b JOIN g3 g ON g.node_id = b.node_id
+         |  FROM $prev b JOIN $graphTbl g ON g.node_id = b.node_id
          |  UNION ALL SELECT query_id, node_id FROM $prev)
          |  WHERE query_id <> node_id),
          |b$k AS (SELECT query_id, node_id, cosine FROM (
@@ -1397,20 +1413,20 @@ FROM merged"""
          |    ORDER BY cosine DESC, node_id) AS rn FROM (
          |    SELECT c.query_id, c.node_id,
          |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
-         |    FROM h${k}c c JOIN bk nv ON nv.vec_id = c.node_id
+         |    FROM h${k}c c JOIN $vecTbl nv ON nv.vec_id = c.node_id
          |                  JOIN qq q ON q.query_id = c.query_id))
          |  WHERE rn <= 12)""".stripMargin
     }
-    e23GraphCtes + ",\n" +
-      """entries AS (SELECT vec_id AS node_id FROM e
+    prefixCtes + ",\n" +
+      s"""entries AS (SELECT vec_id AS node_id FROM $entSrc
         |  ORDER BY vec_id % 1000000007 * 888000131 % 1000000007, vec_id LIMIT 8),
-        |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM bk WHERE vec_id < 20),
+        |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM $vecTbl WHERE vec_id < 20),
         |b0 AS (SELECT query_id, node_id, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, node_id) AS rn FROM (
         |    SELECT q.query_id, en.node_id,
         |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
-        |    FROM qq q CROSS JOIN entries en JOIN bk nv ON nv.vec_id = en.node_id
+        |    FROM qq q CROSS JOIN entries en JOIN $vecTbl nv ON nv.vec_id = en.node_id
         |    WHERE q.query_id <> en.node_id))
         |  WHERE rn <= 12),""".stripMargin + "\n" +
       (1 to 3).map(beamLayer).mkString(",\n") + "\n" +
@@ -1419,6 +1435,9 @@ FROM merged"""
         |    ORDER BY cosine DESC, node_id) AS rn FROM b3)
         |WHERE rn <= 10""".stripMargin
   }
+
+  private val e25ServeOracleSql: String =
+    beamServeOracleSql(e23GraphCtes, "g3", "bk", "e")
 
   private val annLshOracleSql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -2976,6 +2995,7 @@ FROM merged"""
     // expand/score/top-beam layers + final top-10 replayed.
     "e25_graph_serve" -> e25ServeOracleSql,
     "e27_graph_delta" -> e27OracleSql,
+    "e28_graph_serve_delta" -> e28OracleSql,
     // i01: e05's whole bucketed kNN construction replayed (shared
     // CTEs), then the ENN plurality vote — per-query same/other label
     // tallies, the top outvoting label, flag where it strictly wins.

@@ -761,8 +761,30 @@ object Sim {
     * [[ServeHops]] to pin that the walk, not the entry set, finds the
     * neighbors.
     */
-  def e25GraphServeHops(spark: SparkSession, dir: String, hops: Int): DataFrame = {
-    val g = knnGraphIndex(spark, dir)
+  def e25GraphServeHops(spark: SparkSession, dir: String, hops: Int): DataFrame =
+    beamServeOver(spark, dir, knnGraphIndex(spark, dir), hops)
+
+  /** e28: SERVING THROUGH THE MERGED GRAPH — the freshness story's
+    * last leg (e23 builds nightly → e27 merges the delta → e28 serves
+    * it): the identical e25 beam walk (same entry election, hops,
+    * beam) runs over [[e27Merged]]'s edge set instead of the nightly
+    * artifact, so vectors ingested AFTER the nightly build are
+    * reachable as results without waiting for the next rebuild. The
+    * spec pins that e28's recall matches e25's (whose index happened
+    * to include everything) and that delta vectors actually surface
+    * in result lists.
+    */
+  def e28GraphServeDelta(spark: SparkSession, dir: String): DataFrame =
+    beamServeOver(spark, dir,
+      e27Merged(spark, dir).select("node_id", "neighbor_id"), ServeHops)
+
+  /** The HNSW layer-0 beam walk with the GRAPH pluggable — e25 feeds
+    * it the persisted nightly artifact, e28 the delta-merged graph;
+    * entry election, scoring, beam width and final top-10 are shared,
+    * so the two serve paths differ ONLY through the edge set.
+    */
+  private[graft] def beamServeOver(
+      spark: SparkSession, dir: String, g: DataFrame, hops: Int): DataFrame = {
     val e = emb(spark, dir)
     val q = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1811,6 +1833,16 @@ object Sim {
     * bucket sidecar (w09's stats discipline), not a rescan.
     */
   def e27GraphDelta(spark: SparkSession, dir: String): DataFrame = {
+    val wNode = Window.partitionBy("node_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    e27Merged(spark, dir)
+      .withColumn("rnk", row_number().over(wNode).cast("long"))
+  }
+
+  /** The e27 merged graph (node_id, neighbor_id, cosine, src) without
+    * the rank column — e27's output adds rnk; e28 serves beam walks
+    * over it directly. Materialized (checkpointed) before return.
+    */
+  private[graft] def e27Merged(spark: SparkSession, dir: String): DataFrame = {
     val full = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = full.where(col("vec_id") % DeltaMod =!= 0)
@@ -1869,7 +1901,6 @@ object Sim {
     val out = kept.withColumn("src", lit("kept"))
       .unionByName(repaired.withColumn("src", lit("repaired")))
       .unionByName(deltaLists.withColumn("src", lit("delta")))
-      .withColumn("rnk", row_number().over(wNode).cast("long"))
       .localCheckpoint(true)
     full.unpersist()
     out

@@ -111,6 +111,37 @@ class Round14Spec extends SparkSpec {
       f"delta-node recall too far below rebuild: $mD%.3f vs $rD%.3f")
   }
 
+  // ---------------------------------------------------------------- e28
+
+  test("e28: serving through the merged graph matches e25 recall and reaches fresh vectors") {
+    // the freshness story's last leg: e25's walk over the nightly
+    // artifact (which in the test corpus happened to include
+    // everything) vs the SAME walk over the e27 merged graph — recall
+    // vs the exact panel must match, and delta vectors must actually
+    // surface in result lists (the reason the merge exists)
+    val exact = graft.sim.Sim.e01KnnCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val hits = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).count(ex.contains) }.sum
+      hits.toDouble / exact.map { case (_, ex) => ex.size }.sum
+    }
+    val e28 = graft.sim.Sim.e28GraphServeDelta(spark, sfDir)
+    val r28 = recall(e28)
+    val r25 = recall(graft.sim.Sim.e25GraphServe(spark, sfDir))
+    info(f"recall@10: e25 (nightly graph) = $r25%.3f, e28 (merged graph) = $r28%.3f")
+    assert(r28 >= r25 - 0.05,
+      f"merged-graph serving lost recall vs the nightly artifact: $r28%.3f vs $r25%.3f")
+    // fresh vectors are REACHABLE: delta nodes appear among results
+    val deltaHits = e28.collect()
+      .count(r => r.getLong(1) % graft.sim.Sim.DeltaMod == 0)
+    info(s"delta vectors served as results: $deltaHits")
+    assert(deltaHits > 0, "no freshly-merged vector ever surfaced in a result list")
+  }
+
   // ---------------------------------------------------------------- g04
 
   test("g04: ranks are dense over the rounded-pr total order and the graph is user-level") {
