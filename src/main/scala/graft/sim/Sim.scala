@@ -775,8 +775,32 @@ object Sim {
     * in result lists.
     */
   def e28GraphServeDelta(spark: SparkSession, dir: String): DataFrame =
-    beamServeOver(spark, dir,
-      e27Merged(spark, dir).select("node_id", "neighbor_id"), ServeHops)
+    beamServeOver(spark, dir, mergedGraphIndex(spark, dir), ServeHops)
+
+  /** The PERSISTED merged graph — the same nightly-artifact split the
+    * e23/e25 pair established (construction is the expensive artifact,
+    * the walk is the always-on cheap part), applied to the merge: e27
+    * measures the merge, e28 serves from its persisted result. Keyed
+    * and build-once like [[knnGraphIndex]] (sanitized dir +
+    * data-version token + appId behind a `_BUILT` marker).
+    */
+  private[graft] def mergedGraphIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = spark.conf.get("spark.graft.ann.indexDir", "/tmp")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$root/graft_knn_graph_merged_${key}_${dataVersionToken(spark, dir)}_" +
+      Integer.toHexString(spark.sparkContext.applicationId.hashCode)
+    indexLock.synchronized {
+      val fs = new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+      val marker = new HPath(path, "_BUILT")
+      if (!fs.exists(marker)) {
+        e27Merged(spark, dir).select("node_id", "neighbor_id")
+          .write.mode("overwrite").parquet(path)
+        fs.create(marker, true).close()
+      }
+    }
+    spark.read.schema("node_id BIGINT, neighbor_id BIGINT").parquet(path)
+  }
 
   /** The HNSW layer-0 beam walk with the GRAPH pluggable — e25 feeds
     * it the persisted nightly artifact, e28 the delta-merged graph;
