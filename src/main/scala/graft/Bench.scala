@@ -44,15 +44,27 @@ object Bench {
     // so bench_diff can compare streaming kernels NET of harness drift
     // — the cost is ~2.5 s/op × 30 ops of pure fixed cost, which is
     // exactly where box drift kept tripping the 1.5× gate.
+    // The probe only runs when a streaming-harness query (s-family or
+    // w06) is in the selected set — a focused SPARK_GRAFT_QUERIES run
+    // over batch ops shouldn't pay nRuns × ~2.5 s of probe. A probe
+    // failure is recorded under the reserved "_floor" key (fatal
+    // errors like OOM propagate — swallowing them hid a broken floor
+    // as a silent 0.0 that made bench_diff fall back to raw compares).
+    val needsFloor = queries.keys.exists(n => n.startsWith("s") || n == "w06_sink_streamed")
     var floors: List[Double] = Nil
-    for (_ <- 1 to nRuns) {
+    if (needsFloor) for (_ <- 1 to nRuns) {
       val t0 = System.nanoTime()
       try {
         graft.streaming.Streams.streamFloorProbe(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         floors = ((System.nanoTime() - t0) / 1e9) :: floors
-      } catch { case _: Throwable => () }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          errors("_floor") = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\r\n\t]", " ").take(200)
+      }
     }
+    if (floors.nonEmpty) errors.remove("_floor")
     val floorSec = if (floors.nonEmpty) floors.min else 0.0
     for (_ <- 1 to nRuns; (name, fn) <- queries) {
       spark.catalog.clearCache() // no warm-cache runs: each timing does full work

@@ -115,16 +115,17 @@ object ReliefQueries {
     // instance (and an empty partition upstream removes them all for
     // free) — the composed operator returns the empty weight frame the
     // oracle also produces, instead of surfacing the estimator's
-    // non-empty requirement; zero cost on the non-empty path
-    try {
+    // non-empty requirement; the emptiness probe is a LIMIT-1 scan of
+    // the already-planned anti-join, so the non-empty path pays one
+    // cheap extra job rather than depending on the estimator's
+    // require() message text
+    if (edited.isEmpty) {
+      Seq.empty[(Int, Double)].toDF("feature", "weight")
+    } else {
       val m = fitSelectorOn(spark, edited, redundancy = false)
       m.featureWeights.zipWithIndex
         .map { case (w, f) => (f, w) }.toSeq.toDF("feature", "weight")
         .select(col("feature"), round(col("weight"), 6).as("weight"))
-    } catch {
-      case e: IllegalArgumentException
-          if Option(e.getMessage).exists(_.contains("empty dataset")) =>
-        Seq.empty[(Int, Double)].toDF("feature", "weight")
     }
   }
 

@@ -358,27 +358,49 @@ object Sim {
   }
 
   /** Version token of the embeddings input under `dir`: a fold over
-    * the sorted (name, length, mtime) of its parquet files through the
-    * Hadoop FS API. Keys every persisted index path so (a) two dirs
-    * can never collide the way a bare 32-bit `dir.hashCode` could, and
-    * (b) if the data under `dir` is REPLACED within one application
-    * lifetime the token changes and the index rebuilds instead of
-    * serving the stale graph.
+    * the sorted (relative path, length, mtime) of its parquet DATA
+    * files — a RECURSIVE listing, so a partitioned/nested layout
+    * hashes the leaf files rather than the top-level directory
+    * entries. Keys every persisted index path so (a) two dirs can
+    * never collide the way a bare 32-bit `dir.hashCode` could, and
+    * (b) if the data under `dir` is REPLACED across application runs
+    * the token changes and the index rebuilds instead of serving the
+    * stale graph. Memoized per (applicationId, dir): the serving
+    * operators (annIndexPath/knnGraphIndex/mergedGraphIndex) resolve
+    * the token per query, and an FS listing per lookup is a real
+    * round-trip tax on remote stores — within one app lifetime the
+    * input is assumed immutable (the same contract every Spark scan
+    * holds once planned).
     */
-  private[graft] def dataVersionToken(spark: SparkSession, dir: String): String = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val p = new HPath(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files =
-      if (!fs.exists(p)) Seq.empty
-      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p))
-    val h = files.sortBy(_.getPath.getName).foldLeft(1125899906842597L) { (acc, s) =>
-      ((acc * 31 + s.getPath.getName.hashCode) * 31 + s.getLen) * 31 +
-        s.getModificationTime
-    }
-    java.lang.Long.toHexString(h)
-  }
+  private val versionTokenCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private[graft] def dataVersionToken(spark: SparkSession, dir: String): String =
+    versionTokenCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      { _ =>
+        import org.apache.hadoop.fs.{Path => HPath}
+        val p = new HPath(s"$dir/embeddings.parquet")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val base = p.toUri.getPath
+        val files = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long)]
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, /* recursive = */ true)
+          while (it.hasNext) {
+            val s = it.next()
+            val rel = s.getPath.toUri.getPath.stripPrefix(base)
+            // Hadoop FS bookkeeping files don't version the data
+            if (!rel.contains("/_") && !rel.contains("/."))
+              files += ((rel, s.getLen, s.getModificationTime))
+          }
+        }
+        val h = files.sortBy(_._1).foldLeft(1125899906842597L) {
+          case (acc, (rel, len, mtime)) =>
+            ((acc * 31 + rel.hashCode) * 31 + len) * 31 + mtime
+        }
+        java.lang.Long.toHexString(h)
+      })
 
   /** Staging path of the persisted e06 index, keyed by (sanitized dir,
     * data-version token, appId) — the appId like

@@ -651,7 +651,11 @@ object Streams {
   case class TransState(ts_us: Long, event_id: Long, ty: String)
   case class TransOut(prev_type: Option[String], next_type: String)
 
-  case class HandoffEvent(item: Long, day: String, user_id: Long,
+  // item is Option[Long]: an event whose props lacks '$.k' (or has
+  // malformed JSON) yields a null item — batch g04's window treats
+  // those as one valid null partition, so the stream must key them as
+  // (None, day) rather than crash the encoder on a null primitive
+  case class HandoffEvent(item: Option[Long], day: String, user_id: Long,
     event_id: Long, ts_us: Long)
   case class HandoffState(ts_us: Long, event_id: Long, user_id: Long)
   case class HandoffOut(prev_user: Option[Long], user_id: Long)

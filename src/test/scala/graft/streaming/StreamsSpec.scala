@@ -181,6 +181,43 @@ class StreamsSpec extends SparkSpec {
       s"stream=$got\nbatch=$batch")
   }
 
+  test("s31 survives events without '$.k' and matches batch g04's null-item partition") {
+    // an event whose props lacks k (or carries malformed JSON) used to
+    // crash the stream's primitive-Long encoder while batch g04 walked
+    // the same rows as one valid null-item window partition; item is
+    // now Option[Long] so the (None, day) stream key matches the batch
+    val stage = "/tmp/graft_stream_nullk_s31"
+    val d = Paths.get(stage)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(d)
+    // strip k from ~1/5 of events and corrupt the JSON on another slice
+    val mutated = Tables.events(spark, sfDir).withColumn("props",
+      when(col("event_id") % 5 === 0, lit("{\"other\":1}"))
+        .when(col("event_id") % 5 === 1, lit("not json"))
+        .otherwise(col("props")))
+    mutated.write.mode("overwrite").parquet(s"$stage/events.parquet")
+    val cut = mutated.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
+    mutated.where(expr(s"unix_micros(ts) <= $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/stream/p1")
+    Thread.sleep(1100)
+    mutated.where(expr(s"unix_micros(ts) > $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/stream/p2")
+    val schema = spark.read.parquet(s"$stage/stream/p1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/stream/p*")
+    val got = Streams.runUserPagerank(stream)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    val batch = graft.graph.Graph.g04UserPagerank(spark, stage)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    assert(got.nonEmpty && got == batch, s"stream=$got\nbatch=$batch")
+  }
+
   test("s29 streamed kNN classification equals batch e26 (two micro-batches)") {
     // the query stream is stateless (stream-static join only), so ANY
     // batch split must reproduce the batch confusion census exactly

@@ -49,6 +49,10 @@ def main():
     cur_q, base_q = cur["queries"], base["queries"]
     cur_floor, base_floor = cur.get("floor_sec"), base.get("floor_sec")
     use_floor = bool(cur_floor) and bool(base_floor)
+    if "_floor" in cur.get("errors", {}):
+        print(f"bench_diff: WARNING — floor probe failed every run in "
+              f"{cur_path}: {cur['errors']['_floor']}; streaming keys "
+              f"compared raw")
     if use_floor:
         print(f"bench_diff: streaming floor {base_floor}s (baseline) vs "
               f"{cur_floor}s (current) — s-family compared net of floor")
@@ -65,21 +69,25 @@ def main():
         if b == "err":
             continue  # baseline itself was broken for this query; can only improve
         c, b = float(c), float(b)
-        tag = ""
-        raw_regressed = c > b * REGRESSION_FACTOR
         if use_floor and is_streaming(name):
-            # net-of-floor comparison, but ALSO require the raw ratio to
-            # regress: subtracting the floor amplifies jitter for ops
-            # barely above it (a 1.2x raw drift can read 2x net), so a
-            # streaming key flags only when both views agree
-            c = max(c - float(cur_floor), MIN_NET_SEC)
-            b = max(b - float(base_floor), MIN_NET_SEC)
-            tag = " (net of floor)"
-        else:
-            raw_regressed = True  # non-streaming: raw IS the comparison
-        if raw_regressed and c > b * REGRESSION_FACTOR and c > b + ABS_FLOOR_SEC:
+            # Streaming keys gate on the NET (floor-subtracted) kernel
+            # time alone: requiring raw agreement let a real kernel
+            # regression hide under the ~2.5 s harness floor (0.2s→1.0s
+            # net is only ~1.3x raw). The MIN_NET_SEC clamp absorbs the
+            # jitter-amplification worry for ops barely above the floor,
+            # and the absolute delta is applied to the NET values, so a
+            # tiny kernel drifting by fuzz still can't flag. Raw times
+            # ride along in the message as info.
+            cn = max(c - float(cur_floor), MIN_NET_SEC)
+            bn = max(b - float(base_floor), MIN_NET_SEC)
+            if cn > bn * REGRESSION_FACTOR and cn > bn + ABS_FLOOR_SEC:
+                regressions.append(
+                    f"SLOWER   {name}: net {bn:.3f}s -> {cn:.3f}s "
+                    f"({cn / bn:.2f}x net; raw {b:.3f}s -> {c:.3f}s, "
+                    f"{c / b:.2f}x raw)")
+        elif c > b * REGRESSION_FACTOR and c > b + ABS_FLOOR_SEC:
             regressions.append(
-                f"SLOWER   {name}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x){tag}")
+                f"SLOWER   {name}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x)")
     for name in sorted(set(cur_q) - set(base_q)):
         news.append(f"NEW      {name}: {cur_q[name]}s (not in baseline)")
 
