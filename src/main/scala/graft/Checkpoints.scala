@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Lineage cuts for the iterative kernels (PageRank/LPA rounds,
+  * NN-descent, the BPE merge loop, CC star-forest, greedy selections).
+  *
+  * Default: eager `localCheckpoint` — materializes each round into
+  * executor-local block storage. No configured directory, no extra
+  * I/O hop, and exactly right on local[*]. On a multi-executor
+  * cluster, though, executor-local blocks die with their executor,
+  * and a TRUNCATED lineage cannot recompute them — a single executor
+  * loss mid-iteration fails the whole job instead of recomputing one
+  * stage.
+  *
+  * Set `spark.graft.checkpoint.reliable=true` for cluster runs and
+  * every cut becomes a reliable `Dataset.checkpoint()` written to
+  * `spark.graft.checkpoint.dir` (default `/tmp/graft_ckpt_<appId>`;
+  * point it at HDFS/object storage): an executor loss re-reads the
+  * checkpoint instead of failing. Results are bit-identical in both
+  * modes — the knob changes WHERE the materialized rounds live, never
+  * their content (Round15Spec pins g02 and the e23 descent equal
+  * across modes).
+  *
+  * Durability contract in one line: localCheckpoint trades fault
+  * tolerance for speed; flip the knob when executors are mortal.
+  */
+object Checkpoints {
+
+  implicit class CutOps[T](private val ds: Dataset[T]) extends AnyVal {
+    /** Eager lineage cut honoring `spark.graft.checkpoint.reliable`. */
+    def cutLineage: Dataset[T] = {
+      val spark = ds.sparkSession
+      if (spark.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean) {
+        val sc = spark.sparkContext
+        val dir = spark.conf.getOption("spark.graft.checkpoint.dir")
+          .getOrElse(s"/tmp/graft_ckpt_${sc.applicationId}")
+        // setCheckpointDir appends a UUID subdir — only (re)set on change
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
+        ds.checkpoint(eager = true)
+      } else ds.localCheckpoint(true)
+    }
+  }
+}

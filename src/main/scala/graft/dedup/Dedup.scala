@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.text.Text
+import graft.Checkpoints.CutOps
 
 /** Deduplication operators (SURVEY.md §2c): exact, MinHash+LSH, SimHash,
   * and n-gram-Jaccard verification.
@@ -186,7 +187,7 @@ object Dedup {
       .withColumn("est_jaccard", expr(estJaccardExpr(spark)))
       .where(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b", "est_jaccard")
-      .localCheckpoint(true)
+      .cutLineage
     sigs.unpersist()
     out
   }
@@ -247,7 +248,7 @@ object Dedup {
     // materialize the struct arrays BEFORE exploding (the d45 lesson:
     // Generate over an inline higher-order generator re-evaluates the
     // whole fold pathologically); 127 × 24 B per doc, released eagerly
-    val arr = sigs.select(expr(allBands).as("bb_arr")).localCheckpoint(true)
+    val arr = sigs.select(expr(allBands).as("bb_arr")).cutLineage
     val bd = arr.select(explode(col("bb_arr")).as("bb"))
       .select(col("bb.bands"), col("bb.band_id"), col("bb.band_sig"))
     val measured = bd.groupBy("bands", "band_id", "band_sig")
@@ -264,7 +265,7 @@ object Dedup {
       .select(col("bands"), col("rows_per_band"),
         coalesce(col("n_candidate_pairs"), lit(0L)).as("n_candidate_pairs"),
         coalesce(col("n_capped_buckets"), lit(0L)).as("n_capped_buckets"))
-      .localCheckpoint(true)
+      .cutLineage
     sigs.unpersist()
     val analytic = TuningPlans.map { case (b, r) =>
       val kr = java.lang.Long.numberOfTrailingZeros(r.toLong).toInt
@@ -318,7 +319,7 @@ object Dedup {
         s"transform(shingles, s -> aggregate(split(s, ''), 17L, (b, c) -> (b * 31 + ascii(c)) % $P))"
     val hv = shingled(docs)
       .select(col("doc_id"), expr(hashArr).as("hv"))
-      .localCheckpoint(true)
+      .cutLineage
     val grams = hv.select(col("doc_id"), explode(col("hv")).as("h"))
     // materialize the (hash, decile, n) frame ONCE: without it Catalyst
     // re-plans the whole explode+hash+aggregate pipeline under BOTH
@@ -329,7 +330,7 @@ object Dedup {
       .withColumn("decile",
         ((col("doc_id") - col("lo")) * 10 / (col("hi") - col("lo") + 1)).cast("long"))
       .groupBy("h", "decile").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .cutLineage
     val occ = g1.groupBy("decile")
       .agg(sum("n").as("n_occurrences"), count(lit(1)).as("n_distinct"))
     val novel = g1.groupBy("h").agg(min("decile").as("decile"))
@@ -361,7 +362,7 @@ object Dedup {
     val pairs = d06MinHashLsh(spark, dir)
       .withColumn("sa", split(col("doc_a")))
       .withColumn("sb", split(col("doc_b")))
-      .localCheckpoint(true)
+      .cutLineage
     val census = pairs
       .groupBy(concat(lit("pairs_"), least(col("sa"), col("sb")),
         lit("_"), greatest(col("sa"), col("sb"))).as("metric"))
@@ -492,7 +493,7 @@ object Dedup {
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .distinct()
       .where(col("hamming") <= 6)
-      .localCheckpoint(true)
+      .cutLineage
     sh.unpersist()
     out
   }
@@ -550,7 +551,9 @@ object Dedup {
     * Set `spark.graft.cc.checkpointDir` to a reliable path (HDFS/object
     * store) and rounds checkpoint durably instead: a late-round executor
     * loss then re-reads the checkpoint rather than recomputing the LSH
-    * pipeline.
+    * pipeline. The library-wide `spark.graft.checkpoint.reliable` knob
+    * ([[graft.Checkpoints]]) covers this site too when the CC-specific
+    * dir isn't set.
     */
   private def barrier(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -560,7 +563,7 @@ object Dedup {
         if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(d)))
           spark.sparkContext.setCheckpointDir(d)
         df.checkpoint()
-      case None => df.localCheckpoint()
+      case None => df.cutLineage
     }
   }
 
@@ -726,7 +729,7 @@ object Dedup {
         (col("inter") / col("na")).as("containment_a"),
         (col("inter") / col("nb")).as("containment_b"))
       .where(greatest(col("containment_a"), col("containment_b")) >= 0.9)
-      .localCheckpoint(true)
+      .cutLineage
     sigs.unpersist()
     out
   }
@@ -748,7 +751,7 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= 0.6)
-      .localCheckpoint(true)
+      .cutLineage
     sigs.unpersist()
     out
   }

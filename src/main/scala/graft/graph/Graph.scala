@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Checkpoints.CutOps
 
 /** Graph-centrality operators over entity-transition graphs.
   *
@@ -70,13 +71,13 @@ object Graph {
         (col("n_trans").cast("double") /
           sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
           .as("w"))
-      .localCheckpoint(true)
-    val nodes = nodesIn.localCheckpoint(true)
+      .cutLineage
+    val nodes = nodesIn.cutLineage
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     val sources = edges.select(col("prev_type").as("node")).distinct()
     var pr = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-      .localCheckpoint(true)
+      .cutLineage
     for (it <- 1 to PrIters) {
       val contrib = pr.join(edges, pr("node") === edges("prev_type"))
         .groupBy(col("next_type").as("node"))
@@ -94,7 +95,7 @@ object Graph {
       // join/agg analyzes fine, and halving the eager checkpoint
       // jobs halves the fixed per-round cost (measured 2.4 s → the
       // frames are 5 rows; the jobs, not the data, were the bill)
-      if (it % 2 == 0 || it == PrIters) pr = pr.localCheckpoint(true)
+      if (it % 2 == 0 || it == PrIters) pr = pr.cutLineage
     }
     pr
   }
@@ -208,8 +209,8 @@ object Graph {
       .unionByName(directed.select(col("b").as("a"), col("a").as("b"), col("n_trans")))
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(sum("n_trans").as("w"))
-      .localCheckpoint(true)
-    lpaFrom(userNodes(spark, dir).localCheckpoint(true), sym)
+      .cutLineage
+    lpaFrom(userNodes(spark, dir).cutLineage, sym)
   }
 
   /** Synchronous label-propagation rounds for g02. */
@@ -238,10 +239,10 @@ object Graph {
       .unionByName(directed.select(col("b").as("a"), col("a").as("b"), col("n_trans")))
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(sum("n_trans").as("w"))
-      .localCheckpoint(true)
+      .cutLineage
     val nodes = Tables.events(spark, dir)
       .select(col("event_type").as("node")).distinct()
-      .localCheckpoint(true)
+      .cutLineage
     lpaFrom(nodes, sym)
   }
 
@@ -253,7 +254,7 @@ object Graph {
     */
   private[graft] def lpaFrom(nodes: DataFrame, sym: DataFrame): DataFrame = {
     var lbl = nodes.select(col("node"), col("node").as("community"))
-      .localCheckpoint(true)
+      .cutLineage
     for (_ <- 1 to LpaRounds) {
       val scores = sym
         .join(lbl.select(col("node").as("b"), col("community")), Seq("b"))
@@ -267,7 +268,7 @@ object Graph {
       lbl = lbl.join(best, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_community"), col("community")).as("community"))
-        .localCheckpoint(true)
+        .cutLineage
     }
     lbl.select(col("node"), col("community"))
   }
@@ -294,7 +295,7 @@ object Graph {
       .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") < col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage
     val nodes = Tables.events(spark, dir)
       .select(col("event_type").as("node")).distinct()
     // ordered wedges (a<b, b<c) closed by the (a, c) edge
@@ -303,7 +304,7 @@ object Graph {
       .join(edges.as("e3"),
         col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      .localCheckpoint(true)
+      .cutLineage
     val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     val deg = edges.select(col("a").as("node"))

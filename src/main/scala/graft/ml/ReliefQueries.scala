@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Checkpoints.CutOps
 
 /** Driver-contract glue for the ML surface (SURVEY.md §2a): each
   * reference capability exposed as a `(SparkSession, sfDir) => DataFrame`
@@ -1195,7 +1196,7 @@ object ReliefQueries {
     * compute bit-identical doubles.
     */
   private[graft] def classWeightsFrom(censusIn: DataFrame): DataFrame = {
-    val census = censusIn.localCheckpoint(true)
+    val census = censusIn.cutLineage
     val tot = census.agg(
       sum("n_class").as("n"), count(lit(1)).cast("long").as("k"))
     val beta = 0.999

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.Checkpoints.CutOps
 
 /** Event-stream analytics over the `events` table (batch forms; the
   * streaming equivalents live in graft.streaming).
@@ -109,7 +110,7 @@ object Events {
     // each reference re-runs the corpus scan + sketch build — 4 scans
     // where the operator's whole pitch is ONE. The checkpoint holds
     // ≤ |types|·K longs (eager, lineage cut — the d06 pattern).
-    val sk = sketchTable(spark, dir, native).localCheckpoint(true)
+    val sk = sketchTable(spark, dir, native).cutLineage
     // everything below operates on ≤ |types|·K sketch rows
     val types = sk.select($"event_type").distinct()
     val pairs = types.select($"event_type".as("type_a"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Checkpoints.CutOps
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2c).
   *
@@ -589,7 +590,7 @@ object Sim {
     var selected = cand.withColumn("mmr_score", col("rel"))
       .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
       .select(col("query_id"), lit(1L).as("rank"), col("neighbor_id"), col("mmr_score"))
-      .localCheckpoint(true)
+      .cutLineage
     for (t <- 2 to 5) {
       val selIds = selected.select(col("query_id"), col("neighbor_id").as("b_id"))
       val rem = cand.join(selected.select("query_id", "neighbor_id"),
@@ -605,7 +606,7 @@ object Sim {
         .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
         .select(col("query_id"), lit(t.toLong).as("rank"),
           col("neighbor_id"), col("mmr_score"))
-      selected = selected.unionByName(pick.localCheckpoint(true))
+      selected = selected.unionByName(pick.cutLineage)
     }
     // every pick is already materialized, so the union no longer
     // references cand/sim — release both eagerly (the e05 pattern)
@@ -1422,7 +1423,7 @@ object Sim {
     // entry doesn't outlive the operator in a long-lived session
     val out = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
       .select("query_id", "neighbor_id", "cosine")
-      .localCheckpoint(true)
+      .cutLineage
     corpus.unpersist()
     out
   }
@@ -1563,7 +1564,7 @@ object Sim {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     val top = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
       .select("query_id", "neighbor_id")
-      .localCheckpoint(true)
+      .cutLineage
     corpus.unpersist()
     val votes = top
       .join(lbls.select(col("vec_id").as("neighbor_id"), col("lbl").as("nlbl")),
@@ -1634,7 +1635,7 @@ object Sim {
     val nn1 = scored.withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .where(col("rn") === 1)
-      .localCheckpoint(true)
+      .cutLineage
     corpus.unpersist()
     val synth = nn1.groupBy(col("qlbl").as("lbl"))
       .agg(count(lit(1)).as("n_synth"), sum("mass").as("mass"))
@@ -1675,7 +1676,7 @@ object Sim {
       .select(col("vec_id"), col("v"), col("nrm"), col("lbl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var protos = pts.groupBy("lbl").agg(min("vec_id").as("vec_id"))
-      .select("vec_id").localCheckpoint(true)
+      .select("vec_id").cutLineage
     val audits = scala.collection.mutable.ArrayBuffer[DataFrame]()
     audits += protos.agg(count(lit(1)).as("n_prototypes"))
       .select(lit(0L).as("round"), col("n_prototypes"),
@@ -1694,12 +1695,12 @@ object Sim {
           Window.partitionBy("vec_id").orderBy(col("cos").desc, col("proto_id"))))
         .where(col("rn") === 1)
       val mis = nearest.where(col("lbl") =!= col("plbl"))
-        .localCheckpoint(true)
+        .cutLineage
       val reps = mis
         .withColumn("rp", row_number().over(
           Window.partitionBy("proto_id").orderBy(col("cos").desc, col("vec_id"))))
         .where(col("rp") === 1)
-        .select(col("vec_id")).localCheckpoint(true)
+        .select(col("vec_id")).cutLineage
       audits += reps.agg(
           coalesce(sum("vec_id"), lit(0L)).as("added_id_sum"))
         .crossJoin(mis.agg(count(lit(1)).as("n_misclassified")))
@@ -1708,9 +1709,9 @@ object Sim {
         .select(lit(r.toLong).as("round"),
           (col("np") + col("nr")).as("n_prototypes"),
           col("n_misclassified"), col("added_id_sum"))
-      protos = protos.unionByName(reps).localCheckpoint(true)
+      protos = protos.unionByName(reps).cutLineage
     }
-    val out = audits.reduce(_ unionByName _).localCheckpoint(true)
+    val out = audits.reduce(_ unionByName _).cutLineage
     pts.unpersist()
     out
   }
@@ -1766,7 +1767,7 @@ object Sim {
     val (corpus, plan) = e23GraphPlan(spark, dir, rounds)
     // eager-release (e05 pattern): checkpoint the tiny graph, drop the
     // persisted corpus before returning
-    val out = plan.localCheckpoint(true)
+    val out = plan.cutLineage
     corpus.unpersist()
     out
   }
@@ -1833,9 +1834,9 @@ object Sim {
     // iterative-algorithm discipline (convergeForest does the same):
     // cut lineage at each iteration, keep the final round declarative
     // so its plan stays inspectable.
-    val seed = if (rounds == 0) init else init.localCheckpoint(true)
+    val seed = if (rounds == 0) init else init.cutLineage
     (1 to rounds).foldLeft(seed)((g, i) =>
-        if (i == rounds) round(g) else round(g).localCheckpoint(true))
+        if (i == rounds) round(g) else round(g).cutLineage)
       .withColumn("rnk", row_number().over(wNode).cast("long"))
   }
 
@@ -1896,7 +1897,7 @@ object Sim {
     // the nightly artifact: e23's full 2-round build over the base
     // corpus (materialized — the merge must not re-plan it)
     val baseGraph = e23GraphPlanOn(spark, base, rounds = 2)
-      .select("node_id", "neighbor_id", "cosine").localCheckpoint(true)
+      .select("node_id", "neighbor_id", "cosine").cutLineage
 
     val nodeV = full.select(col("vec_id").as("node_id"), col("v").as("av"), col("nrm").as("an"))
     val nbrV = full.select(col("vec_id").as("neighbor_id"), col("v").as("bv"), col("nrm").as("bn"))
@@ -1919,7 +1920,7 @@ object Sim {
         .join(inn.select(col("bucket"), col("vec_id").as("neighbor_id")), Seq("bucket"))
         .where(col("node_id") =!= col("neighbor_id"))
         .select("node_id", "neighbor_id").distinct()))
-      .localCheckpoint(true)
+      .cutLineage
 
     // 2. REVERSE ATTACH — scores reused (cosine symmetric)
     val rev = seed.select(col("neighbor_id").as("node_id"),
@@ -1947,7 +1948,7 @@ object Sim {
     val out = kept.withColumn("src", lit("kept"))
       .unionByName(repaired.withColumn("src", lit("repaired")))
       .unionByName(deltaLists.withColumn("src", lit("delta")))
-      .localCheckpoint(true)
+      .cutLineage
     full.unpersist()
     out
   }
@@ -1997,7 +1998,7 @@ object Sim {
       .select(col("vec_a"), col("vec_b"),
         (dotOf(spark, "va", "vb") / (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= 0.995)
-      .localCheckpoint(true)
+      .cutLineage
     corpus.unpersist()
     out
   }

@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.Checkpoints.CutOps
 
 /** Structured Streaming operators over the `events` table (SURVEY.md §2c).
   *
@@ -522,7 +523,7 @@ object Streams {
     val dict = Corpus.boilerplateLines(
         graft.dedup.Dedup.nearDupCorpus(graft.Tables.documents(ss, dir)))
       .select(col("h"), lit(1).as("bp"))
-      .localCheckpoint(true)
+      .cutLineage
     val key = s"${Integer.toHexString(dir.hashCode)}_" +
       Integer.toHexString(ss.sparkContext.applicationId.hashCode) + "_" +
       nameCounter.incrementAndGet()
@@ -1504,7 +1505,7 @@ object Streams {
     // cache can be released NOW instead of leaking for the session's
     // lifetime (localCheckpoint blocks are context-cleaned on GC,
     // cacheManager entries are not)
-    val out = joined.localCheckpoint(true)
+    val out = joined.cutLineage
     sigFull.unpersist()
     out
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Checkpoints.CutOps
 
 /** Corpus-hygiene operators for a training-data pipeline
   * (SURVEY.md §2c additions, round 2): benchmark decontamination,
@@ -205,7 +206,7 @@ object Corpus {
     val (pipeline, sigB, sigC) = d33Pipeline(spark, dir)
     // eager-release (s05 pattern): survivors are tiny; checkpoint them
     // and drop both persisted signature tables before returning
-    val out = pipeline.localCheckpoint(true)
+    val out = pipeline.cutLineage
     sigB.unpersist(); sigC.unpersist()
     out
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Checkpoints.CutOps
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2c).
   *
@@ -471,7 +472,7 @@ object Text {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
         col("n"))
-      .localCheckpoint(true)
+      .cutLineage
     val layers = (1 to BpeMerges).foldLeft(
         (types0, List.empty[DataFrame])) { case ((types, acc), rank) =>
       // 1-symbol types contribute no pairs; drop them BEFORE the
@@ -494,7 +495,7 @@ object Text {
             "   concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb))), " +
             "   concat(acc, array(x))))").as("syms"),
           col("n"))
-        .localCheckpoint(true)
+        .cutLineage
       val layer = best.select(lit(rank.toLong).as("merge_rank"),
         col("ma").as("left_sym"), col("mb").as("right_sym"),
         concat(col("ma"), col("mb")).as("merged_sym"), col("n_pair"))
