@@ -149,6 +149,7 @@ object SparkEntry {
     "g03_triangle_count"  -> graft.graph.Graph.g03TriangleCount _,
     "g04_user_pagerank"   -> graft.graph.Graph.g04UserPagerank _,
     "g05_user_communities" -> graft.graph.Graph.g05UserCommunities _,
+    "g06_user_triangles"  -> graft.graph.Graph.g06UserTriangles _,
     "s31_stream_user_pagerank" -> Streams.s31StreamUserPagerank _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
     "s29_stream_knn_classify" -> Streams.s29StreamKnnClassify _,
@@ -1164,6 +1165,36 @@ nodes AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events)""",
     CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS BIGINT) AS rank
   FROM pr10)
 WHERE rank <= ${graft.graph.Graph.TopUsers}""")
+
+  // g06: the triangle census on the user handoff graph — edge
+  // derivation shared textually with g04/g05 (userHandoffCountCtes);
+  // the oracle enumerates triangles by the order-only two-join
+  // (a < b < c): degree orientation changes the Spark PLAN's wedge
+  // fan-out, never the triangle set, so the simplest exact
+  // enumeration is the right truth here.
+  private val g06OracleSql: String =
+    s"""WITH $userHandoffCountCtes,
+edges AS (SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM dcounts UNION ALL SELECT b AS a, a AS b FROM dcounts) u
+  WHERE a < b),
+nodes AS (SELECT DISTINCT user_id AS node FROM events),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+       JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+tpn AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+    SELECT unnest([x, y, z]) AS node FROM tri) t GROUP BY 1),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) u
+  GROUP BY 1)
+SELECT n.node, coalesce(dg.degree, 0) AS degree,
+  coalesce(t.n_triangles, 0) AS n_triangles,
+  round(CASE WHEN coalesce(dg.degree, 0) >= 2
+    THEN CAST(2 AS DOUBLE) * coalesce(t.n_triangles, 0)
+         / (dg.degree * (dg.degree - 1))
+    ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+FROM nodes n LEFT JOIN deg dg ON dg.node = n.node
+     LEFT JOIN tpn t ON t.node = n.node"""
 
   private val d42bOracleSql: String = bpeOracleSql(minLen = 2,
     (1 to graft.text.Text.BpeMerges).map(i => s"SELECT * FROM o$i")
@@ -3103,6 +3134,7 @@ FROM merged"""
     "g01_transition_pagerank" -> g01OracleSql,
     "g04_user_pagerank" -> g04OracleSql,
     "g05_user_communities" -> g05OracleSql,
+    "g06_user_triangles" -> g06OracleSql,
     // s31: g04's deployment shape — the streamed handoff extraction
     // must reduce to the identical leaderboard, so the oracle IS g04's.
     "s31_stream_user_pagerank" -> g04OracleSql,

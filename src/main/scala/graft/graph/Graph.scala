@@ -276,40 +276,97 @@ object Graph {
   /** g03: triangle counting + local clustering coefficient over the
     * undirected transition graph — the cohesion census a graph
     * quality pass reads next to centrality (g01) and communities
-    * (g02). Edges deduped to a < b; triangles found by the canonical
-    * two-join on ordered endpoints (a < b < c), so each triangle is
-    * generated exactly once; per-node degree from the symmetric edge
-    * set; clustering coefficient = 2·tri / (deg·(deg−1)), 0 where
-    * degree < 2 — exact integers until the one final division
-    * (round 6). Output: (node, degree, n_triangles, clustering).
+    * (g02). Runs on the shared DEGREE-ORIENTED kernel
+    * ([[triangleCensus]]): wedges generate only from each edge's
+    * lower-(degree, id) endpoint, each triangle exactly once. Output:
+    * (node, degree, n_triangles, clustering).
     *
-    * Scale shape: the classic distributed-triangle plan — joins are
-    * keyed on edge endpoints (here domain-bounded; on a host graph
-    * the same plan shuffle-joins, with degree-orientation as the
-    * documented skew mitigation), never a cartesian.
+    * Scale shape: the classic distributed-triangle plan — joins keyed
+    * on edge endpoints, never a cartesian; orientation bounds the
+    * wedge fan-out at hubs (r10 VERDICT #5 closed — the kernel is
+    * safe on unbounded skewed domains, proven by g06 on the user
+    * handoff graph).
     */
   def g03TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val directed = graft.queries.Events.q39EventTransitions(spark, dir)
       .select(col("prev_type").as("a"), col("next_type").as("b"))
-    val edges = directed
+    triangleCensus(
+      Tables.events(spark, dir).select(col("event_type").as("node")).distinct(),
+      undirectedEdges(directed))
+  }
+
+  /** Symmetrize a directed (a, b) frame into the canonical undirected
+    * edge set (a < b, distinct, no self-loops) — the triangle kernel's
+    * input contract, shared by g03 and g06.
+    */
+  private[graft] def undirectedEdges(directed: DataFrame): DataFrame =
+    directed
       .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") < col("b"))
       .distinct()
       .cutLineage
-    val nodes = Tables.events(spark, dir)
-      .select(col("event_type").as("node")).distinct()
-    // ordered wedges (a<b, b<c) closed by the (a, c) edge
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
-      .join(edges.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      .cutLineage
-    val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+
+  /** g06: triangles + clustering coefficient on the USER handoff graph
+    * — the triangle kernel's unbounded-domain proof, exactly the
+    * precedent g04/g05 set for the rank and LPA kernels (r10 VERDICT
+    * #5): nodes are every user (corpus-scale, never an enum), edges
+    * the symmetrized g04 handoff census. Output: one row per user
+    * (node, degree, n_triangles, clustering) — a TABLE, never a
+    * driver collect. Degree orientation (below) is what makes this
+    * safe here: the handoff graph has hub users, and unoriented wedge
+    * generation at a hub is quadratic in its degree.
+    */
+  def g06UserTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(
+      userNodes(spark, dir),
+      undirectedEdges(userHandoffCounts(spark, dir)
+        .select(col("prev_type").as("a"), col("next_type").as("b"))))
+
+  /** The shared triangle/clustering kernel over (nodes, undirected
+    * edges (a < b, distinct)) — DEGREE-ORIENTED wedge generation, the
+    * standard skew mitigation (Cohen's MapReduce triangle counting;
+    * Suri-Vassilvitskii): every undirected edge is directed from its
+    * lower-(degree, id) endpoint to the higher, so a hub of degree d
+    * generates wedges only from neighbors that out-rank it — oriented
+    * out-degree is O(√m) on any graph, and the wedge self-join is
+    * O(m^1.5) total instead of O(d_max²) at the hub. Each triangle
+    * {x,y,z} (ranked x < y < z) is generated EXACTLY once: as the
+    * wedge (y, z) at apex x, closed by the oriented edge y→z.
+    * Per-node degree comes from the full symmetric edge set;
+    * clustering = 2·tri / (deg·(deg−1)), 0 where degree < 2 — exact
+    * integers until the one final division.
+    */
+  private[graft] def triangleCensus(
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
+      .cutLineage
+    val withDeg = edges
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+    // orient low-rank → high-rank, rank = (degree, id); input has
+    // a < b so the tie case keeps a → b
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aLower, col("a")).otherwise(col("b")).as("src"),
+        when(aLower, col("b")).otherwise(col("a")).as("dst"),
+        when(aLower, col("db")).otherwise(col("da")).as("ddst"))
+      .cutLineage
+    // wedges from each apex's out-neighborhood, ordered by rank so a
+    // wedge is generated once; closed by the oriented y→z edge (which
+    // is how {y,z} MUST be oriented, rank(y) < rank(z) by construction)
+    val e1 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+    val e2 = oriented.select(col("src"), col("dst").as("z"), col("ddst").as("dz"))
+    val wedges = e1.join(e2, Seq("src"))
+      .where(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("src").as("x"), col("y"), col("z"))
+    val tri = wedges
+      .join(oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+      .cutLineage
+    val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     nodes
       .join(deg, Seq("node"), "left")
       .join(triPerNode, Seq("node"), "left")

@@ -258,6 +258,47 @@ class PlanSpec extends SparkSpec {
       s"rank window must sit directly above the TakeOrderedAndProject cut:\n$plan")
   }
 
+  test("g06: wedge generation is keyed on the oriented (low-degree) apex; no cartesian") {
+    // the kernel checkpoints the oriented edge frame, so the final
+    // plan's joins run over LogicalRDDs — the orientation itself is
+    // pinned on the UNCHECKPOINTED wedge construction: apex self-join
+    // keyed on src (the lower-(degree,id) endpoint), rank predicate on
+    // the carried neighbor degrees, and no cartesian anywhere
+    val plan = explain(graft.graph.Graph.g06UserTriangles(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val wedgePlan = {
+      import org.apache.spark.sql.functions._
+      val directed = graft.graph.Graph.userHandoffCounts(spark, sfDir)
+        .select(col("prev_type").as("a"), col("next_type").as("b"))
+      val edges = directed
+        .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a") < col("b")).distinct()
+      val deg = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val withDeg = edges
+        .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+      val aLower = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(aLower, col("a")).otherwise(col("b")).as("src"),
+        when(aLower, col("b")).otherwise(col("a")).as("dst"),
+        when(aLower, col("db")).otherwise(col("da")).as("ddst"))
+      val e1 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+      val e2 = oriented.select(col("src"), col("dst").as("z"), col("ddst").as("dz"))
+      explain(e1.join(e2, Seq("src"))
+        .where(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z"))))
+    }
+    // the apex join is an equi-join on src — hash/sort-merge, never nested-loop
+    assert(!wedgePlan.contains("CartesianProduct") &&
+      !wedgePlan.contains("BroadcastNestedLoopJoin"), wedgePlan)
+    assert(wedgePlan.contains("src"), wedgePlan)
+    // the rank predicate rides the join: neighbor degrees are compared
+    assert(wedgePlan.contains("dy") && wedgePlan.contains("dz"), wedgePlan)
+  }
+
   test("w26: probe panel stays distributed — exact filter is a semi-join, scan is shard-pruned") {
     // the r10-verdict inversion: the corpus-growing probe panel must
     // never be a driver-side isin literal list; the returned plan is a

@@ -60,4 +60,63 @@ class Round15Spec extends SparkSpec {
     assert(default.nonEmpty && reliable == default)
     assert(reliableDirHasData, "no reliable checkpoint files were written")
   }
+
+  // ------------------------------------------- g03/g06 oriented triangles
+
+  test("g03: oriented kernel equals a brute-force unoriented triangle census") {
+    import org.apache.spark.sql.functions._
+    val directed = graft.queries.Events.q39EventTransitions(spark, sfDir)
+      .select(col("prev_type").as("a"), col("next_type").as("b"))
+    val edges = graft.graph.Graph.undirectedEdges(directed)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, g) => n -> g.map(_._2).toSet }
+    // unoriented truth: count triangles per node the O(n·d²) way
+    val triTruth = adj.map { case (n, nbrs) =>
+      n -> nbrs.toSeq.combinations(2).count {
+        case Seq(u, v) => adj(u).contains(v); case _ => false
+      }.toLong
+    }
+    val got = graft.graph.Graph.g03TriangleCount(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.exists(_._3 > 0), "no triangles found at all")
+    got.foreach { case (n, degree, tri, clustering) =>
+      assert(degree == adj.get(n).map(_.size.toLong).getOrElse(0L),
+        s"degree differs for $n")
+      assert(tri == triTruth.getOrElse(n, 0L),
+        s"triangles differ for $n: got $tri want ${triTruth.getOrElse(n, 0L)}")
+      val want = if (degree >= 2)
+        BigDecimal(2.0 * tri / (degree * (degree - 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(math.abs(clustering - want) < 1e-9, s"clustering differs for $n")
+    }
+  }
+
+  test("g06: orientation bounds the wedge fan-out at hub users") {
+    import org.apache.spark.sql.functions._
+    val directed = graft.graph.Graph.userHandoffCounts(spark, sfDir)
+      .select(col("prev_type").as("a"), col("next_type").as("b"))
+    val edges = graft.graph.Graph.undirectedEdges(directed)
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val maxDeg = deg.agg(max("d")).collect()(0).getLong(0)
+    // oriented out-degree: each edge assigned to its lower-(deg,id) end
+    val withDeg = edges
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val maxOut = withDeg
+      .select(when(aLower, col("a")).otherwise(col("b")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("od"))
+      .agg(max("od")).collect()(0).getLong(0)
+    val m = edges.count()
+    info(s"g06 handoff graph: $m edges, max degree $maxDeg, max oriented out-degree $maxOut")
+    // the mitigation must actually bite: hubs generate far fewer wedges
+    assert(maxOut < maxDeg, s"orientation did not reduce fan-out: $maxOut vs $maxDeg")
+    assert(maxOut * maxOut <= 4 * m,
+      s"oriented out-degree should be O(sqrt(m)): $maxOut^2 > 4*$m")
+  }
 }
