@@ -254,6 +254,7 @@ object SparkEntry {
     "relief_persist"      -> ReliefQueries.reliefPersist _,
     "vector_assemble"     -> ReliefQueries.vectorAssemble _,
     "vector_assemble_nominal" -> ReliefQueries.vectorAssembleNominal _,
+    "vector_assemble_onehot" -> ReliefQueries.vectorAssembleOneHot _,
   )
 
   /** DuckDB-dialect oracle for each SQL-expressible query (same column
@@ -3497,6 +3498,30 @@ FROM merged"""
         |  s.idx AS f0, p.idx AS f1, o.o_totalprice AS f2
         |FROM orders o JOIN sti s ON s.v = o.o_orderstatus
         |              JOIN pri p ON p.v = o.o_orderpriority""".stripMargin,
+    // vector_assemble_onehot: the README preprocessing path — one-hot
+    // slots replay StringIndexer's frequencyDesc rank with Spark's
+    // dropLast (an index equal to card−1 has no slot → −1); the scaled
+    // numeric replays StandardScaler's (x − mean)/sample-std, round 6
+    // absorbing cross-engine summation ulps.
+    "vector_assemble_onehot" ->
+      """WITH sidx AS (
+        |  SELECT v, row_number() OVER (ORDER BY n DESC, v) - 1 AS idx,
+        |    (count(*) OVER ()) AS card
+        |  FROM (SELECT o_orderstatus AS v, count(*) AS n FROM orders GROUP BY 1)),
+        |pidx AS (
+        |  SELECT v, row_number() OVER (ORDER BY n DESC, v) - 1 AS idx,
+        |    (count(*) OVER ()) AS card
+        |  FROM (SELECT o_orderpriority AS v, count(*) AS n FROM orders GROUP BY 1)),
+        |m AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd FROM orders)
+        |SELECT o.o_orderkey,
+        |  CAST((SELECT max(card) FROM sidx) + (SELECT max(card) FROM pidx) - 1 AS BIGINT) AS dim,
+        |  CAST(CASE WHEN si.idx < si.card - 1 THEN si.idx ELSE -1 END AS BIGINT) AS status_slot,
+        |  CAST(CASE WHEN pi.idx < pi.card - 1 THEN pi.idx ELSE -1 END AS BIGINT) AS prio_slot,
+        |  round((o.o_totalprice - m.mu) / m.sd, 6) AS scaled_price
+        |FROM orders o
+        |  JOIN sidx si ON si.v = o.o_orderstatus
+        |  JOIN pidx pi ON pi.v = o.o_orderpriority
+        |  CROSS JOIN m""".stripMargin,
     // relief_weights / relief_select / relief_persist / relief_transform
     // are checked by FULL RECOMPUTATION: graft.ml.ReliefOracle generates
     // DuckDB SQL that independently re-runs the deterministic fit

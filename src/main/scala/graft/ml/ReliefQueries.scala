@@ -1354,4 +1354,81 @@ object ReliefQueries {
       .setOutputCol("features")
       .transform(cur)
   }
+
+  /** The reference README's PRESCRIBED preprocessing (reference
+    * README.md:41-46): "RELIEF computations are required to be
+    * normalized … rely on MLLIB standard scaler" for continuous
+    * columns, and "one-hot encoder is recommended for nominal
+    * features (unordered discrete data)". Nominals string-index
+    * (frequencyDesc — the [[assembleNominal]] convention) then
+    * one-hot (dropLast, Spark's default); the numerics assemble into
+    * one block and standardize to mean 0 / sample-std 1; the feature
+    * vector is [one-hot blocks ++ scaled numerics].
+    *
+    * This is a DIFFERENT geometry than [[assembleNominal]]'s ordinal
+    * indices — the README's point: ordinal index distance pretends
+    * the categories are ordered (|http−smtp| = 2 means nothing), while
+    * one-hot makes every unequal category pair equidistant; scaling
+    * stops wide-range numerics from drowning the hit/miss distances.
+    * ReferenceDataSpec pins how the kddcup selection moves between
+    * the two geometries.
+    *
+    * Scale shape: each StringIndexer/OneHotEncoder fit is one
+    * count-distinct census (dictionary-sized result, broadcast back);
+    * the scaler fit is one (mean, M2) moment aggregate per numeric —
+    * f02's kernel; transforms are per-row projections. Nothing
+    * shuffles the data itself.
+    */
+  def assembleScaledOneHot(df: DataFrame, numericCols: Array[String],
+      nominalCols: Array[String]): DataFrame = {
+    import org.apache.spark.ml.feature.{OneHotEncoder, StandardScaler, StringIndexer}
+    var cur = df
+    for (c <- nominalCols) {
+      cur = new StringIndexer().setInputCol(c).setOutputCol(c + "_idx")
+        .setStringOrderType("frequencyDesc").fit(cur).transform(cur)
+    }
+    cur = new OneHotEncoder()
+      .setInputCols(nominalCols.map(_ + "_idx"))
+      .setOutputCols(nominalCols.map(_ + "_oh"))
+      .fit(cur).transform(cur)
+    cur = new VectorAssembler().setInputCols(numericCols)
+      .setOutputCol("_nums").transform(cur)
+    cur = new StandardScaler().setInputCol("_nums").setOutputCol("_nums_scaled")
+      .setWithMean(true).setWithStd(true)
+      .fit(cur).transform(cur)
+    new VectorAssembler()
+      .setInputCols(nominalCols.map(_ + "_oh") :+ "_nums_scaled")
+      .setOutputCol("features")
+      .transform(cur)
+  }
+
+  /** vector_assemble_onehot: the README preprocessing path as a
+    * driver-contract query — [[assembleScaledOneHot]] over the orders
+    * table (one-hot o_orderstatus + o_orderpriority, scaled
+    * o_totalprice), reduced to oracle-recomputable per-row facts:
+    * vector width, each nominal's hot slot WITHIN its block (−1 when
+    * the row carries the dropLast-dropped most-frequent-last
+    * category), and the scaled price (round 6 absorbs the
+    * sample-std ulps between engines).
+    */
+  def vectorAssembleOneHot(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val df = assembleScaledOneHot(
+      orders,
+      numericCols = Array("o_totalprice"),
+      nominalCols = Array("o_orderstatus", "o_orderpriority"))
+    // block widths from the raw dictionary censuses (cheap scans of
+    // the source, not of the transformed frame)
+    val Row(cs: Long, cp: Long) = orders.agg(
+      countDistinct(col("o_orderstatus")),
+      countDistinct(col("o_orderpriority"))).head()
+    df.select(col("o_orderkey"), vector_to_array(col("features")).as("f"))
+      .select(col("o_orderkey"),
+        expr("size(f)").cast("long").as("dim"),
+        (expr(s"array_position(slice(f, 1, ${cs - 1}), cast(1.0 as double))")
+          .cast("long") - 1L).as("status_slot"),
+        (expr(s"array_position(slice(f, ${cs}, ${cp - 1}), cast(1.0 as double))")
+          .cast("long") - 1L).as("prio_slot"),
+        round(expr(s"f[${cs - 1 + cp - 1}]"), 6).as("scaled_price"))
+  }
 }

@@ -173,6 +173,76 @@ class ReferenceDataSpec extends SparkSpec {
       "kddcup fit not partition-invariant")
   }
 
+  test("kddcup: README-prescribed one-hot + scaled geometry vs the ordinal path") {
+    // the reference README's preprocessing prescription (README.md:
+    // 41-46): standard-scale the continuous columns, ONE-HOT the
+    // nominals — ordinal StringIndexer indices impose a fake order on
+    // unordered categories (|http−smtp| = 2 means nothing), and
+    // unscaled wide-range numerics (src_bytes spans orders of
+    // magnitude) drown every other dimension in the hit/miss
+    // distances. This pin shows the geometry MOVING the selection:
+    // the two fits run identical params/seed on the same rows, and
+    // differ only through assembleNominal vs assembleScaledOneHot.
+    // (kddcup is the fixture with true nominals; covtype's categorical
+    // columns ship already one-hot in the raw data.)
+    import org.apache.spark.ml.feature.StringIndexer
+    val raw = spark.read.option("inferSchema", "true")
+      .csv("/root/reference/src/test/resources/data/kddcup_100.csv")
+    val cols = raw.columns
+    val nominal = Array(cols(1), cols(2), cols(3))
+    val numeric = cols.dropRight(1).filterNot(nominal.contains)
+    val withLabel = new StringIndexer().setInputCol(cols.last).setOutputCol("label")
+      .setStringOrderType("frequencyDesc").fit(raw).transform(raw)
+    def fitK(df: DataFrame, discrete: Boolean) = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(10).setNumNeighbors(10)
+      .setEstimationRatio(1.0).setBatchSize(0.25)
+      .setDiscreteData(discrete).setSeed(123456789L)
+      .fit(df)
+    // ordinal path (the existing pin's geometry)
+    val ordinal = fitK(ReliefQueries.assembleNominal(withLabel, numeric, nominal)
+      .select(col("label"), col("features")), discrete = true).stdSelection.toSeq
+    // README path: one-hot blocks first, then the scaled numeric block
+    // (continuous after scaling → discreteData=false)
+    val oneHot = ReliefQueries.assembleScaledOneHot(withLabel, numeric, nominal)
+      .select(col("label"), col("features"))
+    val m = fitK(oneHot, discrete = false)
+    // map selected vector positions back to source columns: one-hot
+    // blocks expand each nominal to (card-1) slots
+    val cards = nominal.map(c =>
+      withLabel.agg(countDistinct(col(c))).head().getLong(0).toInt - 1)
+    val blocks: Seq[(String, Int, Int)] = {
+      val starts = cards.scanLeft(0)(_ + _)
+      nominal.indices.map(i => (nominal(i), starts(i), starts(i) + cards(i)))
+    }
+    def sourceOf(dim: Int): String =
+      blocks.find { case (_, lo, hi) => dim >= lo && dim < hi }
+        .map(_._1)
+        .getOrElse(numeric(dim - cards.sum))
+    val got = m.stdSelection.toSeq
+    val gotCols = got.map(sourceOf)
+    info(s"kddcup one-hot selection: ${got.mkString(",")} -> cols ${gotCols.mkString(",")}")
+    info(s"kddcup ordinal  selection: ${ordinal.mkString(",")}")
+    // the pinned README-geometry selection: individual protocol
+    // one-hot slots (dims 0,1 = _c1's two hot categories) rank inside
+    // the top-10 next to the scaled numerics (_c22, _c11, _c23, _c35,
+    // _c31, _c36, _c4) — under the ordinal geometry the protocol
+    // column's single ordinal dim never splits that way, and the
+    // unscaled numerics' raw magnitudes rank a different set entirely
+    assert(got == Seq(29, 18, 30, 42, 38, 2, 0, 43, 1, 11),
+      s"one-hot selection drifted: ${got.mkString(",")}")
+    // the geometry must actually move the ranking — if both paths
+    // produced the same top-10 the README's prescription would be a
+    // no-op on this data
+    val ordinalCols = ordinal.map { d =>
+      if (d < nominal.length) nominal(d) else numeric(d - nominal.length)
+    }
+    assert(gotCols.toSet != ordinalCols.toSet,
+      s"one-hot geometry selected the same source columns as ordinal: $gotCols")
+    assert(fitK(oneHot.repartition(3), discrete = false).stdSelection.toSeq == got,
+      "one-hot fit not partition-invariant")
+  }
+
   test("ECBDL14: the reference's flagship-scale dataset fits deterministically under a query budget") {
     // the reference README's headline dataset (protein structure
     // prediction, 631 features; the 1K test slice ships in its
