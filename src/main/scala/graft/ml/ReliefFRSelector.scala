@@ -351,7 +351,7 @@ final class ReliefFRSelector(override val uid: String)
       logWarning("RELIEF sample produced no query points; returning identity selection")
       val sel = Array.range(0, math.min($(numTopFeatures), nFeat))
       return copyValues(new ReliefFRSelectorModel(uid, sel, sel,
-        new Array[Double](nFeat)).setParent(this))
+        nFeat, 0.0, Array.empty[Int], Array.empty[Double]).setParent(this))
     }
 
     // ---- normalize relevance (min-max; implicit zeros widen the range
@@ -388,13 +388,12 @@ final class ReliefFRSelector(override val uid: String)
     val stdSelection = order.take($(numTopFeatures)).map(candFeats(_))
     val redSelection = greedySelect(candFeats, candNorm, order, redundancy, nFeat)
 
-    // Dense normalized-weight vector for the model. O(nFeat) driver
-    // memory — at kddb-like dims prefer reading selections only.
-    val normRelevance = Array.fill(nFeat)((0.0 - minR) / span)
-    var ci = 0
-    while (ci < candFeats.length) { normRelevance(candFeats(ci)) = candNorm(ci); ci += 1 }
-
-    val model = new ReliefFRSelectorModel(uid, stdSelection, redSelection, normRelevance)
+    // Sparse model weights: candFeats is already ascending, candNorm
+    // aligned — the model (and its persistence) is bounded by ACTIVE
+    // dims; absent features share the min-max image of zero relevance.
+    // Nothing O(nFeat) is materialized anywhere in the fit.
+    val model = new ReliefFRSelectorModel(uid, stdSelection, redSelection,
+      nFeat, (0.0 - minR) / span, candFeats, candNorm)
     copyValues(model.setParent(this))
   }
 

@@ -13,13 +13,45 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * relevance weights. `transform` compresses the feature vector to the
   * selected indices (reference FeatureSelectionUtils.scala:38-73
   * semantics — sparse stays sparse, dense stays dense).
+  *
+  * Weights are stored SPARSELY: only features some (query, neighbor)
+  * pair actually touched carry a weight (`weightedFeatures` ascending
+  * / `weightedValues`), every absent feature shares `defaultWeight`
+  * (the min-max image of zero relevance). At reference-CSV dims the
+  * dense [[featureWeights]] view densifies lazily and nothing
+  * changes; at kddb dims (reference README.md:19 — "nearly 30M of
+  * features") the model, its persistence, and the fit that builds it
+  * are all bounded by ACTIVE dims, never nFeat (ReliefSpec pins a
+  * 20k×30M fit).
   */
 final class ReliefFRSelectorModel private[ml] (
     override val uid: String,
     val stdSelection: Array[Int],
     val redundancySelection: Array[Int],
-    val featureWeights: Array[Double])
+    val numFeatures: Int,
+    val defaultWeight: Double,
+    val weightedFeatures: Array[Int],
+    val weightedValues: Array[Double])
     extends Model[ReliefFRSelectorModel] with ReliefFRParams with MLWritable {
+
+  /** Normalized weight of one feature — O(log activeDims) lookup. */
+  def weightOf(f: Int): Double = {
+    val i = java.util.Arrays.binarySearch(weightedFeatures, f)
+    if (i >= 0) weightedValues(i) else defaultWeight
+  }
+
+  /** Dense weight view — O(numFeatures) driver memory. Right at
+    * reference-CSV dims; at kddb-scale dims read
+    * [[weightedFeatures]]/[[weightOf]] instead.
+    */
+  lazy val featureWeights: Array[Double] = {
+    val a = Array.fill(numFeatures)(defaultWeight)
+    var i = 0
+    while (i < weightedFeatures.length) {
+      a(weightedFeatures(i)) = weightedValues(i); i += 1
+    }
+    a
+  }
 
   def setInputCol(v: String): this.type = set(inputCol, v)
   def setOutputCol(v: String): this.type = set(outputCol, v)
@@ -77,7 +109,8 @@ final class ReliefFRSelectorModel private[ml] (
       prepOutputField(schema, getSelectedFeatures().sorted).copy(name = $(outputCol)))
 
   override def copy(extra: ParamMap): ReliefFRSelectorModel = {
-    val copied = new ReliefFRSelectorModel(uid, stdSelection, redundancySelection, featureWeights)
+    val copied = new ReliefFRSelectorModel(uid, stdSelection, redundancySelection,
+      numFeatures, defaultWeight, weightedFeatures, weightedValues)
     copyValues(copied, extra).setParent(parent)
   }
 
@@ -105,14 +138,20 @@ object ReliefFRSelectorModel extends MLReadable[ReliefFRSelectorModel] {
       Vectors.sparse(selection.length, idx.toArray, vals.toArray)
   }
 
+  // persisted sparsely too: the weight payload is bounded by active
+  // dims, so a kddb-scale model round-trips in KBs, not hundreds of MB
   private case class ModelData(
-      stdSelection: Seq[Int], redundancySelection: Seq[Int], featureWeights: Seq[Double])
+      stdSelection: Seq[Int], redundancySelection: Seq[Int],
+      numFeatures: Int, defaultWeight: Double,
+      weightedFeatures: Seq[Int], weightedValues: Seq[Double])
 
   private[ml] class Writer(instance: ReliefFRSelectorModel) extends MLWriter {
     override protected def saveImpl(path: String): Unit = {
       GraftPersist.saveMetadata(instance, path, sparkSession)
       val data = ModelData(instance.stdSelection.toSeq,
-        instance.redundancySelection.toSeq, instance.featureWeights.toSeq)
+        instance.redundancySelection.toSeq, instance.numFeatures,
+        instance.defaultWeight, instance.weightedFeatures.toSeq,
+        instance.weightedValues.toSeq)
       sparkSession.createDataFrame(Seq(data)).repartition(1)
         .write.mode("overwrite").parquet(GraftPersist.dataPath(path))
     }
@@ -121,12 +160,15 @@ object ReliefFRSelectorModel extends MLReadable[ReliefFRSelectorModel] {
   private class Reader extends MLReader[ReliefFRSelectorModel] {
     override def load(path: String): ReliefFRSelectorModel = {
       val row = sparkSession.read.parquet(GraftPersist.dataPath(path))
-        .select("stdSelection", "redundancySelection", "featureWeights").head()
+        .select("stdSelection", "redundancySelection", "numFeatures",
+          "defaultWeight", "weightedFeatures", "weightedValues").head()
       val model = new ReliefFRSelectorModel(
         GraftPersist.loadUid(path, sparkSession),
         row.getAs[Seq[Int]](0).toArray,
         row.getAs[Seq[Int]](1).toArray,
-        row.getAs[Seq[Double]](2).toArray)
+        row.getInt(2), row.getDouble(3),
+        row.getAs[Seq[Int]](4).toArray,
+        row.getAs[Seq[Double]](5).toArray)
       GraftPersist.applyParams(model, path, sparkSession)
       model
     }

@@ -379,6 +379,83 @@ class ReliefSpec extends SparkSpec {
       "expected Wilson editing to misfire on parity data — did the corpus change?")
   }
 
+  test("kddb-scale: 20k x 30M sparse libsvm fit is bounded by active dims") {
+    // the reference README's one scale claim not yet matched by a pin
+    // (README.md:19 — kddb, "20M instances, nearly 30M of features"):
+    // a 30M-dimension sparse corpus through the reference's libsvm
+    // entry point, fit under highDimMode with a pinned absolute query
+    // budget. The runtime-shape contract: NOTHING in the fit or the
+    // model materializes an O(nFeat) frame — accumulators are
+    // feature-keyed maps, the model stores (active dim, weight) pairs
+    // plus one shared absent weight, and persistence rounds-trip the
+    // sparse payload. 30M-long dense arrays would be 240 MB per task
+    // otherwise; here the bound is the ~200k ACTIVE dims.
+    val nFeat = 30000000
+    val planted = nFeat - 2 // 0-based feature; libsvm index nFeat-1
+    val nRows = 20000
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val f = java.nio.file.Files.createTempFile("graft_kddb_scale", ".txt")
+    val w = java.nio.file.Files.newBufferedWriter(f)
+    try {
+      var i = 0
+      while (i < nRows) {
+        val label = i % 2
+        // 12 deterministic noise dims spread over the full 30M range
+        // (~240k distinct across the corpus), one planted dim whose
+        // value is the label signal
+        val idxs = (0 until 12).map { j =>
+          1 + math.floorMod(mix(i.toLong * 31 + j), nFeat - 2).toInt
+        }.distinct.sorted
+        val sb = new StringBuilder
+        sb.append(label)
+        idxs.foreach { ix =>
+          sb.append(' ').append(ix).append(':')
+            .append(0.25 * (1 + math.floorMod(mix(ix.toLong ^ i), 3)))
+        }
+        sb.append(' ').append(planted + 1).append(':')
+          .append(if (label == 0) -1.0 else 1.0)
+        w.write(sb.toString); w.newLine()
+        i += 1
+      }
+    } finally w.close()
+    val df = spark.read.format("libsvm")
+      .option("numFeatures", nFeat.toString).load(f.toString)
+    val t0 = System.nanoTime()
+    val m = new ReliefFRSelector()
+      .setInputCol("features").setLabelCol("label").setOutputCol("out")
+      .setNumTopFeatures(10).setNumNeighbors(3)
+      .setEstimationRatio(200.0 / nRows) // pinned absolute budget: ~200 queries
+      .setBatchSize(1.0).setHighDimMode(true).setSeed(123456789L)
+      .fit(df)
+    val fitSec = (System.nanoTime() - t0) / 1e9
+    assert(m.numFeatures == nFeat)
+    assert(m.stdSelection.head == planted,
+      s"planted 30M-range feature not top-ranked: ${m.stdSelection.mkString(",")}")
+    // weights bounded by ACTIVE dims: far below nFeat, and every
+    // weighted feature is one that actually appears in the corpus
+    assert(m.weightedFeatures.length < 1000000,
+      s"weight payload not sparse: ${m.weightedFeatures.length}")
+    assert(m.weightedFeatures.forall(fi => fi == planted || fi < nFeat - 1))
+    assert(m.weightOf(planted) == 1.0, s"planted weight ${m.weightOf(planted)}")
+    // an untouched dim reads the shared absent weight without densifying
+    assert(m.weightOf(17) == m.defaultWeight)
+    // persistence is sparse too: round-trip at 30M dims in spec time
+    val dir = java.nio.file.Files.createTempDirectory("graft_kddb_model").toString
+    m.write.overwrite().save(dir)
+    val loaded = ReliefFRSelectorModel.load(dir)
+    assert(loaded.numFeatures == nFeat &&
+      loaded.stdSelection.toSeq == m.stdSelection.toSeq &&
+      loaded.weightedFeatures.toSeq == m.weightedFeatures.toSeq)
+    info(f"30M-dim fit: $fitSec%.1f s, ${m.weightedFeatures.length} active-dim weights " +
+      f"(${100.0 * m.weightedFeatures.length / nFeat}%.3f%% of nFeat)")
+    java.nio.file.Files.delete(f)
+  }
+
   test("relief_knn matches a brute-force local computation") {
     val got = ReliefQueries.reliefKnn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
