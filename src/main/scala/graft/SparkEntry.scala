@@ -151,6 +151,7 @@ object SparkEntry {
     "g05_user_communities" -> graft.graph.Graph.g05UserCommunities _,
     "g06_user_triangles"  -> graft.graph.Graph.g06UserTriangles _,
     "s31_stream_user_pagerank" -> Streams.s31StreamUserPagerank _,
+    "s32_stream_user_triangles" -> Streams.s32StreamUserTriangles _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
     "s29_stream_knn_classify" -> Streams.s29StreamKnnClassify _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
@@ -3136,6 +3137,9 @@ FROM merged"""
     "g04_user_pagerank" -> g04OracleSql,
     "g05_user_communities" -> g05OracleSql,
     "g06_user_triangles" -> g06OracleSql,
+    // s32: one AvailableNow pass must equal batch g06 exactly — the
+    // oracle IS g06's (the s28/s31 twin discipline).
+    "s32_stream_user_triangles" -> g06OracleSql,
     // s31: g04's deployment shape — the streamed handoff extraction
     // must reduce to the identical leaderboard, so the oracle IS g04's.
     "s31_stream_user_pagerank" -> g04OracleSql,

@@ -1413,6 +1413,13 @@ object ReliefQueries {
     */
   def vectorAssembleOneHot(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
+    // an empty corpus has no dictionaries to fit (OneHotEncoder
+    // requires ≥2 distinct values) — return the empty frame directly
+    if (orders.head(1).isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("o_orderkey", "dim", "status_slot", "prio_slot", "scaled_price")
+    }
     val df = assembleScaledOneHot(
       orders,
       numericCols = Array("o_totalprice"),

@@ -678,6 +678,21 @@ object Streams {
     runUserPagerank(eventsStream(streamSession(spark), dir))
 
   private[graft] def runUserPagerank(events: DataFrame): DataFrame = {
+    val ann = streamedHandoffs(events)
+    val nodes = ann.select(col("user_id").as("node")).distinct()
+    graft.graph.Graph.pagerankTopN(nodes, handoffCountsOf(ann),
+        graft.graph.Graph.TopUsers)
+      .select(col("node").as("user_id"), col("pr"), col("rank"))
+  }
+
+  /** The streamed handoff annotation SHARED by s31 (user rank) and
+    * s32 (user triangles): the per-(item, day) stateful walk run to
+    * completion, one (prev_user, user_id) row per event — the
+    * ingestion-time equivalent of batch g04/g06's lag window. State
+    * is one (ts, event_id, user) struct per live stream key, bounded
+    * by catalog × horizon, never stream volume.
+    */
+  private[graft] def streamedHandoffs(events: DataFrame): DataFrame = {
     val ss = events.sparkSession
     import ss.implicits._
     val per = events
@@ -699,14 +714,37 @@ object Streams {
           out.iterator
       }
     val (s, name) = runToCompletion(per.toDF(), OutputMode.Append())
-    val ann = s.table(name)
-    val nodes = ann.select(col("user_id").as("node")).distinct()
-    val counts = ann
+    s.table(name)
+  }
+
+  /** The handoff edge census over the streamed annotation — g04/g05's
+    * (prev_type, next_type, n_trans) vocabulary.
+    */
+  private def handoffCountsOf(ann: DataFrame): DataFrame =
+    ann
       .where(col("prev_user").isNotNull && col("prev_user") =!= col("user_id"))
       .groupBy(col("prev_user").as("prev_type"), col("user_id").as("next_type"))
       .agg(count(lit(1)).as("n_trans"))
-    graft.graph.Graph.pagerankTopN(nodes, counts, graft.graph.Graph.TopUsers)
-      .select(col("node").as("user_id"), col("pr"), col("rank"))
+
+  /** s32: g06's user-graph triangle census with the handoff
+    * extraction AT INGESTION — the s31 pattern pointed at the third
+    * graph kernel: the same stateful walk reduces the firehose to the
+    * annotated handoff stream, and the read-time reduction (symmetrize
+    * → degree-oriented wedge join → per-user clustering) is g06's
+    * SHARED kernel ([[graft.graph.Graph.triangleCensus]]), so one
+    * AvailableNow pass equals batch g06 exactly and the oracle is
+    * literally g06's. Same in-order-across-batches ingestion contract
+    * as s28/s31 (StreamsSpec pins a time-split two-batch run).
+    */
+  def s32StreamUserTriangles(spark: SparkSession, dir: String): DataFrame =
+    runUserTriangles(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runUserTriangles(events: DataFrame): DataFrame = {
+    val ann = streamedHandoffs(events)
+    val nodes = ann.select(col("user_id").as("node")).distinct()
+    graft.graph.Graph.triangleCensus(nodes,
+      graft.graph.Graph.undirectedEdges(handoffCountsOf(ann)
+        .select(col("prev_type").as("a"), col("next_type").as("b"))))
   }
 
   /** s28: g01's transition-graph PageRank with the corpus-touching

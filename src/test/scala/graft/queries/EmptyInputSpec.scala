@@ -213,6 +213,9 @@ class EmptyInputSpec extends SparkSpec {
       "b04" -> (() => graft.ml.ReliefQueries.b04NullLabelClean(spark, emptyDir).count()),
       "i04" -> (() => graft.ml.ReliefQueries.i04EditedRelief(spark, emptyDir).count()),
       "s31" -> (() => graft.streaming.Streams.s31StreamUserPagerank(spark, emptyDir).count()),
+      "g06" -> (() => graft.graph.Graph.g06UserTriangles(spark, emptyDir).count()),
+      "s32" -> (() => graft.streaming.Streams.s32StreamUserTriangles(spark, emptyDir).count()),
+      "vaoh" -> (() => graft.ml.ReliefQueries.vectorAssembleOneHot(spark, emptyDir).count()),
       // e24's flood clones the first corpus vector; an empty corpus has
       // no template to clone, so the census must be empty, not a throw
       "e24" -> (() => graft.sim.Sim.e24IvfRepair(spark, emptyDir).count()),

@@ -181,6 +181,38 @@ class StreamsSpec extends SparkSpec {
       s"stream=$got\nbatch=$batch")
   }
 
+  test("s32 streamed user triangles equal batch g06 across a time-split two-batch run") {
+    // same ingestion contract and the same streamed handoff annotation
+    // as s31; the read-time reduction is g06's shared oriented kernel,
+    // so the census must be bit-identical
+    val src = Tables.events(spark, sfDir)
+    val cut = src.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
+    val stage = "/tmp/graft_stream_twofiles_s32"
+    val d = Paths.get(stage)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(d)
+    src.where(expr(s"unix_micros(ts) <= $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100)
+    src.where(expr(s"unix_micros(ts) > $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p2")
+    val schema = spark.read.parquet(s"$stage/p1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val got = Streams.runUserTriangles(stream)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val batch = graft.graph.Graph.g06UserTriangles(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == batch,
+      s"stream=${got.take(20)}...\nbatch=${batch.take(20)}...")
+  }
+
   test("s31 survives events without '$.k' and matches batch g04's null-item partition") {
     // an event whose props lacks k (or carries malformed JSON) used to
     // crash the stream's primitive-Long encoder while batch g04 walked

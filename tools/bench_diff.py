@@ -2,7 +2,7 @@
 """Compare a bench_results.json run against the committed per-query baseline.
 
 Usage:
-    python3 tools/bench_diff.py [current.json] [baseline.json]
+    python3 tools/bench_diff.py [--sf1] [current.json] [baseline.json]
 
 Defaults: current = bench_results.json (written by graft.Bench), baseline =
 BENCH_BASELINE.json (committed per-query sf0.1 timings). Exit code is non-zero
@@ -43,8 +43,17 @@ def load(path):
 
 
 def main():
-    cur_path = sys.argv[1] if len(sys.argv) > 1 else "bench_results.json"
-    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
+    args = [a for a in sys.argv[1:] if a != "--sf1"]
+    sf1 = "--sf1" in sys.argv[1:]
+    # --sf1: the committed at-scale gate — a ~20-op headline subset
+    # (the slowest + one per family) benched on the ScaleUp sf1
+    # replica, same two-independent-runs discipline as the sf0.1 pair.
+    # Scale regressions (a plan that stops scaling) flag here even when
+    # the sf0.1 gate stays green.
+    cur_default = "bench_results_sf1.json" if sf1 else "bench_results.json"
+    base_default = "BENCH_SF1.json" if sf1 else "BENCH_BASELINE.json"
+    cur_path = args[0] if len(args) > 0 else cur_default
+    base_path = args[1] if len(args) > 1 else base_default
     cur, base = load(cur_path), load(base_path)
     cur_q, base_q = cur["queries"], base["queries"]
     cur_floor, base_floor = cur.get("floor_sec"), base.get("floor_sec")
