@@ -150,6 +150,7 @@ object SparkEntry {
     "g04_user_pagerank"   -> graft.graph.Graph.g04UserPagerank _,
     "g05_user_communities" -> graft.graph.Graph.g05UserCommunities _,
     "g06_user_triangles"  -> graft.graph.Graph.g06UserTriangles _,
+    "g07_user_components" -> graft.graph.Graph.g07UserComponents _,
     "s31_stream_user_pagerank" -> Streams.s31StreamUserPagerank _,
     "s32_stream_user_triangles" -> Streams.s32StreamUserTriangles _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
@@ -3140,6 +3141,25 @@ FROM merged"""
     // s32: one AvailableNow pass must equal batch g06 exactly — the
     // oracle IS g06's (the s28/s31 twin discipline).
     "s32_stream_user_triangles" -> g06OracleSql,
+    // g07: exact reachability partition — the oracle closes the
+    // symmetrized handoff edges transitively (recursive CTE, UNION
+    // dedup terminates) and labels every node with the least reachable
+    // id, the same min-root convergeForest's star rounds reach;
+    // singletons and roots map to themselves via the left join.
+    "g07_user_components" ->
+      (s"""WITH RECURSIVE $userHandoffCountCtes,
+edges0 AS (SELECT DISTINCT a AS u, b AS v FROM (
+    SELECT a, b FROM dcounts UNION ALL SELECT b AS a, a AS b FROM dcounts) t
+  WHERE a < b),
+bidir AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+reach AS (
+  SELECT u AS a, v AS b FROM bidir
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN bidir e ON r.b = e.u WHERE e.v <> r.a),
+lab AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+nodes AS (SELECT DISTINCT user_id AS node FROM events)
+SELECT n.node, coalesce(l.component, n.node) AS component
+FROM nodes n LEFT JOIN lab l ON l.node = n.node"""),
     // s31: g04's deployment shape — the streamed handoff extraction
     // must reduce to the identical leaderboard, so the oracle IS g04's.
     "s31_stream_user_pagerank" -> g04OracleSql,

@@ -322,6 +322,37 @@ object Graph {
       undirectedEdges(userHandoffCounts(spark, dir)
         .select(col("prev_type").as("a"), col("next_type").as("b"))))
 
+  /** g07: connected components on the USER handoff graph — the CC
+    * kernel's unbounded-domain proof, completing the family picture
+    * (rank g04, communities g05, triangles g06, components g07 — all
+    * four graph kernels proven on the corpus-scale node domain). The
+    * symmetrized handoff census feeds the SHARED alternating
+    * large-star/small-star kernel
+    * ([[graft.dedup.Dedup.convergeForest]] — d11/d23/d30's CC), which
+    * converges to the min-rooted star forest; singleton users (no
+    * handoffs) and component roots map to themselves. Output: one
+    * (node, component) row per user — an assignment TABLE, never a
+    * driver collect.
+    *
+    * Scale shape: every star round is one keyed self-join of 16-byte
+    * edge rows with a per-round lineage cut (the [[graft.Checkpoints]]
+    * durability knob applies); convergence is one (count, bit_xor)
+    * action per round. LPA (g05) gives soft communities; this gives
+    * the exact reachability partition — dedup-style survivorship on
+    * users needs the latter.
+    */
+  def g07UserComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = undirectedEdges(userHandoffCounts(spark, dir)
+        .select(col("prev_type").as("a"), col("next_type").as("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+    val forest = graft.dedup.Dedup.convergeForest(spark, edges, "g07")
+    userNodes(spark, dir)
+      .join(forest.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+
   /** The shared triangle/clustering kernel over (nodes, undirected
     * edges (a < b, distinct)) — DEGREE-ORIENTED wedge generation, the
     * standard skew mitigation (Cohen's MapReduce triangle counting;

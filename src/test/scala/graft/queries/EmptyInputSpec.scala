@@ -214,6 +214,7 @@ class EmptyInputSpec extends SparkSpec {
       "i04" -> (() => graft.ml.ReliefQueries.i04EditedRelief(spark, emptyDir).count()),
       "s31" -> (() => graft.streaming.Streams.s31StreamUserPagerank(spark, emptyDir).count()),
       "g06" -> (() => graft.graph.Graph.g06UserTriangles(spark, emptyDir).count()),
+      "g07" -> (() => graft.graph.Graph.g07UserComponents(spark, emptyDir).count()),
       "s32" -> (() => graft.streaming.Streams.s32StreamUserTriangles(spark, emptyDir).count()),
       "vaoh" -> (() => graft.ml.ReliefQueries.vectorAssembleOneHot(spark, emptyDir).count()),
       // e24's flood clones the first corpus vector; an empty corpus has

@@ -93,6 +93,56 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  private def g07AgainstUnionFind(dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val edges = graft.graph.Graph.undirectedEdges(
+      graft.graph.Graph.userHandoffCounts(spark, dir)
+        .select(col("prev_type").as("a"), col("next_type").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.Tables.events(spark, dir)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    // independent truth: plain union-find; the root of every union is
+    // the smaller of the two roots, and every node starts as a root,
+    // so the final root is the component MINIMUM — the star forest's
+    // normalization
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { val lo = math.min(ru, rv); parent(math.max(ru, rv)) = lo }
+    }
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = graft.graph.Graph.g07UserComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == nodes.length && got == want,
+      s"components differ on ${got.toSet.diff(want.toSet).take(5)}...")
+    val nComponents = want.values.toSet.size
+    info(s"g07 at $dir: ${nodes.length} users, ${edges.length} edges, $nComponents components")
+  }
+
+  test("g07: components equal a driver-side union-find over the handoff edges") {
+    g07AgainstUnionFind(sfDir)
+  }
+
+  test("g07 at sf1: star rounds equal union-find at the 10x scale point") {
+    // the DuckDB oracle's recursive closure is quadratic in component
+    // size and can't replay a 15k-user giant component, so the sf1
+    // verification is engine-vs-union-find (the edge list is bounded
+    // by distinct handoff PAIRS and collects fine; only the oracle's
+    // closure table doesn't). Skipped when the ScaleUp replica is
+    // absent — regenerate with: runMain graft.ScaleUp
+    // /root/testdata/sf0.1 target/sf1 10
+    val sf1 = "/root/repo/target/sf1"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sf1, "events.parquet")),
+      "ScaleUp sf1 replica not present")
+    g07AgainstUnionFind(sf1)
+  }
+
   test("g06: orientation bounds the wedge fan-out at hub users") {
     import org.apache.spark.sql.functions._
     val directed = graft.graph.Graph.userHandoffCounts(spark, sfDir)
