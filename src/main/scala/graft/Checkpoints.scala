@@ -24,6 +24,12 @@ import org.apache.spark.sql.Dataset
   *
   * Durability contract in one line: localCheckpoint trades fault
   * tolerance for speed; flip the knob when executors are mortal.
+  *
+  * Housekeeping: reliable checkpoints are plain files under the
+  * configured dir and are NOT auto-deleted by default — set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Spark's
+  * own GC-driven cleaner) or sweep the per-app subdir after the job,
+  * exactly as any Spark checkpoint dir is managed.
   */
 object Checkpoints {
 
