@@ -153,6 +153,8 @@ object SparkEntry {
     "g07_user_components" -> graft.graph.Graph.g07UserComponents _,
     "s31_stream_user_pagerank" -> Streams.s31StreamUserPagerank _,
     "s32_stream_user_triangles" -> Streams.s32StreamUserTriangles _,
+    "s33_stream_user_communities" -> Streams.s33StreamUserCommunities _,
+    "s34_stream_user_components" -> Streams.s34StreamUserComponents _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
     "s29_stream_knn_classify" -> Streams.s29StreamKnnClassify _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
@@ -1198,6 +1200,22 @@ SELECT n.node, coalesce(dg.degree, 0) AS degree,
     ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
 FROM nodes n LEFT JOIN deg dg ON dg.node = n.node
      LEFT JOIN tpn t ON t.node = n.node"""
+
+  // g07/s34: the exact reachability partition over the handoff graph.
+  private val g07OracleSql: String =
+    s"""WITH RECURSIVE $userHandoffCountCtes,
+edges0 AS (SELECT DISTINCT a AS u, b AS v FROM (
+    SELECT a, b FROM dcounts UNION ALL SELECT b AS a, a AS b FROM dcounts) t
+  WHERE a < b),
+bidir AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+reach AS (
+  SELECT u AS a, v AS b FROM bidir
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN bidir e ON r.b = e.u WHERE e.v <> r.a),
+lab AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+nodes AS (SELECT DISTINCT user_id AS node FROM events)
+SELECT n.node, coalesce(l.component, n.node) AS component
+FROM nodes n LEFT JOIN lab l ON l.node = n.node"""
 
   private val d42bOracleSql: String = bpeOracleSql(minLen = 2,
     (1 to graft.text.Text.BpeMerges).map(i => s"SELECT * FROM o$i")
@@ -3138,28 +3156,18 @@ FROM merged"""
     "g04_user_pagerank" -> g04OracleSql,
     "g05_user_communities" -> g05OracleSql,
     "g06_user_triangles" -> g06OracleSql,
-    // s32: one AvailableNow pass must equal batch g06 exactly — the
-    // oracle IS g06's (the s28/s31 twin discipline).
+    // s32/s33/s34: one AvailableNow pass must equal batch g06/g05/g07
+    // exactly — the oracles ARE the batch ones (the s28/s31 twin
+    // discipline, closed over the whole graph family).
     "s32_stream_user_triangles" -> g06OracleSql,
+    "s33_stream_user_communities" -> g05OracleSql,
     // g07: exact reachability partition — the oracle closes the
     // symmetrized handoff edges transitively (recursive CTE, UNION
     // dedup terminates) and labels every node with the least reachable
     // id, the same min-root convergeForest's star rounds reach;
     // singletons and roots map to themselves via the left join.
-    "g07_user_components" ->
-      (s"""WITH RECURSIVE $userHandoffCountCtes,
-edges0 AS (SELECT DISTINCT a AS u, b AS v FROM (
-    SELECT a, b FROM dcounts UNION ALL SELECT b AS a, a AS b FROM dcounts) t
-  WHERE a < b),
-bidir AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
-reach AS (
-  SELECT u AS a, v AS b FROM bidir
-  UNION
-  SELECT r.a, e.v FROM reach r JOIN bidir e ON r.b = e.u WHERE e.v <> r.a),
-lab AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
-nodes AS (SELECT DISTINCT user_id AS node FROM events)
-SELECT n.node, coalesce(l.component, n.node) AS component
-FROM nodes n LEFT JOIN lab l ON l.node = n.node"""),
+    "g07_user_components" -> g07OracleSql,
+    "s34_stream_user_components" -> g07OracleSql,
     // s31: g04's deployment shape — the streamed handoff extraction
     // must reduce to the identical leaderboard, so the oracle IS g04's.
     "s31_stream_user_pagerank" -> g04OracleSql,

@@ -747,6 +747,53 @@ object Streams {
         .select(col("prev_type").as("a"), col("next_type").as("b"))))
   }
 
+  /** s33: g05's user communities with the handoff extraction AT
+    * INGESTION — the twin discipline closing over the LPA kernel: the
+    * shared stateful walk ([[streamedHandoffs]]) reduces the firehose,
+    * and the read-time reduction (integer symmetrization → 5
+    * deterministic sync-LPA rounds) is g05's SHARED kernel
+    * ([[graft.graph.Graph.lpaFrom]]), so one AvailableNow pass equals
+    * batch g05 exactly and the oracle is literally g05's.
+    */
+  def s33StreamUserCommunities(spark: SparkSession, dir: String): DataFrame =
+    runUserCommunities(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runUserCommunities(events: DataFrame): DataFrame = {
+    val ann = streamedHandoffs(events)
+    val directed = handoffCountsOf(ann)
+      .select(col("prev_type").as("a"), col("next_type").as("b"), col("n_trans"))
+    val sym = directed
+      .unionByName(directed.select(col("b").as("a"), col("a").as("b"), col("n_trans")))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum("n_trans").as("w"))
+      .cutLineage
+    graft.graph.Graph.lpaFrom(
+      ann.select(col("user_id").as("node")).distinct().cutLineage, sym)
+  }
+
+  /** s34: g07's user components with the handoff extraction AT
+    * INGESTION — the last graph kernel's twin (rank s31, triangles
+    * s32, communities s33, components s34): the streamed census feeds
+    * the SHARED large-star/small-star CC kernel
+    * ([[graft.dedup.Dedup.convergeForest]]), so one AvailableNow pass
+    * equals batch g07 exactly and the oracle is literally g07's.
+    */
+  def s34StreamUserComponents(spark: SparkSession, dir: String): DataFrame =
+    runUserComponents(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runUserComponents(events: DataFrame): DataFrame = {
+    val ann = streamedHandoffs(events)
+    val edges = graft.graph.Graph.undirectedEdges(handoffCountsOf(ann)
+        .select(col("prev_type").as("a"), col("next_type").as("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+    val forest = graft.dedup.Dedup.convergeForest(events.sparkSession, edges, "s34")
+    ann.select(col("user_id").as("node")).distinct()
+      .join(forest.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+
   /** s28: g01's transition-graph PageRank with the corpus-touching
     * pass AT INGESTION — the event firehose is reduced to the
     * ANNOTATED transition stream by a per-user stateful walk: state is

@@ -216,6 +216,8 @@ class EmptyInputSpec extends SparkSpec {
       "g06" -> (() => graft.graph.Graph.g06UserTriangles(spark, emptyDir).count()),
       "g07" -> (() => graft.graph.Graph.g07UserComponents(spark, emptyDir).count()),
       "s32" -> (() => graft.streaming.Streams.s32StreamUserTriangles(spark, emptyDir).count()),
+      "s33" -> (() => graft.streaming.Streams.s33StreamUserCommunities(spark, emptyDir).count()),
+      "s34" -> (() => graft.streaming.Streams.s34StreamUserComponents(spark, emptyDir).count()),
       "vaoh" -> (() => graft.ml.ReliefQueries.vectorAssembleOneHot(spark, emptyDir).count()),
       // e24's flood clones the first corpus vector; an empty corpus has
       // no template to clone, so the census must be empty, not a throw

@@ -213,6 +213,39 @@ class StreamsSpec extends SparkSpec {
       s"stream=${got.take(20)}...\nbatch=${batch.take(20)}...")
   }
 
+  test("s33/s34 streamed user communities + components equal batch g05/g07 (two batches)") {
+    // the remaining two graph-kernel twins share s31/s32's walk and
+    // ingestion contract — one staged time-split source drives both
+    val src = Tables.events(spark, sfDir)
+    val cut = src.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
+    val stage = "/tmp/graft_stream_twofiles_s33s34"
+    val d = Paths.get(stage)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(d)
+    src.where(expr(s"unix_micros(ts) <= $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100)
+    src.where(expr(s"unix_micros(ts) > $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p2")
+    val schema = spark.read.parquet(s"$stage/p1").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val gotComm = Streams.runUserCommunities(stream())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batchComm = graft.graph.Graph.g05UserCommunities(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(gotComm.nonEmpty && gotComm == batchComm)
+    val gotCc = Streams.runUserComponents(stream())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batchCc = graft.graph.Graph.g07UserComponents(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(gotCc.nonEmpty && gotCc == batchCc)
+  }
+
   test("s31 survives events without '$.k' and matches batch g04's null-item partition") {
     // an event whose props lacks k (or carries malformed JSON) used to
     // crash the stream's primitive-Long encoder while batch g04 walked
