@@ -155,6 +155,13 @@ object SparkEntry {
     "s32_stream_user_triangles" -> Streams.s32StreamUserTriangles _,
     "s33_stream_user_communities" -> Streams.s33StreamUserCommunities _,
     "s34_stream_user_components" -> Streams.s34StreamUserComponents _,
+    "g08_user_ppr"        -> graft.graph.Graph.g08UserPpr _,
+    "g09_user_kcore"      -> graft.graph.Graph.g09UserKcore _,
+    "g10_link_prediction" -> graft.graph.Graph.g10LinkPrediction _,
+    "s35_stream_user_ppr" -> Streams.s35StreamUserPpr _,
+    "s36_stream_user_kcore" -> Streams.s36StreamUserKcore _,
+    "s37_stream_links"    -> Streams.s37StreamLinks _,
+    "d47_nb_langid"       -> Text.d47NbLangid _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
     "s29_stream_knn_classify" -> Streams.s29StreamKnnClassify _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
@@ -246,6 +253,8 @@ object SparkEntry {
     "f11_cmim"            -> ReliefQueries.f11Cmim _,
     "f12_mdlp_discretize" -> ReliefQueries.f12MdlpDiscretize _,
     "f13_jmi"             -> ReliefQueries.f13Jmi _,
+    "f14_target_encode"   -> ReliefQueries.f14TargetEncode _,
+    "f15_woe_iv"          -> ReliefQueries.f15WoeIv _,
     "b01_class_rebalance" -> ReliefQueries.b01ClassRebalance _,
     "s26_stream_temperature_mix" -> Streams.s26StreamTemperatureMix _,
     "s27_stream_group_mode" -> Streams.s27StreamGroupMode _,
@@ -1216,6 +1225,106 @@ lab AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
 nodes AS (SELECT DISTINCT user_id AS node FROM events)
 SELECT n.node, coalesce(l.component, n.node) AS component
 FROM nodes n LEFT JOIN lab l ON l.node = n.node"""
+
+  // g08/s35: personalized PageRank — the g04 replay with the uniform
+  // teleport swapped for the seed distribution: pr0 = t, per layer
+  // (1−d)·t + d·(contrib + dang·t), seeds = top-PprSeeds users by
+  // out-handoff volume (ties to the smaller id). Operation order
+  // mirrors Graph.pprScores exactly so the doubles track to ulps.
+  private val g08OracleSql: String = {
+    val layer = (k: Int) => {
+      val p = s"pr${k - 1}"
+      s"""d$k AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM $p
+  WHERE node NOT IN (SELECT node FROM srcs)),
+c$k AS (SELECT e.next_type AS node, sum(p.pr * e.w) AS s
+  FROM $p p JOIN edges e ON e.prev_type = p.node GROUP BY 1),
+pr$k AS MATERIALIZED (SELECT n.node,
+  (1 - CAST(0.85 AS DOUBLE)) * n.t
+  + CAST(0.85 AS DOUBLE) * (coalesce(c.s, 0.0)
+      + (SELECT dang FROM d$k) * n.t) AS pr
+  FROM tele n LEFT JOIN c$k c ON c.node = n.node)"""
+    }
+    s"""WITH $userHandoffCountCtes,
+edges AS MATERIALIZED (
+  SELECT a AS prev_type, b AS next_type,
+    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY a) AS w
+  FROM dcounts),
+nodes AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events),
+seeds AS MATERIALIZED (SELECT node FROM (
+  SELECT a AS node, sum(n) AS out_n FROM dcounts GROUP BY 1
+  ORDER BY out_n DESC, node LIMIT ${graft.graph.Graph.PprSeeds})),
+ns AS MATERIALIZED (SELECT count(*)::DOUBLE AS ns FROM seeds),
+tele AS MATERIALIZED (SELECT n.node,
+  CASE WHEN s.node IS NOT NULL THEN CAST(1 AS DOUBLE) / (SELECT ns FROM ns)
+       ELSE CAST(0 AS DOUBLE) END AS t
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+srcs AS MATERIALIZED (SELECT DISTINCT prev_type AS node FROM edges),
+pr0 AS MATERIALIZED (SELECT node, t AS pr FROM tele),
+${(1 to 10).map(layer).mkString(",\n")}
+SELECT user_id, ppr, rank FROM (
+  SELECT node AS user_id, round(pr, 6) AS ppr,
+    CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS BIGINT) AS rank
+  FROM pr10)
+WHERE rank <= ${graft.graph.Graph.TopUsers}"""
+  }
+
+  // g09/s36: the peel replay — KcoreRounds unrolled survivor layers
+  // (degree within survivors >= KcoreK), then membership + final
+  // within-core degree. Same round count as the Spark kernel, so
+  // agreement never depends on convergence.
+  private val g09OracleSql: String = {
+    val K = graft.graph.Graph.KcoreK
+    val R = graft.graph.Graph.KcoreRounds
+    val layer = (k: Int) => {
+      val p = s"s${k - 1}"
+      s"""d$k AS (SELECT e.u AS node, count(*) AS n FROM bidir e
+  JOIN $p x ON x.node = e.u JOIN $p y ON y.node = e.v GROUP BY 1),
+s$k AS (SELECT node FROM d$k WHERE n >= $K)"""
+    }
+    s"""WITH $userHandoffCountCtes,
+edges0 AS (SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM dcounts UNION ALL SELECT b AS a, a AS b FROM dcounts) t
+  WHERE a < b),
+bidir AS (SELECT a AS u, b AS v FROM edges0
+  UNION ALL SELECT b AS u, a AS v FROM edges0),
+nodes AS (SELECT DISTINCT user_id AS node FROM events),
+s0 AS (SELECT node FROM nodes),
+${(1 to R).map(layer).mkString(",\n")},
+fin AS (SELECT e.u AS node, count(*) AS n FROM bidir e
+  JOIN s$R x ON x.node = e.u JOIN s$R y ON y.node = e.v GROUP BY 1)
+SELECT n.node,
+  CAST(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_core,
+  CAST(coalesce(f.n, 0) AS BIGINT) AS core_deg
+FROM nodes n LEFT JOIN s$R s ON s.node = n.node
+     LEFT JOIN fin f ON f.node = n.node"""
+  }
+
+  // g10/s37: hub-capped common-neighbor census (apex degree <= DMax —
+  // part of the operator's semantics, mirrored here), anti-join
+  // against existing edges, Jaccard on full degrees, top-20.
+  private val g10OracleSql: String =
+    s"""WITH $userHandoffCountCtes,
+edges0 AS (SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM dcounts UNION ALL SELECT b AS a, a AS b FROM dcounts) t
+  WHERE a < b),
+bidir AS (SELECT a AS u, b AS v FROM edges0
+  UNION ALL SELECT b AS u, a AS v FROM edges0),
+deg AS (SELECT u AS node, count(*)::BIGINT AS degree FROM bidir GROUP BY 1),
+apex AS (SELECT b.u, b.v FROM bidir b JOIN deg d ON d.node = b.u
+  WHERE d.degree <= ${graft.graph.Graph.LinkDMax}),
+cand AS (SELECT a1.v AS y, a2.v AS z, count(*)::BIGINT AS common_neighbors
+  FROM apex a1 JOIN apex a2 ON a2.u = a1.u
+  WHERE a1.v < a2.v GROUP BY 1, 2),
+fresh AS (SELECT c.y, c.z, c.common_neighbors FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM edges0 e WHERE e.a = c.y AND e.b = c.z)),
+scored AS (SELECT f.y AS u, f.z AS v, f.common_neighbors,
+  round(CAST(f.common_neighbors AS DOUBLE)
+    / CAST(dy.degree + dz.degree - f.common_neighbors AS DOUBLE), 6) AS jaccard
+  FROM fresh f JOIN deg dy ON dy.node = f.y JOIN deg dz ON dz.node = f.z)
+SELECT u, v, common_neighbors, jaccard,
+  CAST(row_number() OVER (ORDER BY jaccard DESC, u, v) AS BIGINT) AS rank
+FROM scored
+ORDER BY jaccard DESC, u, v LIMIT ${graft.graph.Graph.TopLinks}"""
 
   private val d42bOracleSql: String = bpeOracleSql(minLen = 2,
     (1 to graft.text.Text.BpeMerges).map(i => s"SELECT * FROM o$i")
@@ -2804,6 +2913,42 @@ FROM merged"""
         |       ELSE 'zh' END AS lang_pred,
         |  CAST(greatest(s_en, s_es, s_de, s_fr, s_zh) AS BIGINT) AS best_score
         |FROM sc""".stripMargin,
+    // d47: the NB replay — census, Laplace-1 scores in the Spark
+    // side's exact expression shape (observed cells join; the unseen
+    // term folds into n_toks·log_denom), argmax on the RAW score.
+    "d47_nb_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |census AS (SELECT lang AS model_lang, tok, count(*) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM census),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |priors AS (SELECT lang AS model_lang,
+        |    ln(count(*) / (SELECT n_docs FROM nd)) AS log_prior
+        |  FROM documents GROUP BY 1),
+        |lconst AS (SELECT model_lang,
+        |    ln(CAST(sum(c) AS DOUBLE) + (SELECT v FROM v)) AS log_denom
+        |  FROM census GROUP BY 1),
+        |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |contrib AS (SELECT dt.doc_id, cs.model_lang,
+        |    sum(dt.cnt * ln(CAST(cs.c AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS sum_log_c
+        |  FROM dt JOIN census cs ON cs.tok = dt.tok GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n_toks FROM dt GROUP BY 1),
+        |scored AS (SELECT d.doc_id, d.lang AS lang_actual, p.model_lang,
+        |    p.log_prior + coalesce(c.sum_log_c, CAST(0 AS DOUBLE))
+        |      - l.n_toks * lc.log_denom AS score
+        |  FROM documents d
+        |  JOIN dlen l ON l.doc_id = d.doc_id
+        |  CROSS JOIN priors p
+        |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.model_lang = p.model_lang
+        |  JOIN lconst lc ON lc.model_lang = p.model_lang)
+        |SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        |  SELECT doc_id, lang_actual, model_lang AS lang_pred,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, model_lang) AS rn
+        |  FROM scored) t
+        |WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
     "d02_token_count" ->
       """SELECT doc_id,
         | length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
@@ -3168,6 +3313,12 @@ FROM merged"""
     // singletons and roots map to themselves via the left join.
     "g07_user_components" -> g07OracleSql,
     "s34_stream_user_components" -> g07OracleSql,
+    "g08_user_ppr" -> g08OracleSql,
+    "s35_stream_user_ppr" -> g08OracleSql,
+    "g09_user_kcore" -> g09OracleSql,
+    "s36_stream_user_kcore" -> g09OracleSql,
+    "g10_link_prediction" -> g10OracleSql,
+    "s37_stream_links" -> g10OracleSql,
     // s31: g04's deployment shape — the streamed handoff extraction
     // must reduce to the identical leaderboard, so the oracle IS g04's.
     "s31_stream_user_pagerank" -> g04OracleSql,
@@ -3578,6 +3729,51 @@ FROM merged"""
     // f13: same kernel — triple cells, joint-MI pair table, 10
     // unrolled accumulate-and-argmax rounds.
     "f13_jmi" -> graft.ml.ReliefOracle.jmiSql,
+    // f14: one grouping-sets census + the 1-row prior; (s + M·prior)
+    // / (n + M) in the Spark side's exact operation order.
+    "f14_target_encode" ->
+      s"""WITH pri AS (SELECT avg(o_totalprice) AS prior FROM orders),
+         |g AS (SELECT o_orderpriority, o_orderstatus,
+         |        count(*) AS n, sum(o_totalprice) AS s,
+         |        GROUPING(o_orderpriority) AS gp
+         |      FROM orders
+         |      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)))
+         |SELECT CASE WHEN gp = 0 THEN 'o_orderpriority'
+         |            ELSE 'o_orderstatus' END AS feature,
+         |  coalesce(o_orderpriority, o_orderstatus) AS category,
+         |  CAST(n AS BIGINT) AS n,
+         |  round((s + CAST(${graft.ml.ReliefQueries.TargetEncM} AS DOUBLE) * prior)
+         |    / (n + CAST(${graft.ml.ReliefQueries.TargetEncM} AS DOUBLE)), 6) AS target_enc
+         |FROM g CROSS JOIN pri""".stripMargin,
+    // f15: grouping-sets census over (priority, fixed price band),
+    // WOE with half-observation smoothing, per-feature IV window.
+    "f15_woe_iv" ->
+      s"""WITH o AS (SELECT o_orderpriority,
+         |    CAST(CAST(floor(o_totalprice / CAST(${graft.ml.ReliefQueries.WoeBand} AS DOUBLE)) AS BIGINT) AS VARCHAR) AS price_band,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+         |  FROM orders),
+         |g AS (SELECT o_orderpriority, price_band,
+         |        count(*) AS n, sum(bad) AS n_bad,
+         |        GROUPING(o_orderpriority) AS gp
+         |      FROM o GROUP BY GROUPING SETS ((o_orderpriority), (price_band))),
+         |c AS (SELECT CASE WHEN gp = 0 THEN 'o_orderpriority'
+         |             ELSE 'price_band' END AS feature,
+         |        coalesce(o_orderpriority, price_band) AS bucket,
+         |        CAST(n - n_bad AS BIGINT) AS n_good,
+         |        CAST(n_bad AS BIGINT) AS n_bad
+         |      FROM g),
+         |s AS (SELECT feature, bucket, n_good, n_bad,
+         |        CAST(sum(n_good) OVER (PARTITION BY feature) AS DOUBLE) AS good_tot,
+         |        CAST(sum(n_bad) OVER (PARTITION BY feature) AS DOUBLE) AS bad_tot
+         |      FROM c),
+         |w AS (SELECT feature, bucket, n_good, n_bad,
+         |        (n_good + CAST(0.5 AS DOUBLE)) / good_tot AS dg,
+         |        (n_bad + CAST(0.5 AS DOUBLE)) / bad_tot AS db
+         |      FROM s)
+         |SELECT feature, bucket, n_good, n_bad,
+         |  round(ln(dg / db), 6) AS woe,
+         |  round(sum((dg - db) * ln(dg / db)) OVER (PARTITION BY feature), 6) AS iv
+         |FROM w""".stripMargin,
     // b01: full replay — class census, majority target, floor-division
     // replication plan, mod-prime rank window, extra-row id sum.
     "b01_class_rebalance" ->

@@ -353,6 +353,213 @@ object Graph {
         coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** Seed-set size for g08's personalized PageRank. */
+  val PprSeeds = 5
+
+  /** g08: PERSONALIZED PageRank on the user handoff graph — the
+    * seeded-teleport variant of the g04 kernel (Page et al. 1999 §6;
+    * the "random surfer restarts at a seed" form that powers
+    * seed-expansion curation: given a handful of trusted/suspect
+    * users, rank everyone by proximity to them). Seeds are the
+    * top-[[PprSeeds]] users by total out-handoff volume (ties to the
+    * smaller id — deterministic in both engines); teleport mass
+    * (1−d) and dangling mass both redistribute over the SEED
+    * distribution instead of uniformly, so unreachable users score
+    * exactly 0.0 rather than the uniform floor. Output: top-
+    * [[TopUsers]] by (ppr rounded 6 desc, user_id) with rank.
+    *
+    * Scale shape: identical to g04 — the teleport vector is a
+    * nodes-frame column (never a driver map), each iteration is the
+    * same keyed edge join, and the only global ordering is the
+    * TakeOrderedAndProject top-N merge. The seed frame is bounded
+    * ([[PprSeeds]] rows) by construction via its own top-N merge.
+    */
+  def g08UserPpr(spark: SparkSession, dir: String): DataFrame =
+    pprFromCounts(userNodes(spark, dir), userHandoffCounts(spark, dir))
+      .select(col("node").as("user_id"), col("ppr"), col("rank"))
+
+  /** Seed derivation + ranked PPR over a (nodes, handoff-count) pair —
+    * shared by g08 (batch census) and s35 (streamed census) so the two
+    * paths stay bit-identical.
+    */
+  private[graft] def pprFromCounts(
+      nodes: DataFrame, counts: DataFrame): DataFrame = {
+    val seeds = counts
+      .groupBy(col("prev_type").as("node"))
+      .agg(sum("n_trans").as("out_n"))
+      .orderBy(col("out_n").desc, col("node")).limit(PprSeeds)
+      .select("node")
+    val top = pprScores(nodes, counts, seeds)
+      .select(col("node"), round(col("pr"), 6).as("ppr"))
+      .orderBy(col("ppr").desc, col("node")).limit(TopUsers)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("ppr").desc, col("node"))).cast("long"))
+  }
+
+  /** The personalized power-iteration kernel: [[pagerankScores]] with
+    * the uniform teleport replaced by a seed-set distribution t(v)
+    * (1/|S| on seeds, 0 elsewhere), pr₀ = t, and per round
+    * `pr'(v) = (1−d)·t(v) + d·(Σ_{u→v} pr(u)·w(u,v) + dang·t(v))`.
+    * Kept as a SEPARATE kernel rather than a parameter of
+    * [[pagerankScores]]: the uniform path computes `(1−d)/n`, and
+    * rewriting it as `(1−d)·(1/n)` is a different floating-point
+    * expression — sharing would silently move g01/g04's 6-decimal
+    * pins.
+    */
+  private[graft] def pprScores(
+      nodesIn: DataFrame, counts: DataFrame, seedsIn: DataFrame): DataFrame = {
+    val edges = counts
+      .select(col("prev_type"), col("next_type"),
+        (col("n_trans").cast("double") /
+          sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
+          .as("w"))
+      .cutLineage
+    val seeds = seedsIn.cutLineage
+    val ns = seeds.agg(count(lit(1)).cast("double").as("ns"))
+    val tele = nodesIn.cutLineage
+      .join(seeds.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("t"))
+      .cutLineage
+    val sources = edges.select(col("prev_type").as("node")).distinct()
+    var pr = tele.select(col("node"), col("t").as("pr"))
+    for (it <- 1 to PrIters) {
+      val contrib = pr.join(edges, pr("node") === edges("prev_type"))
+        .groupBy(col("next_type").as("node"))
+        .agg(sum(col("pr") * col("w")).as("s"))
+      val dang = pr.join(sources, Seq("node"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dang"))
+      pr = tele
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(1.0 - Damping) * col("t") +
+            lit(Damping) * (coalesce(col("s"), lit(0.0)) + col("dang") * col("t")))
+            .as("pr"))
+      if (it % 2 == 0 || it == PrIters) pr = pr.cutLineage
+    }
+    pr
+  }
+
+  /** g09's core order: nodes must keep ≥ K surviving neighbors. */
+  val KcoreK = 3
+
+  /** Peel rounds for g09 — fixed and unrolled (the LpaRounds/PrIters
+    * precedent): both the Spark side and the oracle run EXACTLY this
+    * many rounds, so agreement never depends on convergence; a spec
+    * asserts the result IS a fixpoint at the shipped SFs (one more
+    * round changes nothing).
+    */
+  val KcoreRounds = 8
+
+  /** g09: k-core decomposition (membership at K = [[KcoreK]]) on the
+    * user handoff graph — iterative peeling (Seidman 1983; the
+    * Matula–Beck order): each round drops every node whose degree
+    * among SURVIVORS is < K, [[KcoreRounds]] rounds. The k-core is
+    * the engagement backbone a curation pass keeps when it wants
+    * users embedded in dense interaction, not drive-by pairs —
+    * the standard "dense subgraph" cut next to communities (g05) and
+    * components (g07). Output: one row per user
+    * (node, in_core 0/1, core_deg = degree within the final core).
+    *
+    * Scale shape: each round is two keyed semi-joins of the bidirected
+    * edge frame against the survivor frame + one map-side-combining
+    * degree census — never a collect, never a cartesian; the survivor
+    * frame only shrinks. Lineage cut per round (the durability knob
+    * applies).
+    */
+  def g09UserKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreCensus(
+      userNodes(spark, dir),
+      undirectedEdges(userHandoffCounts(spark, dir)
+        .select(col("prev_type").as("a"), col("next_type").as("b"))))
+
+  /** The shared peel kernel over (nodes, undirected edges (a < b)) —
+    * g09 feeds it the batch handoff census, s36 the streamed one.
+    */
+  private[graft] def kcoreCensus(
+      nodes: DataFrame, edges: DataFrame,
+      rounds: Int = KcoreRounds): DataFrame = {
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .cutLineage
+    def survDeg(surv: DataFrame): DataFrame = bidir
+      .join(surv.select(col("node").as("u")), Seq("u"))
+      .join(surv.select(col("node").as("v")), Seq("v"))
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("n"))
+    var surv = nodes.cutLineage
+    for (_ <- 1 to rounds)
+      surv = survDeg(surv).where(col("n") >= KcoreK).select("node").cutLineage
+    nodes
+      .join(surv.withColumn("in_core", lit(1)), Seq("node"), "left")
+      .join(survDeg(surv).select(col("node"), col("n").as("core_deg")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("in_core"), lit(0)).cast("int").as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
+  /** Apex-degree cap for g10's wedge generation. */
+  val LinkDMax = 64
+
+  /** Output size of g10's leaderboard. */
+  val TopLinks = 20
+
+  /** g10: link prediction by neighbor Jaccard on the user handoff
+    * graph — for every non-adjacent pair at distance 2, score
+    * `common / (deg(u) + deg(v) − common)` (Liben-Nowell & Kleinberg
+    * 2003's Jaccard predictor) and keep the top-[[TopLinks]]. Common
+    * neighbors are counted through apexes of degree ≤ [[LinkDMax]]
+    * ONLY — the hub cap is part of the operator's semantics (mirrored
+    * exactly in the oracle), not an approximation knob: a 10⁶-degree
+    * hub contributes no discriminative signal and unCapped wedge
+    * generation at it is quadratic (the g03 lesson; here orientation
+    * can't help because BOTH wedge arms are needed at every apex).
+    * Output: (u, v, common_neighbors, jaccard rounded 6, rank), u < v.
+    *
+    * Scale shape: wedge fan-out per apex is ≤ [[LinkDMax]]² by
+    * construction; candidate census is one map-side-combining
+    * groupBy; existing edges leave via a keyed anti-join; the only
+    * global ordering is the TakeOrderedAndProject top-N merge.
+    */
+  def g10LinkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPrediction(undirectedEdges(userHandoffCounts(spark, dir)
+      .select(col("prev_type").as("a"), col("next_type").as("b"))))
+
+  /** The shared Jaccard-link kernel over canonical undirected edges —
+    * g10 feeds it the batch handoff census, s37 the streamed one.
+    */
+  private[graft] def linkPrediction(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .cutLineage
+    val deg = bidir.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("degree")).cutLineage
+    val apex = bidir
+      .join(deg.select(col("node").as("u"), col("degree")), Seq("u"))
+      .where(col("degree") <= LinkDMax)
+      .select(col("u"), col("v"))
+    val cand = apex.select(col("u"), col("v").as("y"))
+      .join(apex.select(col("u"), col("v").as("z")), Seq("u"))
+      .where(col("y") < col("z"))
+      .groupBy(col("y"), col("z")).agg(count(lit(1)).as("common_neighbors"))
+    val fresh = cand.join(
+      edges.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"), "left_anti")
+    val scored = fresh
+      .join(deg.select(col("node").as("y"), col("degree").as("dy")), Seq("y"))
+      .join(deg.select(col("node").as("z"), col("degree").as("dz")), Seq("z"))
+      .select(col("y").as("u"), col("z").as("v"), col("common_neighbors"),
+        round(col("common_neighbors").cast("double") /
+          (col("dy") + col("dz") - col("common_neighbors")).cast("double"), 6)
+          .as("jaccard"))
+    val top = scored
+      .orderBy(col("jaccard").desc, col("u"), col("v")).limit(TopLinks)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("jaccard").desc, col("u"), col("v"))).cast("long"))
+  }
+
   /** The shared triangle/clustering kernel over (nodes, undirected
     * edges (a < b, distinct)) — DEGREE-ORIENTED wedge generation, the
     * standard skew mitigation (Cohen's MapReduce triangle counting;

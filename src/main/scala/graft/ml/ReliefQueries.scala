@@ -1438,4 +1438,93 @@ object ReliefQueries {
           .cast("long") - 1L).as("prio_slot"),
         round(expr(s"f[${cs - 1 + cp - 1}]"), 6).as("scaled_price"))
   }
+
+  /** Additive-smoothing strength for f14's target encoding. */
+  val TargetEncM = 20.0
+
+  /** f14: smoothed target (mean) encoding — the standard high-
+    * cardinality categorical transform (Micci-Barreca 2001): for each
+    * category c of each nominal feature, `enc = (Σ_target + M·prior) /
+    * (n_c + M)` with the global target mean as the prior and
+    * M = [[TargetEncM]] pseudo-observations — rare categories shrink
+    * to the prior, frequent ones to their empirical mean. Encodes
+    * o_orderpriority AND o_orderstatus against o_totalprice in ONE
+    * corpus pass via GROUPING SETS (two censuses share the scan and
+    * the map-side combine). Output: (feature, category, n,
+    * target_enc rounded 6) — the encoding TABLE a pipeline
+    * broadcast-joins onto the corpus, never a per-row rewrite here.
+    *
+    * Scale shape: one map-side-combining grouping-sets aggregate over
+    * the fact table + a 1-row prior broadcast; output is bounded by
+    * total category cardinality.
+    */
+  def f14TargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val prior = o.agg(avg("o_totalprice").as("prior"))
+    o.groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"),
+        grouping(col("o_orderpriority")).as("gp"))
+      .select(
+        when(col("gp") === 0, lit("o_orderpriority"))
+          .otherwise(lit("o_orderstatus")).as("feature"),
+        coalesce(col("o_orderpriority"), col("o_orderstatus")).as("category"),
+        col("n"), col("s"))
+      .crossJoin(broadcast(prior))
+      .select(col("feature"), col("category"), col("n"),
+        round((col("s") + lit(TargetEncM) * col("prior")) /
+          (col("n") + lit(TargetEncM)), 6).as("target_enc"))
+  }
+
+  /** Price-band width for f15's numeric bucketing. */
+  val WoeBand = 50000.0
+
+  /** f15: weight-of-evidence + information value — the classic
+    * risk-modeling feature screen (Siddiqi 2006): against the binary
+    * label `o_orderstatus = 'F'`, bucket each feature
+    * (o_orderpriority's categories; o_totalprice in fixed
+    * [[WoeBand]]-wide bands — fixed-width, not quantile, so bucketing
+    * needs no global sort), then per bucket
+    * `woe = ln(((n_good+0.5)/good_tot) / ((n_bad+0.5)/bad_tot))` and
+    * `iv = Σ_buckets (dist_good − dist_bad)·woe` (0.5 = the standard
+    * half-observation smoothing against empty cells). Output one row
+    * per (feature, bucket): (feature, bucket, n_good, n_bad,
+    * woe rounded 6, iv rounded 6 — the feature-level IV repeated per
+    * bucket, ready to filter on).
+    *
+    * Scale shape: one grouping-sets census over the fact table (both
+    * features share the scan); totals and IV are windows over the
+    * bucket-bounded census frame, never over raw rows.
+    */
+  def f15WoeIv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority"),
+      floor(col("o_totalprice") / lit(WoeBand)).cast("long").cast("string")
+        .as("price_band"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("bad"))
+    val census = o.groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("price_band"))),
+        col("o_orderpriority"), col("price_band"))
+      .agg(count(lit(1)).as("n"), sum("bad").as("n_bad"),
+        grouping(col("o_orderpriority")).as("gp"))
+      .select(
+        when(col("gp") === 0, lit("o_orderpriority"))
+          .otherwise(lit("price_band")).as("feature"),
+        coalesce(col("o_orderpriority"), col("price_band")).as("bucket"),
+        (col("n") - col("n_bad")).as("n_good"), col("n_bad"))
+    val byFeat = Window.partitionBy("feature")
+    val scored = census
+      .withColumn("good_tot", sum("n_good").over(byFeat).cast("double"))
+      .withColumn("bad_tot", sum("n_bad").over(byFeat).cast("double"))
+      .withColumn("dg", (col("n_good") + lit(0.5)) / col("good_tot"))
+      .withColumn("db", (col("n_bad") + lit(0.5)) / col("bad_tot"))
+      .withColumn("woe", log(col("dg") / col("db")))
+      .withColumn("iv_term", (col("dg") - col("db")) * col("woe"))
+    scored
+      .withColumn("iv", sum("iv_term").over(byFeat))
+      .select(col("feature"), col("bucket"), col("n_good"), col("n_bad"),
+        round(col("woe"), 6).as("woe"), round(col("iv"), 6).as("iv"))
+  }
 }

@@ -794,6 +794,55 @@ object Streams {
         coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** s35: g08's personalized PageRank with the handoff extraction AT
+    * INGESTION — the twin discipline extended to the seeded-teleport
+    * kernel: the shared stateful walk ([[streamedHandoffs]]) reduces
+    * the firehose, and the read-time reduction (seed derivation +
+    * teleport kernel + top-N merge) is g08's SHARED code
+    * ([[graft.graph.Graph.pprFromCounts]]), so one AvailableNow pass
+    * equals batch g08 exactly and the oracle is literally g08's.
+    */
+  def s35StreamUserPpr(spark: SparkSession, dir: String): DataFrame =
+    runUserPpr(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runUserPpr(events: DataFrame): DataFrame = {
+    val ann = streamedHandoffs(events)
+    graft.graph.Graph.pprFromCounts(
+        ann.select(col("user_id").as("node")).distinct(), handoffCountsOf(ann))
+      .select(col("node").as("user_id"), col("ppr"), col("rank"))
+  }
+
+  /** s36: g09's k-core membership with the handoff extraction AT
+    * INGESTION — the streamed census feeds the SHARED peel kernel
+    * ([[graft.graph.Graph.kcoreCensus]]), so one AvailableNow pass
+    * equals batch g09 exactly and the oracle is literally g09's.
+    */
+  def s36StreamUserKcore(spark: SparkSession, dir: String): DataFrame =
+    runUserKcore(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runUserKcore(events: DataFrame): DataFrame = {
+    val ann = streamedHandoffs(events)
+    graft.graph.Graph.kcoreCensus(
+      ann.select(col("user_id").as("node")).distinct(),
+      graft.graph.Graph.undirectedEdges(handoffCountsOf(ann)
+        .select(col("prev_type").as("a"), col("next_type").as("b"))))
+  }
+
+  /** s37: g10's Jaccard link prediction with the handoff extraction
+    * AT INGESTION — the streamed census feeds the SHARED hub-capped
+    * wedge kernel ([[graft.graph.Graph.linkPrediction]]), so one
+    * AvailableNow pass equals batch g10 exactly and the oracle is
+    * literally g10's.
+    */
+  def s37StreamLinks(spark: SparkSession, dir: String): DataFrame =
+    runLinks(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runLinks(events: DataFrame): DataFrame =
+    graft.graph.Graph.linkPrediction(
+      graft.graph.Graph.undirectedEdges(
+        handoffCountsOf(streamedHandoffs(events))
+          .select(col("prev_type").as("a"), col("next_type").as("b"))))
+
   /** s28: g01's transition-graph PageRank with the corpus-touching
     * pass AT INGESTION — the event firehose is reduced to the
     * ANNOTATED transition stream by a per-user stateful walk: state is

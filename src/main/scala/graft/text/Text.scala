@@ -526,4 +526,77 @@ object Text {
         Window.orderBy(col("n_occ").desc, col("token"))).cast("long"))
       .where(col("rank") <= 20)
   }
+
+  /** d47: trainable language ID — a multinomial Naive Bayes unigram
+    * classifier (the fastText-style linear text classifier's exact
+    * probabilistic ancestor), trained on the corpus's own (lang, token)
+    * census and evaluated by self-classification. Per doc and language:
+    * `score = ln P(l) + Σ_tok cnt·ln(c(l,tok)+1) − n_toks·ln(n_l + V)`
+    * (Laplace-1 smoothing; the unseen-token term folds into the
+    * per-language constant, so only OBSERVED (lang, token) cells ever
+    * join). Argmax on the RAW double score (ties to the smaller
+    * language id): scores for different languages differ by O(n_toks)
+    * nats, so cross-engine summation ulps (~1e-11) cannot flip the
+    * winner. Output: the confusion census (lang_actual, lang_pred,
+    * n_docs) — integers only, bounded by |langs|².
+    *
+    * Contrast with [[d04LangId]]: d04 is the fixed-stoplist heuristic
+    * (zero training); d47 is the learned model a real curation
+    * pipeline fits on labeled seed data and applies to the firehose.
+    *
+    * Scale shape: one token-explode census with map-side combine
+    * (vocabulary-keyed, text never shuffles); scoring joins the
+    * per-doc token MULTISET (doc_id, tok, cnt) to the census on the
+    * token key (fan-out ≤ |langs|); priors and per-language constants
+    * are |langs|-row broadcast frames; the argmax window partitions by
+    * doc over |langs| rows.
+    */
+  def d47NbLangid(spark: SparkSession, dir: String): DataFrame =
+    nbLangidFrom(Tables.documents(spark, dir))
+
+  /** The NB train + self-classify kernel over any (doc_id, lang, text)
+    * frame — d47 feeds it the documents table; specs feed it synthetic
+    * disjoint-vocabulary corpora where the Bayes-optimal answer is
+    * known exactly.
+    */
+  private[graft] def nbLangidFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(wsTokens(lower(col("text")))).as("tok"))
+    val census = toks.groupBy(col("lang").as("model_lang"), col("tok"))
+      .agg(count(lit(1)).as("c")).cutLineage
+    val v = census.agg(countDistinct("tok").cast("double").as("v"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val priors = docs.groupBy(col("lang").as("model_lang"))
+      .agg(count(lit(1)).as("n_lang_docs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("model_lang"),
+        log(col("n_lang_docs") / col("n_docs")).as("log_prior"))
+    val langConst = census.groupBy("model_lang")
+      .agg(sum("c").as("n_l"))
+      .crossJoin(broadcast(v))
+      .select(col("model_lang"),
+        log(col("n_l").cast("double") + col("v")).as("log_denom"))
+    val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val contrib = dt.join(census, Seq("tok"))
+      .groupBy("doc_id", "model_lang")
+      .agg(sum(col("cnt") * log(col("c").cast("double") + lit(1.0)))
+        .as("sum_log_c"))
+    val docLen = dt.groupBy("doc_id")
+      .agg(sum("cnt").cast("double").as("n_toks"))
+    val scored = docs.select(col("doc_id"), col("lang").as("lang_actual"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(priors))
+      .join(contrib, Seq("doc_id", "model_lang"), "left")
+      .join(broadcast(langConst), Seq("model_lang"))
+      .select(col("doc_id"), col("lang_actual"), col("model_lang"),
+        (col("log_prior") + coalesce(col("sum_log_c"), lit(0.0)) -
+          col("n_toks") * col("log_denom")).as("score"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("model_lang"))))
+      .where(col("rn") === 1)
+      .groupBy(col("lang_actual"), col("model_lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

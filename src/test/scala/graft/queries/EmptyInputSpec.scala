@@ -219,6 +219,15 @@ class EmptyInputSpec extends SparkSpec {
       "s33" -> (() => graft.streaming.Streams.s33StreamUserCommunities(spark, emptyDir).count()),
       "s34" -> (() => graft.streaming.Streams.s34StreamUserComponents(spark, emptyDir).count()),
       "vaoh" -> (() => graft.ml.ReliefQueries.vectorAssembleOneHot(spark, emptyDir).count()),
+      "g08" -> (() => graft.graph.Graph.g08UserPpr(spark, emptyDir).count()),
+      "g09" -> (() => graft.graph.Graph.g09UserKcore(spark, emptyDir).count()),
+      "g10" -> (() => graft.graph.Graph.g10LinkPrediction(spark, emptyDir).count()),
+      "s35" -> (() => graft.streaming.Streams.s35StreamUserPpr(spark, emptyDir).count()),
+      "s36" -> (() => graft.streaming.Streams.s36StreamUserKcore(spark, emptyDir).count()),
+      "s37" -> (() => graft.streaming.Streams.s37StreamLinks(spark, emptyDir).count()),
+      "f14" -> (() => graft.ml.ReliefQueries.f14TargetEncode(spark, emptyDir).count()),
+      "f15" -> (() => graft.ml.ReliefQueries.f15WoeIv(spark, emptyDir).count()),
+      "d47" -> (() => graft.text.Text.d47NbLangid(spark, emptyDir).count()),
       // e24's flood clones the first corpus vector; an empty corpus has
       // no template to clone, so the census must be empty, not a throw
       "e24" -> (() => graft.sim.Sim.e24IvfRepair(spark, emptyDir).count()),

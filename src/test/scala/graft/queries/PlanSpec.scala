@@ -258,6 +258,33 @@ class PlanSpec extends SparkSpec {
       s"rank window must sit directly above the TakeOrderedAndProject cut:\n$plan")
   }
 
+  test("g08: personalized rank keeps the g04 plan shape — TakeOrdered merge, no global sort") {
+    // same discipline as g04: the seeded kernel's only node-frame
+    // ordering is the top-N merge (both the PprSeeds seed cut and the
+    // TopUsers leaderboard cut plan as TakeOrderedAndProject)
+    val plan = explain(graft.graph.Graph.g08UserPpr(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("+- Sort "), plan)
+    assert(!plan.contains("- Sort ("), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("g10: link census is wedge-keyed with a TakeOrdered leaderboard; no cartesian") {
+    // candidate pairs join on the apex key (the wedge self-join may
+    // plan as a keyed SortMergeJoin — its per-partition `Sort ...,
+    // false` nodes are the right scale shape; only a GLOBAL sort of
+    // the candidate frame would be wrong), the existing-edge filter
+    // is a keyed anti-join, and the top-20 is a TakeOrderedAndProject
+    // merge
+    val df = graft.graph.Graph.g10LinkPrediction(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains(" true,")),
+      s"global sort in the link census plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("g06: wedge generation is keyed on the oriented (low-degree) apex; no cartesian") {
     // the kernel checkpoints the oriented edge frame, so the final
     // plan's joins run over LogicalRDDs — the orientation itself is

@@ -246,6 +246,52 @@ class StreamsSpec extends SparkSpec {
     assert(gotCc.nonEmpty && gotCc == batchCc)
   }
 
+  test("s35/s36/s37 streamed PPR + k-core + links equal batch g08/g09/g10 (two batches)") {
+    // the round-12 kernels inherit s31/s32's walk and ingestion
+    // contract — one staged time-split source drives all three
+    val src = Tables.events(spark, sfDir)
+    val cut = src.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
+    val stage = "/tmp/graft_stream_twofiles_s35s36s37"
+    val d = Paths.get(stage)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(d)
+    src.where(expr(s"unix_micros(ts) <= $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p1")
+    Thread.sleep(1100)
+    src.where(expr(s"unix_micros(ts) > $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/p2")
+    val schema = spark.read.parquet(s"$stage/p1").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/p*")
+    val gotPpr = Streams.runUserPpr(stream())
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    val batchPpr = graft.graph.Graph.g08UserPpr(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    assert(gotPpr.nonEmpty && gotPpr == batchPpr,
+      s"stream=$gotPpr\nbatch=$batchPpr")
+    val gotCore = Streams.runUserKcore(stream())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val batchCore = graft.graph.Graph.g09UserKcore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(gotCore.nonEmpty && gotCore == batchCore)
+    val gotLinks = Streams.runLinks(stream())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val batchLinks = graft.graph.Graph.g10LinkPrediction(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(gotLinks.nonEmpty && gotLinks == batchLinks,
+      s"stream=$gotLinks\nbatch=$batchLinks")
+  }
+
   test("s31 survives events without '$.k' and matches batch g04's null-item partition") {
     // an event whose props lacks k (or carries malformed JSON) used to
     // crash the stream's primitive-Long encoder while batch g04 walked
