@@ -162,6 +162,11 @@ object SparkEntry {
     "s36_stream_user_kcore" -> Streams.s36StreamUserKcore _,
     "s37_stream_links"    -> Streams.s37StreamLinks _,
     "d47_nb_langid"       -> Text.d47NbLangid _,
+    "g11_item_cooccurrence" -> graft.graph.Graph.g11ItemCooccurrence _,
+    "s38_stream_item_cooccurrence" -> Streams.s38StreamItemCooccurrence _,
+    "i05_allknn"          -> Sim.i05AllKnn _,
+    "f16_psi"             -> ReliefQueries.f16Psi _,
+    "q47_user_growth"     -> Events.q47UserGrowth _,
     "w27_compaction_planner" -> graft.sources.Sinks.w27CompactionPlanner _,
     "s29_stream_knn_classify" -> Streams.s29StreamKnnClassify _,
     "d30_semantic_dedup"  -> Sim.d30SemanticDedup _,
@@ -1298,6 +1303,32 @@ SELECT n.node,
 FROM nodes n LEFT JOIN s$R s ON s.node = n.node
      LEFT JOIN fin f ON f.node = n.node"""
   }
+
+  // g11/s38: the bipartite projection replay — distinct engagement
+  // census, hub-capped (user degree <= DMax) pair self-join, UNCAPPED
+  // popularity normalizer, top-20 by bipartite cosine.
+  private val g11OracleSql: String =
+    s"""WITH ui AS (
+  SELECT DISTINCT user_id,
+    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+  FROM events
+  WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+ud AS (SELECT user_id, count(*) AS n_items FROM ui GROUP BY 1),
+capped AS (SELECT ui.user_id, ui.item FROM ui JOIN ud USING (user_id)
+  WHERE ud.n_items <= ${graft.graph.Graph.LinkDMax}),
+pop AS (SELECT item, count(*)::BIGINT AS n_users FROM ui GROUP BY 1),
+pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS co_users
+  FROM capped a JOIN capped b ON b.user_id = a.user_id
+  WHERE a.item < b.item GROUP BY 1, 2),
+scored AS (SELECT p.item_a, p.item_b, p.co_users,
+  round(CAST(p.co_users AS DOUBLE)
+    / sqrt(CAST(pa.n_users * pb.n_users AS DOUBLE)), 6) AS cosine_sim
+  FROM pairs p JOIN pop pa ON pa.item = p.item_a
+               JOIN pop pb ON pb.item = p.item_b)
+SELECT item_a, item_b, co_users, cosine_sim,
+  CAST(row_number() OVER (ORDER BY cosine_sim DESC, item_a, item_b) AS BIGINT) AS rank
+FROM scored
+ORDER BY cosine_sim DESC, item_a, item_b LIMIT ${graft.graph.Graph.TopLinks}"""
 
   // g10/s37: hub-capped common-neighbor census (apex degree <= DMax —
   // part of the operator's semantics, mirrored here), anti-join
@@ -3230,6 +3261,28 @@ FROM merged"""
         |           JOIN ccen ca ON ca.lbl = la.lbl
         |           JOIN ccen cb ON cb.lbl = lb.lbl
         |WHERE la.lbl <> lb.lbl""".stripMargin),
+    // i05: the e05 replay re-ranked, a 3-way k grid, per-k strict
+    // outvote, union over k — Tomek's All-kNN rule exactly.
+    "i05_allknn" -> (e05KnnCtes + """,
+        |rk AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM knn),
+        |lbl AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
+        |kv AS (SELECT r.query_id, l.lbl AS nlbl, r.rn, kk.k
+        |  FROM rk r JOIN lbl l ON l.vec_id = r.neighbor_id
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) kk
+        |  WHERE r.rn <= kk.k),
+        |votes AS (SELECT query_id, k, nlbl, count(*)::BIGINT AS c
+        |  FROM kv GROUP BY 1, 2, 3),
+        |own AS (SELECT v.*, q.lbl FROM votes v JOIN lbl q ON q.vec_id = v.query_id),
+        |perqk AS (SELECT query_id, k, lbl,
+        |    CAST(sum(CASE WHEN nlbl = lbl THEN c ELSE 0 END) AS BIGINT) AS n_same,
+        |    CAST(max(CASE WHEN nlbl <> lbl THEN c ELSE 0 END) AS BIGINT) AS n_other_max
+        |  FROM own GROUP BY 1, 2, 3)
+        |SELECT query_id AS vec_id, lbl AS label,
+        |  CAST(count(*) AS BIGINT) AS n_ks_flagged,
+        |  CAST(min(k) AS BIGINT) AS first_flag_k
+        |FROM perqk WHERE n_other_max > n_same GROUP BY 1, 2""".stripMargin),
     // e26: the bucket prefix + fold-split probes/candidates, top-3,
     // plurality vote, confusion census.
     "e26_knn_classify" -> e26OracleSql,
@@ -3319,6 +3372,8 @@ FROM merged"""
     "s36_stream_user_kcore" -> g09OracleSql,
     "g10_link_prediction" -> g10OracleSql,
     "s37_stream_links" -> g10OracleSql,
+    "g11_item_cooccurrence" -> g11OracleSql,
+    "s38_stream_item_cooccurrence" -> g11OracleSql,
     // s31: g04's deployment shape — the streamed handoff extraction
     // must reduce to the identical leaderboard, so the oracle IS g04's.
     "s31_stream_user_pagerank" -> g04OracleSql,
@@ -3774,6 +3829,50 @@ FROM merged"""
          |  round(ln(dg / db), 6) AS woe,
          |  round(sum((dg - db) * ln(dg / db)) OVER (PARTITION BY feature), 6) AS iv
          |FROM w""".stripMargin,
+    // f16: exact-midpoint time split (integer-µs arithmetic), one
+    // grouping-sets census per half, smoothed PSI windows.
+    "f16_psi" ->
+      s"""WITH mm AS (SELECT min(epoch_us(o_orderdate)) AS lo,
+         |    max(epoch_us(o_orderdate)) AS hi FROM orders),
+         |o AS (SELECT o_orderpriority,
+         |    CAST(CAST(floor(o_totalprice / CAST(${graft.ml.ReliefQueries.WoeBand} AS DOUBLE)) AS BIGINT) AS VARCHAR) AS price_band,
+         |    CASE WHEN epoch_us(o_orderdate) * 2 >= mm.lo + mm.hi
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM orders CROSS JOIN mm),
+         |g AS (SELECT o_orderpriority, price_band,
+         |        sum(1 - is_new) AS n_old, sum(is_new) AS n_new,
+         |        GROUPING(o_orderpriority) AS gp
+         |      FROM o GROUP BY GROUPING SETS ((o_orderpriority), (price_band))),
+         |c AS (SELECT CASE WHEN gp = 0 THEN 'o_orderpriority'
+         |             ELSE 'price_band' END AS feature,
+         |        coalesce(o_orderpriority, price_band) AS bucket,
+         |        CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new
+         |      FROM g),
+         |s AS (SELECT feature, bucket, n_old, n_new,
+         |        CAST(sum(n_old) OVER (PARTITION BY feature) AS DOUBLE) AS old_tot,
+         |        CAST(sum(n_new) OVER (PARTITION BY feature) AS DOUBLE) AS new_tot
+         |      FROM c),
+         |w AS (SELECT feature, bucket, n_old, n_new,
+         |        (n_old + CAST(0.5 AS DOUBLE)) / old_tot AS po,
+         |        (n_new + CAST(0.5 AS DOUBLE)) / new_tot AS pn
+         |      FROM s)
+         |SELECT feature, bucket, n_old, n_new,
+         |  round((pn - po) * ln(pn / po), 6) AS psi_contrib,
+         |  round(sum((pn - po) * ln(pn / po)) OVER (PARTITION BY feature), 6) AS psi
+         |FROM w""".stripMargin,
+    // q47: first-seen census + running sum over the day frame — the
+    // scalable cumulative-distinct identity, replayed directly.
+    "q47_user_growth" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY 1),
+        |pd AS (SELECT first_day AS day, count(*)::BIGINT AS n_new
+        |  FROM fs GROUP BY 1),
+        |act AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        |SELECT CAST(a.day AS VARCHAR) AS day,
+        |  coalesce(p.n_new, 0)::BIGINT AS n_new_users,
+        |  CAST(sum(coalesce(p.n_new, 0)) OVER (ORDER BY a.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM act a LEFT JOIN pd p ON p.day = a.day""".stripMargin,
     // b01: full replay — class census, majority target, floor-division
     // replication plan, mod-prime rank window, extra-row id sum.
     "b01_class_rebalance" ->

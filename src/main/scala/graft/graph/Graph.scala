@@ -560,6 +560,58 @@ object Graph {
       Window.orderBy(col("jaccard").desc, col("u"), col("v"))).cast("long"))
   }
 
+  /** g11: bipartite co-engagement projection — the user–item graph
+    * (user_id, item = props.k) projected onto items: for every item
+    * pair, co_users = # users engaging BOTH, normalized to the
+    * bipartite cosine co/√(n_i·n_j) (the recsys co-occurrence matrix
+    * a curation pass mines for related-content signals). Same hub-cap
+    * semantics as g10 ([[LinkDMax]], mirrored in the oracle): pairs
+    * generate only through users engaging ≤ DMax items — a
+    * crawl-everything power user contributes no discriminative
+    * co-signal and uncapped projection at them is quadratic. Item
+    * popularity (the √ normalizer) stays UNCAPPED. Output:
+    * top-[[TopLinks]] (item_a, item_b, co_users, cosine_sim, rank).
+    *
+    * Scale shape: the engagement frame is one distinct census; the
+    * pair census is a self-join keyed on user_id with ≤ DMax²
+    * fan-out per user; the only global ordering is the TakeOrdered
+    * merge.
+    */
+  def g11ItemCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    itemCooccurrence(Tables.events(spark, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .distinct())
+
+  /** The shared projection kernel over a distinct (user_id, item)
+    * engagement frame — g11 feeds it the batch census, s38 the
+    * streamed one.
+    */
+  private[graft] def itemCooccurrence(ui: DataFrame): DataFrame = {
+    val engagement = ui.cutLineage
+    val ud = engagement.groupBy("user_id").agg(count(lit(1)).as("n_items"))
+    val capped = engagement
+      .join(ud.where(col("n_items") <= LinkDMax).select("user_id"), Seq("user_id"))
+    val pop = engagement.groupBy("item").agg(count(lit(1)).as("n_users"))
+      .cutLineage
+    val pairs = capped.select(col("user_id"), col("item").as("i"))
+      .join(capped.select(col("user_id"), col("item").as("j")), Seq("user_id"))
+      .where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("co_users"))
+    val scored = pairs
+      .join(pop.select(col("item").as("i"), col("n_users").as("ni")), Seq("i"))
+      .join(pop.select(col("item").as("j"), col("n_users").as("nj")), Seq("j"))
+      .select(col("i").as("item_a"), col("j").as("item_b"), col("co_users"),
+        round(col("co_users").cast("double") /
+          sqrt((col("ni") * col("nj")).cast("double")), 6).as("cosine_sim"))
+    val top = scored
+      .orderBy(col("cosine_sim").desc, col("item_a"), col("item_b"))
+      .limit(TopLinks)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("cosine_sim").desc, col("item_a"), col("item_b"))).cast("long"))
+  }
+
   /** The shared triangle/clustering kernel over (nodes, undirected
     * edges (a < b, distinct)) — DEGREE-ORIENTED wedge generation, the
     * standard skew mitigation (Cohen's MapReduce triangle counting;

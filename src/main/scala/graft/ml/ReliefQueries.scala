@@ -1527,4 +1527,53 @@ object ReliefQueries {
       .select(col("feature"), col("bucket"), col("n_good"), col("n_bad"),
         round(col("woe"), 6).as("woe"), round(col("iv"), 6).as("iv"))
   }
+
+  /** f16: Population Stability Index — the deployment-monitoring
+    * drift screen (the credit-scoring standard next to f15's WOE; the
+    * same bucket vocabulary): split orders at the EXACT midpoint of
+    * the order-date range (integer-µs arithmetic `2·ts ≥ lo+hi`, no
+    * percentile and no cross-engine rounding), census each feature's
+    * buckets per half in ONE grouping-sets pass, then
+    * `psi = Σ (p_new − p_old)·ln(p_new/p_old)` with half-observation
+    * smoothing. PSI > 0.25 is the classic retrain trigger. Output one
+    * row per (feature, bucket): (feature, bucket, n_old, n_new,
+    * psi_contrib, psi — the feature-level PSI repeated per bucket).
+    *
+    * Scale shape: the min/max date pair is a 1-row broadcast; the
+    * census is one grouping-sets aggregate (map-side combined);
+    * totals/PSI are windows over the bucket-bounded frame.
+    */
+  def f16Psi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val mm = o.agg(min(unix_micros(col("o_orderdate").cast("timestamp"))).as("lo"),
+      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("hi"))
+    val tagged = o.crossJoin(broadcast(mm))
+      .select(
+        col("o_orderpriority"),
+        floor(col("o_totalprice") / lit(WoeBand)).cast("long").cast("string")
+          .as("price_band"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 2 >= col("lo") + col("hi"))
+          .cast("long").as("is_new"))
+    val census = tagged.groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("price_band"))),
+        col("o_orderpriority"), col("price_band"))
+      .agg(sum(lit(1L) - col("is_new")).as("n_old"), sum("is_new").as("n_new"),
+        grouping(col("o_orderpriority")).as("gp"))
+      .select(
+        when(col("gp") === 0, lit("o_orderpriority"))
+          .otherwise(lit("price_band")).as("feature"),
+        coalesce(col("o_orderpriority"), col("price_band")).as("bucket"),
+        col("n_old"), col("n_new"))
+    val byFeat = Window.partitionBy("feature")
+    census
+      .withColumn("old_tot", sum("n_old").over(byFeat).cast("double"))
+      .withColumn("new_tot", sum("n_new").over(byFeat).cast("double"))
+      .withColumn("po", (col("n_old") + lit(0.5)) / col("old_tot"))
+      .withColumn("pn", (col("n_new") + lit(0.5)) / col("new_tot"))
+      .withColumn("term", (col("pn") - col("po")) * log(col("pn") / col("po")))
+      .withColumn("psi", sum("term").over(byFeat))
+      .select(col("feature"), col("bucket"), col("n_old"), col("n_new"),
+        round(col("term"), 6).as("psi_contrib"), round(col("psi"), 6).as("psi"))
+  }
 }

@@ -605,4 +605,36 @@ object Events {
         sum($"value").as("sum_value"),
         sum(when($"touch_type" =!= "none", $"ts_us" - $"lt.t")).as("sum_gap_us"))
   }
+
+  /** q47: user growth curve — cumulative distinct users by day (the
+    * "how fast is the audience growing" census every product dashboard
+    * leads with). The naive form recounts distinct users per day
+    * (quadratic in horizon × corpus); the scalable identity is
+    * `cum_distinct(day) = Σ_{d ≤ day} |{users first seen on d}|` —
+    * ONE map-side-combining first-seen census keyed on user, then a
+    * running sum over the horizon-bounded day frame. Output:
+    * (day, n_new_users, cum_users).
+    *
+    * Scale shape: the only raw-row pass is the per-user min(day)
+    * census; the running-sum window is global but over |days| rows
+    * (ingestion horizon, a constant in corpus terms — the q37/q40
+    * frame discipline).
+    */
+  def q47UserGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstSeen = ev
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
+      .groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    // every ACTIVE day appears in the curve, even when no new user
+    // arrived that day (n_new_users = 0, cum carries forward)
+    ev.select(to_date(col("ts")).as("day")).distinct()
+      .join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new_users", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users",
+        sum("n_new_users").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day").cast("string").as("day"),
+        col("n_new_users"), col("cum_users"))
+  }
 }

@@ -1521,6 +1521,46 @@ object Sim {
           .otherwise(greatest(col("vec_id_a"), col("vec_id_b"))).as("removed_id"))
   }
 
+  /** i05: All-kNN editing (Tomek 1976's extension of Wilson's ENN —
+    * the third member of the editing family next to i01/i02): an
+    * instance is flagged when the kNN rule misclassifies it for ANY
+    * k ∈ {1,2,3} — strictly outvoted by some other label among its
+    * top-k neighbors (ties keep, the i01 order-free discipline). The
+    * union-over-k rule is more aggressive than single-k ENN at
+    * boundary noise while still conservative at ties. Output: one row
+    * per flagged instance (vec_id, label, n_ks_flagged = how many of
+    * the three k values flag it, first_flag_k = the smallest).
+    *
+    * Scale shape: the kNN substrate IS [[e05KnnJoin]] (capped LSH
+    * buckets, id-only candidate shuffle, top-3 window) — All-kNN adds
+    * a 3-way explode of the K·n-row top-k frame (bounded fan-out 3)
+    * and two flagged-bounded aggregations; no new pair surface.
+    */
+  def i05AllKnn(spark: SparkSession, dir: String): DataFrame = {
+    val lbls = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val ranked = e05KnnJoin(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .join(lbls.select(col("vec_id").as("neighbor_id"),
+        col("lbl").as("nlbl")), "neighbor_id")
+    val votes = ranked
+      .select(col("query_id"), col("nlbl"), col("rn"))
+      .withColumn("k", explode(array(lit(1), lit(2), lit(3))))
+      .where(col("rn") <= col("k"))
+      .groupBy("query_id", "k", "nlbl").agg(count(lit(1)).as("c"))
+    val own = votes.join(
+      lbls.select(col("vec_id").as("query_id"), col("lbl")), "query_id")
+    val perQK = own.groupBy("query_id", "k", "lbl")
+      .agg(
+        sum(when(col("nlbl") === col("lbl"), col("c")).otherwise(0L)).as("n_same"),
+        max(when(col("nlbl") =!= col("lbl"), col("c")).otherwise(0L)).as("n_other_max"))
+    perQK.where(col("n_other_max") > col("n_same"))
+      .groupBy(col("query_id").as("vec_id"), col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_ks_flagged"),
+        min("k").cast("long").as("first_flag_k"))
+  }
+
   /** e26: distributed kNN CLASSIFICATION with a held-out split — the
     * evaluation loop instance-based pipelines ship (and the reference
     * family's end purpose: RELIEF weights exist to feed a kNN

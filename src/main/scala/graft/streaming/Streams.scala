@@ -843,6 +843,29 @@ object Streams {
         handoffCountsOf(streamedHandoffs(events))
           .select(col("prev_type").as("a"), col("next_type").as("b"))))
 
+  /** s38: g11's item co-engagement projection with the engagement
+    * census AT INGESTION — the firehose reduces to the distinct
+    * (user_id, item) frame via streaming `dropDuplicates` (state =
+    * one key per distinct engagement pair: catalog-scale, never
+    * stream volume — a production deployment adds a watermark to age
+    * out dormant pairs); the read-time reduction (hub-capped pair
+    * census + cosine + top-N) is g11's SHARED kernel
+    * ([[graft.graph.Graph.itemCooccurrence]]), so one AvailableNow
+    * pass equals batch g11 exactly and the oracle is literally g11's.
+    */
+  def s38StreamItemCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    runItemCooccurrence(eventsStream(streamSession(spark), dir))
+
+  private[graft] def runItemCooccurrence(events: DataFrame): DataFrame = {
+    val ui = events
+      .select(col("user_id"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("item"))
+      .where(col("item").isNotNull)
+      .dropDuplicates("user_id", "item")
+    val (s, name) = runToCompletion(ui, OutputMode.Append())
+    graft.graph.Graph.itemCooccurrence(s.table(name))
+  }
+
   /** s28: g01's transition-graph PageRank with the corpus-touching
     * pass AT INGESTION — the event firehose is reduced to the
     * ANNOTATED transition stream by a per-user stateful walk: state is

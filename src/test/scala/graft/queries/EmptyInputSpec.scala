@@ -228,6 +228,11 @@ class EmptyInputSpec extends SparkSpec {
       "f14" -> (() => graft.ml.ReliefQueries.f14TargetEncode(spark, emptyDir).count()),
       "f15" -> (() => graft.ml.ReliefQueries.f15WoeIv(spark, emptyDir).count()),
       "d47" -> (() => graft.text.Text.d47NbLangid(spark, emptyDir).count()),
+      "g11" -> (() => graft.graph.Graph.g11ItemCooccurrence(spark, emptyDir).count()),
+      "s38" -> (() => graft.streaming.Streams.s38StreamItemCooccurrence(spark, emptyDir).count()),
+      "i05" -> (() => graft.sim.Sim.i05AllKnn(spark, emptyDir).count()),
+      "f16" -> (() => graft.ml.ReliefQueries.f16Psi(spark, emptyDir).count()),
+      "q47" -> (() => graft.queries.Events.q47UserGrowth(spark, emptyDir).count()),
       // e24's flood clones the first corpus vector; an empty corpus has
       // no template to clone, so the census must be empty, not a throw
       "e24" -> (() => graft.sim.Sim.e24IvfRepair(spark, emptyDir).count()),

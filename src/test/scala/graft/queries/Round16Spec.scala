@@ -216,6 +216,100 @@ class Round16Spec extends SparkSpec {
     assert(got == Seq(("aa", "aa", 3L), ("bb", "bb", 3L)), s"got=$got")
   }
 
+  // ------------------------------------------------------ i05 All-kNN
+
+  test("i05: k=3 condition reproduces i01's ENN rule — flagged sets nest") {
+    // i01 flags a strict outvote over all 3 neighbors; that is exactly
+    // i05's k=3 clause, so every ENN-flagged instance must be All-kNN
+    // flagged (the union over k can only add)
+    val enn = graft.sim.Sim.i01EnnFilter(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = graft.sim.Sim.i05AllKnn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val allIds = all.map(_._1).toSet
+    assert(enn.nonEmpty && enn.subsetOf(allIds),
+      s"ENN flagged ${enn.size} but ${enn.diff(allIds).size} missing from All-kNN")
+    all.foreach { case (id, _, nks, fk) =>
+      assert(fk >= 1 && fk <= 3 && nks >= 1 && nks <= 4 - fk,
+        s"vec $id: first_flag_k=$fk n_ks_flagged=$nks out of range")
+    }
+  }
+
+  // ----------------------------------------------- g11 co-engagement
+
+  test("g11: projection equals brute force and the hub cap excludes power users") {
+    // deterministic bipartite frame: users 1..6 engage small item
+    // sets; user 99 engages 70 items (over the cap) — it must not
+    // contribute pairs, but its engagements still count in popularity
+    val base = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 12L),
+      (4L, 11L), (4L, 12L), (5L, 12L), (6L, 10L), (6L, 11L), (6L, 12L))
+    val power = (100L to 169L).map(i => (99L, i)) ++ Seq((99L, 10L), (99L, 11L))
+    val ui = (base ++ power).toDF("user_id", "item")
+    val got = graft.graph.Graph.itemCooccurrence(ui)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // brute force over capped users only, popularity over ALL users
+    val all = base ++ power
+    val pop = all.groupBy(_._2).map { case (i, xs) => i -> xs.size }
+    val byUser = base.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
+    val co = byUser.values.toSeq
+      .flatMap(items => for (i <- items.toSeq; j <- items.toSeq if i < j) yield (i, j))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val want = co.toSeq.map { case ((i, j), c) =>
+      (i, j, c, BigDecimal(c.toDouble / math.sqrt((pop(i).toLong * pop(j)).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(x => (-x._4, x._1, x._2)).take(graft.graph.Graph.TopLinks)
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(!got.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "power-user-only items leaked into the pair census")
+  }
+
+  // ------------------------------------------------------ f16 PSI
+
+  test("f16: PSI matches a driver-side recompute and every term is non-negative") {
+    val rows = graft.ml.ReliefQueries.f16Psi(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (feat, bs) =>
+      assert(bs.map(_._6).distinct.size == 1, s"PSI varies within $feat")
+      val oldTot = bs.map(_._3).sum.toDouble
+      val newTot = bs.map(_._4).sum.toDouble
+      var psi = 0.0
+      bs.foreach { case (_, b, nOld, nNew, contrib, _) =>
+        val po = (nOld + 0.5) / oldTot
+        val pn = (nNew + 0.5) / newTot
+        val t = (pn - po) * math.log(pn / po)
+        psi += t
+        assert(contrib >= 0.0, s"negative PSI term at $feat/$b")
+        assert(math.abs(contrib - BigDecimal(t).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"psi_contrib mismatch at $feat/$b")
+      }
+      assert(math.abs(bs.head._6 - BigDecimal(psi).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"psi mismatch for $feat")
+    }
+  }
+
+  // ----------------------------------------------- q47 growth curve
+
+  test("q47: cumulative curve equals the naive per-day distinct recount") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val days = ev.map(_._1).distinct.sorted
+    val want = days.map { d =>
+      (d, ev.filter(_._1 <= d).map(_._2).distinct.length.toLong)
+    }
+    val got = graft.queries.Events.q47UserGrowth(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want.toSeq, s"got=$got\nwant=${want.toSeq}")
+    assert(got.last._2 == ev.map(_._2).distinct.length.toLong)
+  }
+
   test("d47 on the corpus: confusion census partitions the corpus") {
     val got = graft.text.Text.d47NbLangid(spark, sfDir).collect()
     val total = got.map(_.getLong(2)).sum

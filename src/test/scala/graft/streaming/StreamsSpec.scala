@@ -290,6 +290,17 @@ class StreamsSpec extends SparkSpec {
         r.getDouble(3), r.getLong(4))).toSeq
     assert(gotLinks.nonEmpty && gotLinks == batchLinks,
       s"stream=$gotLinks\nbatch=$batchLinks")
+    // s38: streaming dropDuplicates dedups the engagement census
+    // ACROSS batch boundaries (state carries seen pairs), so the
+    // projection equals batch g11 exactly
+    val gotCo = Streams.runItemCooccurrence(stream())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val batchCo = graft.graph.Graph.g11ItemCooccurrence(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(gotCo.nonEmpty && gotCo == batchCo,
+      s"stream=$gotCo\nbatch=$batchCo")
   }
 
   test("s31 survives events without '$.k' and matches batch g04's null-item partition") {
