@@ -1282,18 +1282,18 @@ WHERE rank <= ${graft.graph.Graph.TopUsers}"""
     val R = graft.graph.Graph.KcoreRounds
     val layer = (k: Int) => {
       val p = s"s${k - 1}"
-      s"""d$k AS (SELECT e.u AS node, count(*) AS n FROM bidir e
+      s"""d$k AS MATERIALIZED (SELECT e.u AS node, count(*) AS n FROM bidir e
   JOIN $p x ON x.node = e.u JOIN $p y ON y.node = e.v GROUP BY 1),
-s$k AS (SELECT node FROM d$k WHERE n >= $K)"""
+s$k AS MATERIALIZED (SELECT node FROM d$k WHERE n >= $K)"""
     }
     s"""WITH $userHandoffCountCtes,
-edges0 AS (SELECT DISTINCT a, b FROM (
+edges0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
     SELECT a, b FROM dcounts UNION ALL SELECT b AS a, a AS b FROM dcounts) t
   WHERE a < b),
-bidir AS (SELECT a AS u, b AS v FROM edges0
+bidir AS MATERIALIZED (SELECT a AS u, b AS v FROM edges0
   UNION ALL SELECT b AS u, a AS v FROM edges0),
-nodes AS (SELECT DISTINCT user_id AS node FROM events),
-s0 AS (SELECT node FROM nodes),
+nodes AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events),
+s0 AS MATERIALIZED (SELECT node FROM nodes),
 ${(1 to R).map(layer).mkString(",\n")},
 fin AS (SELECT e.u AS node, count(*) AS n FROM bidir e
   JOIN s$R x ON x.node = e.u JOIN s$R y ON y.node = e.v GROUP BY 1)
@@ -1308,16 +1308,16 @@ FROM nodes n LEFT JOIN s$R s ON s.node = n.node
   // census, hub-capped (user degree <= DMax) pair self-join, UNCAPPED
   // popularity normalizer, top-20 by bipartite cosine.
   private val g11OracleSql: String =
-    s"""WITH ui AS (
+    s"""WITH ui AS MATERIALIZED (
   SELECT DISTINCT user_id,
     CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
   FROM events
   WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
-ud AS (SELECT user_id, count(*) AS n_items FROM ui GROUP BY 1),
-capped AS (SELECT ui.user_id, ui.item FROM ui JOIN ud USING (user_id)
+ud AS MATERIALIZED (SELECT user_id, count(*) AS n_items FROM ui GROUP BY 1),
+capped AS MATERIALIZED (SELECT ui.user_id, ui.item FROM ui JOIN ud USING (user_id)
   WHERE ud.n_items <= ${graft.graph.Graph.LinkDMax}),
-pop AS (SELECT item, count(*)::BIGINT AS n_users FROM ui GROUP BY 1),
-pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS co_users
+pop AS MATERIALIZED (SELECT item, count(*)::BIGINT AS n_users FROM ui GROUP BY 1),
+pairs AS MATERIALIZED (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS co_users
   FROM capped a JOIN capped b ON b.user_id = a.user_id
   WHERE a.item < b.item GROUP BY 1, 2),
 scored AS (SELECT p.item_a, p.item_b, p.co_users,
@@ -1335,15 +1335,15 @@ ORDER BY cosine_sim DESC, item_a, item_b LIMIT ${graft.graph.Graph.TopLinks}"""
   // against existing edges, Jaccard on full degrees, top-20.
   private val g10OracleSql: String =
     s"""WITH $userHandoffCountCtes,
-edges0 AS (SELECT DISTINCT a, b FROM (
+edges0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
     SELECT a, b FROM dcounts UNION ALL SELECT b AS a, a AS b FROM dcounts) t
   WHERE a < b),
-bidir AS (SELECT a AS u, b AS v FROM edges0
+bidir AS MATERIALIZED (SELECT a AS u, b AS v FROM edges0
   UNION ALL SELECT b AS u, a AS v FROM edges0),
-deg AS (SELECT u AS node, count(*)::BIGINT AS degree FROM bidir GROUP BY 1),
-apex AS (SELECT b.u, b.v FROM bidir b JOIN deg d ON d.node = b.u
+deg AS MATERIALIZED (SELECT u AS node, count(*)::BIGINT AS degree FROM bidir GROUP BY 1),
+apex AS MATERIALIZED (SELECT b.u, b.v FROM bidir b JOIN deg d ON d.node = b.u
   WHERE d.degree <= ${graft.graph.Graph.LinkDMax}),
-cand AS (SELECT a1.v AS y, a2.v AS z, count(*)::BIGINT AS common_neighbors
+cand AS MATERIALIZED (SELECT a1.v AS y, a2.v AS z, count(*)::BIGINT AS common_neighbors
   FROM apex a1 JOIN apex a2 ON a2.u = a1.u
   WHERE a1.v < a2.v GROUP BY 1, 2),
 fresh AS (SELECT c.y, c.z, c.common_neighbors FROM cand c
