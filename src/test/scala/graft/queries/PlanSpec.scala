@@ -285,6 +285,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("g09/g11: peel rounds and projection join stay keyed — no cartesian, no global sort") {
+    // g09: every peel round is two keyed semi-joins + a census — the
+    // survivor frame is never globally sorted; g11: the pair census
+    // self-joins on user_id (keyed SMJ per-partition sorts allowed,
+    // the g10 discipline) with a TakeOrdered leaderboard
+    val peel = graft.graph.Graph.g09UserKcore(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!peel.contains("CartesianProduct"), peel)
+    assert(!peel.linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains(" true,")),
+      s"global sort in the peel plan:\n$peel")
+    val proj = graft.graph.Graph.g11ItemCooccurrence(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(proj.contains("TakeOrderedAndProject"), proj)
+    assert(!proj.contains("CartesianProduct"), proj)
+    assert(!proj.linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains(" true,")),
+      s"global sort in the projection plan:\n$proj")
+  }
+
   test("g06: wedge generation is keyed on the oriented (low-degree) apex; no cartesian") {
     // the kernel checkpoints the oriented edge frame, so the final
     // plan's joins run over LogicalRDDs — the orientation itself is
