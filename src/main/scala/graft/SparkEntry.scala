@@ -132,6 +132,7 @@ object SparkEntry {
     "e25_graph_serve"     -> Sim.e25GraphServe _,
     "e27_graph_delta"     -> Sim.e27GraphDelta _,
     "e28_graph_serve_delta" -> Sim.e28GraphServeDelta _,
+    "e29_hnsw_serve"      -> Sim.e29HnswServe _,
     "i01_enn_filter"      -> Sim.i01EnnFilter _,
     "i04_edited_relief"   -> ReliefQueries.i04EditedRelief _,
     "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
@@ -1322,7 +1323,7 @@ pairs AS MATERIALIZED (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGI
   WHERE a.item < b.item GROUP BY 1, 2),
 scored AS (SELECT p.item_a, p.item_b, p.co_users,
   round(CAST(p.co_users AS DOUBLE)
-    / sqrt(CAST(pa.n_users * pb.n_users AS DOUBLE)), 6) AS cosine_sim
+    / sqrt(CAST(pa.n_users AS DOUBLE) * CAST(pb.n_users AS DOUBLE)), 6) AS cosine_sim
   FROM pairs p JOIN pop pa ON pa.item = p.item_a
                JOIN pop pb ON pb.item = p.item_b)
 SELECT item_a, item_b, co_users, cosine_sim,
@@ -1591,24 +1592,33 @@ FROM merged"""
     * election, hops, beam and final top-10 are one shared text, the
     * same discipline as the Spark side's beamServeOver.
     */
+  /** One unrolled serve layer: expand `prev` through `graphTbl`,
+    * score via `vecTbl`, keep the best `keep` per query. Shared by
+    * the e25/e28 layer-0 chain and e29's upper-layer descent so every
+    * level's SQL is the same text with different width/graph.
+    */
+  private def beamLayerSql(
+      tag: String, k: Int, prev: String, graphTbl: String, vecTbl: String,
+      keep: Int): String =
+    s"""$tag${k}c AS (SELECT DISTINCT query_id, node_id FROM (
+       |  SELECT b.query_id, g.neighbor_id AS node_id
+       |  FROM $prev b JOIN $graphTbl g ON g.node_id = b.node_id
+       |  UNION ALL SELECT query_id, node_id FROM $prev)
+       |  WHERE query_id <> node_id),
+       |${if (tag == "h") "b" else tag}$k AS (SELECT query_id, node_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, node_id) AS rn FROM (
+       |    SELECT c.query_id, c.node_id,
+       |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
+       |    FROM $tag${k}c c JOIN $vecTbl nv ON nv.vec_id = c.node_id
+       |                  JOIN qq q ON q.query_id = c.query_id))
+       |  WHERE rn <= $keep)""".stripMargin
+
   private def beamServeOracleSql(
       prefixCtes: String, graphTbl: String, vecTbl: String, entSrc: String): String = {
-    def beamLayer(k: Int): String = {
-      val prev = if (k == 1) "b0" else s"b${k - 1}"
-      s"""h${k}c AS (SELECT DISTINCT query_id, node_id FROM (
-         |  SELECT b.query_id, g.neighbor_id AS node_id
-         |  FROM $prev b JOIN $graphTbl g ON g.node_id = b.node_id
-         |  UNION ALL SELECT query_id, node_id FROM $prev)
-         |  WHERE query_id <> node_id),
-         |b$k AS (SELECT query_id, node_id, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, node_id) AS rn FROM (
-         |    SELECT c.query_id, c.node_id,
-         |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
-         |    FROM h${k}c c JOIN $vecTbl nv ON nv.vec_id = c.node_id
-         |                  JOIN qq q ON q.query_id = c.query_id))
-         |  WHERE rn <= 12)""".stripMargin
-    }
+    def beamLayer(k: Int): String =
+      beamLayerSql("h", k, if (k == 1) "b0" else s"b${k - 1}",
+        graphTbl, vecTbl, 12)
     prefixCtes + ",\n" +
       s"""entries AS (SELECT vec_id AS node_id FROM $entSrc
         |  ORDER BY vec_id % 1000000007 * 888000131 % 1000000007, vec_id LIMIT 8),
@@ -1630,6 +1640,56 @@ FROM merged"""
 
   private val e25ServeOracleSql: String =
     beamServeOracleSql(e23GraphCtes, "g3", "bk", "e")
+
+  // e29: the two-level HNSW serve — e23's layer-0 chain (g3), the
+  // upper-layer election + capped-bucket probe build (gu), the
+  // greedy descent (u0 -> u2, keep 8), then EXACTLY e25's layer-0
+  // beam text seeded from the descent result (u2 aliased as b0).
+  private val e29OracleSql: String = {
+    val g = graft.sim.Sim
+    val perm = "vec_id % 1000000007 * 888000131 % 1000000007"
+    e23GraphCtes + ",\n" +
+      s"""upper AS (SELECT * FROM bk WHERE $perm % ${g.UpperEvery} = 0),
+         |ucensus AS (SELECT bucket FROM upper GROUP BY bucket HAVING count(*) <= ${g.MaxBucketE}),
+         |uin AS (SELECT upper.* FROM upper JOIN ucensus USING (bucket)),
+         |uprobes AS (
+         |  SELECT vec_id AS node_id, unnest($hamming2ProbesSql) AS bucket
+         |  FROM uin),
+         |ucand AS (
+         |  SELECT DISTINCT p.node_id, i.vec_id AS neighbor_id
+         |  FROM uprobes p JOIN uin i USING (bucket)
+         |  WHERE i.vec_id <> p.node_id),
+         |uscore AS (
+         |  SELECT c.node_id, c.neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM ucand c JOIN upper a ON a.vec_id = c.node_id
+         |               JOIN upper b ON b.vec_id = c.neighbor_id),
+         |gu AS (SELECT node_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY node_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM uscore)
+         |  WHERE rn <= ${g.UpperK}),
+         |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM bk WHERE vec_id < 20),
+         |uent AS (SELECT vec_id AS node_id FROM upper
+         |  ORDER BY $perm, vec_id LIMIT ${g.UpperEntries}),
+         |u0 AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, node_id) AS rn FROM (
+         |    SELECT q.query_id, en.node_id,
+         |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
+         |    FROM qq q CROSS JOIN uent en JOIN bk nv ON nv.vec_id = en.node_id
+         |    WHERE q.query_id <> en.node_id))
+         |  WHERE rn <= ${g.ServeEntries}),""".stripMargin + "\n" +
+      (1 to g.UpperHops).map(k => beamLayerSql("u", k,
+        s"u${k - 1}", "gu", "bk", g.ServeEntries)).mkString(",\n") + ",\n" +
+      s"b0 AS (SELECT query_id, node_id, cosine FROM u${g.UpperHops}),\n" +
+      (1 to g.ServeHops).map(k => beamLayerSql("h", k,
+        if (k == 1) "b0" else s"b${k - 1}", "g3", "bk", g.ServeBeam))
+        .mkString(",\n") + "\n" +
+      s"""SELECT query_id, node_id AS neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, node_id) AS rn FROM b${g.ServeHops})
+         |WHERE rn <= 10""".stripMargin
+  }
 
   private val annLshOracleSql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3224,6 +3284,7 @@ FROM merged"""
     "e25_graph_serve" -> e25ServeOracleSql,
     "e27_graph_delta" -> e27OracleSql,
     "e28_graph_serve_delta" -> e28OracleSql,
+    "e29_hnsw_serve" -> e29OracleSql,
     // i01: e05's whole bucketed kNN construction replayed (shared
     // CTEs), then the ENN plurality vote — per-query same/other label
     // tallies, the top outvoting label, flag where it strictly wins.

@@ -392,29 +392,11 @@ object Dedup {
     val sh = shingled(corpus).select(col("doc_id"), col("shingles"))
     val panel = sh.where(col("doc_id") < 50)
       .select(col("doc_id").as("panel_id"), col("shingles").as("sh_p"))
-    // exact truth: corpus × broadcast(50-doc panel) with a size-ratio
-    // prefilter (J ≤ min(|A|,|B|)/max(|A|,|B|) — exact pruning, no
-    // recall loss) before the per-pair intersect. MEASURED alternative
-    // at sf0.1: the decontamination-shaped formulation (explode both
-    // sides, broadcast-probe corpus shingles against the panel shingle
-    // set, count matches per pair, integer 8·|A∩B| ≥ 3·(|A|+|B|) test)
-    // produces the identical 60 truth pairs but takes 28.9 s vs this
-    // plan's 10.5 s unfiltered / 6.9 s prefiltered: at panel = 50 the
-    // pair space is only corpus×50, so per-pair array_intersect beats
-    // paying a full-corpus shingle explode. The crossover is panel
-    // size — the probe plan's cost is flat in the panel while this one
-    // grows linearly, so an eval-suite-sized panel (thousands of docs)
-    // should switch to the probe shape (it is d14's, already in the
-    // pack). Plans this shape-dependent get measured, not assumed.
-    val truth = sh.crossJoin(broadcast(panel))
-      .where(col("doc_id") =!= col("panel_id"))
-      .where(least(size(col("sh_p")), size(col("shingles"))).cast("double") >=
-        lit(0.6) * greatest(size(col("sh_p")), size(col("shingles"))).cast("double"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_p"), col("shingles"))).cast("double") /
-          size(array_union(col("sh_p"), col("shingles"))).cast("double"))
-      .where(col("jaccard") >= 0.6)
-      .select(col("panel_id"), col("doc_id").as("other_id"))
+    // exact truth via [[d40TruthPairs]]: at this 50-doc panel the
+    // pairwise broadcast shape wins (measured); an eval-suite-sized
+    // panel crosses over to the probe shape automatically — both
+    // bit-equal, spec-pinned on each side of the threshold
+    val truth = d40TruthPairs(spark, sh, panel, panelCount = 50)
     val found = d08NgramJaccard(spark, dir)
     val foundBoth = found.select(col("doc_a").as("panel_id"), col("doc_b").as("other_id"))
       .unionByName(found.select(col("doc_b").as("panel_id"), col("doc_a").as("other_id")))
@@ -425,6 +407,63 @@ object Dedup {
       .select(col("panel_id"), col("n_true"),
         coalesce(col("n_found"), lit(0L)).as("n_found"))
   }
+
+  /** Panel size at which [[d40TruthPairs]] switches from the pairwise
+    * broadcast shape to the probe shape
+    * (`spark.graft.dedup.evalProbePanel`). The pairwise plan's cost
+    * grows linearly in the panel while the probe plan's is flat in it
+    * (measured at sf0.1: 6.9 s pairwise vs 28.9 s probe at panel 50 —
+    * the probe pays a full-corpus shingle explode regardless), so the
+    * crossover sits at eval-suite panel sizes, not spot-check ones.
+    */
+  private def d40ProbeThreshold(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.dedup.evalProbePanel", "500").toInt
+
+  /** d40's exact ground truth — (panel_id, other_id) pairs with exact
+    * Jaccard ≥ 0.6 — computed through one of two BIT-EQUAL plans
+    * selected by panel size (the measured crossover the r11 verdict
+    * asked to make real):
+    *  - panel ≤ threshold: corpus × broadcast(panel) with the exact
+    *    size-ratio prefilter, per-pair array_intersect;
+    *  - panel > threshold: the d14 probe shape — explode both sides,
+    *    broadcast-join on the shingle, count matches per pair. Flat
+    *    in panel size; the right plan when the panel is an eval
+    *    SUITE (thousands of docs), not a spot-check.
+    * Bit-equality holds because shingle arrays are array_distinct'd:
+    * |A∪B| = |A|+|B|−|A∩B| exactly, so both shapes compare the SAME
+    * double `intersect/union` against 0.6 (spec-pinned on both sides
+    * of the threshold).
+    */
+  private[graft] def d40TruthPairs(
+      spark: SparkSession, sh: DataFrame, panel: DataFrame,
+      panelCount: Long): DataFrame =
+    if (panelCount <= d40ProbeThreshold(spark)) {
+      sh.crossJoin(broadcast(panel))
+        .where(col("doc_id") =!= col("panel_id"))
+        .where(least(size(col("sh_p")), size(col("shingles"))).cast("double") >=
+          lit(0.6) * greatest(size(col("sh_p")), size(col("shingles"))).cast("double"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_p"), col("shingles"))).cast("double") /
+            size(array_union(col("sh_p"), col("shingles"))).cast("double"))
+        .where(col("jaccard") >= 0.6)
+        .select(col("panel_id"), col("doc_id").as("other_id"))
+    } else {
+      val pGrams = panel
+        .select(col("panel_id"), size(col("sh_p")).as("np"),
+          explode(col("sh_p")).as("shingle"))
+      sh.select(col("doc_id"), size(col("shingles")).as("nd"),
+          explode(col("shingles")).as("shingle"))
+        .join(broadcast(pGrams), Seq("shingle"))
+        .where(col("doc_id") =!= col("panel_id"))
+        .groupBy("panel_id", "doc_id", "np", "nd")
+        .agg(count(lit(1)).as("inter"))
+        .where(least(col("np"), col("nd")).cast("double") >=
+          lit(0.6) * greatest(col("np"), col("nd")).cast("double"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("np") + col("nd") - col("inter")).cast("double"))
+        .where(col("jaccard") >= 0.6)
+        .select(col("panel_id"), col("doc_id").as("other_id"))
+    }
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 vote sums packed
     * into one long. Codegen'd fold — no UDF, no explode.

@@ -64,8 +64,52 @@ object Graph {
     * [[pagerankFrom]] (global rank — domain-bounded graphs only) and
     * [[pagerankTopN]] (top-N merge — the unbounded-domain path).
     */
+  /** One-row `(rounds, changed_last_round)` convergence signal for a
+    * fixed-budget kernel: how many keys still changed between the
+    * state ENTERING the final round and the state it produced. Both
+    * inputs are (key, value) frames at the kernel's own comparison
+    * granularity (PR pre-rounded to its 6-decimal output contract,
+    * LPA labels, k-core survivorship). The frame is LAZY — a serving
+    * path that ignores it pays nothing; specs pin
+    * `changed_last_round == 0` at the shipped SFs, and at 100× a
+    * deeper graph that stops short of the fixpoint is visible here
+    * (and in the conf-gated log below) instead of silently wrong.
+    */
+  private[graft] def convergenceSignal(
+      prev: DataFrame, last: DataFrame, rounds: Int): DataFrame = {
+    val p = prev.toDF("k", "pv")
+    val l = last.toDF("k", "lv")
+    p.join(l, Seq("k"), "full")
+      .agg(coalesce(
+        sum(when(not(col("pv") <=> col("lv")), 1L)), lit(0L))
+        .as("changed_last_round"))
+      .select(lit(rounds).as("rounds"), col("changed_last_round"))
+  }
+
+  /** `spark.graft.graph.convergenceLog=true` evaluates each kernel's
+    * convergence signal at build time and WARNs when the final round
+    * still moved keys — the production observability knob for the
+    * fixed iteration budgets (default off: zero extra jobs).
+    */
+  private def maybeLogConvergence(
+      tag: String, signal: => DataFrame, spark: SparkSession): Unit =
+    if (spark.conf.get("spark.graft.graph.convergenceLog", "false").toBoolean) {
+      val row = signal.collect()(0)
+      val changed = row.getLong(1)
+      if (changed > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.graph.Graph").warn(
+          s"$tag: NOT at fixpoint after ${row.getInt(0)} rounds — " +
+            s"$changed keys changed in the final round; raise the " +
+            "round budget for this graph")
+    }
+
   private[graft] def pagerankScores(
-      nodesIn: DataFrame, counts: DataFrame): DataFrame = {
+      nodesIn: DataFrame, counts: DataFrame): DataFrame =
+    pagerankScoresTracked(nodesIn, counts)._1
+
+  /** [[pagerankScores]] plus its lazy convergence signal. */
+  private[graft] def pagerankScoresTracked(
+      nodesIn: DataFrame, counts: DataFrame): (DataFrame, DataFrame) = {
     val edges = counts
       .select(col("prev_type"), col("next_type"),
         (col("n_trans").cast("double") /
@@ -78,7 +122,9 @@ object Graph {
     var pr = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
       .cutLineage
+    var prev = pr
     for (it <- 1 to PrIters) {
+      if (it == PrIters) prev = pr
       val contrib = pr.join(edges, pr("node") === edges("prev_type"))
         .groupBy(col("next_type").as("node"))
         .agg(sum(col("pr") * col("w")).as("s"))
@@ -97,7 +143,12 @@ object Graph {
       // frames are 5 rows; the jobs, not the data, were the bill)
       if (it % 2 == 0 || it == PrIters) pr = pr.cutLineage
     }
-    pr
+    // compared at the 6-decimal output contract: "changed" means a
+    // reader of the ranked result could have seen a different value
+    def q(df: DataFrame) = df.select(col("node"), round(col("pr"), 6))
+    val signal = convergenceSignal(q(prev), q(pr), PrIters)
+    maybeLogConvergence("pagerank", signal, nodesIn.sparkSession)
+    (pr, signal)
   }
 
   /** [[pagerankScores]] + a GLOBAL dense rank over every node.
@@ -252,14 +303,54 @@ object Graph {
     * nothing in the kernel requires a bounded node domain. Callers
     * pass materialized (checkpointed) frames.
     */
-  private[graft] def lpaFrom(nodes: DataFrame, sym: DataFrame): DataFrame = {
+  private[graft] def lpaFrom(nodes: DataFrame, sym: DataFrame): DataFrame =
+    lpaFromTracked(nodes, sym)._1
+
+  /** [[lpaFrom]] plus its lazy convergence signal.
+    *
+    * `spark.graft.graph.lpaDamped=true` adds a SELF-VOTE to every
+    * round: the node's current community participates in the argmax
+    * with weight equal to the node's max incident edge weight. This
+    * is the standard damping for synchronous LPA's period-2
+    * oscillation (Raghavan et al. §3 note the 2-cycle; the r12
+    * convergence probe measured it live: on the sf1 handoff graph ALL
+    * 15 000 labels flip every round under pure sync updates, because
+    * the graph is rich in symmetric pair/bipartite motifs — adjacent
+    * nodes adopt each other's label simultaneously, forever). With
+    * the self-vote, a pure pair resolves to the smaller label in one
+    * round (tie → lexicographic) and a node still migrates whenever a
+    * neighbor community's SUMMED weight beats its strongest single
+    * tie. Default OFF: g02/g05/s33's oracle contract is exactly
+    * [[LpaRounds]] pure synchronous rounds, and both engines run that
+    * to the letter — the knob is the documented 100×-scale posture,
+    * not a silent semantics change.
+    */
+  private[graft] def lpaFromTracked(
+      nodes: DataFrame, sym: DataFrame,
+      rounds: Int = LpaRounds): (DataFrame, DataFrame) = {
+    val damped = nodes.sparkSession.conf
+      .get("spark.graft.graph.lpaDamped", "false").toBoolean
+    val selfW =
+      if (damped)
+        Some(sym.groupBy(col("a").as("node")).agg(max("w").as("sw")).cutLineage)
+      else None
     var lbl = nodes.select(col("node"), col("node").as("community"))
       .cutLineage
-    for (_ <- 1 to LpaRounds) {
-      val scores = sym
+    var prev = lbl
+    for (it <- 1 to rounds) {
+      if (it == rounds) prev = lbl
+      val neighborVotes = sym
         .join(lbl.select(col("node").as("b"), col("community")), Seq("b"))
-        .groupBy(col("a").as("node"), col("community"))
-        .agg(sum("w").as("s"))
+        .select(col("a").as("node"), col("community"), col("w").as("s"))
+      val allVotes = selfW match {
+        case Some(sw) => neighborVotes.unionByName(
+          lbl.join(sw, Seq("node"))
+            .select(col("node"), col("community"), col("sw").as("s")))
+        case None => neighborVotes
+      }
+      val scores = allVotes
+        .groupBy(col("node"), col("community"))
+        .agg(sum("s").as("s"))
       val best = scores
         .withColumn("rn", row_number().over(
           Window.partitionBy("node").orderBy(col("s").desc, col("community"))))
@@ -270,7 +361,9 @@ object Graph {
           coalesce(col("new_community"), col("community")).as("community"))
         .cutLineage
     }
-    lbl.select(col("node"), col("community"))
+    val signal = convergenceSignal(prev, lbl, rounds)
+    maybeLogConvergence("lpa", signal, nodes.sparkSession)
+    (lbl.select(col("node"), col("community")), signal)
   }
 
   /** g03: triangle counting + local clustering coefficient over the
@@ -407,7 +500,13 @@ object Graph {
     * pins.
     */
   private[graft] def pprScores(
-      nodesIn: DataFrame, counts: DataFrame, seedsIn: DataFrame): DataFrame = {
+      nodesIn: DataFrame, counts: DataFrame, seedsIn: DataFrame): DataFrame =
+    pprScoresTracked(nodesIn, counts, seedsIn)._1
+
+  /** [[pprScores]] plus its lazy convergence signal. */
+  private[graft] def pprScoresTracked(
+      nodesIn: DataFrame, counts: DataFrame,
+      seedsIn: DataFrame): (DataFrame, DataFrame) = {
     val edges = counts
       .select(col("prev_type"), col("next_type"),
         (col("n_trans").cast("double") /
@@ -425,7 +524,9 @@ object Graph {
       .cutLineage
     val sources = edges.select(col("prev_type").as("node")).distinct()
     var pr = tele.select(col("node"), col("t").as("pr"))
+    var prev = pr
     for (it <- 1 to PrIters) {
+      if (it == PrIters) prev = pr
       val contrib = pr.join(edges, pr("node") === edges("prev_type"))
         .groupBy(col("next_type").as("node"))
         .agg(sum(col("pr") * col("w")).as("s"))
@@ -440,7 +541,10 @@ object Graph {
             .as("pr"))
       if (it % 2 == 0 || it == PrIters) pr = pr.cutLineage
     }
-    pr
+    def q(df: DataFrame) = df.select(col("node"), round(col("pr"), 6))
+    val signal = convergenceSignal(q(prev), q(pr), PrIters)
+    maybeLogConvergence("ppr", signal, nodesIn.sparkSession)
+    (pr, signal)
   }
 
   /** g09's core order: nodes must keep ≥ K surviving neighbors. */
@@ -481,7 +585,17 @@ object Graph {
     */
   private[graft] def kcoreCensus(
       nodes: DataFrame, edges: DataFrame,
-      rounds: Int = KcoreRounds): DataFrame = {
+      rounds: Int = KcoreRounds): DataFrame =
+    kcoreCensusTracked(nodes, edges, rounds)._1
+
+  /** [[kcoreCensus]] plus its lazy convergence signal (survivorship
+    * compared across the final peel round: a key "changed" iff it was
+    * peeled by the last round — 0 means the peel had already
+    * stabilized within the budget).
+    */
+  private[graft] def kcoreCensusTracked(
+      nodes: DataFrame, edges: DataFrame,
+      rounds: Int = KcoreRounds): (DataFrame, DataFrame) = {
     val bidir = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       .cutLineage
@@ -490,15 +604,22 @@ object Graph {
       .join(surv.select(col("node").as("v")), Seq("v"))
       .groupBy(col("u").as("node")).agg(count(lit(1)).as("n"))
     var surv = nodes.cutLineage
-    for (_ <- 1 to rounds)
+    var prev = surv
+    for (it <- 1 to rounds) {
+      if (it == rounds) prev = surv
       surv = survDeg(surv).where(col("n") >= KcoreK).select("node").cutLineage
-    nodes
+    }
+    def m(df: DataFrame) = df.select(col("node"), lit(1).as("alive"))
+    val signal = convergenceSignal(m(prev), m(surv), rounds)
+    maybeLogConvergence("kcore", signal, nodes.sparkSession)
+    val census = nodes
       .join(surv.withColumn("in_core", lit(1)), Seq("node"), "left")
       .join(survDeg(surv).select(col("node"), col("n").as("core_deg")),
         Seq("node"), "left")
       .select(col("node"),
         coalesce(col("in_core"), lit(0)).cast("int").as("in_core"),
         coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+    (census, signal)
   }
 
   /** Apex-degree cap for g10's wedge generation. */
@@ -603,8 +724,13 @@ object Graph {
       .join(pop.select(col("item").as("i"), col("n_users").as("ni")), Seq("i"))
       .join(pop.select(col("item").as("j"), col("n_users").as("nj")), Seq("j"))
       .select(col("i").as("item_a"), col("j").as("item_b"), col("co_users"),
+        // each popularity count casts to double BEFORE the multiply:
+        // a BIGINT ni*nj product overflows at extreme item popularity
+        // (two 2^32-user items), the double product never does — and
+        // the oracle does the identical double multiply
         round(col("co_users").cast("double") /
-          sqrt((col("ni") * col("nj")).cast("double")), 6).as("cosine_sim"))
+          sqrt(col("ni").cast("double") * col("nj").cast("double")), 6)
+          .as("cosine_sim"))
     val top = scored
       .orderBy(col("cosine_sim").desc, col("item_a"), col("item_b"))
       .limit(TopLinks)

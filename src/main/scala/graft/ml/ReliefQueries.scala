@@ -1457,6 +1457,15 @@ object ReliefQueries {
     * Scale shape: one map-side-combining grouping-sets aggregate over
     * the fact table + a 1-row prior broadcast; output is bounded by
     * total category cardinality.
+    *
+    * Determinism note (r11 ADVICE): the cross-engine hash compares
+    * `round(enc, 6)` where enc derives from a double `sum(
+    * o_totalprice)` — partition-order dependent, so a value landing
+    * EXACTLY on a 1e-6 rounding boundary could in principle flip
+    * between Spark and DuckDB. Accepted repo-wide convention (the
+    * relief rounding discipline) rather than a d47-style gap
+    * argument; the deterministic alternative is q43's milli-integer
+    * exact summation — switch if this row ever flakes.
     */
   def f14TargetEncode(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

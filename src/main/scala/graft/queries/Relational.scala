@@ -207,9 +207,22 @@ object Relational {
 
   /** q25: exact distribution statistics — percentile (type-7 linear
     * interpolation, the same definition DuckDB's quantile_cont uses)
-    * per group. One hash aggregation; the exact percentile sorts
-    * per-group value buffers inside the agg — for 100 TB use
-    * approx_percentile (t-digest) at a declared error instead.
+    * per group. One hash aggregation; the exact percentile BUFFERS
+    * EVERY GROUP VALUE inside the aggregation.
+    *
+    * CONTRACT: q25 is the SF-BOUNDED VERIFICATION TWIN — its job is
+    * to cross-check q25b's sketch against a bit-exact reference at
+    * scales where a per-group sort buffer fits (the shipped SFs).
+    * It is NOT the production path: at 100 TB a skewed group key
+    * (one `l_returnflag` holding a constant fraction of all rows)
+    * concentrates that fraction of the dataset in ONE executor's
+    * aggregation buffer — an OOM cliff no partition count fixes,
+    * because the skew is in the GROUP, not the partitioning. Run
+    * q25b (approx_percentile, mergeable Greenwald-Khanna sketch,
+    * bounded memory ∝ accuracy) for anything bigger than a
+    * verification slice; Round17Spec pins q25b's declared-εn
+    * agreement with q25 on a skewed synthetic so the twin contract
+    * is load-bearing, not a comment.
     */
   def q25Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

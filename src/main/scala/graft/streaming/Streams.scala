@@ -847,21 +847,43 @@ object Streams {
     * census AT INGESTION — the firehose reduces to the distinct
     * (user_id, item) frame via streaming `dropDuplicates` (state =
     * one key per distinct engagement pair: catalog-scale, never
-    * stream volume — a production deployment adds a watermark to age
-    * out dormant pairs); the read-time reduction (hub-capped pair
+    * stream volume — but UNBOUNDED for the life of the query, pairs
+    * never age out); the read-time reduction (hub-capped pair
     * census + cosine + top-N) is g11's SHARED kernel
     * ([[graft.graph.Graph.itemCooccurrence]]), so one AvailableNow
     * pass equals batch g11 exactly and the oracle is literally g11's.
+    *
+    * Set `spark.graft.stream.dedupWatermark` (a duration, e.g.
+    * "24 hours") and the dedup becomes `withWatermark` +
+    * `dropDuplicatesWithinWatermark`: state for a pair is dropped
+    * once the watermark passes its event time, so a long-running
+    * deployment holds RECENTLY-SEEN pairs only. The trade is
+    * re-emission — a pair re-engaging after the horizon lands twice
+    * (the downstream census double-counts it); bounded state at the
+    * cost of at-least-once per horizon is the standard posture.
+    * Unset (the default), the unbounded-state contract above is the
+    * semantics — asserted in SURVEY §2's s38 row, not just here.
     */
   def s38StreamItemCooccurrence(spark: SparkSession, dir: String): DataFrame =
     runItemCooccurrence(eventsStream(streamSession(spark), dir))
 
   private[graft] def runItemCooccurrence(events: DataFrame): DataFrame = {
-    val ui = events
-      .select(col("user_id"),
-        expr("cast(get_json_object(props, '$.k') as long)").as("item"))
-      .where(col("item").isNotNull)
-      .dropDuplicates("user_id", "item")
+    val ui = events.sparkSession.conf
+      .getOption("spark.graft.stream.dedupWatermark") match {
+      case Some(horizon) => events
+        .select(col("user_id"),
+          expr("cast(get_json_object(props, '$.k') as long)").as("item"),
+          col("ts"))
+        .where(col("item").isNotNull)
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark("user_id", "item")
+        .select("user_id", "item")
+      case None => events
+        .select(col("user_id"),
+          expr("cast(get_json_object(props, '$.k') as long)").as("item"))
+        .where(col("item").isNotNull)
+        .dropDuplicates("user_id", "item")
+    }
     val (s, name) = runToCompletion(ui, OutputMode.Append())
     graft.graph.Graph.itemCooccurrence(s.table(name))
   }

@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Round-12 additions: the seeded/peel/link graph kernels (g08-g10),
-  * the feature-prep screens (f14 target encoding, f15 WOE/IV), and the
-  * trainable NB language classifier (d47).
+/** Round-11 additions (SURVEY §16.9a/b tranches): the seeded/peel/link
+  * graph kernels (g08-g10), the feature-prep screens (f14 target
+  * encoding, f15 WOE/IV), and the trainable NB language classifier
+  * (d47).
   */
 class Round16Spec extends SparkSpec {
 
