@@ -996,7 +996,11 @@ object Sim {
         .distinct()
       serveTopB(serveScore(spark, dir, q)(expanded), ServeEntries)
     }
-    val descended = (1 to UpperHops).foldLeft(u0)((b, _) => uhop(b))
+    // cut between the levels (the e23 per-round discipline): the
+    // descent result is ≤ |queries|·ServeEntries tiny rows, and
+    // without the cut the final plan nests SIX join+window stages
+    // (u0→u2→h1→h3) into one analysis tree
+    val descended = (1 to UpperHops).foldLeft(u0)((b, _) => uhop(b)).cutLineage
     beamWalk(spark, dir, g0, ServeHops, descended)
   }
 
