@@ -31,6 +31,18 @@ REGRESSION_FACTOR = 1.5
 ABS_FLOOR_SEC = 0.3
 # kernel time below this after floor subtraction is measurement fuzz
 MIN_NET_SEC = 0.05
+# Secondary RAW bar for streaming keys (r12): the net-only rule is not
+# robust to between-run floor swings — measured 2026-08-16, the floor
+# halved (1.192s -> 0.626s) between two full runs and 16 s-ops whose
+# RAW time had IMPROVED (0.86-1.2x) "regressed" 2-15x net, because an
+# s-op's raw is kernel + alpha*floor with per-op alpha in [1, 3] and
+# subtracting one floor leaves (alpha-1)*floor of swing in the net.
+# A real kernel regression still clears this bar: the r11 case the
+# net-only rule existed for (0.2s -> 1.0s net under a ~2.5s floor) is
+# 1.3x raw. So: flag streaming keys only when the NET regresses by the
+# main thresholds AND the RAW moved by at least these.
+RAW_CONFIRM_FACTOR = 1.25
+RAW_CONFIRM_ABS_SEC = 0.3
 
 
 def is_streaming(name):
@@ -80,16 +92,19 @@ def main():
         c, b = float(c), float(b)
         if use_floor and is_streaming(name):
             # Streaming keys gate on the NET (floor-subtracted) kernel
-            # time alone: requiring raw agreement let a real kernel
-            # regression hide under the ~2.5 s harness floor (0.2s→1.0s
-            # net is only ~1.3x raw). The MIN_NET_SEC clamp absorbs the
-            # jitter-amplification worry for ops barely above the floor,
-            # and the absolute delta is applied to the NET values, so a
-            # tiny kernel drifting by fuzz still can't flag. Raw times
-            # ride along in the message as info.
+            # time, CONFIRMED by a lower raw bar (see RAW_CONFIRM_*):
+            # net alone catches kernel regressions the ~2.5 s harness
+            # floor hides (0.2s→1.0s net is only ~1.3x raw — still
+            # above the 1.25x confirm bar), while the raw confirmation
+            # kills the floor-swing artifacts where raw IMPROVED but
+            # the one-floor subtraction manufactured a net "regression".
+            # The MIN_NET_SEC clamp absorbs jitter amplification for
+            # ops barely above the floor.
             cn = max(c - float(cur_floor), MIN_NET_SEC)
             bn = max(b - float(base_floor), MIN_NET_SEC)
-            if cn > bn * REGRESSION_FACTOR and cn > bn + ABS_FLOOR_SEC:
+            if (cn > bn * REGRESSION_FACTOR and cn > bn + ABS_FLOOR_SEC
+                    and c > b * RAW_CONFIRM_FACTOR
+                    and c > b + RAW_CONFIRM_ABS_SEC):
                 regressions.append(
                     f"SLOWER   {name}: net {bn:.3f}s -> {cn:.3f}s "
                     f"({cn / bn:.2f}x net; raw {b:.3f}s -> {c:.3f}s, "
