@@ -65,7 +65,15 @@ object Bench {
       }
     }
     if (floors.nonEmpty) errors.remove("_floor")
-    val floorSec = if (floors.nonEmpty) floors.min else 0.0
+    // MEDIAN of the probes, not min (r12 VERDICT #8): the floor swung
+    // 0.63<->1.26 s across full runs on this box; a min is one lucky
+    // probe, the median is the operating point the s-ops actually
+    // paid. The full probe series is emitted as floor_series so a
+    // suspicious gate run can be audited against the floor's own
+    // stability rather than a single scalar.
+    val floorSorted = floors.sorted
+    val floorSec =
+      if (floors.nonEmpty) floorSorted(floorSorted.size / 2) else 0.0
     for (_ <- 1 to nRuns; (name, fn) <- queries) {
       spark.catalog.clearCache() // no warm-cache runs: each timing does full work
       val t0 = System.nanoTime()
@@ -98,7 +106,8 @@ object Bench {
     val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m.take(80)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    val fullLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"floor_sec":${jnum(floorSec)},"sf":"$sfDir","queries":$qs,"errors":$errJson}"""
+    val floorSeries = floorSorted.map(jnum).mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"floor_sec":${jnum(floorSec)},"floor_series":$floorSeries,"sf":"$sfDir","queries":$qs,"errors":$errJson}"""
     // The full per-query line is ~4 KB at 174 queries — larger than the
     // driver's ~2000-char END-anchored tail capture, so it can never be
     // the parse target. Persist it to a file (default bench_results.json

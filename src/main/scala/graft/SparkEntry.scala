@@ -133,6 +133,7 @@ object SparkEntry {
     "e27_graph_delta"     -> Sim.e27GraphDelta _,
     "e28_graph_serve_delta" -> Sim.e28GraphServeDelta _,
     "e29_hnsw_serve"      -> Sim.e29HnswServe _,
+    "e30_dedup_serve"     -> Sim.e30DedupServe _,
     "i01_enn_filter"      -> Sim.i01EnnFilter _,
     "i04_edited_relief"   -> ReliefQueries.i04EditedRelief _,
     "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
@@ -150,6 +151,7 @@ object SparkEntry {
     "g03_triangle_count"  -> graft.graph.Graph.g03TriangleCount _,
     "g04_user_pagerank"   -> graft.graph.Graph.g04UserPagerank _,
     "g05_user_communities" -> graft.graph.Graph.g05UserCommunities _,
+    "g05b_lpa_damped"     -> graft.graph.Graph.g05bLpaDamped _,
     "g06_user_triangles"  -> graft.graph.Graph.g06UserTriangles _,
     "g07_user_components" -> graft.graph.Graph.g07UserComponents _,
     "s31_stream_user_pagerank" -> Streams.s31StreamUserPagerank _,
@@ -1110,13 +1112,44 @@ dcounts AS (
   FROM x WHERE prev_user IS NOT NULL AND prev_user <> user_id
   GROUP BY 1, 2)"""
 
-  private val g05OracleSql: String = lpaOracleSql(
+  private val userHandoffLpaGraphCtes: String =
     userHandoffCountCtes + """,
 sym AS (
   SELECT a, b, CAST(sum(n) AS BIGINT) AS w FROM (
     SELECT a, b, n FROM dcounts UNION ALL SELECT b AS a, a AS b, n FROM dcounts) u
   WHERE a <> b GROUP BY 1, 2),
-nodes AS (SELECT DISTINCT user_id AS node FROM events)""")
+nodes AS (SELECT DISTINCT user_id AS node FROM events)"""
+
+  private val g05OracleSql: String = lpaOracleSql(userHandoffLpaGraphCtes)
+
+  /** g05b: the damped rounds replayed exactly — the same layer text
+    * as [[lpaOracleSql]] plus the self-vote leg (node's current
+    * community at its max incident edge weight), all integer sums.
+    */
+  private def lpaDampedOracleSql(graphCtes: String): String = {
+    val layer = (k: Int) => {
+      val p = s"l${k - 1}"
+      s"""sc$k AS (SELECT node, community, sum(s) AS sw FROM (
+  SELECT s.a AS node, l.community, s.w AS s
+  FROM sym s JOIN $p l ON l.node = s.b
+  UNION ALL
+  SELECT l.node, l.community, m.sw AS s
+  FROM $p l JOIN selfw m ON m.node = l.node) v GROUP BY 1, 2),
+b$k AS (SELECT node, community AS nc FROM (
+    SELECT node, community, row_number() OVER (PARTITION BY node
+      ORDER BY sw DESC, community) AS rn FROM sc$k) t WHERE rn = 1),
+l$k AS (SELECT l.node, coalesce(b.nc, l.community) AS community
+  FROM $p l LEFT JOIN b$k b ON b.node = l.node)"""
+    }
+    s"""WITH $graphCtes,
+selfw AS (SELECT a AS node, max(w) AS sw FROM sym GROUP BY 1),
+l0 AS (SELECT node, node AS community FROM nodes),
+${(1 to graft.graph.Graph.LpaRounds).map(layer).mkString(",\n")}
+SELECT node, community FROM l${graft.graph.Graph.LpaRounds}"""
+  }
+
+  private val g05bOracleSql: String =
+    lpaDampedOracleSql(userHandoffLpaGraphCtes)
 
   /** g01: q39's edge frame + 10 unrolled damped power-iteration
     * layers, each = dangling-mass scalar + contribution join +
@@ -1440,22 +1473,43 @@ ORDER BY jaccard DESC, u, v LIMIT ${graft.graph.Graph.TopLinks}"""
       |      flatten(list_transform(range(0, 7), j -> list_transform(range(j+1, 8), k ->
       |        xor(xor(bucket, CAST(1 AS BIGINT) << j), CAST(1 AS BIGINT) << k))))))""".stripMargin
 
+  /** The corpus-scaled build-budget election, mirrored from
+    * [[graft.sim.Sim.graphKOf]]/[[graft.sim.Sim.maxBucketOf]]: both
+    * engines elect the tier from the SAME number — the raw
+    * `count(*) FROM embeddings` — so K and the stop-bucket cap agree
+    * at every SF without a per-SF oracle text.
+    */
+  private val graphKSql =
+    "(SELECT CASE WHEN count(*) <= 1000 THEN 5 ELSE 14 END FROM embeddings)"
+  private val bucketCapSql =
+    "(SELECT greatest(64, count(*)//32) FROM embeddings)"
+
   /** The full e23 NN-descent replay (LSH init + 2 rounds, ending in
     * CTE g3) with the corpus WHERE pluggable — "" is e23's full
     * corpus; e27 nests the base-corpus variant as its nightly-artifact
-    * CTE.
+    * CTE. K and the bucket cap are elected from the full-corpus count
+    * ([[graphKSql]]/[[bucketCapSql]]) exactly as the Spark side does.
     */
   private def e23GraphCtesFor(where: String): String =
+    e23GraphCtesFor(where, graphKSql, bucketCapSql)
+
+  /** The chain with the budget election pluggable — the plain/e27
+    * replays elect from the full-corpus count, e30's canonical replay
+    * from the distinct-embedding count (exactly what the Spark side's
+    * canonN election does).
+    */
+  private def e23GraphCtesFor(
+      where: String, kSql: String, capSql: String): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings$where),
         |bk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $annSigExprSql AS bucket FROM e),
-        |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64),
+        |census AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= $capSql),
         |inn AS (SELECT bk.* FROM bk JOIN census USING (bucket)),
         |probes AS (
         |  SELECT vec_id AS node_id, unnest($hamming2ProbesSql) AS bucket
-        |  FROM inn),""".stripMargin + "\n" + e23GraphTail
+        |  FROM inn),""".stripMargin + "\n" + e23GraphTailFor(kSql)
 
-  private val e23GraphTail: String =
-    """cand AS (
+  private def e23GraphTailFor(graphKSql: String): String =
+    s"""cand AS (
         |  SELECT DISTINCT p.node_id, i.vec_id AS neighbor_id
         |  FROM probes p JOIN inn i USING (bucket)
         |  WHERE i.vec_id <> p.node_id),
@@ -1466,11 +1520,11 @@ ORDER BY jaccard DESC, u, v LIMIT ${graft.graph.Graph.TopLinks}"""
         |              JOIN bk b ON b.vec_id = c.neighbor_id),
         |g1 AS (SELECT node_id, neighbor_id, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s0) WHERE rn <= 5),
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s0) WHERE rn <= $graphKSql),
         |r1rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM g1),
         |r1rc AS (SELECT node_id, neighbor_id FROM (
         |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1rev) WHERE rn <= 5),
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1rev) WHERE rn <= $graphKSql),
         |r1b AS (SELECT DISTINCT node_id, neighbor_id FROM (
         |  SELECT node_id, neighbor_id FROM g1 UNION ALL SELECT * FROM r1rc)),
         |r1p AS (SELECT DISTINCT x.neighbor_id AS node_id, y.neighbor_id AS neighbor_id
@@ -1485,11 +1539,11 @@ ORDER BY jaccard DESC, u, v LIMIT ${graft.graph.Graph.TopLinks}"""
         |              JOIN bk b ON b.vec_id = c.neighbor_id),
         |g2 AS (SELECT node_id, neighbor_id, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1s) WHERE rn <= 5),
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r1s) WHERE rn <= $graphKSql),
         |r2rev AS (SELECT neighbor_id AS node_id, node_id AS neighbor_id, cosine FROM g2),
         |r2rc AS (SELECT node_id, neighbor_id FROM (
         |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2rev) WHERE rn <= 5),
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2rev) WHERE rn <= $graphKSql),
         |r2b AS (SELECT DISTINCT node_id, neighbor_id FROM (
         |  SELECT node_id, neighbor_id FROM g2 UNION ALL SELECT * FROM r2rc)),
         |r2p AS (SELECT DISTINCT x.neighbor_id AS node_id, y.neighbor_id AS neighbor_id
@@ -1504,7 +1558,7 @@ ORDER BY jaccard DESC, u, v LIMIT ${graft.graph.Graph.TopLinks}"""
         |              JOIN bk b ON b.vec_id = c.neighbor_id),
         |g3 AS (SELECT node_id, neighbor_id, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY node_id
-        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2s) WHERE rn <= 5)""".stripMargin
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM r2s) WHERE rn <= $graphKSql)""".stripMargin
 
   private val e23GraphCtes: String = e23GraphCtesFor("")
 
@@ -1520,13 +1574,13 @@ ORDER BY jaccard DESC, u, v LIMIT ${graft.graph.Graph.TopLinks}"""
     val topK = (src: String) =>
       s"""(SELECT node_id, neighbor_id, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY node_id
-         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM $src) WHERE rn <= 5)""".stripMargin
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM $src) WHERE rn <= $graphKSql)""".stripMargin
     s"""WITH g3b AS MATERIALIZED (
 ${e23GraphCtesFor(" WHERE vec_id % 20 <> 0")}
 SELECT node_id, neighbor_id, cosine FROM g3),
 ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 bkf AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $annSigExprSql AS bucket FROM ef),
-censusf AS (SELECT bucket FROM bkf GROUP BY bucket HAVING count(*) <= 64),
+censusf AS (SELECT bucket FROM bkf GROUP BY bucket HAVING count(*) <= $bucketCapSql),
 innf AS MATERIALIZED (SELECT bkf.* FROM bkf JOIN censusf USING (bucket)),
 probesd AS (
   SELECT vec_id AS node_id, unnest($hamming2ProbesSql) AS bucket
@@ -1599,7 +1653,7 @@ FROM merged"""
     */
   private def beamLayerSql(
       tag: String, k: Int, prev: String, graphTbl: String, vecTbl: String,
-      keep: Int): String =
+      keep: String): String =
     s"""$tag${k}c AS (SELECT DISTINCT query_id, node_id FROM (
        |  SELECT b.query_id, g.neighbor_id AS node_id
        |  FROM $prev b JOIN $graphTbl g ON g.node_id = b.node_id
@@ -1618,7 +1672,7 @@ FROM merged"""
       prefixCtes: String, graphTbl: String, vecTbl: String, entSrc: String): String = {
     def beamLayer(k: Int): String =
       beamLayerSql("h", k, if (k == 1) "b0" else s"b${k - 1}",
-        graphTbl, vecTbl, 12)
+        graphTbl, vecTbl, "12")
     prefixCtes + ",\n" +
       s"""entries AS (SELECT vec_id AS node_id FROM $entSrc
         |  ORDER BY vec_id % 1000000007 * 888000131 % 1000000007, vec_id LIMIT 8),
@@ -1648,9 +1702,15 @@ FROM merged"""
   private val e29OracleSql: String = {
     val g = graft.sim.Sim
     val perm = "vec_id % 1000000007 * 888000131 % 1000000007"
+    // corpus-scaled descent budget, mirrored from Sim.upperEntriesOf /
+    // Sim.upperKeepOf / the upper build's maxBucketOf(n/UpperEvery) —
+    // elected from the same raw count(*) the K staircase uses
+    val upperCapSql = "(SELECT greatest(64, count(*)//256) FROM embeddings)"
+    val uEntSql = "(SELECT CASE WHEN count(*) <= 1000 THEN 2 ELSE 4 END FROM embeddings)"
+    val uKeepSql = "(SELECT CASE WHEN count(*) <= 1000 THEN 8 ELSE 16 END FROM embeddings)"
     e23GraphCtes + ",\n" +
       s"""upper AS (SELECT * FROM bk WHERE $perm % ${g.UpperEvery} = 0),
-         |ucensus AS (SELECT bucket FROM upper GROUP BY bucket HAVING count(*) <= ${g.MaxBucketE}),
+         |ucensus AS (SELECT bucket FROM upper GROUP BY bucket HAVING count(*) <= $upperCapSql),
          |uin AS (SELECT upper.* FROM upper JOIN ucensus USING (bucket)),
          |uprobes AS (
          |  SELECT vec_id AS node_id, unnest($hamming2ProbesSql) AS bucket
@@ -1669,8 +1729,9 @@ FROM merged"""
          |    ORDER BY cosine DESC, neighbor_id) AS rn FROM uscore)
          |  WHERE rn <= ${g.UpperK}),
          |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM bk WHERE vec_id < 20),
-         |uent AS (SELECT vec_id AS node_id FROM upper
-         |  ORDER BY $perm, vec_id LIMIT ${g.UpperEntries}),
+         |uent AS (SELECT node_id FROM (
+         |  SELECT vec_id AS node_id, row_number() OVER (ORDER BY $perm, vec_id) AS rn
+         |  FROM upper) WHERE rn <= $uEntSql),
          |u0 AS (SELECT query_id, node_id, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, node_id) AS rn FROM (
@@ -1678,16 +1739,112 @@ FROM merged"""
          |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
          |    FROM qq q CROSS JOIN uent en JOIN bk nv ON nv.vec_id = en.node_id
          |    WHERE q.query_id <> en.node_id))
-         |  WHERE rn <= ${g.ServeEntries}),""".stripMargin + "\n" +
+         |  WHERE rn <= $uKeepSql),""".stripMargin + "\n" +
       (1 to g.UpperHops).map(k => beamLayerSql("u", k,
-        s"u${k - 1}", "gu", "bk", g.ServeEntries)).mkString(",\n") + ",\n" +
-      s"b0 AS (SELECT query_id, node_id, cosine FROM u${g.UpperHops}),\n" +
+        s"u${k - 1}", "gu", "bk", uKeepSql)).mkString(",\n") + ",\n" +
+      // the equal-budget cut: whatever the descent explored, layer 0
+      // starts from exactly ServeEntries scored rows per query
+      s"""b0 AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, node_id) AS rn FROM u${g.UpperHops})
+         |  WHERE rn <= ${g.ServeEntries}),""".stripMargin + "\n" +
       (1 to g.ServeHops).map(k => beamLayerSql("h", k,
-        if (k == 1) "b0" else s"b${k - 1}", "g3", "bk", g.ServeBeam))
+        if (k == 1) "b0" else s"b${k - 1}", "g3", "bk", g.ServeBeam.toString))
         .mkString(",\n") + "\n" +
       s"""SELECT query_id, node_id AS neighbor_id, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, node_id) AS rn FROM b${g.ServeHops})
+         |WHERE rn <= 10""".stripMargin
+  }
+
+  /** e30: the full canonical replay — canonicalize by the raw vector,
+    * run the e23 chain + upper build over CANONICAL vectors only
+    * (budget elected from the distinct-embedding count), serve with
+    * SELF-ALLOWED hops, expand result ids through the duplicate map.
+    */
+  private val e30OracleSql: String = {
+    val g = graft.sim.Sim
+    val perm = "vec_id % 1000000007 * 888000131 % 1000000007"
+    val canonSrc = "(SELECT DISTINCT embedding FROM embeddings) t"
+    val kSql = s"(SELECT CASE WHEN count(*) <= 1000 THEN 5 ELSE 14 END FROM $canonSrc)"
+    val capSql = s"(SELECT greatest(64, count(*)//32) FROM $canonSrc)"
+    val uCapSql = s"(SELECT greatest(64, count(*)//256) FROM $canonSrc)"
+    val uEntSql = s"(SELECT CASE WHEN count(*) <= 1000 THEN 2 ELSE 4 END FROM $canonSrc)"
+    val uKeepSql = s"(SELECT CASE WHEN count(*) <= 1000 THEN 8 ELSE 16 END FROM $canonSrc)"
+    // the self-ALLOWED serve layer (vs beamLayerSql's query<>node cut)
+    def layer(tag: String, k: Int, prev: String, graphTbl: String,
+        keep: String): String =
+      s"""$tag${k}c AS (SELECT DISTINCT query_id, node_id FROM (
+         |  SELECT b.query_id, g.neighbor_id AS node_id
+         |  FROM $prev b JOIN $graphTbl g ON g.node_id = b.node_id
+         |  UNION ALL SELECT query_id, node_id FROM $prev)),
+         |${if (tag == "h") "b" else tag}$k AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, node_id) AS rn FROM (
+         |    SELECT c.query_id, c.node_id,
+         |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
+         |    FROM $tag${k}c c JOIN bk nv ON nv.vec_id = c.node_id
+         |                  JOIN qq q ON q.query_id = c.query_id))
+         |  WHERE rn <= $keep)""".stripMargin
+    e23GraphCtesFor(
+      " WHERE vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY embedding)",
+      kSql, capSql) + ",\n" +
+      s"""cm AS (SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS canon_id
+         |  FROM embeddings),
+         |upper AS (SELECT * FROM bk WHERE $perm % ${g.UpperEvery} = 0),
+         |ucensus AS (SELECT bucket FROM upper GROUP BY bucket HAVING count(*) <= $uCapSql),
+         |uin AS (SELECT upper.* FROM upper JOIN ucensus USING (bucket)),
+         |uprobes AS (
+         |  SELECT vec_id AS node_id, unnest($hamming2ProbesSql) AS bucket
+         |  FROM uin),
+         |ucand AS (
+         |  SELECT DISTINCT p.node_id, i.vec_id AS neighbor_id
+         |  FROM uprobes p JOIN uin i USING (bucket)
+         |  WHERE i.vec_id <> p.node_id),
+         |uscore AS (
+         |  SELECT c.node_id, c.neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM ucand c JOIN upper a ON a.vec_id = c.node_id
+         |               JOIN upper b ON b.vec_id = c.neighbor_id),
+         |gu AS (SELECT node_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY node_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM uscore)
+         |  WHERE rn <= ${g.UpperK}),
+         |qf AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id < 20),
+         |qq AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+         |  FROM qf WHERE sqrt(list_dot_product(v, v)) > 0),
+         |uent AS (SELECT node_id FROM (
+         |  SELECT vec_id AS node_id, row_number() OVER (ORDER BY $perm, vec_id) AS rn
+         |  FROM upper) WHERE rn <= $uEntSql),
+         |u0cand AS (
+         |  SELECT q.query_id, en.node_id FROM qq q CROSS JOIN uent en
+         |  UNION
+         |  SELECT m.vec_id AS query_id, m.canon_id AS node_id FROM cm m
+         |  WHERE m.vec_id IN (SELECT query_id FROM qq)),
+         |u0 AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, node_id) AS rn FROM (
+         |    SELECT c.query_id, c.node_id,
+         |      list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cosine
+         |    FROM u0cand c JOIN bk nv ON nv.vec_id = c.node_id
+         |                  JOIN qq q ON q.query_id = c.query_id))
+         |  WHERE rn <= $uKeepSql),""".stripMargin + "\n" +
+      (1 to g.UpperHops).map(k => layer("u", k,
+        s"u${k - 1}", "gu", uKeepSql)).mkString(",\n") + ",\n" +
+      s"""b0 AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, node_id) AS rn FROM u${g.UpperHops})
+         |  WHERE rn <= ${g.ServeEntries}),""".stripMargin + "\n" +
+      (1 to g.ServeHops).map(k => layer("h", k,
+        if (k == 1) "b0" else s"b${k - 1}", "g3", g.ServeBeam.toString))
+        .mkString(",\n") + ",\n" +
+      s"""expd AS (SELECT b.query_id, m.vec_id AS neighbor_id, b.cosine
+         |  FROM b${g.ServeHops} b JOIN cm m ON m.canon_id = b.node_id
+         |  WHERE m.vec_id <> b.query_id)
+         |SELECT query_id, neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM expd)
          |WHERE rn <= 10""".stripMargin
   }
 
@@ -3285,6 +3442,8 @@ FROM merged"""
     "e27_graph_delta" -> e27OracleSql,
     "e28_graph_serve_delta" -> e28OracleSql,
     "e29_hnsw_serve" -> e29OracleSql,
+    // e30: canonical-corpus two-level serve + duplicate-map expansion
+    "e30_dedup_serve" -> e30OracleSql,
     // i01: e05's whole bucketed kNN construction replayed (shared
     // CTEs), then the ENN plurality vote — per-query same/other label
     // tallies, the top outvoting label, flag where it strictly wins.
@@ -3414,6 +3573,7 @@ FROM merged"""
     "g01_transition_pagerank" -> g01OracleSql,
     "g04_user_pagerank" -> g04OracleSql,
     "g05_user_communities" -> g05OracleSql,
+    "g05b_lpa_damped" -> g05bOracleSql,
     "g06_user_triangles" -> g06OracleSql,
     // s32/s33/s34: one AvailableNow pass must equal batch g06/g05/g07
     // exactly — the oracles ARE the batch ones (the s28/s31 twin
@@ -3540,7 +3700,8 @@ FROM merged"""
         |  CAST(n_vecs AS BIGINT) AS n_vecs, ratio_before,
         |  n_vecs * k2 / total2 AS skew_ratio, was_split
         |FROM c2, t2""".stripMargin,
-    // e23: full NN-descent replay — the e05 LSH init at K=5, then two
+    // e23: full NN-descent replay — the e05 LSH init at the corpus-
+    // elected K (graphKSql mirrors Sim.graphKOf), then two
     // unrolled rounds (reverse cap, co-adjacency pairs, re-score,
     // per-node top-K), identical arithmetic throughout.
     "e23_knn_graph" ->
@@ -3847,19 +4008,26 @@ FROM merged"""
     "f13_jmi" -> graft.ml.ReliefOracle.jmiSql,
     // f14: one grouping-sets census + the 1-row prior; (s + M·prior)
     // / (n + M) in the Spark side's exact operation order.
+    // milli-integer exact sums (the q43/q44 discipline), smoothing
+    // expression parenthesized exactly as the Spark side
     "f14_target_encode" ->
-      s"""WITH pri AS (SELECT avg(o_totalprice) AS prior FROM orders),
+      s"""WITH v AS (SELECT o_orderpriority, o_orderstatus,
+         |        CAST(round(o_totalprice * 1000) AS BIGINT) AS pm FROM orders),
+         |pri AS (SELECT CAST(sum(pm) AS DOUBLE) AS tm,
+         |        CAST(count(*) AS DOUBLE) AS nn FROM v),
          |g AS (SELECT o_orderpriority, o_orderstatus,
-         |        count(*) AS n, sum(o_totalprice) AS s,
+         |        count(*) AS n, sum(pm) AS sm,
          |        GROUPING(o_orderpriority) AS gp
-         |      FROM orders
+         |      FROM v
          |      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)))
          |SELECT CASE WHEN gp = 0 THEN 'o_orderpriority'
          |            ELSE 'o_orderstatus' END AS feature,
          |  coalesce(o_orderpriority, o_orderstatus) AS category,
          |  CAST(n AS BIGINT) AS n,
-         |  round((s + CAST(${graft.ml.ReliefQueries.TargetEncM} AS DOUBLE) * prior)
-         |    / (n + CAST(${graft.ml.ReliefQueries.TargetEncM} AS DOUBLE)), 6) AS target_enc
+         |  round((CAST(sm AS DOUBLE)
+         |      + CAST(${graft.ml.ReliefQueries.TargetEncM} AS DOUBLE) * (tm / nn))
+         |    / ((CAST(n AS DOUBLE)
+         |      + CAST(${graft.ml.ReliefQueries.TargetEncM} AS DOUBLE)) * 1000.0), 6) AS target_enc
          |FROM g CROSS JOIN pri""".stripMargin,
     // f15: grouping-sets census over (priority, fixed price band),
     // WOE with half-observation smoothing, per-feature IV window.
@@ -4186,12 +4354,13 @@ FROM merged"""
         |  WHERE jaccard >= 0.6),
         |fb AS (SELECT doc_a AS panel_id, doc_b AS other_id FROM found
         |       UNION ALL SELECT doc_b, doc_a FROM found),
+        |hsd AS (SELECT doc_id, list_distinct(hv) AS hss FROM hs),
         |truth AS (
         |  SELECT p.doc_id AS panel_id, c.doc_id AS other_id
-        |  FROM sh p JOIN sh c ON c.doc_id <> p.doc_id
+        |  FROM hsd p JOIN hsd c ON c.doc_id <> p.doc_id
         |  WHERE p.doc_id < 50
-        |    AND CAST(len(list_intersect(p.shingles, c.shingles)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(p.shingles, c.shingles))) >= 0.6),
+        |    AND CAST(len(list_intersect(p.hss, c.hss)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(p.hss, c.hss))) >= 0.6),
         |hits AS (SELECT t.panel_id, count(*) AS n_found FROM truth t
         |         WHERE EXISTS (SELECT 1 FROM fb
         |           WHERE fb.panel_id = t.panel_id AND fb.other_id = t.other_id)

@@ -88,6 +88,18 @@ object Dedup {
     * than the naive formulation. One projection, codegen'd natively
     * when the graft extensions are installed.
     */
+  /** The per-shingle mod-prime poly hash as a SQL expression over a
+    * `shingles` column — the signature substrate's own hashing
+    * ([[withSignature]]'s first stage), exposed for d40's hashed
+    * truth space. Native fused kernel when installed, bit-identical
+    * SQL fallback otherwise.
+    */
+  private[graft] def hashedShinglesExpr(spark: SparkSession): String =
+    if (spark.catalog.functionExists("graft_polyhash"))
+      "transform(shingles, s -> graft_polyhash(s, 17, 31))"
+    else
+      s"transform(shingles, s -> aggregate(split(s, ''), 17L, (b, c) -> (b * 31 + ascii(c)) % $P))"
+
   def withSignature(sh: DataFrame): DataFrame = {
     val fns = sh.sparkSession.catalog
     if (fusedKernels(sh.sparkSession) && fns.functionExists("graft_minhash_str"))
@@ -379,8 +391,11 @@ object Dedup {
     * applied to the dedup tier (the QA a curation team runs before
     * trusting a new LSH config: how many TRUE near-dup partners does
     * the banding actually surface?): ground truth is EXACT Jaccard
-    * ≥ 0.6 for a FIXED 50-doc panel against the whole corpus (cost ∝
-    * panel × corpus, one broadcast scan — never all-pairs), compared
+    * ≥ 0.6 over HASHED shingle sets (the signature substrate's own
+    * mod-prime space — see the body comment for the r13 measurement
+    * and the collision bound) for a FIXED 50-doc panel against the
+    * whole corpus (cost ∝ panel × corpus, one broadcast scan — never
+    * all-pairs), compared
     * per panel doc against d08's LSH-candidate + exact-verify output.
     * n_found < n_true on a panel doc means the band tier dropped a
     * real duplicate (a cap eviction or an unlucky signature) — the
@@ -389,7 +404,19 @@ object Dedup {
     */
   def d40DedupEval(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
-    val sh = shingled(corpus).select(col("doc_id"), col("shingles"))
+    // Truth space = HASHED shingle sets (r13): the per-pair intersect
+    // on ~25-char shingle STRINGS was 2/3 of d40's sf1 wall time
+    // (string hashing per probe); on the mod-prime longs — the SAME
+    // space the d06 signatures estimate and the oracle replays —
+    // d40's sf1 wall time drops 67.4 → 32.6 s (min-of-2, the r12
+    // verdict's #3: the eval was 40% of the whole sf1 gate). Distinct
+    // strings can collide mod P (≈ n²/2P per doc — 1e-4 at 500
+    // shingles); both engines hash identically so the truth stays
+    // bit-equal cross-engine, and the collision-free contract at the
+    // verification SFs is what the oracle certifies.
+    val sh = shingled(corpus)
+      .select(col("doc_id"), expr(s"array_distinct(${hashedShinglesExpr(spark)})")
+        .as("shingles"))
     val panel = sh.where(col("doc_id") < 50)
       .select(col("doc_id").as("panel_id"), col("shingles").as("sh_p"))
     // exact truth via [[d40TruthPairs]]: at this 50-doc panel the
@@ -415,6 +442,14 @@ object Dedup {
     * (measured at sf0.1: 6.9 s pairwise vs 28.9 s probe at panel 50 —
     * the probe pays a full-corpus shingle explode regardless), so the
     * crossover sits at eval-suite panel sizes, not spot-check ones.
+    * The r12 verdict's corpus-aware hypothesis (probe wins at sf1) is
+    * measured FALSE: at sf1/panel-50 the probe shape measures
+    * 329.7 s vs the pairwise's 67.4 s (min-of-2, 4.9x slower) — the replica corpus
+    * shares shingles heavily, so the probe's shingle join explodes on
+    * hot shingles (Σ corpus_count × panel_count per shingle) while
+    * the pairwise broadcast stays one scan. The threshold stays
+    * PANEL-keyed; the sf1 cost item was closed by moving the truth to
+    * the hashed-shingle space instead (see [[d40DedupEval]]).
     */
   private def d40ProbeThreshold(spark: SparkSession): Int =
     spark.conf.get("spark.graft.dedup.evalProbePanel", "500").toInt
@@ -438,13 +473,19 @@ object Dedup {
       spark: SparkSession, sh: DataFrame, panel: DataFrame,
       panelCount: Long): DataFrame =
     if (panelCount <= d40ProbeThreshold(spark)) {
+      // |A∪B| = |A|+|B|−|A∩B| (arrays are array_distinct'd), so the
+      // union is NEVER materialized (measured at sf1: 67.4 → 63.2 s —
+      // modest alone; the big win was the hashed truth space, see
+      // d40DedupEval). Same integers → bit-identical jaccard, the
+      // identity the probe shape already relies on.
       sh.crossJoin(broadcast(panel))
         .where(col("doc_id") =!= col("panel_id"))
         .where(least(size(col("sh_p")), size(col("shingles"))).cast("double") >=
           lit(0.6) * greatest(size(col("sh_p")), size(col("shingles"))).cast("double"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_p"), col("shingles"))).cast("double") /
-            size(array_union(col("sh_p"), col("shingles"))).cast("double"))
+        .withColumn("inter",
+          size(array_intersect(col("sh_p"), col("shingles"))).cast("double"))
+        .withColumn("jaccard", col("inter") /
+          (size(col("sh_p")) + size(col("shingles")) - col("inter")))
         .where(col("jaccard") >= 0.6)
         .select(col("panel_id"), col("doc_id").as("other_id"))
     } else {
@@ -619,8 +660,12 @@ object Dedup {
     val edges = barrier(lshCandidates(sigs).select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-      .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.6)
+      // |A∪B| = |A|+|B|−|A∩B| on distinct'd shingles — same integer
+      // divisor, bit-identical jaccard, no per-pair union allocation
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.6)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
     sigs.unpersist()
     convergeForest(spark, edges, "d11")
@@ -786,9 +831,13 @@ object Dedup {
     val out = lshCandidates(sigs).select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        // |A∪B| = |A|+|B|−|A∩B| on distinct'd shingles: same integer
+        // divisor, bit-identical jaccard, no per-pair union allocation
+        (col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= 0.6)
       .cutLineage
     sigs.unpersist()

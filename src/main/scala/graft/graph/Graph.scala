@@ -254,6 +254,17 @@ object Graph {
     * point of this row.
     */
   def g05UserCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, sym) = userHandoffLpaInputs(spark, dir)
+    lpaFrom(nodes, sym)
+  }
+
+  /** The (nodes, symmetrized weighted edges) pair of the user handoff
+    * graph — one derivation feeding g05 (pure sync rounds) and g05b
+    * (damped rounds), so the two community ops differ ONLY in the
+    * kernel's update rule.
+    */
+  private def userHandoffLpaInputs(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val directed = userHandoffCounts(spark, dir)
       .select(col("prev_type").as("a"), col("next_type").as("b"), col("n_trans"))
     val sym = directed
@@ -261,7 +272,27 @@ object Graph {
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(sum("n_trans").as("w"))
       .cutLineage
-    lpaFrom(userNodes(spark, dir).cutLineage, sym)
+    (userNodes(spark, dir).cutLineage, sym)
+  }
+
+  /** g05b: DAMPED label propagation over the user handoff graph — the
+    * r12 convergence probe's remediation promoted to a first-class
+    * oracle-checked operator (r12 VERDICT #6): pure synchronous LPA
+    * provably never converges on this graph family (measured at sf1:
+    * ALL 15 000 labels flip every round, period-2 — the Raghavan et
+    * al. §3 oscillation, live), so the production posture adds a
+    * SELF-VOTE: each node's current community participates in the
+    * argmax with weight equal to the node's max incident edge. A pure
+    * symmetric pair resolves to its smaller label in one round; a
+    * node still migrates whenever a neighbor community's SUMMED
+    * weight beats its strongest single tie. Same [[LpaRounds]]
+    * budget, same integer weight arithmetic, same (weight desc, label
+    * asc) determinism — the oracle replays the damped rounds exactly.
+    * g05 (pure sync) remains the budget-pinned verification twin.
+    */
+  def g05bLpaDamped(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, sym) = userHandoffLpaInputs(spark, dir)
+    lpaFromTracked(nodes, sym, LpaRounds, damped = true)._1
   }
 
   /** Synchronous label-propagation rounds for g02. */
@@ -327,9 +358,14 @@ object Graph {
     */
   private[graft] def lpaFromTracked(
       nodes: DataFrame, sym: DataFrame,
-      rounds: Int = LpaRounds): (DataFrame, DataFrame) = {
-    val damped = nodes.sparkSession.conf
-      .get("spark.graft.graph.lpaDamped", "false").toBoolean
+      rounds: Int = LpaRounds): (DataFrame, DataFrame) =
+    lpaFromTracked(nodes, sym, rounds,
+      nodes.sparkSession.conf
+        .get("spark.graft.graph.lpaDamped", "false").toBoolean)
+
+  private[graft] def lpaFromTracked(
+      nodes: DataFrame, sym: DataFrame,
+      rounds: Int, damped: Boolean): (DataFrame, DataFrame) = {
     val selfW =
       if (damped)
         Some(sym.groupBy(col("a").as("node")).agg(max("w").as("sw")).cutLineage)
@@ -392,6 +428,44 @@ object Graph {
     * edge set (a < b, distinct, no self-loops) — the triangle kernel's
     * input contract, shared by g03 and g06.
     */
+  /** The per-kernel convergence census over the user handoff graph —
+    * SURVEY §17.3's measured truth table as ONE queryable frame
+    * (kernel, rounds, changed_last_round), so the fixed-budget
+    * kernels' fixpoint standing is a machine-diffable round artifact
+    * (r12 VERDICT #7: `graft.tools.Convergence` emits it per SF as
+    * CONVERGENCE_rN.json) instead of SURVEY prose. Includes BOTH LPA
+    * postures — the probe that falsified the sync-LPA fixpoint at sf1
+    * should keep showing the oscillation next to the damped kernel's
+    * convergence, round over round.
+    */
+  def convergenceCensus(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = userNodes(spark, dir).cutLineage
+    val counts = userHandoffCounts(spark, dir).cutLineage
+    val (_, prSig) = pagerankScoresTracked(nodes, counts)
+    val seeds = counts.groupBy(col("prev_type").as("node"))
+      .agg(sum("n_trans").as("out_n"))
+      .orderBy(col("out_n").desc, col("node")).limit(PprSeeds)
+      .select("node")
+    val (_, pprSig) = pprScoresTracked(nodes, counts, seeds)
+    val directed = counts.select(col("prev_type").as("a"),
+      col("next_type").as("b"), col("n_trans"))
+    val sym = directed
+      .unionByName(directed.select(col("b").as("a"), col("a").as("b"), col("n_trans")))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum("n_trans").as("w")).cutLineage
+    val (_, lpaSig) = lpaFromTracked(nodes, sym, LpaRounds, damped = false)
+    val (_, lpaDSig) = lpaFromTracked(nodes, sym, LpaRounds, damped = true)
+    val (_, kcSig) = kcoreCensusTracked(nodes,
+      undirectedEdges(directed.select("a", "b")))
+    Seq("pagerank" -> prSig, "ppr" -> pprSig, "lpa" -> lpaSig,
+        "lpa_damped" -> lpaDSig, "kcore" -> kcSig)
+      .map { case (t, s) =>
+        s.select(lit(t).as("kernel"), col("rounds"),
+          col("changed_last_round"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   private[graft] def undirectedEdges(directed: DataFrame): DataFrame =
     directed
       .unionByName(directed.select(col("b").as("a"), col("a").as("b")))

@@ -1458,32 +1458,36 @@ object ReliefQueries {
     * the fact table + a 1-row prior broadcast; output is bounded by
     * total category cardinality.
     *
-    * Determinism note (r11 ADVICE): the cross-engine hash compares
-    * `round(enc, 6)` where enc derives from a double `sum(
-    * o_totalprice)` — partition-order dependent, so a value landing
-    * EXACTLY on a 1e-6 rounding boundary could in principle flip
-    * between Spark and DuckDB. Accepted repo-wide convention (the
-    * relief rounding discipline) rather than a d47-style gap
-    * argument; the deterministic alternative is q43's milli-integer
-    * exact summation — switch if this row ever flakes.
+    * Determinism (r12 close of the last ADVICE low): all sums are
+    * EXACT milli-integers (the q43/q44 discipline — `round(price ·
+    * 1000)` cast to long, summed losslessly), so the doubles entering
+    * the final smoothing expression are identical cross-engine by
+    * construction; partition order cannot move the encoding across a
+    * 1e-6 rounding boundary. The smoothing expression itself is the
+    * same parenthesization in both engines.
     */
   def f14TargetEncode(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val prior = o.agg(avg("o_totalprice").as("prior"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * 1000).cast("long").as("pm"))
+    val prior = o.agg(sum("pm").cast("double").as("tm"),
+      count(lit(1)).cast("double").as("nn"))
     o.groupingSets(
         Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
         col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"),
+      .agg(count(lit(1)).as("n"), sum("pm").as("sm"),
         grouping(col("o_orderpriority")).as("gp"))
       .select(
         when(col("gp") === 0, lit("o_orderpriority"))
           .otherwise(lit("o_orderstatus")).as("feature"),
         coalesce(col("o_orderpriority"), col("o_orderstatus")).as("category"),
-        col("n"), col("s"))
+        col("n"), col("sm"))
       .crossJoin(broadcast(prior))
       .select(col("feature"), col("category"), col("n"),
-        round((col("s") + lit(TargetEncM) * col("prior")) /
-          (col("n") + lit(TargetEncM)), 6).as("target_enc"))
+        round((col("sm").cast("double") +
+            lit(TargetEncM) * (col("tm") / col("nn"))) /
+          ((col("n").cast("double") + lit(TargetEncM)) * lit(1000.0)), 6)
+          .as("target_enc"))
   }
 
   /** Price-band width for f15's numeric bucketing. */

@@ -221,8 +221,10 @@ object Relational {
     * q25b (approx_percentile, mergeable Greenwald-Khanna sketch,
     * bounded memory ∝ accuracy) for anything bigger than a
     * verification slice; Round17Spec pins q25b's declared-εn
-    * agreement with q25 on a skewed synthetic so the twin contract
-    * is load-bearing, not a comment.
+    * agreement with q25 THROUGH THESE ENTRY POINTS (q25Percentiles vs
+    * q25bWithAccuracy on the same lineitem table, per group, at a
+    * live-bound accuracy) so the twin contract tracks the shipped
+    * code, not a synthetic re-derivation.
     */
   def q25Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -476,12 +476,16 @@ object Sim {
             Integer.toHexString(spark.sparkContext.applicationId.hashCode))
           build(stage.toString)
           fs.create(new HPath(stage, "_BUILT"), true).close()
-          // Hadoop rename() into an EXISTING directory nests the
-          // source inside it instead of replacing it, so the commit
-          // must clear a stale (marker-less) destination first, then
-          // verify the marker landed at the top level — unwinding the
-          // nested-move shape if a racer recreated the destination in
-          // the window between the delete and the rename.
+          // Commit = rename(stage, dest). RENAME FIRST, delete only
+          // after a failed/nested rename AND an immediate marker
+          // re-check (r12 ADVICE: the old delete-then-rename order had
+          // a check-then-act window where a loser could delete a
+          // racer's JUST-committed artifact that other sessions were
+          // already lazily reading). Hadoop rename() into an EXISTING
+          // directory NESTS the source instead of replacing it, so a
+          // true return still needs the top-level marker verified and
+          // the nested-move shape unwound before the stale-destination
+          // delete is even considered.
           var committed = false
           var attempts = 0
           while (!committed && attempts < 3) {
@@ -491,18 +495,35 @@ object Sim {
               // concede and serve it
               fs.delete(stage, true)
               committed = true
-            } else {
-              if (fs.exists(dest)) fs.delete(dest, true)
-              if (fs.rename(stage, dest)) {
-                if (fs.exists(marker)) committed = true
-                else {
-                  val nested = new HPath(dest, stage.getName)
-                  if (fs.exists(nested)) fs.rename(nested, stage)
-                }
+            } else if (fs.rename(stage, dest)) {
+              if (fs.exists(marker)) committed = true
+              else {
+                // nested-move shape: dest already existed, rename put
+                // stage INSIDE it. Unwind, then — only with the marker
+                // re-checked absent this instant — clear the stale
+                // marker-less destination and retry the rename.
+                val nested = new HPath(dest, stage.getName)
+                if (fs.exists(nested)) fs.rename(nested, stage)
+                if (!fs.exists(marker) && fs.exists(dest)) fs.delete(dest, true)
               }
+            } else {
+              // rename refused (object-store/HDFS semantics: dest
+              // exists). Re-check the marker IMMEDIATELY before
+              // treating the destination as a stale half-write — a
+              // racer may have committed inside the window.
+              if (fs.exists(marker)) { fs.delete(stage, true); committed = true }
+              else if (fs.exists(dest)) fs.delete(dest, true)
             }
           }
-          if (!committed) fs.delete(stage, true)
+          if (!committed) {
+            fs.delete(stage, true)
+            // surface the failure AT the commit (r12 ADVICE: a silent
+            // return made the caller's read fail later with an
+            // unrelated-looking missing-path error)
+            throw new IllegalStateException(
+              s"buildOnce: artifact commit to $dest failed after " +
+                s"$attempts attempts (marker never observed)")
+          }
         } else {
           build(path)
           fs.create(marker, true).close()
@@ -848,8 +869,13 @@ object Sim {
   private[graft] def knnGraphIndex(spark: SparkSession, dir: String): DataFrame = {
     // keyed like annIndexPath: sanitized dir (no 32-bit collision) +
     // data-version token (replaced input rebuilds, never stale) +,
-    // when sharing is off, the appId
-    val path = indexArtifactPath(spark, dir, "graft_knn_graph")
+    // when sharing is off, the appId. The elected build budget is in
+    // the key too: a budget-tier change (code upgrade, corpus growth
+    // across a threshold) must rebuild, never serve a graph built at
+    // a different K.
+    val n = corpusN(spark, dir)
+    val path = indexArtifactPath(spark, dir,
+      s"graft_knn_graph_k${graphKOf(n)}c${maxBucketOf(n)}")
     buildOnce(spark, path) { p =>
       e23KnnGraph(spark, dir).select("node_id", "neighbor_id")
         .write.mode("overwrite").parquet(p)
@@ -887,7 +913,9 @@ object Sim {
     * marker).
     */
   private[graft] def mergedGraphIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = indexArtifactPath(spark, dir, "graft_knn_graph_merged")
+    val n = corpusN(spark, dir)
+    val path = indexArtifactPath(spark, dir,
+      s"graft_knn_graph_merged_k${graphKOf(n)}c${maxBucketOf(n)}")
     buildOnce(spark, path) { p =>
       e27Merged(spark, dir).select("node_id", "neighbor_id")
         .write.mode("overwrite").parquet(p)
@@ -909,6 +937,20 @@ object Sim {
   val UpperEntries = 2
   val UpperHops = 2
 
+  /** Corpus-scaled DESCENT budget (r13, with [[graphKOf]]): the upper
+    * walk's entry count and per-hop keep width grow with n — HNSW's
+    * ef-search discipline applied to the level the budget is allowed
+    * to grow on (layer 0 stays at the FIXED beam 12 × 3 hops; the
+    * descent always hands layer 0 exactly [[ServeEntries]] rows per
+    * query). Small-corpus tier keeps the historical (2, 8) so the
+    * sf0.001/sf0.01 chains are bit-stable; the scaled tier (4, 16)
+    * measured e29 recall@10 at sf0.1: 0.49 → 0.51 (RecallProbe, K=14
+    * substrate). Hop count stays structural (2) — it is the one knob
+    * the SQL replay cannot elect dynamically.
+    */
+  def upperEntriesOf(n: Long): Int = if (n <= 1000L) UpperEntries else 4
+  def upperKeepOf(n: Long): Int = if (n <= 1000L) ServeEntries else 16
+
   /** The upper-layer edge set: among the 1-in-[[UpperEvery]] elected
     * nodes, each node's top-[[UpperK]] neighbors by cosine, candidates
     * from the SAME capped-bucket + hamming-≤2 probe substrate as
@@ -917,13 +959,23 @@ object Sim {
     * is a strictly smaller replay of the layer-0 one).
     */
   private[graft] def hnswUpperEdges(spark: SparkSession, dir: String): DataFrame = {
+    val cap = maxBucketOf(corpusN(spark, dir) / UpperEvery)
+    hnswUpperEdgesOn(spark,
+      emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark))), cap)
+  }
+
+  /** The upper-edge construction with the corpus pluggable — e29
+    * feeds the full corpus, e30 the canonicalized one. The cap scales
+    * with the UPPER layer's own size (n/UpperEvery), same reasoning
+    * as [[maxBucketOf]]; the caller elects it.
+    */
+  private[graft] def hnswUpperEdgesOn(
+      spark: SparkSession, corpus: DataFrame, cap: Int): DataFrame = {
     val P = 1000000007L
-    val corpus = emb(spark, dir)
-      .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
     val upper = corpus
       .where(col("vec_id") % P * lit(888000131L) % P % UpperEvery === 0)
     val useful = upper.groupBy("bucket").count()
-      .where(col("count") <= MaxBucketE).select("bucket")
+      .where(col("count") <= cap).select("bucket")
     val in = upper.join(useful, Seq("bucket"))
     val probes = in.select(col("vec_id").as("node_id"),
       explode(expr(probeExprOf(SigBits))).as("bucket"))
@@ -947,7 +999,8 @@ object Sim {
     * upper layer is part of the same nightly artifact family.
     */
   private[graft] def hnswUpperIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = indexArtifactPath(spark, dir, "graft_hnsw_upper")
+    val path = indexArtifactPath(spark, dir,
+      s"graft_hnsw_upper_c${maxBucketOf(corpusN(spark, dir) / UpperEvery)}")
     buildOnce(spark, path) { p =>
       hnswUpperEdges(spark, dir).write.mode("overwrite").parquet(p)
     }
@@ -975,18 +1028,32 @@ object Sim {
     * surfaced candidates, nothing corpus-sized at serve time.
     */
   def e29HnswServe(spark: SparkSession, dir: String): DataFrame = {
-    val gu = hnswUpperIndex(spark, dir)
-    val g0 = knnGraphIndex(spark, dir)
+    val n = corpusN(spark, dir)
+    e29ServeOver(spark, dir, hnswUpperIndex(spark, dir), knnGraphIndex(spark, dir),
+      upperEntriesOf(n), UpperHops, upperKeepOf(n))
+  }
+
+  /** The two-level serve with both graphs pluggable — e29 feeds the
+    * persisted artifacts; [[RecallProbe]] feeds candidate builds so a
+    * budget experiment measures the serve path that actually ships.
+    */
+  private[graft] def e29ServeOver(
+      spark: SparkSession, dir: String, gu: DataFrame, g0: DataFrame): DataFrame =
+    e29ServeOver(spark, dir, gu, g0, UpperEntries, UpperHops, ServeEntries)
+
+  private[graft] def e29ServeOver(
+      spark: SparkSession, dir: String, gu: DataFrame, g0: DataFrame,
+      uEntries: Int, uHops: Int, uKeep: Int): DataFrame = {
     val q = serveQueries(spark, dir)
     val P = 1000000007L
     val upperIds = emb(spark, dir).select(col("vec_id").as("node_id"))
       .where(col("node_id") % P * lit(888000131L) % P % UpperEvery === 0)
     val entries = upperIds
       .withColumn("perm", col("node_id") % P * lit(888000131L) % P)
-      .orderBy("perm", "node_id").limit(UpperEntries).select("node_id")
+      .orderBy("perm", "node_id").limit(uEntries).select("node_id")
     val u0 = serveTopB(serveScore(spark, dir, q)(
       q.select("query_id").crossJoin(broadcast(entries))
-        .where(col("query_id") =!= col("node_id"))), ServeEntries)
+        .where(col("query_id") =!= col("node_id"))), uKeep)
     def uhop(beam: DataFrame): DataFrame = {
       val expanded = beam.select("query_id", "node_id")
         .join(gu, Seq("node_id"))
@@ -994,14 +1061,134 @@ object Sim {
         .unionByName(beam.select("query_id", "node_id"))
         .where(col("query_id") =!= col("node_id"))
         .distinct()
-      serveTopB(serveScore(spark, dir, q)(expanded), ServeEntries)
+      serveTopB(serveScore(spark, dir, q)(expanded), uKeep)
     }
     // cut between the levels (the e23 per-round discipline): the
     // descent result is ≤ |queries|·ServeEntries tiny rows, and
     // without the cut the final plan nests SIX join+window stages
-    // (u0→u2→h1→h3) into one analysis tree
-    val descended = (1 to UpperHops).foldLeft(u0)((b, _) => uhop(b)).cutLineage
+    // (u0→u2→h1→h3) into one analysis tree. The final keep is always
+    // ServeEntries — layer 0 starts from exactly as many scored rows
+    // as e25's election hands it, whatever the descent explored.
+    val descended = serveTopB(
+      (1 to uHops).foldLeft(u0)((b, _) => uhop(b)), ServeEntries).cutLineage
     beamWalk(spark, dir, g0, ServeHops, descended)
+  }
+
+  /** e30: DEDUP-AWARE two-level serving — the measured sf1 remedy for
+    * the graph-ANN family (§18.2): on a near-dup-heavy corpus every
+    * adjacency list spends most of its degree on verbatim twins (at
+    * the sf1 replica 9 of 14 edges per node), the walk circles twin
+    * cliques, and NO build budget fixes it (RecallProbe: graph-direct
+    * 0.935, walk 0.00). The production composition is the SemDeDup
+    * discipline applied to SERVING: canonicalize exact-duplicate
+    * vectors (group by the raw embedding, keep min vec_id — e03/d30's
+    * cheapest tier), build the graph index over CANONICAL vectors
+    * only, walk it with SELF-hits allowed and the query's own
+    * canonical node SEEDED into the descent (for an in-corpus query
+    * the duplicate map already names its portal; out-of-corpus
+    * queries have no map entry and keep the plain entry seed), and
+    * expand result ids through the duplicate map at the end — exact
+    * duplicates share the canonical's cosine bit-for-bit, so the
+    * expansion is a pure keyed join, no rescoring. Measured at sf1
+    * (RecallProbe): e29 0.000 → e30 0.965 recall@10 at the SAME
+    * layer-0 serve budget, because the walk runs over the 2 000-node
+    * canonical space where the elected budget holds (§18.1) instead
+    * of the 20 000-node twin swamp, and the twin set itself is
+    * structural. On the ×3 dup corpus Round18Spec pins: e29 0.30 →
+    * e30 0.69.
+    *
+    * Scale shape: canonicalization is one groupBy on the vector bytes
+    * (map-side combinable); the canonical graph is the (smaller)
+    * nightly artifact, persisted build-once under its own key; the
+    * member map shuffles bare (vec_id, canon_id) ids; expansion is a
+    * keyed join of |queries|·beam rows against it. When the corpus is
+    * already duplicate-free (canonN == n) the op reuses e29's
+    * persisted artifacts outright — dedup-aware serving costs nothing
+    * on a clean corpus.
+    */
+  def e30DedupServe(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val members = raw
+      .withColumn("canon_id",
+        min("vec_id").over(Window.partitionBy(col("embedding"))))
+      .select("vec_id", "canon_id").cutLineage
+    val n = corpusN(spark, dir)
+    val canonN = members.where(col("vec_id") === col("canon_id")).count()
+    val (g0, gu) =
+      if (canonN == n) (knnGraphIndex(spark, dir), hnswUpperIndex(spark, dir))
+      else {
+        val k = graphKOf(canonN)
+        val cap = maxBucketOf(canonN)
+        val gPath = indexArtifactPath(spark, dir, s"graft_knn_graph_dedup_k${k}c$cap")
+        buildOnce(spark, gPath) { p =>
+          val canonCorpus = emb(spark, dir)
+            .join(members.where(col("vec_id") === col("canon_id"))
+              .select("vec_id"), Seq("vec_id"))
+            .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          e23GraphPlanOn(spark, canonCorpus, rounds = 2, k, cap)
+            .select("node_id", "neighbor_id")
+            .write.mode("overwrite").parquet(p)
+          canonCorpus.unpersist()
+        }
+        val uCap = maxBucketOf(canonN / UpperEvery)
+        val uPath = indexArtifactPath(spark, dir, s"graft_hnsw_upper_dedup_c$uCap")
+        buildOnce(spark, uPath) { p =>
+          val canonCorpus = emb(spark, dir)
+            .join(members.where(col("vec_id") === col("canon_id"))
+              .select("vec_id"), Seq("vec_id"))
+            .withColumn("bucket", bucketColOf(SigBits, Some(spark)))
+          hnswUpperEdgesOn(spark, canonCorpus, uCap)
+            .write.mode("overwrite").parquet(p)
+        }
+        (spark.read.schema("node_id BIGINT, neighbor_id BIGINT").parquet(gPath),
+          spark.read.schema("node_id BIGINT, neighbor_id BIGINT").parquet(uPath))
+      }
+    val q = serveQueries(spark, dir)
+    val P = 1000000007L
+    val canonIds = members.where(col("vec_id") === col("canon_id"))
+      .select(col("vec_id").as("node_id"))
+    val entries = canonIds
+      .where(col("node_id") % P * lit(888000131L) % P % UpperEvery === 0)
+      .withColumn("perm", col("node_id") % P * lit(888000131L) % P)
+      .orderBy("perm", "node_id").limit(upperEntriesOf(canonN)).select("node_id")
+    // SELF-ALLOWED hops: a query's own canonical node is a legitimate
+    // (indeed the best possible) waypoint — its expansion is the twin
+    // set the exact answer is made of
+    def hop(g: DataFrame, keep: Int)(beam: DataFrame): DataFrame = {
+      val expanded = beam.select("query_id", "node_id")
+        .join(g, Seq("node_id"))
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+        .unionByName(beam.select("query_id", "node_id"))
+        .distinct()
+      serveTopB(serveScore(spark, dir, q)(expanded), keep)
+    }
+    val uKeep = upperKeepOf(canonN)
+    // seed the descent with the query's OWN canonical node next to the
+    // global entries: for an in-corpus query the duplicate map already
+    // names its portal (cosine 1.0 by construction), so its twin set
+    // can never be lost to walk luck; out-of-corpus queries simply
+    // have no map entry and keep the plain entry seed
+    val selfSeed = q.select("query_id")
+      .join(members.select(col("vec_id").as("query_id"),
+        col("canon_id").as("node_id")), Seq("query_id"))
+      .select("query_id", "node_id")
+    val u0 = serveTopB(serveScore(spark, dir, q)(
+      q.select("query_id").crossJoin(broadcast(entries))
+        .unionByName(selfSeed).distinct()), uKeep)
+    val descended = serveTopB(
+      (1 to UpperHops).foldLeft(u0)((b, _) => hop(gu, uKeep)(b)), ServeEntries)
+      .cutLineage
+    val walked = (1 to ServeHops).foldLeft(descended)((b, _) => hop(g0, ServeBeam)(b))
+    walked
+      .join(members.select(col("canon_id").as("node_id"),
+        col("vec_id").as("neighbor_id")), Seq("node_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rn") <= 10)
+      .select("query_id", "neighbor_id", "cosine")
   }
 
   /** The HNSW layer-0 beam walk with the GRAPH pluggable — e25 feeds
@@ -1960,12 +2147,57 @@ object Sim {
     out
   }
 
-  /** k-NN-graph degree for e23 (K): the per-node out-degree of the
-    * graph under construction, and the reverse-neighbor cap per round
-    * (NN-descent's ρ·K sample with ρ = 1 — deterministic: top-K
-    * reverse edges by (cosine desc, id), never a random sample).
+  /** k-NN-graph degree for e23 (K) at the SMALL-corpus tier: the
+    * per-node out-degree of the graph under construction, and the
+    * reverse-neighbor cap per round (NN-descent's ρ·K sample with
+    * ρ = 1 — deterministic: top-K reverse edges by (cosine desc, id),
+    * never a random sample). The effective degree is corpus-scaled —
+    * see [[graphKOf]]; this constant is the n ≤ 1000 tier.
     */
   val GraphK = 5
+
+  /** CORPUS-SCALED NN-descent build budget (r13 — the r12 verdict's
+    * headline defect): a FIXED out-degree is the measured recall
+    * cliff. The beam walk explores ≤ beam·K candidates per hop, so at
+    * fixed K the explored fraction of the corpus shrinks linearly in
+    * n and serve recall collapsed 0.35 → 0.125 between sf0.01 and
+    * sf0.1. HNSW/NN-descent practice (Malkov & Yashunin §4: ef_c and
+    * M are raised with corpus size; Dong et al. §4.3: K controls the
+    * convergence basin) scales the CONSTRUCTION budget, not the serve
+    * budget — the walk stays beam 12 × 3 hops. Staircase, not a
+    * continuous function, so (a) the n ≤ 1000 tier reproduces the
+    * historical K = 5 graph bit-for-bit (sf0.001/sf0.01 oracles
+    * unchanged) and (b) the DuckDB replay mirrors it with one CASE
+    * over count(*). Tier elected by RecallProbe measurement at sf0.1
+    * (n = 2000, serve fixed at beam 12 × 3 hops):
+    * K=5 → e29 0.125, K=10 → 0.300, K=14 → 0.490 — K=14 is the
+    * HNSW-M-class production degree (Malkov & Yashunin use M 16-48)
+    * and the elected top tier.
+    */
+  def graphKOf(n: Long): Int =
+    if (n <= 1000L) GraphK else 14
+
+  /** The init-substrate stop-bucket cap, corpus-scaled the same way:
+    * a fixed cap silently DROPS every typical bucket once mean
+    * occupancy n/2^SigBits approaches it (at the sf1 replica the mean
+    * is 78 > 64 — the whole init would vanish). Keep the cap at ≈ 8×
+    * the balanced mean, floored at the historical 64 so small-SF
+    * graphs are unchanged; degenerate pile-ups (the cap's reason to
+    * exist) sit far above 8× mean regardless of n.
+    */
+  def maxBucketOf(n: Long): Int = math.max(MaxBucketE, (n / 32L).toInt)
+
+  /** Corpus size for budget election — the RAW embeddings row count
+    * (parquet metadata, one cheap job, cached per app×dir), exactly
+    * `SELECT count(*) FROM embeddings` so the oracle elects the same
+    * tier from the same number.
+    */
+  private val corpusNCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]
+  private[graft] def corpusN(spark: SparkSession, dir: String): Long =
+    corpusNCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => java.lang.Long.valueOf(Tables.embeddings(spark, dir).count())).longValue()
 
   /** e23: distributed k-NN GRAPH construction via NN-descent (Dong,
     * Moses, Li — WWW 2011) — the missing graph-based ANN family next
@@ -2019,21 +2251,30 @@ object Sim {
   /** The un-checkpointed e23 pipeline plus its persisted corpus —
     * split out so PlanSpec-style assertions can inspect the REAL
     * executed plan (localCheckpoint materializes eagerly and leaves
-    * only a LogicalRDD behind).
+    * only a LogicalRDD behind). Budget (K, bucket cap) is elected
+    * from the corpus size — [[graphKOf]]/[[maxBucketOf]].
     */
   private[graft] def e23GraphPlan(
       spark: SparkSession, dir: String, rounds: Int): (DataFrame, DataFrame) = {
+    val n = corpusN(spark, dir)
     val corpus = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read per round: scoring join-backs
-    (corpus, e23GraphPlanOn(spark, corpus, rounds))
+    (corpus, e23GraphPlanOn(spark, corpus, rounds, graphKOf(n), maxBucketOf(n)))
   }
 
   /** The e23 construction with the corpus pluggable — e23 feeds it the
     * full corpus, e27 the pre-delta BASE corpus (the nightly-artifact
-    * replay). The caller owns persisting/unpersisting the corpus.
+    * replay). The caller owns persisting/unpersisting the corpus and
+    * elects the budget (both from the FULL corpus count, so the two
+    * builds and their oracles share one tier election).
     */
   private[graft] def e23GraphPlanOn(
-      spark: SparkSession, corpus: DataFrame, rounds: Int): DataFrame = {
+      spark: SparkSession, corpus: DataFrame, rounds: Int): DataFrame =
+    e23GraphPlanOn(spark, corpus, rounds, GraphK, MaxBucketE)
+
+  private[graft] def e23GraphPlanOn(
+      spark: SparkSession, corpus: DataFrame, rounds: Int,
+      k: Int, cap: Int): DataFrame = {
     val nodeV = corpus.select(col("vec_id").as("node_id"), col("v").as("av"), col("nrm").as("an"))
     val nbrV = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("bv"), col("nrm").as("bn"))
     def score(edges: DataFrame): DataFrame =
@@ -2043,11 +2284,11 @@ object Sim {
     val wNode = Window.partitionBy("node_id").orderBy(col("cosine").desc, col("neighbor_id"))
     def topK(scored: DataFrame): DataFrame =
       scored.withColumn("rn", row_number().over(wNode))
-        .where(col("rn") <= GraphK).select("node_id", "neighbor_id", "cosine")
+        .where(col("rn") <= k).select("node_id", "neighbor_id", "cosine")
 
-    // INIT — e05's candidate substrate at K = GraphK
+    // INIT — e05's candidate substrate at K = k
     val useful = corpus.groupBy("bucket").count()
-      .where(col("count") <= MaxBucketE).select("bucket")
+      .where(col("count") <= cap).select("bucket")
     val in = corpus.join(useful, Seq("bucket"))
     val probes = in.select(col("vec_id").as("node_id"),
       explode(expr(probeExprOf(SigBits))).as("bucket"))
@@ -2062,7 +2303,7 @@ object Sim {
       val revcap = g.select(col("neighbor_id").as("node_id"),
           col("node_id").as("neighbor_id"), col("cosine"))
         .withColumn("rn", row_number().over(wNode))
-        .where(col("rn") <= GraphK).select("node_id", "neighbor_id")
+        .where(col("rn") <= k).select("node_id", "neighbor_id")
       val b = fwd.unionByName(revcap).distinct()
       val pairs = b.as("x").join(b.as("y"),
           col("x.node_id") === col("y.node_id") &&
@@ -2134,13 +2375,18 @@ object Sim {
     * over it directly. Materialized (checkpointed) before return.
     */
   private[graft] def e27Merged(spark: SparkSession, dir: String): DataFrame = {
+    // one tier election for the nightly replay AND the merge stages
+    // (from the FULL corpus count — the number the oracle computes)
+    val n = corpusN(spark, dir)
+    val k = graphKOf(n)
+    val cap = maxBucketOf(n)
     val full = emb(spark, dir).withColumn("bucket", bucketColOf(SigBits, Some(spark)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = full.where(col("vec_id") % DeltaMod =!= 0)
 
     // the nightly artifact: e23's full 2-round build over the base
     // corpus (materialized — the merge must not re-plan it)
-    val baseGraph = e23GraphPlanOn(spark, base, rounds = 2)
+    val baseGraph = e23GraphPlanOn(spark, base, rounds = 2, k, cap)
       .select("node_id", "neighbor_id", "cosine").cutLineage
 
     val nodeV = full.select(col("vec_id").as("node_id"), col("v").as("av"), col("nrm").as("an"))
@@ -2152,11 +2398,11 @@ object Sim {
     val wNode = Window.partitionBy("node_id").orderBy(col("cosine").desc, col("neighbor_id"))
     def topK(scored: DataFrame): DataFrame =
       scored.withColumn("rn", row_number().over(wNode))
-        .where(col("rn") <= GraphK).select("node_id", "neighbor_id", "cosine")
+        .where(col("rn") <= k).select("node_id", "neighbor_id", "cosine")
 
     // 1. SEED against the current (base ∪ delta) capped buckets
     val useful = full.groupBy("bucket").count()
-      .where(col("count") <= MaxBucketE).select("bucket")
+      .where(col("count") <= cap).select("bucket")
     val inn = full.join(useful, Seq("bucket"))
     val probesD = inn.where(col("vec_id") % DeltaMod === 0)
       .select(col("vec_id").as("node_id"), explode(expr(probeExprOf(SigBits))).as("bucket"))

@@ -240,7 +240,10 @@ object Corpus {
       .select(col("doc_id"), col("bench_id"),
         size(array_intersect(col("sh_c"), col("sh_b"))).cast("double").as("inter"),
         size(col("sh_c")).as("nc"),
-        size(array_union(col("sh_c"), col("sh_b"))).as("nu"))
+        // |A∪B| = |A|+|B|−|A∩B| on distinct'd shingles — same integer,
+        // no per-pair union allocation
+        (size(col("sh_c")) + size(col("sh_b"))).as("nab"))
+      .withColumn("nu", col("nab") - col("inter"))
       .select(col("doc_id"), col("bench_id"),
         (col("inter") / col("nc")).as("contamination"),
         (col("inter") / col("nu")).as("jaccard"))

@@ -318,27 +318,28 @@ class Round17Spec extends SparkSpec {
 
   // ------------------------------------------ q25/q25b twin contract
 
-  test("q25b tracks exact q25 within declared rank error on a skewed group") {
-    // one group holds 500x the other — the shape that makes exact
-    // per-group percentile buffers an executor-memory cliff at scale
-    // and q25b the production path (the q25 scaladoc contract)
-    val n = 50000
-    val rows = (1 to n).map(i => ("A", ((i * 2654435761L) % 1000003L).toDouble)) ++
-      (1 to 100).map(i => ("B", i.toDouble))
-    val df = spark.createDataFrame(rows).toDF("g", "v")
-    val acc = 1000
-    val exact = df.where(col("g") === "A")
-      .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))")).collect()(0)
-      .getSeq[Double](0)
-    val approx = df.where(col("g") === "A")
-      .agg(expr(s"approx_percentile(v, array(0.5D, 0.9D, 0.99D), $acc)"))
-      .collect()(0).getSeq[Double](0)
-    val sorted = rows.filter(_._1 == "A").map(_._2).sorted
-    for (((q, a), e) <- Seq(0.5, 0.9, 0.99).zip(approx).zip(exact)) {
-      // Greenwald-Khanna declared bound: rank error <= n/accuracy
-      val rank = sorted.count(_ <= a)
+  test("q25b tracks exact q25 within declared rank error through the real entry points") {
+    // r12 ADVICE: the twin contract must exercise the SHIPPED query
+    // paths, not a synthetic re-derivation — q25 (exact percentile)
+    // vs q25bWithAccuracy (the production approx_percentile path) on
+    // the same lineitem table, per returnflag group, at an accuracy
+    // low enough that the Greenwald-Khanna εn bound is live.
+    val acc = 100
+    val exact = graft.queries.Relational.q25Percentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)), r.getLong(4))).toMap
+    val approx = graft.queries.Relational.q25bWithAccuracy(spark, sfDir, acc)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val values = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    for ((g, (ex, n)) <- exact; ((q, a), e) <- Seq(0.5, 0.9, 0.99).zip(approx(g)).zip(ex)) {
+      val rank = values(g).count(_ <= a)
       assert(math.abs(rank - q * n) <= n.toDouble / acc + 1,
-        s"q=$q: approx=$a (rank $rank) vs exact=$e outside n/accuracy")
+        s"group $g q=$q: q25b=$a (rank $rank of $n) vs q25=$e outside n/accuracy")
     }
   }
 
@@ -375,7 +376,9 @@ class Round17Spec extends SparkSpec {
     val dir = privateInputDir("graph")
     val s1 = sharedSession(root)
     val n1 = Sim.knnGraphIndex(s1, dir).count()
-    val path = Sim.indexArtifactPath(s1, dir, "graft_knn_graph")
+    val n = Sim.corpusN(s1, dir)
+    val path = Sim.indexArtifactPath(s1, dir,
+      s"graft_knn_graph_k${Sim.graphKOf(n)}c${Sim.maxBucketOf(n)}")
     assert(Files.exists(Paths.get(path, "_BUILT")))
     val sig = dataFileSignature(path)
     Sim.invalidateVersionToken(s1, dir)

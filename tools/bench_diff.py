@@ -40,9 +40,16 @@ MIN_NET_SEC = 0.05
 # A real kernel regression still clears this bar: the r11 case the
 # net-only rule existed for (0.2s -> 1.0s net under a ~2.5s floor) is
 # 1.3x raw. So: flag streaming keys only when the NET regresses by the
-# main thresholds AND the RAW moved by at least these.
+# main thresholds AND the RAW moved by at least RAW_CONFIRM_ABS_SEC
+# and EITHER the raw factor bar OR at least RAW_VS_NET_DELTA of the
+# net delta (r13, closing the r12 ADVICE gap: a genuine kernel
+# regression that is small relative to the ~2.5s floor — net
+# 0.1s->0.5s is raw 2.6s->3.0s = 1.15x — clears the delta leg even
+# though it can never clear the factor leg). Suppressed-by-raw-confirm
+# entries are printed as INFO so floor-masked candidates stay visible.
 RAW_CONFIRM_FACTOR = 1.25
 RAW_CONFIRM_ABS_SEC = 0.3
+RAW_VS_NET_DELTA = 0.5
 
 
 def is_streaming(name):
@@ -78,7 +85,11 @@ def main():
         print(f"bench_diff: streaming floor {base_floor}s (baseline) vs "
               f"{cur_floor}s (current) — s-family compared net of floor")
 
-    failures, regressions, news = [], [], []
+    for tag, d in (("baseline", base), ("current", cur)):
+        if d.get("floor_series"):
+            print(f"bench_diff: {tag} floor series {d['floor_series']}")
+
+    failures, regressions, news, infos = [], [], [], []
     for name, b in sorted(base_q.items()):
         c = cur_q.get(name)
         if c is None:
@@ -102,20 +113,25 @@ def main():
             # ops barely above the floor.
             cn = max(c - float(cur_floor), MIN_NET_SEC)
             bn = max(b - float(base_floor), MIN_NET_SEC)
-            if (cn > bn * REGRESSION_FACTOR and cn > bn + ABS_FLOOR_SEC
-                    and c > b * RAW_CONFIRM_FACTOR
-                    and c > b + RAW_CONFIRM_ABS_SEC):
-                regressions.append(
-                    f"SLOWER   {name}: net {bn:.3f}s -> {cn:.3f}s "
-                    f"({cn / bn:.2f}x net; raw {b:.3f}s -> {c:.3f}s, "
-                    f"{c / b:.2f}x raw)")
+            if cn > bn * REGRESSION_FACTOR and cn > bn + ABS_FLOOR_SEC:
+                raw_confirmed = c > b + RAW_CONFIRM_ABS_SEC and (
+                    c > b * RAW_CONFIRM_FACTOR
+                    or (c - b) >= RAW_VS_NET_DELTA * (cn - bn))
+                line = (f"{name}: net {bn:.3f}s -> {cn:.3f}s "
+                        f"({cn / bn:.2f}x net; raw {b:.3f}s -> {c:.3f}s, "
+                        f"{c / b:.2f}x raw)")
+                if raw_confirmed:
+                    regressions.append("SLOWER   " + line)
+                else:
+                    infos.append("INFO     net-regressed, raw unconfirmed "
+                                 "(floor swing) " + line)
         elif c > b * REGRESSION_FACTOR and c > b + ABS_FLOOR_SEC:
             regressions.append(
                 f"SLOWER   {name}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x)")
     for name in sorted(set(cur_q) - set(base_q)):
         news.append(f"NEW      {name}: {cur_q[name]}s (not in baseline)")
 
-    for line in failures + regressions + news:
+    for line in failures + regressions + news + infos:
         print(line)
     n_base_ok = sum(1 for v in base_q.values() if v != "err")
     print(
