@@ -105,6 +105,19 @@ class Round18Spec extends SparkSpec {
     assert(a.forall { case (q, n) => q != n }, "self never surfaces as a RESULT")
   }
 
+  test("plans: e30 and g05b stay keyed — no cartesian, no unpartitioned window") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val p30 = plan(Sim.e30DedupServe(spark, sfDir))
+    // the only nested-loop join allowed is the broadcast of the tiny
+    // entry frame (the e29 precedent); nothing corpus-sized may cross
+    assert(!p30.contains("CartesianProduct"), p30.take(2000))
+    val pg = plan(graft.graph.Graph.g05bLpaDamped(spark, sfDir))
+    assert(!pg.contains("CartesianProduct"), pg.take(2000))
+    assert(!pg.contains("BroadcastNestedLoopJoin"), pg.take(2000))
+  }
+
   // --------------------------------------------- g05b damped LPA
 
   test("g05b: damped LPA is at fixpoint on the handoff graph where sync LPA need not be") {
