@@ -1125,8 +1125,16 @@ nodes AS (SELECT DISTINCT user_id AS node FROM events)"""
   /** g05b: the damped rounds replayed exactly — the same layer text
     * as [[lpaOracleSql]] plus the self-vote leg (node's current
     * community at its max incident edge weight), all integer sums.
+    * The Spark kernel is convergence-gated (stop when a round moves
+    * nothing, cap [[graft.graph.Graph.LpaMaxRounds]]); this text
+    * stays ONE query for every corpus because the kernel is
+    * idempotent at a fixpoint (same labels → same votes → same
+    * argmax), so it simply unrolls all LpaMaxRounds layers and the
+    * post-fixpoint layers are exact no-ops. A corpus still moving at
+    * the cap runs the same LpaMaxRounds in both engines.
     */
   private def lpaDampedOracleSql(graphCtes: String): String = {
+    val cap = graft.graph.Graph.LpaMaxRounds
     val layer = (k: Int) => {
       val p = s"l${k - 1}"
       s"""sc$k AS (SELECT node, community, sum(s) AS sw FROM (
@@ -1138,14 +1146,21 @@ nodes AS (SELECT DISTINCT user_id AS node FROM events)"""
 b$k AS (SELECT node, community AS nc FROM (
     SELECT node, community, row_number() OVER (PARTITION BY node
       ORDER BY sw DESC, community) AS rn FROM sc$k) t WHERE rn = 1),
-l$k AS (SELECT l.node, coalesce(b.nc, l.community) AS community
+l$k AS MATERIALIZED (SELECT l.node, coalesce(b.nc, l.community) AS community
   FROM $p l LEFT JOIN b$k b ON b.node = l.node)"""
     }
+    // The label frontier l0..lN is MATERIALIZED: DuckDB 1.0 inlines a
+    // plain CTE at every reference site and each layer references its
+    // predecessor 3x, so a 30-layer chain would re-expand the whole
+    // events scan 3^30 ways (measured at 10 layers: fd exhaustion at
+    // sf0.01). Materializing the ≤|nodes|-row frontier keeps the
+    // replay linear in both engines — the exact analogue of the Spark
+    // side's per-round lineage cut.
     s"""WITH $graphCtes,
-selfw AS (SELECT a AS node, max(w) AS sw FROM sym GROUP BY 1),
-l0 AS (SELECT node, node AS community FROM nodes),
-${(1 to graft.graph.Graph.LpaRounds).map(layer).mkString(",\n")}
-SELECT node, community FROM l${graft.graph.Graph.LpaRounds}"""
+selfw AS MATERIALIZED (SELECT a AS node, max(w) AS sw FROM sym GROUP BY 1),
+l0 AS MATERIALIZED (SELECT node, node AS community FROM nodes),
+${(1 to cap).map(layer).mkString(",\n")}
+SELECT node, community FROM l$cap"""
   }
 
   private val g05bOracleSql: String =
