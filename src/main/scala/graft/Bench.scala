@@ -73,7 +73,13 @@ object Bench {
     // stability rather than a single scalar.
     val floorSorted = floors.sorted
     val floorSec =
-      if (floors.nonEmpty) floorSorted(floorSorted.size / 2) else 0.0
+      if (floors.isEmpty) 0.0
+      else if (floorSorted.size % 2 == 1) floorSorted(floorSorted.size / 2)
+      // true median for even-length series: the upper-middle element
+      // alone would silently report the LARGER of a 2-probe pair,
+      // biasing every net-of-floor comparison low
+      else (floorSorted(floorSorted.size / 2 - 1) +
+        floorSorted(floorSorted.size / 2)) / 2.0
     for (_ <- 1 to nRuns; (name, fn) <- queries) {
       spark.catalog.clearCache() // no warm-cache runs: each timing does full work
       val t0 = System.nanoTime()

@@ -382,8 +382,14 @@ object Sim {
     * the cross-application boundary (shared-index reuse, replaced-
     * input rebuild) without paying a second SparkContext.
     */
-  private[graft] def invalidateVersionToken(spark: SparkSession, dir: String): Unit =
+  private[graft] def invalidateVersionToken(spark: SparkSession, dir: String): Unit = {
     versionTokenCache.remove((spark.sparkContext.applicationId, dir))
+    // the corpus count memo keys the BUDGET tier (graphKOf /
+    // maxBucketOf): after an in-app input replacement it must be
+    // re-elected from the live count or the Spark side builds at a
+    // stale K while the oracle elects from count(*) over the new data
+    invalidateCorpusN(spark, dir)
+  }
 
   private[graft] def dataVersionToken(spark: SparkSession, dir: String): String =
     versionTokenCache.computeIfAbsent(
@@ -496,8 +502,22 @@ object Sim {
               fs.delete(stage, true)
               committed = true
             } else if (fs.rename(stage, dest)) {
-              if (fs.exists(marker)) committed = true
-              else {
+              if (fs.exists(marker)) {
+                // the marker may be a RACER's: if the racer committed
+                // dest+marker between our marker check and our rename,
+                // Hadoop rename(stage, dest) NESTED our staging dir
+                // inside the served artifact and still returned true.
+                // Unwind it before conceding, or every reader of the
+                // shared artifact sees duplicate rows (or a listing /
+                // partition-inference failure) from the leftover
+                // stage-dir parquet. Our stage name is app-unique, so
+                // the delete can only touch our own leftovers; after a
+                // CLEAN rename (dest was absent) the nested path does
+                // not exist and this is a no-op.
+                val nested = new HPath(dest, stage.getName)
+                if (fs.exists(nested)) fs.delete(nested, true)
+                committed = true
+              } else {
                 // nested-move shape: dest already existed, rename put
                 // stage INSIDE it. Unwind, then — only with the marker
                 // re-checked absent this instant — clear the stale
@@ -2199,6 +2219,9 @@ object Sim {
       (spark.sparkContext.applicationId, dir),
       _ => java.lang.Long.valueOf(Tables.embeddings(spark, dir).count())).longValue()
 
+  private[graft] def invalidateCorpusN(spark: SparkSession, dir: String): Unit =
+    corpusNCache.remove((spark.sparkContext.applicationId, dir))
+
   /** e23: distributed k-NN GRAPH construction via NN-descent (Dong,
     * Moses, Li — WWW 2011) — the missing graph-based ANN family next
     * to the {LSH, IVF} × {PQ, SQ8} compression matrix, and the
@@ -2356,8 +2379,10 @@ object Sim {
     * substrate's documented cap discipline — they enter at the next
     * full build).
     *
-    * Scale shape: base build is the nightly artifact (here replayed
-    * over the base corpus — [[e23GraphPlanOn]]); every MERGE stage is
+    * Scale shape: base build is the nightly artifact — persisted
+    * build-once under its own (dir, data-version, tier) key like
+    * [[knnGraphIndex]], so repeated merges pay ∝ delta, never the
+    * build; every MERGE stage is
     * ∝ delta size (spec-pinned candidate counts), keyed joins and
     * per-node windows only, id-only shuffles with one vector
     * join-back per scoring pass. The bucket census is the one
@@ -2385,9 +2410,23 @@ object Sim {
     val base = full.where(col("vec_id") % DeltaMod =!= 0)
 
     // the nightly artifact: e23's full 2-round build over the base
-    // corpus (materialized — the merge must not re-plan it)
-    val baseGraph = e23GraphPlanOn(spark, base, rounds = 2, k, cap)
-      .select("node_id", "neighbor_id", "cosine").cutLineage
+    // corpus, PERSISTED build-once behind its own (dir, data-version,
+    // tier) key — the knnGraphIndex discipline (r13 VERDICT #2: the
+    // inline replay made every e27 invocation re-pay the nightly
+    // build, 47.8 s of the 54.5 s sf1 cost; in production the build
+    // is a separate nightly job and the merge must cost ∝ delta).
+    // Cosine is persisted with the edges because the repair stage
+    // re-ranks affected lists against the delta nominations without
+    // re-scoring the kept edges.
+    val basePath = indexArtifactPath(spark, dir, s"graft_knn_graph_base_k${k}c$cap")
+    buildOnce(spark, basePath) { p =>
+      e23GraphPlanOn(spark, base, rounds = 2, k, cap)
+        .select("node_id", "neighbor_id", "cosine")
+        .write.mode("overwrite").parquet(p)
+    }
+    val baseGraph = spark.read
+      .schema("node_id BIGINT, neighbor_id BIGINT, cosine DOUBLE")
+      .parquet(basePath)
 
     val nodeV = full.select(col("vec_id").as("node_id"), col("v").as("av"), col("nrm").as("an"))
     val nbrV = full.select(col("vec_id").as("neighbor_id"), col("v").as("bv"), col("nrm").as("bn"))
