@@ -1181,6 +1181,10 @@ SELECT node, community FROM l$cap"""
     * diverge between its consumers).
     */
   private def pagerankOracleSql(graphCtes: String, finalSelect: String): String = {
+    val update = (k: Int) =>
+      s"""(1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+  + CAST(0.85 AS DOUBLE) * (coalesce(c.s, 0.0)
+      + (SELECT dang FROM d$k) / (SELECT n FROM nn))"""
     val layer = (k: Int) => {
       val p = s"pr${k - 1}"
       s"""d$k AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM $p
@@ -1188,17 +1192,38 @@ SELECT node, community FROM l$cap"""
 c$k AS (SELECT e.next_type AS node, sum(p.pr * e.w) AS s
   FROM $p p JOIN edges e ON e.prev_type = p.node GROUP BY 1),
 pr$k AS MATERIALIZED (SELECT n.node,
-  (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-  + CAST(0.85 AS DOUBLE) * (coalesce(c.s, 0.0)
-      + (SELECT dang FROM d$k) / (SELECT n FROM nn)) AS pr
+  ${update(k)} AS pr
   FROM nodes n LEFT JOIN c$k c ON c.node = n.node)"""
     }
+    // Quant-gated layers past the documented 10-round budget (r13
+    // VERDICT #5): each compares the two previous frontiers at the
+    // 6-decimal output contract — where both engines' ulp drift is
+    // already absorbed — and freezes (identity) once nothing moved,
+    // exactly the Spark kernel's stop decision. Once frozen, every
+    // later gate count is zero, so the chain stays frozen and
+    // pr<cap> is the frontier the Spark side stopped at.
+    val gated = (k: Int) => {
+      val p = s"pr${k - 1}"
+      s"""ch$k AS (SELECT count(*) AS m FROM $p a JOIN pr${k - 2} b ON b.node = a.node
+  WHERE round(a.pr, 6) <> round(b.pr, 6)),
+d$k AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM $p
+  WHERE node NOT IN (SELECT node FROM srcs)),
+c$k AS (SELECT e.next_type AS node, sum(p.pr * e.w) AS s
+  FROM $p p JOIN edges e ON e.prev_type = p.node GROUP BY 1),
+pr$k AS MATERIALIZED (SELECT n.node,
+  CASE WHEN (SELECT m FROM ch$k) = 0 THEN n.pr
+  ELSE ${update(k)} END AS pr
+  FROM $p n LEFT JOIN c$k c ON c.node = n.node)"""
+    }
+    val cap = graft.graph.Graph.PrMaxIters
     s"""WITH $graphCtes,
 nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
 srcs AS MATERIALIZED (SELECT DISTINCT prev_type AS node FROM edges),
 pr0 AS MATERIALIZED (
   SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
-${(1 to 10).map(layer).mkString(",\n")}
+${(1 to 10).map(layer).mkString(",\n")},
+${(11 to cap).map(gated).mkString(",\n")},
+prf AS MATERIALIZED (SELECT node, pr FROM pr$cap)
 $finalSelect"""
   }
 
@@ -1215,7 +1240,7 @@ edges AS MATERIALIZED (
 nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events)""",
     """SELECT node, round(pr, 6) AS pr,
   CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS BIGINT) AS rank
-FROM pr10""")
+FROM prf""")
 
   // g04: the user-handoff graph — same kernel layers by reference;
   // edges from consecutive DIFFERENT-user events in each (item, day)
@@ -1231,7 +1256,7 @@ nodes AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events)""",
     s"""SELECT user_id, pr, rank FROM (
   SELECT node AS user_id, round(pr, 6) AS pr,
     CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS BIGINT) AS rank
-  FROM pr10)
+  FROM prf)
 WHERE rank <= ${graft.graph.Graph.TopUsers}""")
 
   // g06: the triangle census on the user handoff graph — edge
@@ -1286,6 +1311,10 @@ FROM nodes n LEFT JOIN lab l ON l.node = n.node"""
   // out-handoff volume (ties to the smaller id). Operation order
   // mirrors Graph.pprScores exactly so the doubles track to ulps.
   private val g08OracleSql: String = {
+    val update = (k: Int) =>
+      s"""(1 - CAST(0.85 AS DOUBLE)) * n.t
+  + CAST(0.85 AS DOUBLE) * (coalesce(c.s, 0.0)
+      + (SELECT dang FROM d$k) * n.t)"""
     val layer = (k: Int) => {
       val p = s"pr${k - 1}"
       s"""d$k AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM $p
@@ -1293,11 +1322,26 @@ FROM nodes n LEFT JOIN lab l ON l.node = n.node"""
 c$k AS (SELECT e.next_type AS node, sum(p.pr * e.w) AS s
   FROM $p p JOIN edges e ON e.prev_type = p.node GROUP BY 1),
 pr$k AS MATERIALIZED (SELECT n.node,
-  (1 - CAST(0.85 AS DOUBLE)) * n.t
-  + CAST(0.85 AS DOUBLE) * (coalesce(c.s, 0.0)
-      + (SELECT dang FROM d$k) * n.t) AS pr
+  ${update(k)} AS pr
   FROM tele n LEFT JOIN c$k c ON c.node = n.node)"""
     }
+    // same quant-gated extension as pagerankOracleSql, with the
+    // personalized teleport joined back in for the live branch
+    val gated = (k: Int) => {
+      val p = s"pr${k - 1}"
+      s"""ch$k AS (SELECT count(*) AS m FROM $p a JOIN pr${k - 2} b ON b.node = a.node
+  WHERE round(a.pr, 6) <> round(b.pr, 6)),
+d$k AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM $p
+  WHERE node NOT IN (SELECT node FROM srcs)),
+c$k AS (SELECT e.next_type AS node, sum(p.pr * e.w) AS s
+  FROM $p p JOIN edges e ON e.prev_type = p.node GROUP BY 1),
+pr$k AS MATERIALIZED (SELECT n.node,
+  CASE WHEN (SELECT m FROM ch$k) = 0 THEN q.pr
+  ELSE ${update(k)} END AS pr
+  FROM tele n JOIN $p q ON q.node = n.node
+  LEFT JOIN c$k c ON c.node = n.node)"""
+    }
+    val cap = graft.graph.Graph.PprMaxIters
     s"""WITH $userHandoffCountCtes,
 edges AS MATERIALIZED (
   SELECT a AS prev_type, b AS next_type,
@@ -1314,11 +1358,13 @@ tele AS MATERIALIZED (SELECT n.node,
   FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
 srcs AS MATERIALIZED (SELECT DISTINCT prev_type AS node FROM edges),
 pr0 AS MATERIALIZED (SELECT node, t AS pr FROM tele),
-${(1 to 10).map(layer).mkString(",\n")}
+${(1 to 10).map(layer).mkString(",\n")},
+${(11 to cap).map(gated).mkString(",\n")},
+prf AS MATERIALIZED (SELECT node, pr FROM pr$cap)
 SELECT user_id, ppr, rank FROM (
   SELECT node AS user_id, round(pr, 6) AS ppr,
     CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS BIGINT) AS rank
-  FROM pr10)
+  FROM prf)
 WHERE rank <= ${graft.graph.Graph.TopUsers}"""
   }
 

@@ -25,6 +25,22 @@ object Graph {
     */
   val PrIters = 10
 
+  /** Safety cap for the quant-gated power-iteration extension: the
+    * sf1 handoff graph stabilizes at the 6-decimal output contract in
+    * 23 rounds (measured); 40 covers another order of magnitude of
+    * graph growth (contraction is geometric in the damping) while
+    * bounding the oracle unroll.
+    */
+  val PrMaxIters = 40
+
+  /** PPR's own gate cap: the personalized surface concentrates mass
+    * near the seeds, so thousands of small ranks sit near 6-decimal
+    * grid boundaries and keep flickering long after the max residual
+    * is tiny — the sf1 graph takes 73 rounds to full quantized
+    * stability (measured) vs the uniform kernel's 23.
+    */
+  val PprMaxIters = 100
+
   /** The classic damping factor. */
   val Damping = 0.85
 
@@ -107,7 +123,20 @@ object Graph {
       nodesIn: DataFrame, counts: DataFrame): DataFrame =
     pagerankScoresTracked(nodesIn, counts)._1
 
-  /** [[pagerankScores]] plus its lazy convergence signal. */
+  /** [[pagerankScores]] plus its convergence signal. The first
+    * [[PrIters]] rounds are the unconditional documented budget
+    * (preserving every historical pin where that budget already
+    * reached the 6-decimal fixpoint); past it the rounds are
+    * QUANT-GATED up to [[PrMaxIters]] (r13 VERDICT #5: the sf1
+    * handoff graph still had 1 172 ranks moving at the output
+    * quantization after 10 rounds — measured offline it needs 23):
+    * before each extra round both engines count the nodes whose
+    * round(pr, 6) moved between the two previous frontiers and stop
+    * on zero. The gate is computed on the 6-decimal OUTPUT contract,
+    * where the engines' ulp-level float drift is already absorbed, so
+    * the oracle can mirror the stop decision layer by layer (a CASE
+    * on the same count) and stay bit-equal at any corpus size.
+    */
   private[graft] def pagerankScoresTracked(
       nodesIn: DataFrame, counts: DataFrame): (DataFrame, DataFrame) = {
     val edges = counts
@@ -119,36 +148,65 @@ object Graph {
     val nodes = nodesIn.cutLineage
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     val sources = edges.select(col("prev_type").as("node")).distinct()
-    var pr = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-      .cutLineage
-    var prev = pr
-    for (it <- 1 to PrIters) {
-      if (it == PrIters) prev = pr
-      val contrib = pr.join(edges, pr("node") === edges("prev_type"))
+    def prRound(cur: DataFrame): DataFrame = {
+      val contrib = cur.join(edges, cur("node") === edges("prev_type"))
         .groupBy(col("next_type").as("node"))
         .agg(sum(col("pr") * col("w")).as("s"))
-      val dang = pr.join(sources, Seq("node"), "left_anti")
+      val dang = cur.join(sources, Seq("node"), "left_anti")
         .agg(coalesce(sum("pr"), lit(0.0)).as("dang"))
-      pr = pr.select(col("node"))
+      cur.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang)).crossJoin(broadcast(nn))
         .select(col("node"),
           (lit(1.0 - Damping) / col("n") +
             lit(Damping) * (coalesce(col("s"), lit(0.0)) + col("dang") / col("n")))
             .as("pr"))
+    }
+    var pr = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      .cutLineage
+    var prev = pr
+    for (it <- 1 to PrIters) {
+      if (it == PrIters) prev = pr
+      pr = prRound(pr)
       // cut lineage every OTHER round: one level of nested
       // join/agg analyzes fine, and halving the eager checkpoint
       // jobs halves the fixed per-round cost (measured 2.4 s → the
       // frames are 5 rows; the jobs, not the data, were the bill)
       if (it % 2 == 0 || it == PrIters) pr = pr.cutLineage
     }
-    // compared at the 6-decimal output contract: "changed" means a
-    // reader of the ranked result could have seen a different value
-    def q(df: DataFrame) = df.select(col("node"), round(col("pr"), 6))
-    val signal = convergenceSignal(q(prev), q(pr), PrIters)
+    val (fin, rounds, changed) = quantGatedRounds(prev, pr, prRound)
+    val signal = nodesIn.sparkSession.range(1)
+      .select(lit(rounds).as("rounds"), lit(changed).as("changed_last_round"))
     maybeLogConvergence("pagerank", signal, nodesIn.sparkSession)
-    (pr, signal)
+    (fin, signal)
+  }
+
+  /** Extra power-iteration rounds past the documented budget, gated on
+    * the 6-decimal quantized round-over-round diff (stop at zero, cap
+    * [[PrMaxIters]]). Shared by the uniform and personalized kernels —
+    * the round body is the caller's. Returns (final frontier, rounds
+    * run in total, changed count at the last round).
+    */
+  private def quantGatedRounds(
+      prev0: DataFrame, cur0: DataFrame,
+      roundFn: DataFrame => DataFrame,
+      cap: Int = PrMaxIters): (DataFrame, Int, Long) = {
+    def qc(a: DataFrame, b: DataFrame): Long =
+      a.select(col("node"), round(col("pr"), 6).as("qa"))
+        .join(b.select(col("node"), round(col("pr"), 6).as("qb")), Seq("node"))
+        .where(col("qa") =!= col("qb")).count()
+    var prev = prev0
+    var cur = cur0
+    var rounds = PrIters
+    var changed = qc(prev, cur)
+    while (changed != 0L && rounds < cap) {
+      prev = cur
+      cur = roundFn(cur).cutLineage
+      rounds += 1
+      changed = qc(prev, cur)
+    }
+    (cur, rounds, changed)
   }
 
   /** [[pagerankScores]] + a GLOBAL dense rank over every node.
@@ -671,28 +729,36 @@ object Graph {
           .otherwise(lit(0.0)).as("t"))
       .cutLineage
     val sources = edges.select(col("prev_type").as("node")).distinct()
-    var pr = tele.select(col("node"), col("t").as("pr"))
-    var prev = pr
-    for (it <- 1 to PrIters) {
-      if (it == PrIters) prev = pr
-      val contrib = pr.join(edges, pr("node") === edges("prev_type"))
+    def prRound(cur: DataFrame): DataFrame = {
+      val contrib = cur.join(edges, cur("node") === edges("prev_type"))
         .groupBy(col("next_type").as("node"))
         .agg(sum(col("pr") * col("w")).as("s"))
-      val dang = pr.join(sources, Seq("node"), "left_anti")
+      val dang = cur.join(sources, Seq("node"), "left_anti")
         .agg(coalesce(sum("pr"), lit(0.0)).as("dang"))
-      pr = tele
+      tele
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(1.0 - Damping) * col("t") +
             lit(Damping) * (coalesce(col("s"), lit(0.0)) + col("dang") * col("t")))
             .as("pr"))
+    }
+    var pr = tele.select(col("node"), col("t").as("pr"))
+    var prev = pr
+    for (it <- 1 to PrIters) {
+      if (it == PrIters) prev = pr
+      pr = prRound(pr)
       if (it % 2 == 0 || it == PrIters) pr = pr.cutLineage
     }
-    def q(df: DataFrame) = df.select(col("node"), round(col("pr"), 6))
-    val signal = convergenceSignal(q(prev), q(pr), PrIters)
+    // same quant-gated extension as the uniform kernel (the sf1
+    // census measured 91 personalized ranks still moving at the
+    // documented budget)
+    val (fin, rounds, changed) =
+      quantGatedRounds(prev, pr, prRound, PprMaxIters)
+    val signal = nodesIn.sparkSession.range(1)
+      .select(lit(rounds).as("rounds"), lit(changed).as("changed_last_round"))
     maybeLogConvergence("ppr", signal, nodesIn.sparkSession)
-    (pr, signal)
+    (fin, signal)
   }
 
   /** g09's core order: nodes must keep ≥ K surviving neighbors. */

@@ -186,12 +186,20 @@ class Round17Spec extends SparkSpec {
       .select(col("prev_type").as("a"), col("next_type").as("b")))
     assert(changed(g.kcoreCensusTracked(nodes, edges)._2) == 0L,
       "kcore peeled nodes in its final round at sf0.01")
-    // the tiny sf0.001 graph mixes SLOWER (15 nodes, sparse): the
-    // budget is semantics, the probe makes the residual VISIBLE
+    // the tiny sf0.001 graph mixes SLOWER (15 nodes, sparse): under
+    // the r13 fixed budget the probe reported a 5-key residual here;
+    // the r14 quant-gated kernel now RESOLVES it by running past the
+    // documented budget — the probe's job is to certify that (rounds
+    // extended, residual zero), not to report a residual that the
+    // kernel is designed to eliminate
     val cS = g.userHandoffCounts(spark, sfDir)
     val nS = g.userNodes(spark, sfDir)
-    assert(changed(g.pagerankScoresTracked(nS, cS)._2) > 0L,
-      "the probe must report the sf0.001 pagerank residual")
+    val prSigS = g.pagerankScoresTracked(nS, cS)._2.collect().head
+    assert(prSigS.getLong(1) == 0L,
+      "gated pagerank left a residual at sf0.001")
+    assert(prSigS.getInt(0) > g.PrIters,
+      "sf0.001 pagerank converged within the fixed budget — the gate " +
+        "did not extend and this pin lost its subject")
     val kS = g.undirectedEdges(cS
       .select(col("prev_type").as("a"), col("next_type").as("b")))
     assert(changed(g.kcoreCensusTracked(nS, kS)._2) == 0L,

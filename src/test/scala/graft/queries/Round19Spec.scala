@@ -67,6 +67,22 @@ class Round19Spec extends SparkSpec {
       s"replica graph did not merge: $distinct communities over ${labels.length} nodes")
   }
 
+  test("quant-gated power iteration certifies fixpoints in the census") {
+    // r13 VERDICT #5: the fixed 10-round budget left residuals at
+    // both ends (sf0.001: 5 pagerank + 14 ppr keys; sf1: 1172 + 91).
+    // The gated kernels must now run PAST the historical budget here
+    // and certify changed_last_round == 0 at the output quantization.
+    val census = graft.graph.Graph.convergenceCensus(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(census("pagerank")._2 == 0L, s"pagerank residual: $census")
+    assert(census("ppr")._2 == 0L, s"ppr residual: $census")
+    assert(census("pagerank")._1 > graft.graph.Graph.PrIters,
+      "the sf0.001 graph converged within the fixed budget — the gate " +
+        "did not extend and this pin needs a deeper graph")
+    assert(census("pagerank")._1 <= graft.graph.Graph.PrMaxIters)
+    assert(census("ppr")._1 <= graft.graph.Graph.PprMaxIters)
+  }
+
   test("g05b oracle unrolls the full cap with a materialized frontier") {
     val sql = graft.SparkEntry.oracleSql("g05b_lpa_damped")
     assert(sql.contains(s"l${Graph.LpaMaxRounds} AS MATERIALIZED"))

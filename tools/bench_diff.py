@@ -56,6 +56,16 @@ def is_streaming(name):
     return name.startswith("s") or name == "w06_sink_streamed"
 
 
+def is_fs_bound(name):
+    # table-format sinks/maintenance: commit-protocol work (tiny
+    # parquet writes, manifest renames, directory listings) dominates,
+    # and its latency swings with box state independent of code (r13
+    # verdict: w08/w18/w22/w23 flagged 1.55-1.69x on a delayed
+    # same-code re-run). Compared net of the run's fs_floor_sec probe,
+    # raw-confirmed like the streaming family. w06 is streaming-floored.
+    return name.startswith("w") and name != "w06_sink_streamed"
+
+
 def load(path):
     with open(path) as f:
         return json.load(f)
@@ -77,17 +87,28 @@ def main():
     cur_q, base_q = cur["queries"], base["queries"]
     cur_floor, base_floor = cur.get("floor_sec"), base.get("floor_sec")
     use_floor = bool(cur_floor) and bool(base_floor)
+    cur_fs, base_fs = cur.get("fs_floor_sec"), base.get("fs_floor_sec")
+    use_fs = bool(cur_fs) and bool(base_fs)
     if "_floor" in cur.get("errors", {}):
         print(f"bench_diff: WARNING — floor probe failed every run in "
               f"{cur_path}: {cur['errors']['_floor']}; streaming keys "
               f"compared raw")
+    if "_fs_floor" in cur.get("errors", {}):
+        print(f"bench_diff: WARNING — fs floor probe failed every run in "
+              f"{cur_path}: {cur['errors']['_fs_floor']}; w-family keys "
+              f"compared raw")
     if use_floor:
         print(f"bench_diff: streaming floor {base_floor}s (baseline) vs "
               f"{cur_floor}s (current) — s-family compared net of floor")
+    if use_fs:
+        print(f"bench_diff: fs floor {base_fs}s (baseline) vs "
+              f"{cur_fs}s (current) — w-family compared net of fs floor")
 
     for tag, d in (("baseline", base), ("current", cur)):
         if d.get("floor_series"):
             print(f"bench_diff: {tag} floor series {d['floor_series']}")
+        if d.get("fs_floor_series"):
+            print(f"bench_diff: {tag} fs floor series {d['fs_floor_series']}")
 
     failures, regressions, news, infos = [], [], [], []
     for name, b in sorted(base_q.items()):
@@ -101,18 +122,19 @@ def main():
         if b == "err":
             continue  # baseline itself was broken for this query; can only improve
         c, b = float(c), float(b)
-        if use_floor and is_streaming(name):
-            # Streaming keys gate on the NET (floor-subtracted) kernel
+
+        def net_compare(cf, bf, kind):
+            # Floored keys gate on the NET (floor-subtracted) kernel
             # time, CONFIRMED by a lower raw bar (see RAW_CONFIRM_*):
-            # net alone catches kernel regressions the ~2.5 s harness
-            # floor hides (0.2s→1.0s net is only ~1.3x raw — still
-            # above the 1.25x confirm bar), while the raw confirmation
-            # kills the floor-swing artifacts where raw IMPROVED but
-            # the one-floor subtraction manufactured a net "regression".
+            # net alone catches kernel regressions the fixed cost
+            # hides (0.2s→1.0s net is only ~1.3x raw — still above
+            # the 1.25x confirm bar), while the raw confirmation kills
+            # the floor-swing artifacts where raw IMPROVED but the
+            # one-floor subtraction manufactured a net "regression".
             # The MIN_NET_SEC clamp absorbs jitter amplification for
             # ops barely above the floor.
-            cn = max(c - float(cur_floor), MIN_NET_SEC)
-            bn = max(b - float(base_floor), MIN_NET_SEC)
+            cn = max(c - float(cf), MIN_NET_SEC)
+            bn = max(b - float(bf), MIN_NET_SEC)
             if cn > bn * REGRESSION_FACTOR and cn > bn + ABS_FLOOR_SEC:
                 raw_confirmed = c > b + RAW_CONFIRM_ABS_SEC and (
                     c > b * RAW_CONFIRM_FACTOR
@@ -123,8 +145,13 @@ def main():
                 if raw_confirmed:
                     regressions.append("SLOWER   " + line)
                 else:
-                    infos.append("INFO     net-regressed, raw unconfirmed "
-                                 "(floor swing) " + line)
+                    infos.append(f"INFO     net-regressed, raw unconfirmed "
+                                 f"({kind} floor swing) " + line)
+
+        if use_floor and is_streaming(name):
+            net_compare(cur_floor, base_floor, "streaming")
+        elif use_fs and is_fs_bound(name):
+            net_compare(cur_fs, base_fs, "fs")
         elif c > b * REGRESSION_FACTOR and c > b + ABS_FLOOR_SEC:
             regressions.append(
                 f"SLOWER   {name}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x)")

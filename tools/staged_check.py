@@ -25,35 +25,65 @@ import pandas as pd
 from selfcheck import canon, compare
 
 
+import re
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def split_ctes(sql: str):
     """Parse `WITH name AS (body), ... <final select>` at paren depth 0.
 
-    Returns (list[(name, body)], final_select). Assumes the oracle
-    texts' shape: no string literal contains an unbalanced paren (true
-    for every committed oracle — they quote only shingle separators
-    and format strings without parens).
+    Returns (list[(name, body)], final_select). The scanner is
+    QUOTE-AWARE (a paren inside a '...' literal, '' escapes included,
+    never moves the depth counter), and the parse is VALIDATED rather
+    than trusted (r13 ADVICE: a mis-split executed wrong SQL instead
+    of failing): SQL comments and WITH RECURSIVE are rejected up
+    front, every CTE name must be a plain identifier, every body
+    non-empty, and the final remainder must start with SELECT — a
+    shape violation raises instead of silently staging wrong bodies.
     """
     s = sql.strip()
     assert s.upper().startswith("WITH"), "not a WITH query"
+    assert "--" not in s and "/*" not in s, \
+        "staged replay does not support SQL comments (they would blind the paren scanner)"
+    assert not re.match(r"(?is)^WITH\s+RECURSIVE\b", s), \
+        "WITH RECURSIVE cannot be staged as temp tables"
+
+    def skip_literal(j):
+        # s[j] == "'": return index just past the closing quote,
+        # treating '' as an escaped quote
+        j += 1
+        while True:
+            if s[j] == "'":
+                if j + 1 < len(s) and s[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+
     i = len("WITH")
     ctes = []
     while True:
         # read `name AS (`
         head = ""
         while s[i] != "(":
+            if s[i] == "'":
+                raise ValueError(f"string literal where a CTE name was expected: ...{s[i:i+40]!r}")
             head += s[i]
             i += 1
         name = head.strip()
-        if name.upper().endswith(" AS"):
-            name = name[:-3].strip()
         if name.upper().endswith(" AS MATERIALIZED"):
             name = name[: -len(" AS MATERIALIZED")].strip()
-        if name.upper().startswith("RECURSIVE "):
-            name = name[len("RECURSIVE "):].strip()
-        # balanced-paren body
+        elif name.upper().endswith(" AS"):
+            name = name[:-3].strip()
+        assert _IDENT.match(name), f"CTE name is not a plain identifier: {name!r}"
+        # balanced-paren body, skipping string literals
         depth = 0
         j = i
         while True:
+            if s[j] == "'":
+                j = skip_literal(j)
+                continue
             if s[j] == "(":
                 depth += 1
             elif s[j] == ")":
@@ -62,6 +92,7 @@ def split_ctes(sql: str):
                     break
             j += 1
         body = s[i + 1 : j]
+        assert body.strip(), f"empty CTE body for {name}"
         ctes.append((name, body))
         i = j + 1
         while s[i].isspace():
@@ -69,7 +100,10 @@ def split_ctes(sql: str):
         if s[i] == ",":
             i += 1
             continue
-        return ctes, s[i:]
+        final = s[i:]
+        assert final.strip().upper().startswith("SELECT"), \
+            f"final stage does not start with SELECT: {final[:60]!r}"
+        return ctes, final
 
 
 def main(sf_dir, out_dir, names):
