@@ -134,6 +134,7 @@ object SparkEntry {
     "e28_graph_serve_delta" -> Sim.e28GraphServeDelta _,
     "e29_hnsw_serve"      -> Sim.e29HnswServe _,
     "e30_dedup_serve"     -> Sim.e30DedupServe _,
+    "e31_ivf_seeded_serve" -> Sim.e31IvfSeededServe _,
     "i01_enn_filter"      -> Sim.i01EnnFilter _,
     "i04_edited_relief"   -> ReliefQueries.i04EditedRelief _,
     "g01_transition_pagerank" -> graft.graph.Graph.g01TransitionPagerank _,
@@ -1755,6 +1756,57 @@ FROM merged"""
 
   private val e25ServeOracleSql: String =
     beamServeOracleSql(e23GraphCtes, "g3", "bk", "e")
+
+  // e31: IVF-seeded graph serving — the e23 layer-0 chain (g3) plus
+  // the e04 coarse quantizer replayed over the SAME bk frame (hash-
+  // elected medoids, nearest-centroid assignment, per-query nprobe
+  // probe), entries = top-ServeEntries scored members of the probed
+  // inverted lists, then EXACTLY e25's layer-0 beam text. Arithmetic
+  // is verbatim from the e04 oracle (d2 = -2·dot + |c|², ties to
+  // cid) and the serve oracles (cosine through the same division).
+  private val e31OracleSql: String = {
+    val g = graft.sim.Sim
+    e23GraphCtes + ",\n" +
+      s"""cents31 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id % 1000000007 * ${g.IvfHashMul} % 1000000007, vec_id) - 1 AS cid,
+         |    v AS cv
+         |  FROM e
+         |  ORDER BY vec_id % 1000000007 * ${g.IvfHashMul} % 1000000007, vec_id
+         |  LIMIT ${g.IvfK}),
+         |cc31 AS (SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM cents31),
+         |asg31 AS (
+         |  SELECT vec_id, cid AS centroid_id FROM (
+         |    SELECT bk.vec_id, cc.cid,
+         |      row_number() OVER (PARTITION BY bk.vec_id
+         |        ORDER BY list_dot_product(bk.v, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+         |    FROM bk CROSS JOIN cc31 cc) t
+         |  WHERE rn = 1),
+         |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM bk WHERE vec_id < 20),
+         |probes31 AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, cc.cid AS centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, cc.cv) * -2 + cc.c2, cc.cid) AS rn
+         |    FROM qq q CROSS JOIN cc31 cc) t
+         |  WHERE rn <= ${g.IvfNprobe}),
+         |b0 AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, node_id) AS rn FROM (
+         |    SELECT p.query_id, a.vec_id AS node_id,
+         |      list_dot_product(q.qv, b.v) / (q.qn * b.nrm) AS cosine
+         |    FROM probes31 p JOIN asg31 a USING (centroid_id)
+         |         JOIN bk b ON b.vec_id = a.vec_id
+         |         JOIN qq q ON q.query_id = p.query_id
+         |    WHERE a.vec_id <> p.query_id))
+         |  WHERE rn <= ${g.ServeEntries}),""".stripMargin + "\n" +
+      (1 to g.ServeHops).map(k => beamLayerSql("h", k,
+        if (k == 1) "b0" else s"b${k - 1}", "g3", "bk", g.ServeBeam.toString))
+        .mkString(",\n") + "\n" +
+      s"""SELECT query_id, node_id AS neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, node_id) AS rn FROM b${g.ServeHops})
+         |WHERE rn <= 10""".stripMargin
+  }
 
   // e29: the two-level HNSW serve — e23's layer-0 chain (g3), the
   // upper-layer election + capped-bucket probe build (gu), the
@@ -3505,6 +3557,7 @@ FROM merged"""
     "e29_hnsw_serve" -> e29OracleSql,
     // e30: canonical-corpus two-level serve + duplicate-map expansion
     "e30_dedup_serve" -> e30OracleSql,
+    "e31_ivf_seeded_serve" -> e31OracleSql,
     // i01: e05's whole bucketed kNN construction replayed (shared
     // CTEs), then the ENN plurality vote — per-query same/other label
     // tallies, the top outvoting label, flag where it strictly wins.

@@ -66,14 +66,16 @@ object RecallProbe {
     val uHops = if (args.length > 5) args(5).toInt else Sim.UpperHops
     val uKeep = if (args.length > 6) args(6).toInt else Sim.ServeEntries
     val r29 = recall(Sim.e29ServeOver(spark, dir, gu, g, uEntries, uHops, uKeep))
-    // e30 measures the SHIPPED op (its canonical build is persisted
-    // build-once, budget self-elected from the canonical count)
+    // e30/e31 measure the SHIPPED ops (their index builds are
+    // persisted build-once, budgets self-elected from the corpus)
     val r30 = recall(Sim.e30DedupServe(spark, dir))
+    val r31 = recall(Sim.e31IvfSeededServe(spark, dir))
     val edges = g.count()
     println(f"""{"n":$n,"k":$k,"rounds":$rounds,"cap":$cap,"edges":$edges,""" +
       f""""uEntries":$uEntries,"uHops":$uHops,"uKeep":$uKeep,""" +
       f""""recall_graph":$rDirect%.4f,"recall_e25":$r25%.4f,""" +
-      f""""recall_e29":$r29%.4f,"recall_e30":$r30%.4f}""")
+      f""""recall_e29":$r29%.4f,"recall_e30":$r30%.4f,""" +
+      f""""recall_e31":$r31%.4f}""")
     spark.stop()
   }
 }

@@ -1211,6 +1211,56 @@ object Sim {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** e31: IVF-SEEDED graph serving — the measured answer for
+    * CLUSTERED corpora (r13 VERDICT #4's realistic-embedding tier).
+    * On a planted-Gaussian-mixture corpus the NN-descent graph is
+    * near-perfect (graph-direct recall 0.99-1.0) but becomes one
+    * DISCONNECTED clique per cluster — every top-K slot is
+    * within-cluster, so e25's hash-elected global entries strand the
+    * walk in whatever handful of clusters they landed in (measured:
+    * e25 recall 0.000 at both clustered tiers; e29's 4-entry descent
+    * 0.60 at n=2 000 and 0.085 at n=20 000 as the cluster count
+    * outgrows the entry budget). No walk budget fixes entry
+    * SELECTION — the remedy is cluster-aware entries: elect each
+    * query's entry points through the e04 coarse quantizer (nearest
+    * [[IvfNprobe]] of the [[IvfK]] hash-elected medoids, score their
+    * inverted lists, keep the top [[ServeEntries]]), then run EXACTLY
+    * e25's layer-0 beam walk over the persisted [[knnGraphIndex]].
+    * The walk refines what the probe started: the probe lands inside
+    * the right clique and the graph hops collect its best members —
+    * the DiskANN/IVF-hybrid composition, built from two artifacts
+    * this library already ships. Same layer-0 serve budget as
+    * e25/e29 (ServeEntries scored seeds, ServeBeam per hop, final
+    * top-10); out-of-corpus queries work unchanged (the quantizer
+    * probe needs no corpus membership, unlike e30's duplicate-map
+    * portal).
+    *
+    * Scale shape: the medoid frame is a 16-row broadcast; the probe
+    * scores nprobe inverted lists per query (id-keyed joins, one
+    * vector join-back — e04's own serving cost, paid from the
+    * partitioned IVF layout at 100 TB); the walk is e25's (beam-bound
+    * candidate frontier, per-query windows only).
+    */
+  def e31IvfSeededServe(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centsDf = centroidsDf(spark, fitCentroids(e))
+    val assigned = assignToNearest(spark, e, centsDf)
+    val q = serveQueries(spark, dir)
+    val d2q = dotOf(spark, "qv", "cv") * lit(-2.0) + col("c2")
+    val probed = q.crossJoin(broadcast(centsDf))
+      .withColumn("d2", d2q)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("centroid_id"))))
+      .where(col("pr") <= IvfNprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val cand = assigned.select(col("centroid_id"), col("vec_id").as("node_id"))
+      .join(probed, Seq("centroid_id"))
+      .where(col("query_id") =!= col("node_id"))
+      .select("query_id", "node_id")
+    val beam0 = serveTopB(serveScore(spark, dir, q)(cand), ServeEntries)
+    beamWalk(spark, dir, knnGraphIndex(spark, dir), ServeHops, beam0)
+  }
+
   /** The HNSW layer-0 beam walk with the GRAPH pluggable — e25 feeds
     * it the persisted nightly artifact, e28 the delta-merged graph;
     * entry election, scoring, beam width and final top-10 are shared,

@@ -83,6 +83,44 @@ class Round19Spec extends SparkSpec {
     assert(census("ppr")._1 <= graft.graph.Graph.PprMaxIters)
   }
 
+  test("clustered recall tier: e31 serves what the flat walk cannot reach") {
+    // r13 VERDICT #4: every prior recall number rode orthogonal-noise
+    // (+ exact-twin) embeddings — no cosine gradient, the measured
+    // worst case. The clustered generator plants the regime real
+    // corpora live in (within-cluster cos ≈ 0.85, cross ≈ 0), where
+    // the NN-descent graph is near-perfect but DISCONNECTED per
+    // cluster: e25's global hash entries strand the walk (recall
+    // 0.000 measured at n=2000 and n=20000) and e29's 4-entry descent
+    // fades as clusters outgrow the entry budget (0.60 -> 0.085).
+    // e31's IVF-elected entries land inside the right clique; the
+    // walk refines. Floors sit below the measured band (e31 1.00,
+    // e30 1.00, e29 0.60 at n=2000).
+    import graft.sim.Sim
+    val out = java.nio.file.Files.createTempDirectory("graft_r19_clu_").toString
+    graft.sim.ClusteredEmbeddings.run(spark, out, 2000L,
+      graft.sim.ClusteredEmbeddings.DefaultCentroids)
+    val exact = Sim.e01KnnCosine(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, ex) => (ex intersect got.getOrElse(q, Set.empty)).size }.sum
+        .toDouble / exact.values.map(_.size).sum
+    }
+    val r25 = recall(Sim.e25GraphServe(spark, out))
+    val r29 = recall(Sim.e29HnswServe(spark, out))
+    val r31 = recall(Sim.e31IvfSeededServe(spark, out))
+    val r30 = recall(Sim.e30DedupServe(spark, out))
+    info(f"clustered n=2000 recall@10: e25=$r25%.3f e29=$r29%.3f e30=$r30%.3f e31=$r31%.3f")
+    assert(r31 >= 0.90, f"e31 under the clustered floor: $r31%.3f")
+    assert(r30 >= 0.90, f"e30 under the clustered (dup-free) floor: $r30%.3f")
+    assert(r29 >= 0.45, f"e29 under the clustered floor: $r29%.3f")
+    assert(r31 > r25 + 0.5,
+      f"e31 no longer beats the flat walk on clustered data ($r25%.3f -> $r31%.3f) — " +
+        "either e25 grew cluster-aware entries (update this pin) or e31 broke")
+  }
+
   test("g05b oracle unrolls the full cap with a materialized frontier") {
     val sql = graft.SparkEntry.oracleSql("g05b_lpa_damped")
     assert(sql.contains(s"l${Graph.LpaMaxRounds} AS MATERIALIZED"))
