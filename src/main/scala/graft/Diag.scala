@@ -1,0 +1,87 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Measurement harness for optimization work (guide §1): per-query
+  * wall time plus scheduler-level counts (jobs, stages, tasks) that
+  * explain WHERE a small-scale timing goes — at sf0.1 most frames are
+  * tiny and the bill is driver round-trips (actions, broadcast
+  * builds, eager checkpoints), which timings alone can't attribute.
+  *
+  * Same session shape as [[Bench]] (master/local, shuffle partitions,
+  * extensions, noop sink, untimed warmup run first), so numbers read
+  * side by side with the bench. Not part of the driver contract.
+  *
+  *   tools/run_main.sh graft.Diag <sfDir> <runs> <name1,name2,...>
+  */
+object Diag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 1) args(1).toInt else 2
+    val only = if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val taskMs = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+      }
+    })
+    val queries = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(f => f.exists(n.startsWith))
+    }
+    // untimed warmup at the smallest SF (JIT + codegen), same as Bench
+    queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    println(f"${"query"}%-28s ${"sec"}%8s ${"jobs"}%6s ${"stages"}%7s ${"tasks"}%7s ${"taskSec"}%8s")
+    val agg = scala.collection.mutable.LinkedHashMap[String, (Double, Int, Int, Int, Double)]()
+    for (r <- 1 to runs; (name, fn) <- queries.toSeq.sortBy(_._1)) {
+      spark.catalog.clearCache()
+      // settle listener counters from any trailing async events
+      Thread.sleep(50)
+      jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(50)
+        val cur = (sec, jobs.get(), stages.get(), tasks.get(), taskMs.get() / 1e3)
+        val best = agg.get(name) match {
+          case Some(p) if p._1 <= sec => p
+          case _ => cur
+        }
+        agg(name) = best
+        if (r == runs) {
+          val (s, j, st, tk, tsec) = agg(name)
+          println(f"$name%-28s $s%8.3f $j%6d $st%7d $tk%7d $tsec%8.1f")
+        }
+      } catch {
+        case e: Throwable =>
+          println(f"$name%-28s ERR ${Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
+      }
+    }
+    val tot = agg.values.map(_._1).sum
+    println(f"TOTAL ${tot}%.3f sec over ${agg.size} queries (min of $runs)")
+    spark.stop()
+  }
+}
