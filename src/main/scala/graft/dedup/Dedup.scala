@@ -642,8 +642,11 @@ object Dedup {
         // setCheckpointDir appends a UUID subdir — only (re)set on change
         if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(d)))
           spark.sparkContext.setCheckpointDir(d)
-        df.checkpoint()
-      case None => df.cutLineage
+        df.checkpoint(eager = false)
+      // lazy cut (r14): every barrier is followed by the signature
+      // count, which is the materializing action — the eager cut's own
+      // job per star round was pure driver overhead
+      case None => df.cutLineageLazy
     }
   }
 

@@ -144,42 +144,60 @@ object Graph {
         (col("n_trans").cast("double") /
           sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
           .as("w"))
-      .cutLineage
-    val nodes = nodesIn.cutLineage
-    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+      .cutLineageLazy
+    // r14 kernel-overhead rework (guide §1/§2.4; results bit-identical):
+    // the sf0.1 bill was ~13 single-task driver jobs PER ROUND (131 for
+    // g01, ~37 ms each — jobs, not data). Removed per round:
+    //  - the 1/N broadcast: N is round-invariant, so it is ONE driver
+    //    count up front and a literal in the update expression — the
+    //    SAME IEEE divisions ((1−d)/n, dang/n) on the same doubles;
+    //  - the dangling anti-join + per-round `sources.distinct()`
+    //    recompute: dangling-ness is round-invariant, so it is a
+    //    boolean `dng` column carried ON the rank frame (same addend
+    //    set for the dang sum — sum(pr) over exactly the non-source
+    //    nodes);
+    //  - the `cur.select(node)` re-exchange in the update join: the
+    //    node set is round-invariant, so the update joins the ONE
+    //    materialized (node, dng) frame instead of re-shuffling cur.
+    // Cuts are LAZY (cutLineageLazy): plan truncation without a
+    // dedicated materialization job — the next round's stages (or the
+    // quant-gate count) materialize the rows anyway.
+    val nodes = nodesIn.cutLineageLazy
+    val n: Double = nodes.count().toDouble
     val sources = edges.select(col("prev_type").as("node")).distinct()
+    val nodeF = nodes
+      .join(sources.withColumn("is_src", lit(true)), Seq("node"), "left")
+      .select(col("node"), col("is_src").isNull.as("dng"))
+      .cutLineageLazy
     def prRound(cur: DataFrame): DataFrame = {
       val contrib = cur.join(edges, cur("node") === edges("prev_type"))
         .groupBy(col("next_type").as("node"))
         .agg(sum(col("pr") * col("w")).as("s"))
-      val dang = cur.join(sources, Seq("node"), "left_anti")
+      val dang = cur.where(col("dng"))
         .agg(coalesce(sum("pr"), lit(0.0)).as("dang"))
-      cur.select(col("node"))
+      nodeF
         .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dang)).crossJoin(broadcast(nn))
-        .select(col("node"),
-          (lit(1.0 - Damping) / col("n") +
-            lit(Damping) * (coalesce(col("s"), lit(0.0)) + col("dang") / col("n")))
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("dng"),
+          (lit((1.0 - Damping) / n) +
+            lit(Damping) * (coalesce(col("s"), lit(0.0)) + col("dang") / lit(n)))
             .as("pr"))
     }
-    var pr = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-      .cutLineage
+    var pr = nodeF.select(col("node"), col("dng"), lit(1.0 / n).as("pr"))
+      .cutLineageLazy
     var prev = pr
     for (it <- 1 to PrIters) {
       if (it == PrIters) prev = pr
       pr = prRound(pr)
       // cut lineage every OTHER round: one level of nested
-      // join/agg analyzes fine, and halving the eager checkpoint
-      // jobs halves the fixed per-round cost (measured 2.4 s → the
-      // frames are 5 rows; the jobs, not the data, were the bill)
-      if (it % 2 == 0 || it == PrIters) pr = pr.cutLineage
+      // join/agg analyzes fine and halves the per-round planning cost
+      if (it % 2 == 0 || it == PrIters) pr = pr.cutLineageLazy
     }
     val (fin, rounds, changed) = quantGatedRounds(prev, pr, prRound)
     val signal = nodesIn.sparkSession.range(1)
       .select(lit(rounds).as("rounds"), lit(changed).as("changed_last_round"))
     maybeLogConvergence("pagerank", signal, nodesIn.sparkSession)
-    (fin, signal)
+    (fin.select(col("node"), col("pr")), signal)
   }
 
   /** Extra power-iteration rounds past the documented budget, gated on
@@ -202,7 +220,8 @@ object Graph {
     var changed = qc(prev, cur)
     while (changed != 0L && rounds < cap) {
       prev = cur
-      cur = roundFn(cur).cutLineage
+      // lazy cut: the qc count on the next line materializes the round
+      cur = roundFn(cur).cutLineageLazy
       rounds += 1
       changed = qc(prev, cur)
     }
@@ -329,8 +348,8 @@ object Graph {
       .unionByName(directed.select(col("b").as("a"), col("a").as("b"), col("n_trans")))
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(sum("n_trans").as("w"))
-      .cutLineage
-    (userNodes(spark, dir).cutLineage, sym)
+      .cutLineageLazy
+    (userNodes(spark, dir).cutLineageLazy, sym)
   }
 
   /** g05b: DAMPED label propagation over the user handoff graph — the
@@ -412,10 +431,10 @@ object Graph {
       .unionByName(directed.select(col("b").as("a"), col("a").as("b"), col("n_trans")))
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(sum("n_trans").as("w"))
-      .cutLineage
+      .cutLineageLazy
     val nodes = Tables.events(spark, dir)
       .select(col("event_type").as("node")).distinct()
-      .cutLineage
+      .cutLineageLazy
     lpaFrom(nodes, sym)
   }
 
@@ -459,14 +478,16 @@ object Graph {
       rounds: Int, damped: Boolean): (DataFrame, DataFrame) = {
     val selfW =
       if (damped)
-        Some(sym.groupBy(col("a").as("node")).agg(max("w").as("sw")).cutLineage)
+        Some(sym.groupBy(col("a").as("node")).agg(max("w").as("sw")).cutLineageLazy)
       else None
     var lbl = nodes.select(col("node"), col("node").as("community"))
-      .cutLineage
+      .cutLineageLazy
     var prev = lbl
     for (it <- 1 to rounds) {
       if (it == rounds) prev = lbl
-      lbl = lpaRound(lbl, sym, selfW).cutLineage
+      // lazy cut (r14): plan truncation without a per-round
+      // materialization job — the next round's stages force the rows
+      lbl = lpaRound(lbl, sym, selfW).cutLineageLazy
     }
     val signal = convergenceSignal(prev, lbl, rounds)
     maybeLogConvergence("lpa", signal, nodes.sparkSession)
@@ -492,11 +513,17 @@ object Graph {
     val scores = allVotes
       .groupBy(col("node"), col("community"))
       .agg(sum("s").as("s"))
+    // argmax by (s desc, community asc) as a min_by AGGREGATE instead
+    // of a row_number window (r14, guide §2.3/§4): same winner row by
+    // the same total order (weights are exact integers, so -s is
+    // exact; a full-struct tie means an equal community value), but
+    // the aggregate partial-aggregates map-side — the node-keyed
+    // exchange carries one candidate per (node, partition) instead of
+    // every (node, community) score — and drops the per-round sort.
     val best = scores
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("node").orderBy(col("s").desc, col("community"))))
-      .where(col("rn") === 1)
-      .select(col("node"), col("community").as("new_community"))
+      .groupBy(col("node"))
+      .agg(min_by(col("community"), struct((-col("s")).as("ns"), col("community")))
+        .as("new_community"))
     lbl.join(best, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("new_community"), col("community")).as("community"))
@@ -515,13 +542,15 @@ object Graph {
       nodes: DataFrame, sym: DataFrame): (DataFrame, DataFrame) = {
     val spark = nodes.sparkSession
     val selfW =
-      Some(sym.groupBy(col("a").as("node")).agg(max("w").as("sw")).cutLineage)
+      Some(sym.groupBy(col("a").as("node")).agg(max("w").as("sw")).cutLineageLazy)
     var lbl = nodes.select(col("node"), col("node").as("community"))
-      .cutLineage
+      .cutLineageLazy
     var rounds = 0
     var changed = -1L
     while (rounds < LpaMaxRounds && changed != 0L) {
-      val next = lpaRound(lbl, sym, selfW).cutLineage
+      // lazy cut (r14): the changed-count on the next line is the
+      // materializing action — the eager cut's own job was pure overhead
+      val next = lpaRound(lbl, sym, selfW).cutLineageLazy
       changed = next
         .join(lbl.select(col("node"), col("community").as("pc")), Seq("node"))
         .where(not(col("community") <=> col("pc"))).count()
@@ -571,8 +600,8 @@ object Graph {
     * convergence, round over round.
     */
   def convergenceCensus(spark: SparkSession, dir: String): DataFrame = {
-    val nodes = userNodes(spark, dir).cutLineage
-    val counts = userHandoffCounts(spark, dir).cutLineage
+    val nodes = userNodes(spark, dir).cutLineageLazy
+    val counts = userHandoffCounts(spark, dir).cutLineageLazy
     val (_, prSig) = pagerankScoresTracked(nodes, counts)
     val seeds = counts.groupBy(col("prev_type").as("node"))
       .agg(sum("n_trans").as("out_n"))
@@ -584,7 +613,7 @@ object Graph {
     val sym = directed
       .unionByName(directed.select(col("b").as("a"), col("a").as("b"), col("n_trans")))
       .where(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(sum("n_trans").as("w")).cutLineage
+      .groupBy("a", "b").agg(sum("n_trans").as("w")).cutLineageLazy
     val (_, lpaSig) = lpaFromTracked(nodes, sym, LpaRounds, damped = false)
     val (_, lpaDSig) = lpaConvergedTracked(nodes, sym)
     val (_, kcSig) = kcoreCensusTracked(nodes,
@@ -603,7 +632,7 @@ object Graph {
       .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") < col("b"))
       .distinct()
-      .cutLineage
+      .cutLineageLazy
 
   /** g06: triangles + clustering coefficient on the USER handoff graph
     * — the triangle kernel's unbounded-domain proof, exactly the
@@ -718,37 +747,43 @@ object Graph {
         (col("n_trans").cast("double") /
           sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
           .as("w"))
-      .cutLineage
-    val seeds = seedsIn.cutLineage
-    val ns = seeds.agg(count(lit(1)).cast("double").as("ns"))
-    val tele = nodesIn.cutLineage
-      .join(seeds.withColumn("is_seed", lit(1)), Seq("node"), "left")
-      .crossJoin(broadcast(ns))
-      .select(col("node"),
-        when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
-          .otherwise(lit(0.0)).as("t"))
-      .cutLineage
+      .cutLineageLazy
+    val seeds = seedsIn.cutLineageLazy
+    // r14 kernel-overhead rework — same moves as the uniform kernel
+    // (pagerankScoresTracked), results bit-identical: seed count is a
+    // ONE-off driver scalar (same 1/ns division), dangling-ness is a
+    // carried `dng` column (same dang addend set, no per-round
+    // anti-join or sources recompute), cuts are lazy.
+    val ns: Double = seeds.count().toDouble
     val sources = edges.select(col("prev_type").as("node")).distinct()
+    val tele = nodesIn.cutLineageLazy
+      .join(seeds.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .join(sources.withColumn("is_src", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(1.0 / ns))
+          .otherwise(lit(0.0)).as("t"),
+        col("is_src").isNull.as("dng"))
+      .cutLineageLazy
     def prRound(cur: DataFrame): DataFrame = {
       val contrib = cur.join(edges, cur("node") === edges("prev_type"))
         .groupBy(col("next_type").as("node"))
         .agg(sum(col("pr") * col("w")).as("s"))
-      val dang = cur.join(sources, Seq("node"), "left_anti")
+      val dang = cur.where(col("dng"))
         .agg(coalesce(sum("pr"), lit(0.0)).as("dang"))
       tele
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
+        .select(col("node"), col("dng"),
           (lit(1.0 - Damping) * col("t") +
             lit(Damping) * (coalesce(col("s"), lit(0.0)) + col("dang") * col("t")))
             .as("pr"))
     }
-    var pr = tele.select(col("node"), col("t").as("pr"))
+    var pr = tele.select(col("node"), col("dng"), col("t").as("pr"))
     var prev = pr
     for (it <- 1 to PrIters) {
       if (it == PrIters) prev = pr
       pr = prRound(pr)
-      if (it % 2 == 0 || it == PrIters) pr = pr.cutLineage
+      if (it % 2 == 0 || it == PrIters) pr = pr.cutLineageLazy
     }
     // same quant-gated extension as the uniform kernel (the sf1
     // census measured 91 personalized ranks still moving at the
@@ -758,7 +793,7 @@ object Graph {
     val signal = nodesIn.sparkSession.range(1)
       .select(lit(rounds).as("rounds"), lit(changed).as("changed_last_round"))
     maybeLogConvergence("ppr", signal, nodesIn.sparkSession)
-    (fin, signal)
+    (fin.select(col("node"), col("pr")), signal)
   }
 
   /** g09's core order: nodes must keep ≥ K surviving neighbors. */
@@ -812,23 +847,34 @@ object Graph {
       rounds: Int = KcoreRounds): (DataFrame, DataFrame) = {
     val bidir = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
-      .cutLineage
-    def survDeg(surv: DataFrame): DataFrame = bidir
+      .cutLineageLazy
+    // r14 (guide §2.3): the peel carries the SHRINKING live-edge frame
+    // across rounds instead of re-filtering the FULL bidirected frame
+    // every round — survivors only shrink, so filtering last round's
+    // live edges by this round's survivors yields exactly the same
+    // edge set (and the same degree counts) while each round's joins
+    // touch monotonically less data. Cuts are lazy (plan truncation
+    // without a per-round materialization job).
+    def filterLive(live: DataFrame, surv: DataFrame): DataFrame = live
       .join(surv.select(col("node").as("u")), Seq("u"))
       .join(surv.select(col("node").as("v")), Seq("v"))
-      .groupBy(col("u").as("node")).agg(count(lit(1)).as("n"))
-    var surv = nodes.cutLineage
+    var live = bidir
+    var surv = nodes.cutLineageLazy
     var prev = surv
     for (it <- 1 to rounds) {
       if (it == rounds) prev = surv
-      surv = survDeg(surv).where(col("n") >= KcoreK).select("node").cutLineage
+      live = filterLive(live, surv).cutLineageLazy
+      surv = live.groupBy(col("u").as("node")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= KcoreK).select("node").cutLineageLazy
     }
     def m(df: DataFrame) = df.select(col("node"), lit(1).as("alive"))
     val signal = convergenceSignal(m(prev), m(surv), rounds)
     maybeLogConvergence("kcore", signal, nodes.sparkSession)
     val census = nodes
       .join(surv.withColumn("in_core", lit(1)), Seq("node"), "left")
-      .join(survDeg(surv).select(col("node"), col("n").as("core_deg")),
+      .join(filterLive(live, surv)
+          .groupBy(col("u").as("node")).agg(count(lit(1)).as("n"))
+          .select(col("node"), col("n").as("core_deg")),
         Seq("node"), "left")
       .select(col("node"),
         coalesce(col("in_core"), lit(0)).cast("int").as("in_core"),
@@ -869,9 +915,9 @@ object Graph {
   private[graft] def linkPrediction(edges: DataFrame): DataFrame = {
     val bidir = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
-      .cutLineage
+      .cutLineageLazy
     val deg = bidir.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("degree")).cutLineage
+      .agg(count(lit(1)).as("degree")).cutLineageLazy
     val apex = bidir
       .join(deg.select(col("node").as("u"), col("degree")), Seq("u"))
       .where(col("degree") <= LinkDMax)
@@ -924,12 +970,12 @@ object Graph {
     * streamed one.
     */
   private[graft] def itemCooccurrence(ui: DataFrame): DataFrame = {
-    val engagement = ui.cutLineage
+    val engagement = ui.cutLineageLazy
     val ud = engagement.groupBy("user_id").agg(count(lit(1)).as("n_items"))
     val capped = engagement
       .join(ud.where(col("n_items") <= LinkDMax).select("user_id"), Seq("user_id"))
     val pop = engagement.groupBy("item").agg(count(lit(1)).as("n_users"))
-      .cutLineage
+      .cutLineageLazy
     val pairs = capped.select(col("user_id"), col("item").as("i"))
       .join(capped.select(col("user_id"), col("item").as("j")), Seq("user_id"))
       .where(col("i") < col("j"))
@@ -971,7 +1017,7 @@ object Graph {
     val deg = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-      .cutLineage
+      .cutLineageLazy
     val withDeg = edges
       .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
@@ -983,7 +1029,7 @@ object Graph {
         when(aLower, col("a")).otherwise(col("b")).as("src"),
         when(aLower, col("b")).otherwise(col("a")).as("dst"),
         when(aLower, col("db")).otherwise(col("da")).as("ddst"))
-      .cutLineage
+      .cutLineageLazy
     // wedges from each apex's out-neighborhood, ordered by rank so a
     // wedge is generated once; closed by the oriented y→z edge (which
     // is how {y,z} MUST be oriented, rank(y) < rank(z) by construction)
@@ -994,7 +1040,7 @@ object Graph {
       .select(col("src").as("x"), col("y"), col("z"))
     val tri = wedges
       .join(oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
-      .cutLineage
+      .cutLineageLazy
     val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     nodes
