@@ -48,6 +48,11 @@ object Dedup {
     * while staying a pure function of the driver-provided testdata.
     */
   def nearDupCorpus(docs: DataFrame): DataFrame = {
+    // NOTE (r14): a fan-out here was measured on the whole family —
+    // net negative for the light-kernel members (d28 +1.2 s from ~1000
+    // extra tiny tasks) even though heavy-kernel members won; the
+    // fan-out is applied per-op where measured positive instead
+    // (d40's truth pass, d46's signature census — see those sites).
     val toks = Text.wsTokens(col("text"))
     val trunc = docs
       .where(size(toks) >= 12)
@@ -246,6 +251,9 @@ object Dedup {
     * a constant 1000-row frame per plan.
     */
   def d46LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    // r14: a scan fan-out here was A/B-measured NEUTRAL at 32 cores
+    // and −0.8 s at 8 cores (the census shuffles already spread the
+    // work; extra map tasks only added overhead) — left alone.
     val sigs = signatureTable(nearDupCorpus(Tables.documents(spark, dir)))
     // ONE pass over the signature table for all 7 plans: each doc row
     // explodes to Σ b = 127 (plan, band, band_sig) triples in a single
@@ -403,7 +411,13 @@ object Dedup {
     * number triggers re-indexing.
     */
   def d40DedupEval(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = nearDupCorpus(Tables.documents(spark, dir))
+    // fan the scan out (r14, guide §2.5): the truth pass fuses the
+    // shingle/hash kernel AND the 50-way per-pair intersect into the
+    // corpus scan stage — single-task on the one-row-group local
+    // input (measured ~31 task-sec on ~4 effective tasks); no-op on
+    // split-rich production inputs (Tables.fanOutScan)
+    val corpus = nearDupCorpus(
+      Tables.fanOutScan(Tables.documents(spark, dir)))
     // Truth space = HASHED shingle sets (r13): the per-pair intersect
     // on ~25-char shingle STRINGS was 2/3 of d40's sf1 wall time
     // (string hashing per probe); on the mod-prime longs — the SAME

@@ -1314,7 +1314,12 @@ object ReliefQueries {
     * driver loop over data.
     */
   def f12MdlpDiscretize(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.embeddings(spark, dir)
+    // fan the scan out (the 64-way posexplode + census partials fuse
+    // into the single-task scan stage locally; no-op on split-rich
+    // inputs) and cut the census ONCE — it feeds both recursion levels
+    // and was re-exploding the corpus per level
+    val cells = Tables.fanOutScan(Tables.embeddings(spark, dir)
+        .select(col("label"), col("embedding")))
       .select(col("label").cast("long").as("lbl"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("dim").cast("long").as("dim"), lit(0L).as("seg"),
@@ -1322,7 +1327,8 @@ object ReliefQueries {
         col("lbl"))
       .groupBy("dim", "seg", "xm", "lbl")
       .agg(count(lit(1)).as("c"))
-    val l1 = mdlpRound(cells)
+      .cutLineageLazy
+    val l1 = mdlpRound(cells).cutLineageLazy
     val cuts = l1.where(col("accepted"))
       .select(col("dim"), col("seg").as("pseg"), col("cut_xm").as("cut"))
     val cells2 = cells.withColumnRenamed("seg", "pseg")
