@@ -62,6 +62,19 @@ object Diag {
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L)
       val t0 = System.nanoTime()
       try {
+        if (sys.env.contains("SPARK_GRAFT_DIAG_PHASES")) {
+          // phase attribution: frame construction (includes any eager
+          // work inside the operator: buildOnce checks, driver counts,
+          // checkpointed rounds), then physical planning of the FINAL
+          // frame, then execution
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan
+          val t2 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          println(f"$name%-28s build ${(t1 - t0) / 1e9}%7.3f  plan ${(t2 - t1) / 1e9}%7.3f  exec ${(t3 - t2) / 1e9}%7.3f")
+        } else
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(50)

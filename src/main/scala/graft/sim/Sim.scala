@@ -2392,9 +2392,13 @@ object Sim {
     // iterative-algorithm discipline (convergeForest does the same):
     // cut lineage at each iteration, keep the final round declarative
     // so its plan stays inspectable.
-    val seed = if (rounds == 0) init else init.cutLineage
+    // Lazy cuts (r14): plan truncation without a per-round blocking
+    // job — every consumer materializes the final frame (eager cut or
+    // parquet write) BEFORE unpersisting the corpus, so the deferred
+    // rounds always compute while the corpus is still cached.
+    val seed = if (rounds == 0) init else init.cutLineageLazy
     (1 to rounds).foldLeft(seed)((g, i) =>
-        if (i == rounds) round(g) else round(g).cutLineage)
+        if (i == rounds) round(g) else round(g).cutLineageLazy)
       .withColumn("rnk", row_number().over(wNode).cast("long"))
   }
 
