@@ -1080,7 +1080,6 @@ object Sim {
         .select(col("query_id"), col("neighbor_id").as("node_id"))
         .unionByName(beam.select("query_id", "node_id"))
         .where(col("query_id") =!= col("node_id"))
-        .distinct()
       serveTopB(serveScore(spark, dir, q)(expanded), uKeep)
     }
     // cut between the levels (the e23 per-round discipline): the
@@ -1180,7 +1179,6 @@ object Sim {
         .join(g, Seq("node_id"))
         .select(col("query_id"), col("neighbor_id").as("node_id"))
         .unionByName(beam.select("query_id", "node_id"))
-        .distinct()
       serveTopB(serveScore(spark, dir, q)(expanded), keep)
     }
     val uKeep = upperKeepOf(canonN)
@@ -1195,7 +1193,7 @@ object Sim {
       .select("query_id", "node_id")
     val u0 = serveTopB(serveScore(spark, dir, q)(
       q.select("query_id").crossJoin(broadcast(entries))
-        .unionByName(selfSeed).distinct()), uKeep)
+        .unionByName(selfSeed)), uKeep)
     val descended = serveTopB(
       (1 to UpperHops).foldLeft(u0)((b, _) => hop(gu, uKeep)(b)), ServeEntries)
       .cutLineage
@@ -1283,12 +1281,24 @@ object Sim {
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
   }
 
-  private val wServe =
-    Window.partitionBy("query_id").orderBy(col("cosine").desc, col("node_id"))
-
+  /** Per-query top-b of a scored (query_id, node_id, cosine) frame in
+    * ONE keyed aggregate (r14, guide §2.3/§2.4): collect_set dedups
+    * candidate rows (the hop expansions surface the same node through
+    * several edges — scoring is deterministic, so duplicates are
+    * bit-identical structs), array_sort over struct(-cosine, node_id)
+    * is exactly the old row_number total order (cosine desc, node_id
+    * asc), slice keeps b. Replaces the per-hop `distinct()` exchange +
+    * row_number window (2 exchanges + a sort per hop) with one
+    * partial-aggregating exchange; the serve chains are ~5 of these
+    * per query, all on beam-bounded frames.
+    */
   private def serveTopB(scored: DataFrame, b: Int): DataFrame =
-    scored.withColumn("rn", row_number().over(wServe))
-      .where(col("rn") <= b).select("query_id", "node_id", "cosine")
+    scored.groupBy("query_id")
+      .agg(slice(array_sort(collect_set(
+        struct(negate(col("cosine")).as("nc"), col("node_id")))), 1, b).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.node_id").as("node_id"),
+        negate(col("t.nc")).as("cosine"))
 
   /** The beam walk proper, entry frame pluggable: `beam0` is a scored
     * (query_id, node_id, cosine) frame — e25/e28 seed it from the
@@ -1299,12 +1309,14 @@ object Sim {
       beam0: DataFrame): DataFrame = {
     val q = serveQueries(spark, dir)
     def hop(beam: DataFrame): DataFrame = {
+      // no distinct: serveTopB's collect_set dedups the multi-edge
+      // re-surfacings (identical scored structs), one exchange instead
+      // of two
       val expanded = beam.select("query_id", "node_id")
         .join(g, Seq("node_id"))
         .select(col("query_id"), col("neighbor_id").as("node_id"))
         .unionByName(beam.select("query_id", "node_id"))
         .where(col("query_id") =!= col("node_id"))
-        .distinct()
       serveTopB(serveScore(spark, dir, q)(expanded), ServeBeam)
     }
     val beamN = (1 to hops).foldLeft(beam0)((b, _) => hop(b))
