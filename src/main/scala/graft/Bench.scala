@@ -178,6 +178,22 @@ object Bench {
     val errHead = errors.take(5).map { case (k, m) => jstr(k) + ":" + jstr(m.take(60)) }
       .mkString("{", ",", "}")
     println(fullLine)
+    // r15 (r14 VERDICT #2): the driver's END-anchored tail capture has
+    // never been able to parse the full per-query line (too long since
+    // r05 — "parsed": null in every BENCH_r*.json). Emit the per-query
+    // map AGAIN as self-contained ≤40-entry chunk lines, each a complete
+    // JSON object, immediately before the final summary line: whatever
+    // suffix of the output survives the tail capture contains whole,
+    // parseable {"metric":"chunk",...} objects. Timings are identical to
+    // the full line (same `results` map) — this is output formatting
+    // only, nothing about the measurement itself changed.
+    val chunkSeq = results.toSeq.grouped(40).toSeq
+    chunkSeq.zipWithIndex.foreach { case (grp, i) =>
+      val qsC = grp.map { case (k, v) =>
+        if (errors.contains(k)) jstr(k) + ":" + jstr("err") else jstr(k) + ":" + jnum(v)
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"chunk","i":$i,"n_chunks":${chunkSeq.size},"queries":$qsC}""")
+    }
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"runs":$nRuns,"sf":"$sfDir","results_file":"$outPath","slowest":$slowest,"errors":$errHead}""")
     spark.stop()
   }

@@ -45,6 +45,10 @@ object Tables {
     */
   def fanOutScan(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    // A/B toggle (r15, for the d40 settle demanded by the r14 verdict):
+    // same-box arms flip ONLY this, via SPARK_GRAFT_CONF. Default on.
+    if (!df.sparkSession.conf.get("spark.graft.scanFanOut", "true").toBoolean)
+      return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // toRdd plans without executing: a scan-only subtree has no
     // exchanges, so no jobs run here

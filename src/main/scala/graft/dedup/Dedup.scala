@@ -254,7 +254,13 @@ object Dedup {
     // r14: a scan fan-out here was A/B-measured NEUTRAL at 32 cores
     // and −0.8 s at 8 cores (the census shuffles already spread the
     // work; extra map tasks only added overhead) — left alone.
-    val sigs = signatureTable(nearDupCorpus(Tables.documents(spark, dir)))
+    // r15 (r14 VERDICT #5, guide §1.2/§5): the persisted signatureTable
+    // was a SINGLE-consumer frame here (only the band projection reads
+    // it), so the persist+unpersist pair and the shingles column it
+    // pinned in memory were pure overhead — project to `sig` and let
+    // the one consumer compute it; signatures are bit-identical.
+    val sigs = withSignature(shingled(nearDupCorpus(Tables.documents(spark, dir))))
+      .select("sig")
     // ONE pass over the signature table for all 7 plans: each doc row
     // explodes to Σ b = 127 (plan, band, band_sig) triples in a single
     // projection, then a single (plan, band, sig) census — 7 separate
@@ -267,8 +273,13 @@ object Dedup {
     }.mkString("concat(", ", ", ")")
     // materialize the struct arrays BEFORE exploding (the d45 lesson:
     // Generate over an inline higher-order generator re-evaluates the
-    // whole fold pathologically); 127 × 24 B per doc, released eagerly
-    val arr = sigs.select(expr(allBands).as("bb_arr")).cutLineage
+    // whole fold pathologically); 127 × 24 B per doc. r15: LAZY cut —
+    // the census job materializes the checkpoint (Generate still reads
+    // the materialized attribute, never the inline fold); the eager
+    // cut's dedicated job was overhead, and with no persist left there
+    // is no release-ordering reason to keep the second eager cut below
+    // either.
+    val arr = sigs.select(expr(allBands).as("bb_arr")).cutLineageLazy
     val bd = arr.select(explode(col("bb_arr")).as("bb"))
       .select(col("bb.bands"), col("bb.band_id"), col("bb.band_sig"))
     val measured = bd.groupBy("bands", "band_id", "band_sig")
@@ -285,8 +296,6 @@ object Dedup {
       .select(col("bands"), col("rows_per_band"),
         coalesce(col("n_candidate_pairs"), lit(0L)).as("n_candidate_pairs"),
         coalesce(col("n_capped_buckets"), lit(0L)).as("n_capped_buckets"))
-      .cutLineage
-    sigs.unpersist()
     val analytic = TuningPlans.map { case (b, r) =>
       val kr = java.lang.Long.numberOfTrailingZeros(r.toLong).toInt
       val kb = java.lang.Long.numberOfTrailingZeros(b.toLong).toInt

@@ -139,6 +139,16 @@ object Graph {
     */
   private[graft] def pagerankScoresTracked(
       nodesIn: DataFrame, counts: DataFrame): (DataFrame, DataFrame) = {
+    // r15 NOTE (r14 VERDICT #7, A/B-REJECTED): persisting the
+    // round-invariant frames (edges, nodeF) PRE-PARTITIONED on their
+    // join keys — so each round's joins reuse one exchange instead of
+    // re-shuffling the invariant side (guide §2.4) — was measured on
+    // same-box alternating arms at sf0.1/32c and REGRESSED the kernel
+    // family 0.49–0.94× (g04 3.30→6.73 s, g08 3.74→7.69 s, subset
+    // total 0.70×): the per-round InMemoryRelation columnar
+    // encode/decode and the lost AQE runtime join planning cost far
+    // more than the saved exchanges on these frame sizes. Checkpoint
+    // cuts stay.
     val edges = counts
       .select(col("prev_type"), col("next_type"),
         (col("n_trans").cast("double") /
@@ -183,6 +193,24 @@ object Graph {
             lit(Damping) * (coalesce(col("s"), lit(0.0)) + col("dang") / lit(n)))
             .as("pr"))
     }
+    // gated-phase round (r15): same contrib join and the same update
+    // arithmetic as prRound, but (a) the update joins the checkpointed
+    // `cur` itself (identical node/dng set and values as nodeF — cur is
+    // always nodeF's left-join image), carrying cur's pr through as
+    // prev_pr for the combined gate census, and (b) the dangling mass
+    // arrives as a driver literal (lit(dang)/lit(n) constant-folds to
+    // the identical IEEE division of the identical doubles).
+    def prRoundTracked(cur: DataFrame, dang: Double): DataFrame = {
+      val contrib = cur.join(edges, cur("node") === edges("prev_type"))
+        .groupBy(col("next_type").as("node"))
+        .agg(sum(col("pr") * col("w")).as("s"))
+      cur.select(col("node"), col("dng"), col("pr").as("prev_pr"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("dng"), col("prev_pr"),
+          (lit((1.0 - Damping) / n) +
+            lit(Damping) * (coalesce(col("s"), lit(0.0)) + lit(dang) / lit(n)))
+            .as("pr"))
+    }
     var pr = nodeF.select(col("node"), col("dng"), lit(1.0 / n).as("pr"))
       .cutLineageLazy
     var prev = pr
@@ -193,7 +221,7 @@ object Graph {
       // join/agg analyzes fine and halves the per-round planning cost
       if (it % 2 == 0 || it == PrIters) pr = pr.cutLineageLazy
     }
-    val (fin, rounds, changed) = quantGatedRounds(prev, pr, prRound)
+    val (fin, rounds, changed) = quantGatedRounds(prev, pr, prRoundTracked)
     val signal = nodesIn.sparkSession.range(1)
       .select(lit(rounds).as("rounds"), lit(changed).as("changed_last_round"))
     maybeLogConvergence("pagerank", signal, nodesIn.sparkSession)
@@ -205,25 +233,54 @@ object Graph {
     * [[PrMaxIters]]). Shared by the uniform and personalized kernels —
     * the round body is the caller's. Returns (final frontier, rounds
     * run in total, changed count at the last round).
+    *
+    * r15 gated-round overhead rework (r14 VERDICT #7, guide §1.2/§2.4;
+    * results bit-identical). The r14 shape paid, PER GATED ROUND, a
+    * separate two-frame join+count for the quant gate (the `qc` below,
+    * kept only for the one boundary check) plus a 1-row
+    * BroadcastExchange build for the dangling mass. Now the caller's
+    * `roundTracked(cur, dang)` (a) carries the previous frontier's pr
+    * on the output as `prev_pr` — the update join reads the
+    * checkpointed `cur` (same node set, same dng/t columns, same
+    * values as the round-invariant frame it replaces) — and (b) takes
+    * the dangling mass as a DRIVER SCALAR folded into the update
+    * expression as a literal (`lit(dang)/lit(n)` constant-folds to the
+    * same IEEE division the broadcast column performed). Each gated
+    * round then costs ONE action: a scan-aggregate over the frame
+    * being materialized anyway, returning both the quant-gate count
+    * (same pairing as the join — prev_pr sits on the same row as pr)
+    * and the NEXT round's dangling sum (same addend set, same
+    * per-partition accumulation order as the filtered aggregate it
+    * replaces — `sum(when(dng, pr))` skips exactly the non-dangling
+    * rows).
     */
   private def quantGatedRounds(
       prev0: DataFrame, cur0: DataFrame,
-      roundFn: DataFrame => DataFrame,
+      roundTracked: (DataFrame, Double) => DataFrame,
       cap: Int = PrMaxIters): (DataFrame, Int, Long) = {
     def qc(a: DataFrame, b: DataFrame): Long =
       a.select(col("node"), round(col("pr"), 6).as("qa"))
         .join(b.select(col("node"), round(col("pr"), 6).as("qb")), Seq("node"))
         .where(col("qa") =!= col("qb")).count()
-    var prev = prev0
     var cur = cur0
     var rounds = PrIters
-    var changed = qc(prev, cur)
-    while (changed != 0L && rounds < cap) {
-      prev = cur
-      // lazy cut: the qc count on the next line materializes the round
-      cur = roundFn(cur).cutLineageLazy
-      rounds += 1
-      changed = qc(prev, cur)
+    var changed = qc(prev0, cur0)
+    if (changed != 0L && rounds < cap) {
+      // dangling mass of the current frontier, fetched once at the gate
+      // boundary; every later round's census returns the next value
+      var dang = cur.where(col("dng"))
+        .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+      while (changed != 0L && rounds < cap) {
+        val next = roundTracked(cur, dang).cutLineageLazy
+        val r = next.agg(
+          coalesce(sum(when(
+            round(col("prev_pr"), 6) =!= round(col("pr"), 6), 1L)), lit(0L)),
+          coalesce(sum(when(col("dng"), col("pr"))), lit(0.0))).head()
+        changed = r.getLong(0)
+        dang = r.getDouble(1)
+        cur = next
+        rounds += 1
+      }
     }
     (cur, rounds, changed)
   }
@@ -500,7 +557,8 @@ object Graph {
     * kernel (g02/g05) and the convergence-gated one (g05b).
     */
   private def lpaRound(
-      lbl: DataFrame, sym: DataFrame, selfW: Option[DataFrame]): DataFrame = {
+      lbl: DataFrame, sym: DataFrame, selfW: Option[DataFrame],
+      trackPrev: Boolean = false): DataFrame = {
     val neighborVotes = sym
       .join(lbl.select(col("node").as("b"), col("community")), Seq("b"))
       .select(col("a").as("node"), col("community"), col("w").as("s"))
@@ -524,8 +582,16 @@ object Graph {
       .groupBy(col("node"))
       .agg(min_by(col("community"), struct((-col("s")).as("ns"), col("community")))
         .as("new_community"))
-    lbl.join(best, Seq("node"), "left")
-      .select(col("node"),
+    val joined = lbl.join(best, Seq("node"), "left")
+    // trackPrev (r15): the convergence-gated kernel reads the previous
+    // label off the SAME row instead of paying a two-frame join+count
+    // per round — plan-only, label values untouched.
+    if (trackPrev)
+      joined.select(col("node"),
+        coalesce(col("new_community"), col("community")).as("community"),
+        col("community").as("prev_community"))
+    else
+      joined.select(col("node"),
         coalesce(col("new_community"), col("community")).as("community"))
   }
 
@@ -549,11 +615,17 @@ object Graph {
     var changed = -1L
     while (rounds < LpaMaxRounds && changed != 0L) {
       // lazy cut (r14): the changed-count on the next line is the
-      // materializing action — the eager cut's own job was pure overhead
-      val next = lpaRound(lbl, sym, selfW).cutLineageLazy
-      changed = next
-        .join(lbl.select(col("node"), col("community").as("pc")), Seq("node"))
-        .where(not(col("community") <=> col("pc"))).count()
+      // materializing action — the eager cut's own job was pure
+      // overhead. r15: the round carries prev_community on the same
+      // row (trackPrev), so the gate is ONE scan-aggregate over the
+      // frame being materialized anyway instead of a two-frame
+      // join+count per round — same count, same labels. The carried
+      // column rides into the next round's lbl harmlessly (every
+      // consumer projects explicitly).
+      val next = lpaRound(lbl, sym, selfW, trackPrev = true).cutLineageLazy
+      changed = next.agg(coalesce(sum(when(
+          not(col("community") <=> col("prev_community")), 1L)), lit(0L)))
+        .head().getLong(0)
       lbl = next
       rounds += 1
     }
@@ -764,6 +836,9 @@ object Graph {
           .otherwise(lit(0.0)).as("t"),
         col("is_src").isNull.as("dng"))
       .cutLineageLazy
+    // r15: the rank frame carries the teleport column `t` through every
+    // round (plan-only change — same values tele would re-join) so the
+    // gated-phase round can read the checkpointed frontier alone.
     def prRound(cur: DataFrame): DataFrame = {
       val contrib = cur.join(edges, cur("node") === edges("prev_type"))
         .groupBy(col("next_type").as("node"))
@@ -773,12 +848,27 @@ object Graph {
       tele
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"), col("dng"),
+        .select(col("node"), col("dng"), col("t"),
           (lit(1.0 - Damping) * col("t") +
             lit(Damping) * (coalesce(col("s"), lit(0.0)) + col("dang") * col("t")))
             .as("pr"))
     }
-    var pr = tele.select(col("node"), col("dng"), col("t").as("pr"))
+    // gated-phase round (r15, see quantGatedRounds): update joins the
+    // checkpointed `cur` (same node/dng/t values tele carries), prev pr
+    // rides as prev_pr, dangling mass arrives as a driver literal
+    // (lit(dang) * t — the identical multiply the broadcast column fed).
+    def prRoundTracked(cur: DataFrame, dang: Double): DataFrame = {
+      val contrib = cur.join(edges, cur("node") === edges("prev_type"))
+        .groupBy(col("next_type").as("node"))
+        .agg(sum(col("pr") * col("w")).as("s"))
+      cur.select(col("node"), col("dng"), col("t"), col("pr").as("prev_pr"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("dng"), col("t"), col("prev_pr"),
+          (lit(1.0 - Damping) * col("t") +
+            lit(Damping) * (coalesce(col("s"), lit(0.0)) + lit(dang) * col("t")))
+            .as("pr"))
+    }
+    var pr = tele.select(col("node"), col("dng"), col("t"), col("t").as("pr"))
     var prev = pr
     for (it <- 1 to PrIters) {
       if (it == PrIters) prev = pr
@@ -789,7 +879,7 @@ object Graph {
     // census measured 91 personalized ranks still moving at the
     // documented budget)
     val (fin, rounds, changed) =
-      quantGatedRounds(prev, pr, prRound, PprMaxIters)
+      quantGatedRounds(prev, pr, prRoundTracked, PprMaxIters)
     val signal = nodesIn.sparkSession.range(1)
       .select(lit(rounds).as("rounds"), lit(changed).as("changed_last_round"))
     maybeLogConvergence("ppr", signal, nodesIn.sparkSession)

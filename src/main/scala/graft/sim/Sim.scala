@@ -600,10 +600,9 @@ object Sim {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
-      .select("query_id", "neighbor_id", "cosine")
+    // r15: dropDuplicates + row_number window → topKScored (one
+    // partial-aggregating exchange; same rows by the same total order)
+    topKScored(scored, 10)
   }
 
   /** e11: tombstoned ANN serving — row-level deletes applied to the
@@ -633,10 +632,8 @@ object Sim {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
-      .select("query_id", "neighbor_id", "cosine")
+    // r15: dropDuplicates + row_number window → topKScored (see e06)
+    topKScored(scored, 10)
   }
 
   /** e12: delta-serving ANN — the other half of e11's index-freshness
@@ -669,10 +666,9 @@ object Sim {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotOf(spark, "qv", "v") / (col("qn") * col("nrm"))).as("cosine"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
-      .select("query_id", "neighbor_id", "cosine")
+    // r15: dropDuplicates + row_number window → topKScored (see e06;
+    // the stale/delta sides are id-disjoint, so pairs stay unique)
+    topKScored(scored, 10)
   }
 
   /** e13: MMR diversity re-rank — the serving-layer step after any
@@ -1292,6 +1288,33 @@ object Sim {
     * partial-aggregating exchange; the serve chains are ~5 of these
     * per query, all on beam-bounded frames.
     */
+  /** Per-query top-k of a scored (query_id, neighbor_id, cosine) frame
+    * — the serveTopB device applied to the probe-join serves (r15, r14
+    * VERDICT #6; guide §2.3/§2.4): collect_set dedups re-surfaced
+    * candidates (the probe set is array_union'd distinct and an index
+    * vector lives in exactly ONE bucket, so a (query, neighbor) pair
+    * occurs once per frame — and if a caller ever re-surfaces one,
+    * scoring is deterministic so the duplicate structs are
+    * bit-identical), array_sort over struct(-cosine, neighbor_id)
+    * reproduces the old row_number total order (cosine desc,
+    * neighbor_id asc) exactly, slice keeps k. Replaces the old
+    * dropDuplicates + row_number window tail (2 exchanges + a sort)
+    * with ONE partial-aggregating exchange. Per-query candidate sets
+    * here are probe-bounded (≤ probes × bucket occupancy), so the
+    * per-group aggregate buffer is bounded — do NOT reuse this on
+    * corpus-sized candidate frames (e14/e15's ranking window stays a
+    * window for exactly that reason, guide §5). NaN cosines would sort
+    * last instead of first under the negated key — unreachable today
+    * because [[emb]] drops zero-norm vectors.
+    */
+  private def topKScored(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(slice(array_sort(collect_set(
+        struct(negate(col("cosine")).as("nc"), col("neighbor_id")))), 1, k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        negate(col("t.nc")).as("cosine"))
+
   private def serveTopB(scored: DataFrame, b: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(slice(array_sort(collect_set(

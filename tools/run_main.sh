@@ -3,7 +3,9 @@
 # Usage: tools/run_main.sh <mainClass> [args...]
 # Env: SPARK_DRIVER_MEM (default 8g) — same knob build.sbt honors.
 set -e
-CLASSES=/root/repo/target/scala-2.13/classes
+# GRAFT_CLASSES overrides the class tree (A/B harness: two compiled
+# trees, alternating same-box arms)
+CLASSES="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
 MAIN="$1"; shift
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
